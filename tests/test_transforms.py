@@ -1,0 +1,256 @@
+"""Golden tests for the T1-T7/T10/K1/K3 normalization — the same cases the
+reference pins in HbaseWriterTest.kt:84-146,265-674 and
+MessageUtilsTest.kt, expressed over normalize_record."""
+
+import json
+
+import pytest
+
+from uc_historic_data_importer_spark.functions.dates import (
+    EPOCH_KAFKA,
+    EPOCH_MILLIS,
+    kafka_date_format,
+    parse_hdi_timestamp_millis,
+)
+from uc_historic_data_importer_spark.functions.json_canonical import (
+    canonical_json,
+    canonicalize_id,
+)
+from uc_historic_data_importer_spark.operators.transforms import normalize_record
+
+
+def N(record):
+    return normalize_record(json.dumps(record))
+
+
+class TestDates:
+    def test_both_valid_formats_parse_to_same_millis(self):
+        a = parse_hdi_timestamp_millis("2018-12-01T15:01:02.000Z")
+        b = parse_hdi_timestamp_millis("2018-12-01T15:01:02.000+0000")
+        assert a == b == 1543676462000
+
+    def test_kafka_format_output(self):
+        assert kafka_date_format("2018-12-01T15:01:02.345Z") == "2018-12-01T15:01:02.345+0000"
+
+    def test_unparseable_returns_none(self):
+        assert parse_hdi_timestamp_millis("2018-12-01") is None
+        assert parse_hdi_timestamp_millis("") is None
+
+    def test_epoch_sentinel(self):
+        assert parse_hdi_timestamp_millis(EPOCH_KAFKA) == EPOCH_MILLIS == 315532800000
+
+
+class TestCanonicalization:
+    def test_object_id_sorted_by_key(self):
+        assert canonicalize_id({"b": "2", "a": "1"}) == '{"a":"1","b":"2"}'
+
+    def test_string_id_wrapped(self):
+        assert canonicalize_id("abc") == '{"id":"abc"}'
+
+    def test_int_id_stringified(self):
+        assert canonicalize_id(12345) == '{"id":"12345"}'
+
+    def test_key_order_and_whitespace_invariance(self):
+        # MessageUtilsTest.kt:305-355: same logical id -> same key
+        assert canonical_json(json.loads('{"b" : 2, "a": 1}')) == canonical_json(
+            json.loads('{"a":1,"b":2}')
+        )
+
+    def test_type_sensitivity(self):
+        # string "1" vs int 1 canonicalize differently
+        assert canonical_json({"id": "1"}) != canonical_json({"id": 1})
+
+
+class TestIdNormalization:
+    def test_oid_flattened(self):
+        r = N({"_id": {"$oid": "OID"}, "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"})
+        assert r["id"] == "OID"
+        assert r["id_modification"] == "FlattenedMongoId"
+        assert r["id_is_string"] and r["id_was_modified"]
+        assert json.loads(r["record_json"])["_id"] == "OID"
+        assert r["canonical_id"] == '{"id":"OID"}'
+
+    def test_oid_with_siblings_not_flattened(self):
+        r = N({"_id": {"$oid": "OID", "x": 1}, "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"})
+        assert r["id_modification"] == "UnmodifiedObjectId"
+
+    def test_inner_date_flattened_preserving_siblings(self):
+        r = N(
+            {
+                "_id": {"z": "v", "createdDateTime": {"$date": "2010-01-01T00:00:00.000Z"}},
+                "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z",
+            }
+        )
+        assert r["id_modification"] == "FlattenedInnerDate"
+        parsed = json.loads(r["id"])
+        assert parsed["createdDateTime"] == "2010-01-01T00:00:00.000+0000"
+        assert parsed["z"] == "v"
+        # flattened field moves to end (Gson remove+add)
+        assert list(parsed.keys()) == ["z", "createdDateTime"]
+
+    def test_string_id_unmodified(self):
+        r = N({"_id": "plain", "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"})
+        assert r["id"] == "plain"
+        assert r["id_modification"] == "UnmodifiedStringId"
+        assert r["id_is_string"] and not r["id_was_modified"]
+
+    def test_int_id_stringified(self):
+        r = N({"_id": 42, "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"})
+        assert r["id"] == "42"
+        assert r["canonical_id"] == '{"id":"42"}'
+
+    def test_array_id_invalid(self):
+        r = N({"_id": [1, 2], "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"})
+        assert not r["valid"] and r["skip_reason"] == "blank_id"
+
+    def test_null_id_invalid(self):
+        r = N({"_id": None})
+        assert not r["valid"] and r["skip_reason"] == "blank_id"
+
+    def test_missing_id_invalid(self):
+        r = N({"x": 1})
+        assert not r["valid"] and r["skip_reason"] == "blank_id"
+
+
+class TestWrapperPromotion:
+    def test_removed_promotion(self):
+        r = N(
+            {
+                "_removed": {"_id": "A", "@type": "X", "f": 1},
+                "_removedDateTime": {"$date": "2012-03-04T21:43:56.000Z"},
+                "_lastModifiedDateTime": {"$date": "2018-12-01T15:01:02.000Z"},
+                "timestamp": 1330897436000,
+            }
+        )
+        assert r["valid"]
+        assert r["is_removed"] and not r["is_archived"]
+        assert r["inner_type"] == "MONGO_DELETE"
+        body = json.loads(r["record_json"])
+        assert body["@type"] == "MONGO_DELETE"  # overwritten in place
+        assert body["f"] == 1
+        assert body["timestamp"] == 1330897436000
+        # version = removedDateTime
+        assert r["version"] == parse_hdi_timestamp_millis("2012-03-04T21:43:56.000Z")
+
+    def test_archived_promotion(self):
+        r = N(
+            {
+                "_archived": {"_id": "A"},
+                "_archivedDateTime": {"$date": "2014-03-02T12:34:56.000Z"},
+                "_lastModifiedDateTime": {"$date": "2018-12-01T15:01:02.000Z"},
+            }
+        )
+        assert r["is_archived"] and r["inner_type"] == "MONGO_DELETE"
+        assert r["version"] == parse_hdi_timestamp_millis("2014-03-02T12:34:56.000Z")
+
+    def test_delete_version_fallback_to_last_modified(self):
+        # MessageUtilsTest.kt:410-473 fallback chain
+        r = N(
+            {
+                "_removed": {"_id": "A"},
+                "_lastModifiedDateTime": {"$date": "2018-12-01T15:01:02.000Z"},
+            }
+        )
+        assert r["inner_type"] == "MONGO_DELETE"
+        assert r["version"] == 1543676462000
+
+
+class TestTimestampHierarchy:
+    LM = "_lastModifiedDateTime"
+
+    def test_date_wrapper_stripped(self):
+        r = N({"_id": "A", self.LM: {"$date": "2018-12-01T15:01:02.000Z"}})
+        assert r["last_modified"] == "2018-12-01T15:01:02.000+0000"
+        assert r["timestamp_source"] == "_lastModifiedDateTimeStripped"
+        # overwritten into body
+        assert json.loads(r["record_json"])[self.LM] == "2018-12-01T15:01:02.000+0000"
+
+    def test_plain_string_used_as_is(self):
+        r = N({"_id": "A", self.LM: "2018-12-01T15:01:02.000Z"})
+        assert r["last_modified"] == "2018-12-01T15:01:02.000Z"
+        assert r["timestamp_source"] == self.LM
+        # NOT rewritten into body (source field unchanged)
+        assert json.loads(r["record_json"])[self.LM] == "2018-12-01T15:01:02.000Z"
+
+    def test_fallback_to_created(self):
+        r = N({"_id": "A", "createdDateTime": {"$date": "2015-03-20T12:23:25.183Z"}})
+        assert r["last_modified"] == "2015-03-20T12:23:25.183+0000"
+        assert r["timestamp_source"] == "createdDateTime"
+        assert r["version"] == 1426854205183
+
+    def test_fallback_to_epoch(self):
+        r = N({"_id": "A"})
+        assert r["last_modified"] == EPOCH_KAFKA
+        assert r["timestamp_source"] == "epoch"
+        assert r["version"] == EPOCH_MILLIS
+
+    def test_object_without_date_falls_back(self):
+        r = N({"_id": "A", self.LM: {"weird": 1}})
+        assert r["timestamp_source"] == "epoch"
+
+    def test_unparseable_date_wrapper_is_record_error(self):
+        r = N({"_id": "A", self.LM: {"$date": "not-a-date"}})
+        assert not r["valid"] and r["skip_reason"] == "date_error"
+
+    def test_unparseable_plain_string_version_is_record_error(self):
+        r = N({"_id": "A", self.LM: "not-a-date"})
+        assert not r["valid"] and r["skip_reason"] == "date_error"
+
+
+class TestOptionalDates:
+    def test_created_flattened_and_overwritten(self):
+        r = N(
+            {
+                "_id": "A",
+                "createdDateTime": {"$date": "2015-03-20T12:23:25.183Z"},
+                "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z",
+            }
+        )
+        assert r["created_datetime"] == "2015-03-20T12:23:25.183+0000"
+        assert r["created_modified"]
+        assert json.loads(r["record_json"])["createdDateTime"] == "2015-03-20T12:23:25.183+0000"
+
+    def test_plain_string_not_modified(self):
+        r = N({"_id": "A", "createdDateTime": "2015-03-20T12:23:25.183Z",
+               "_lastModifiedDateTime": "x"}) if False else N(
+            {"_id": "A", "createdDateTime": "2015-03-20T12:23:25.183Z",
+             "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"})
+        assert r["created_datetime"] == "2015-03-20T12:23:25.183Z"
+        assert not r["created_modified"]
+
+    def test_object_without_date_becomes_blank_modified(self):
+        r = N({"_id": "A", "createdDateTime": {"x": 1},
+               "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"})
+        assert r["created_datetime"] == "" and r["created_modified"]
+
+    def test_absent_blank_unmodified(self):
+        r = N({"_id": "A", "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"})
+        assert r["created_datetime"] == "" and not r["created_modified"]
+
+
+class TestBodyPreservation:
+    def test_nulls_and_unknown_keys_survive(self):
+        rec = {
+            "_id": "A",
+            "unknown": {"nested": [1, 2, {"deep": None}]},
+            "explicit_null": None,
+            "unicode": "naïve £ ü",
+            "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z",
+        }
+        r = N(rec)
+        body = json.loads(r["record_json"])
+        assert body["unknown"] == {"nested": [1, 2, {"deep": None}]}
+        assert "explicit_null" in body and body["explicit_null"] is None
+        assert body["unicode"] == "naïve £ ü"
+
+    def test_key_order_preserved(self):
+        rec = {"_id": "A", "z": 1, "a": 2, "m": 3,
+               "_lastModifiedDateTime": "2018-12-01T15:01:02.000Z"}
+        r = N(rec)
+        assert list(json.loads(r["record_json"]).keys()) == [
+            "_id", "z", "a", "m", "_lastModifiedDateTime"
+        ]
+
+    def test_malformed_json_skipped(self):
+        assert normalize_record('{"_id": {"a"')["skip_reason"] == "parse_error"
+        assert normalize_record("[1,2]")["skip_reason"] == "parse_error"

@@ -1,0 +1,58 @@
+"""Canonical JSON serialization — the K1 operator.
+
+The reference canonicalizes a record ``_id`` before key generation and
+manifest writing: object ids get their entries sorted by key
+(case-sensitive) and re-serialized; primitive (string/number) ids are first
+wrapped as ``{"id": "<value>"}`` (reference:
+app/batch/MessageUtils.kt:79-112 ``getId``, :127-140 ``sortJsonByKey``).
+
+Format choice: the reference's Klaxon serializer emits spaced JSON
+(``{"k" : "v"}``); SURVEY.md §7.4.2 directs us to pick ONE canonical form
+and use it consistently across key-gen and manifest. We use compact
+separators (``{"k":"v"}``) — internally consistent, and identical to what
+Spark's ``to_json`` and DuckDB's ``json_object`` emit, which keeps the
+DuckDB oracle expressible.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+_SEPARATORS = (",", ":")
+
+
+def canonical_json(value: Any) -> str:
+    """Key-sorted compact JSON of any parsed JSON value (recursive)."""
+    return json.dumps(value, sort_keys=True, separators=_SEPARATORS, ensure_ascii=False)
+
+
+def canonicalize_id(id_value: Any) -> str:
+    """Canonical string form of a record id, per MessageUtils.getId.
+
+    - dict  -> entries sorted by key, compact JSON
+    - str   -> wrapped: {"id": "<s>"}
+    - int/float/bool -> stringified then wrapped: {"id": "<v>"}
+    - None / list -> "" (invalid id; caller skips the record,
+      reference HBaseWriter.kt:408-409 and MessageUtils.kt:99-111)
+    """
+    if isinstance(id_value, dict):
+        return canonical_json(id_value)
+    if isinstance(id_value, str):
+        return canonical_json({"id": id_value})
+    if isinstance(id_value, bool):
+        # bool before int: Python bool is an int subclass; reference treats
+        # primitives uniformly by stringifying (lowercase true/false in JSON)
+        return canonical_json({"id": "true" if id_value else "false"})
+    if isinstance(id_value, (int, float)):
+        return canonical_json({"id": _render_number(id_value)})
+    return ""
+
+
+def _render_number(n: int | float) -> str:
+    """Render a JSON number the way Gson's JsonPrimitive.getAsString does:
+    JSON ints stay ints, JSON floats keep their decimal point
+    (MessageUtils.kt:94-98 stringifies the primitive id)."""
+    if isinstance(n, int):
+        return str(n)
+    return repr(n)

@@ -1,0 +1,177 @@
+"""T8 + T9: body encryption and the HDI message envelope (SURVEY.md §2.3).
+
+T9 (MessageProducer.produceMessage, MessageProducer.kt:19-69) is built
+entirely from Catalyst string/bool expressions — a `concat` of literal
+fragments and columns, JVM-side in whole-stage codegen. We cannot use
+``to_json(struct(...))`` because ``message._id`` is *polymorphic*: a JSON
+object rendered inline for object ids, a quoted string otherwise
+(MessageProducer.kt:40 `messageId = if (idIsString) "\"$id\"" else id`).
+All spliced fields are structurally safe (base64, timestamps, [\\w-]+
+names) except the id, which is itself JSON.
+
+Run constants (unitOfWorkId = one UUID per run, wall-clock timestamp,
+traceId, app version — MessageProducer.kt:37-39,88-90) are injectable so
+tests and oracle comparisons are deterministic (SURVEY.md §7.4.5).
+
+T8 (AESCipherService.kt:42-55): AES/CTR/NoPadding with a fresh random
+16-byte IV per record, base64 output. Implemented as an Arrow-batched
+pandas UDF over the final body JSON; a pass-through mode keeps the
+pipeline fully deterministic for correctness oracles (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class RunContext:
+    """Injectable per-run envelope constants."""
+
+    unit_of_work_id: str
+    timestamp: str  # yyyy-MM-dd'T'HH:mm:ss.SSS wall clock
+    trace_id: str
+    hdi_version: str = "0.1.0"
+
+
+def _b(col: Column) -> Column:
+    """Render a boolean column as JSON true/false text."""
+    return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+
+
+def envelope_col(
+    ctx: RunContext,
+    body_cipher: Column,
+    key_encryption_key_id: Column,
+    initialisation_vector: Column,
+    encrypted_encryption_key: Column,
+) -> Column:
+    """Build the envelope JSON string (compact, fixed key order matching
+    MessageProducer.kt:41-68). Expects normalized columns in scope."""
+    message_id = F.when(
+        F.col("id_is_string"),
+        F.concat(F.lit('"'), F.col("id"), F.lit('"')),
+    ).otherwise(F.col("id"))
+    # already derived in the normalization pass (body @type, default
+    # MONGO_IMPORT — MessageProducer.kt:36) — avoids re-parsing the JSON
+    inner_type = F.col("inner_type")
+    lmdt_altered = _b(F.col("timestamp_source") != F.lit("_lastModifiedDateTime"))
+    return F.concat(
+        F.lit('{"unitOfWorkId":"' + ctx.unit_of_work_id + '",'),
+        F.lit('"timestamp":"' + ctx.timestamp + '",'),
+        F.lit('"traceId":"' + ctx.trace_id + '",'),
+        F.lit('"@type":"HDI",'),
+        F.lit('"version":"' + ctx.hdi_version + '",'),
+        F.lit('"message":{'),
+        F.lit('"@type":"'), inner_type, F.lit('",'),
+        F.lit('"_id":'), message_id, F.lit(","),
+        F.lit('"mongo_format_stripped_from_id":'), _b(F.col("id_was_modified")), F.lit(","),
+        F.lit('"last_modified_date_time_was_altered":'), lmdt_altered, F.lit(","),
+        F.lit('"created_date_time_was_altered":'),
+        _b((F.col("created_datetime") != "") & F.col("created_modified")), F.lit(","),
+        F.lit('"removed_date_time_was_altered":'),
+        _b((F.col("removed_datetime") != "") & F.col("removed_modified")), F.lit(","),
+        F.lit('"archived_date_time_was_altered":'),
+        _b((F.col("archived_datetime") != "") & F.col("archived_modified")), F.lit(","),
+        F.lit('"historic_removed_record_altered_on_import":'), _b(F.col("is_removed")), F.lit(","),
+        F.lit('"historic_archived_record_altered_on_import":'), _b(F.col("is_archived")), F.lit(","),
+        F.lit('"_lastModifiedDateTime":"'), F.col("last_modified"), F.lit('",'),
+        F.lit('"timestamp_created_from":"'), F.col("timestamp_source"), F.lit('",'),
+        F.lit('"collection":"'), F.col("collection_out"), F.lit('",'),
+        F.lit('"db":"'), F.col("db"), F.lit('",'),
+        F.lit('"dbObject":"'), body_cipher, F.lit('",'),
+        F.lit('"encryption":{'),
+        F.lit('"keyEncryptionKeyId":"'), key_encryption_key_id, F.lit('",'),
+        F.lit('"initialisationVector":"'), initialisation_vector, F.lit('",'),
+        F.lit('"encryptedEncryptionKey":"'), encrypted_encryption_key, F.lit('"}}}'),
+    )
+
+
+# --- T8: AES-CTR body encryption -------------------------------------------
+
+_CRYPTO_SCHEMA = T.StructType(
+    [
+        T.StructField("iv", T.StringType()),
+        T.StructField("ciphertext", T.StringType()),
+    ]
+)
+
+
+def _encrypt_series(body: pd.Series, key_b64: pd.Series, fixed_iv: bytes | None) -> pd.DataFrame:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    ivs, cts = [], []
+    for text, kb64 in zip(body, key_b64):
+        iv = fixed_iv if fixed_iv is not None else os.urandom(16)
+        cipher = Cipher(algorithms.AES(base64.b64decode(kb64)), modes.CTR(iv))
+        enc = cipher.encryptor()
+        ct = enc.update(text.encode("utf-8")) + enc.finalize()
+        ivs.append(base64.b64encode(iv).decode("ascii"))
+        cts.append(base64.b64encode(ct).decode("ascii"))
+    return pd.DataFrame({"iv": ivs, "ciphertext": cts})
+
+
+def encrypt_body(
+    df: DataFrame,
+    data_key_b64_col: str,
+    body_col: str = "record_json",
+    deterministic_iv: bytes | None = None,
+) -> DataFrame:
+    """Add `db_object` (base64 ciphertext) and `iv` columns.
+
+    AES/CTR/NoPadding with a per-record random 16-byte IV, exactly the
+    reference cipher (AESCipherService.kt:42-55). `deterministic_iv` is a
+    test hook (reference IVs are random, SURVEY.md §7.4.5)."""
+
+    @F.pandas_udf(_CRYPTO_SCHEMA)
+    def _udf(body: pd.Series, key: pd.Series) -> pd.DataFrame:
+        return _encrypt_series(body, key, deterministic_iv)
+
+    res = _udf(F.col(body_col), F.col(data_key_b64_col))
+    return df.withColumn("_enc", res).withColumn(
+        "db_object", F.col("_enc.ciphertext")
+    ).withColumn("iv", F.col("_enc.iv")).drop("_enc")
+
+
+def passthrough_body(df: DataFrame, body_col: str = "record_json") -> DataFrame:
+    """No-crypto mode: dbObject = the plaintext body, empty IV. The body
+    JSON contains quotes, so the envelope's dbObject splice uses a
+    JSON-escaped copy to stay valid JSON."""
+    backslash = F.lit("\\")
+    escaped = F.replace(
+        F.replace(F.col(body_col), backslash, F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    return df.withColumn("db_object", escaped).withColumn("iv", F.lit(""))
+
+
+def with_envelope(
+    df: DataFrame,
+    ctx: RunContext,
+    key_encryption_key_id: str = "",
+    encrypted_encryption_key: str = "",
+) -> DataFrame:
+    """T9: add the `envelope` column. Expects `db_object`/`iv` columns from
+    encrypt_body or passthrough_body."""
+    return df.withColumn(
+        "envelope",
+        envelope_col(
+            ctx,
+            F.col("db_object"),
+            F.coalesce(F.col("key_encryption_key_id"), F.lit(key_encryption_key_id))
+            if "key_encryption_key_id" in df.columns
+            else F.lit(key_encryption_key_id),
+            F.col("iv"),
+            F.coalesce(F.col("encrypted_encryption_key"), F.lit(encrypted_encryption_key))
+            if "encrypted_encryption_key" in df.columns
+            else F.lit(encrypted_encryption_key),
+        ),
+    )

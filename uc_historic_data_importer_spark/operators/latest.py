@@ -1,0 +1,58 @@
+"""Latest-version-per-key — the core analytical operator over the
+versioned-KV model (SURVEY.md §1.4).
+
+The reference stores every version as an HBase cell (maxVersions=MAX_INT,
+HbaseClient.kt:83-92); "current state" = the latest cell per row key. In
+Spark that is a single hash-shuffle on the (uniformly distributed,
+CRC-prefixed) key followed by a per-partition top-1:
+
+- `latest_per_key` uses max_by-style aggregation (partial aggregation
+  map-side, smallest shuffle payload) — preferred at scale.
+- `latest_per_key_window` uses row_number() — kept for parity with the
+  classical formulation and for returning full rows without re-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("table", "key_hex"),
+    version_col: str = "version",
+    payload_cols: tuple[str, ...] = ("envelope",),
+) -> DataFrame:
+    """max_by aggregation: one shuffle, map-side partial aggregation.
+
+    Ties on version resolve to an arbitrary-but-single row (HBase cells at
+    the same timestamp overwrite each other — same semantics)."""
+    struct_cols = [version_col, *payload_cols]
+    agg = df.groupBy(*key_cols).agg(
+        F.max(version_col).alias(version_col),
+        *[
+            F.expr(f"max_by({c}, {version_col})").alias(c)
+            for c in payload_cols
+        ],
+    )
+    return agg
+
+
+def latest_per_key_window(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("table", "key_hex"),
+    version_col: str = "version",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """row_number() formulation returning entire rows.
+
+    Deterministic when tiebreak_cols are provided; AQE handles key skew
+    (not expected here thanks to the CRC prefix)."""
+    order = [F.col(version_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

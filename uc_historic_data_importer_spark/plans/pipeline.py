@@ -1,0 +1,115 @@
+"""End-to-end pipeline (SURVEY.md §3 EP1/EP2 re-expressed).
+
+One declarative DAG per run:
+
+    file pairs (S1-S4) -> metadata + keys (S6-S7)
+      -> decrypt/gunzip/split (S8-S10)  [or plain JSONL]
+      -> normalize (T1-T7/T10/K1/K3, one pandas UDF pass)
+      -> row key (K2) + table names (W4)
+      -> body encrypt or passthrough (T8) -> envelope (T9)
+      -> time-range filter (F3) + exists anti-join (F4)
+      -> KV sink (W2) + manifest sink (W5) + counts report (F5)
+
+Run modes (W7, HBaseWriter.kt:605-606): "import", "manifest",
+"import_and_manifest".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.operators import filters as Filt
+from uc_historic_data_importer_spark.operators.envelope import (
+    RunContext,
+    encrypt_body,
+    passthrough_body,
+    with_envelope,
+)
+from uc_historic_data_importer_spark.operators.keying import flatten_normalized
+from uc_historic_data_importer_spark.operators.naming import with_table_names
+from uc_historic_data_importer_spark.operators.transforms import normalize_records
+from uc_historic_data_importer_spark import sinks
+
+
+@dataclass
+class PipelineConfig:
+    run_mode: str = "import_and_manifest"
+    skip_earlier_than: str | None = None
+    skip_later_than: str | None = None
+    skip_existing: bool = True
+    encrypt: bool = False
+    data_key_b64: str | None = None  # per-run batch data key (T8)
+    key_encryption_key_id: str = ""
+    encrypted_encryption_key: str = ""
+    run_context: RunContext = field(
+        default_factory=lambda: RunContext(
+            unit_of_work_id="00000000-0000-0000-0000-000000000000",
+            timestamp="1970-01-01T00:00:00.000",
+            trace_id="00000000-0000-0000-0000-000000000000",
+        )
+    )
+
+
+@dataclass
+class PipelineResult:
+    records: DataFrame  # normalized+enveloped, with filter_status
+    putable: DataFrame  # records passing F2/F3/F4 (KV-sink bound)
+    manifest: DataFrame  # manifest rows (W5)
+    counts: DataFrame  # F5 accounting
+
+
+def process_lines(lines: DataFrame, cfg: PipelineConfig, existing: DataFrame | None = None) -> PipelineResult:
+    """Record lines -> fully processed DataFrames. `lines` must carry
+    (db, collection, file_number, line_no, raw_json)."""
+    norm = flatten_normalized(normalize_records(lines))
+    norm = with_table_names(norm)
+
+    valid = Filt.valid_records(norm)
+    if cfg.encrypt:
+        if not cfg.data_key_b64:
+            raise ValueError("encrypt=True requires data_key_b64")
+        valid = encrypt_body(valid.withColumn("_dk", F.lit(cfg.data_key_b64)), "_dk").drop("_dk")
+    else:
+        valid = passthrough_body(valid)
+    valid = with_envelope(
+        valid,
+        cfg.run_context,
+        key_encryption_key_id=cfg.key_encryption_key_id,
+        encrypted_encryption_key=cfg.encrypted_encryption_key,
+    )
+    valid = Filt.with_filter_status(valid, cfg.skip_earlier_than, cfg.skip_later_than)
+
+    putable = valid.filter(F.col("filter_status") == Filt.FILTER_NOT)
+    if cfg.skip_existing and existing is not None:
+        putable = Filt.anti_join_existing(putable, existing)
+
+    manifest = sinks.manifest_rows(valid)
+
+    # F5 accounting needs both valid and invalid rows
+    all_status = norm.join(
+        valid.select("db", "collection", "file_number", "line_no", "filter_status"),
+        ["db", "collection", "file_number", "line_no"],
+        "left",
+    )
+    counts = Filt.filter_counts(all_status)
+    return PipelineResult(records=valid, putable=putable, manifest=manifest, counts=counts)
+
+
+def run(
+    spark: SparkSession,
+    lines: DataFrame,
+    cfg: PipelineConfig,
+    kv_path: str | None = None,
+    manifest_dir: str | None = None,
+    existing: DataFrame | None = None,
+) -> PipelineResult:
+    """Materialize the sinks according to the run mode (W7)."""
+    result = process_lines(lines, cfg, existing=existing)
+    if cfg.run_mode != "manifest" and kv_path:
+        sinks.kv_sink(result.putable, kv_path)
+    if cfg.run_mode != "import" and manifest_dir:
+        sinks.manifest_sink(result.manifest, manifest_dir)
+    return result

