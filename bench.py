@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver collect skew). `pipeline_e2e` additionally runs the flagship HDI
+normalization pipeline (the reference's whole job) over dump-record JSON
+built from the events table at the bench scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: every operator family — normalize UDF, window, anti-join,
+# multi-join agg, groupBy, dedup/similarity extensions as they land
+HEADLINE = [
+    "latest_per_key",
+    "anti_join_existing",
+    "time_range_filter",
+    "version_selection",
+    "manifest_projection",
+    "rowkey_crc32",
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "revenue_by_nation",
+    "tumbling_window_agg",
+    "asof_join_last_event",
+]
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from uc_historic_data_importer_spark.session import get_spark
+    from uc_historic_data_importer_spark.plans.catalog import QUERIES, t
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="hdi-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    from uc_historic_data_importer_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    # warm the JVM + parquet footers once
+    t(spark, SF_DIR, "events").count()
+    t(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        force(QUERIES[name].fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship end-to-end pipeline at bench scale (normalize UDF included)
+    t0 = time.time()
+    from pyspark.sql import functions as F
+    from uc_historic_data_importer_spark.operators.keying import flatten_normalized
+    from uc_historic_data_importer_spark.operators.latest import latest_per_key
+    from uc_historic_data_importer_spark.operators.naming import with_table_names
+    from uc_historic_data_importer_spark.operators.transforms import normalize_records
+
+    ev = t(spark, SF_DIR, "events")
+    raw = ev.select(
+        F.lit("events-db").alias("db"),
+        F.col("event_type").alias("collection"),
+        F.lit(1).alias("file_number"),
+        F.col("event_id").cast("int").alias("line_no"),
+        F.concat(
+            F.lit('{"_id":{"userId":"u-'),
+            F.col("user_id"),
+            F.lit('-'),
+            F.col("event_id") % 1000,
+            F.lit('"},"value":'),
+            F.col("value"),
+            F.lit(',"_lastModifiedDateTime":{"$date":"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.lit('"}}'),
+        ).alias("raw_json"),
+    )
+    norm = with_table_names(flatten_normalized(normalize_records(raw)))
+    latest = latest_per_key(
+        norm.filter(F.col("valid")),
+        key_cols=("table", "key_hex"),
+        payload_cols=("record_json",),
+    )
+    force(latest)
+    timings["pipeline_e2e"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate: run every queries()
+entry in Spark AND its oracle_sql() in DuckDB at a given sf dir, compare
+row count, column names (sorted), and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-unknown float normalization: use repr of rounded value
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    from uc_historic_data_importer_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        spark_s = time.time() - t0
+
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(srows)} rows ({spark_s:.1f}s)")
+            continue
+        t0 = time.time()
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        duck_s = time.time() - t0
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        else:
+            sh = value_hash([r[:] for r in srows], scols)
+            oh = value_hash(orows, ocols)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                srt = sorted(range(len(scols)), key=lambda i: scols[i])
+                ort = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sset = sorted("|".join(norm_cell(r[i]) for i in srt) for r in srows)
+                oset = sorted("|".join(norm_cell(r[i]) for i in ort) for r in orows)
+                diff = [
+                    (a, b) for a, b in zip(sset, oset) if a != b
+                ][:3]
+                for a, b in diff:
+                    problems.append(f"  spark: {a[:160]}")
+                    problems.append(f"  duck : {b[:160]}")
+        status = "OK " if not problems else "FAIL"
+        print(
+            f"{name:28s} {status} {len(srows)} rows (spark {spark_s:.1f}s, duck {duck_s:.2f}s)"
+        )
+        for p in problems:
+            print(f"    {p}")
+        if problems:
+            failures.append(name)
+
+    print()
+    if failures:
+        print(f"FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()

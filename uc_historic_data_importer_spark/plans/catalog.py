@@ -1,0 +1,546 @@
+"""Query catalog — the driver-checked operator surface (SURVEY.md §2).
+
+Every entry couples an idiomatic-Spark implementation with a DuckDB oracle
+SQL string over the same parquet tables (pre-registered views: region
+nation customer supplier part orders lineitem events documents
+embeddings). Column names/types are aligned on both sides because the
+driver hash-compares values after sorting columns by name.
+
+Conventions:
+- DOUBLE aggregates are rounded (2-6 dp) on BOTH sides: different
+  summation orders legally produce last-ulp differences.
+- BIGINT sums in DuckDB are cast back to BIGINT (DuckDB widens to
+  HUGEINT).
+- ties in top-k are broken by explicit deterministic columns.
+
+The `events` table plays the dump-record stream analogue (FIXTURES.md §6):
+event_id ~ record id, ts ~ _lastModifiedDateTime, event_type ~ collection/
+type discriminator, props ~ dynamic JSON payload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.functions.dates import parse_hdi_timestamp_millis
+from uc_historic_data_importer_spark.functions.keys import row_key_hex
+from uc_historic_data_importer_spark.operators.filters import filter_status_col
+from uc_historic_data_importer_spark.operators.naming import table_name
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
+    doc: str = ""
+
+
+# testdata timestamps are parquet TIMESTAMP(NANOS) which Spark refuses by
+# default; read them as nanos-longs and convert (integer div — double
+# division would lose microsecond precision on 1.7e18 values)
+_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference-semantics operators on the events stream analogue
+# ---------------------------------------------------------------------------
+
+@register(
+    "latest_per_key",
+    """
+    SELECT user_id, event_id, epoch_ms(ts) AS version, event_type
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="SURVEY §1.4/§2.6: latest-version-per-key window (HBase versioned "
+    "cells, data_transformations.md:82 'latest version of every record').",
+)
+def latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("version"),
+            "event_type",
+        )
+    )
+
+
+@register(
+    "dedup_key_version",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="SURVEY §2.6 dedup/distinct — the (key, version) idempotence set "
+    "(HbaseClient.kt:43-52 existsAll semantics).",
+)
+def dedup_key_version_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "anti_join_existing",
+    """
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events x
+      WHERE x.event_id % 10 < 3 AND x.event_id = e.event_id
+    )
+    """,
+    doc="F4 exists-filter as left_anti join (FilterServiceImpl.kt:15-21, "
+    "HbaseClient.kt:43-52): records already in the sink snapshot dropped.",
+)
+def anti_join_existing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    existing = ev.filter(F.col("event_id") % 10 < 3).select("event_id")
+    return ev.join(existing, "event_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+_LO = parse_hdi_timestamp_millis("2024-01-10T00:00:00.000Z")
+_HI = parse_hdi_timestamp_millis("2024-01-25T00:00:00.000Z")
+
+
+@register(
+    "time_range_filter",
+    f"""
+    SELECT filter_status, count(*) AS n FROM (
+      SELECT CASE
+        WHEN epoch_ms(ts) < {_LO} AND epoch_ms(ts) != 315532800000
+          THEN 'FilterTooEarly'
+        WHEN epoch_ms(ts) > {_HI} THEN 'FilterTooLate'
+        ELSE 'DoNotFilter' END AS filter_status
+      FROM events
+    ) GROUP BY filter_status
+    """,
+    doc="F3 time-range filter with the 1980-epoch exemption "
+    "(FilterServiceImpl.kt:24-37,84) — exact engine predicate "
+    "(operators/filters.filter_status_col).",
+)
+def time_range_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("version", F.unix_millis("ts"))
+    return (
+        ev.withColumn("filter_status", filter_status_col(F.col("version"), _LO, _HI))
+        .groupBy("filter_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "filter_status_counts",
+    f"""
+    SELECT event_type,
+           count(*) AS records_total,
+           CAST(count(*) FILTER (WHERE epoch_ms(ts) >= {_LO}
+                AND epoch_ms(ts) <= {_HI}) AS BIGINT) AS put_count,
+           CAST(count(*) FILTER (WHERE epoch_ms(ts) < {_LO}) AS BIGINT)
+             AS filtered_too_early,
+           CAST(count(*) FILTER (WHERE epoch_ms(ts) > {_HI}) AS BIGINT)
+             AS filtered_too_late
+    FROM events GROUP BY event_type
+    """,
+    doc="F5 per-file filter-status accounting (HBaseWriter.kt:309-314) as "
+    "one groupBy/count_if aggregation.",
+)
+def filter_status_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("version", F.unix_millis("ts"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("records_total"),
+        F.count_if((F.col("version") >= _LO) & (F.col("version") <= _HI)).alias(
+            "put_count"
+        ),
+        F.count_if(F.col("version") < _LO).alias("filtered_too_early"),
+        F.count_if(F.col("version") > _HI).alias("filtered_too_late"),
+    )
+
+
+@register(
+    "version_selection",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'MONGO_DELETE'
+                ELSE 'MONGO_IMPORT' END AS inner_type,
+           CASE WHEN event_type = 'error' THEN
+             coalesce(
+               CASE WHEN value > 150 THEN epoch_ms(ts) END,
+               CASE WHEN value > 50 THEN epoch_ms(ts) + 1000 END,
+               epoch_ms(ts) + 2000)
+           ELSE epoch_ms(ts) END AS version
+    FROM events
+    """,
+    doc="K3 delete-aware version selection chain (MessageUtils.kt:43-61): "
+    "MONGO_DELETE -> removed ?: archived ?: lastModified.",
+)
+def version_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    millis = F.unix_millis("ts")
+    inner = F.when(F.col("event_type") == "error", "MONGO_DELETE").otherwise(
+        "MONGO_IMPORT"
+    )
+    removed = F.when(F.col("value") > 150, millis)
+    archived = F.when(F.col("value") > 50, millis + 1000)
+    version = F.when(
+        inner == "MONGO_DELETE", F.coalesce(removed, archived, millis + 2000)
+    ).otherwise(millis)
+    return ev.select(
+        "event_id", inner.alias("inner_type"), version.alias("version")
+    )
+
+
+@register(
+    "kafka_date_format",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g+0000') AS kafka_ts
+    FROM events WHERE event_id % 100 = 0
+    """,
+    doc="T6 date re-formatting to yyyy-MM-dd'T'HH:mm:ss.SSS+0000 "
+    "(HBaseWriter.kt:523-541) as a Catalyst date_format.",
+)
+def kafka_date_format_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'+0000'").alias("kafka_ts"),
+    )
+
+
+@register(
+    "json_extraction",
+    """
+    SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="T10/json fns (MessageUtils.kt:63-72 lookup): JSON-path extraction "
+    "from the dynamic payload column.",
+)
+def json_extraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "table_naming",
+    """
+    SELECT doc_id,
+           replace('db-' || source || ':' ||
+             regexp_replace('docs-' || lang ||
+               CASE WHEN doc_id % 3 = 0 THEN '-two'
+                    WHEN doc_id % 3 = 1 THEN '-archived'
+                    ELSE '' END,
+               '-(archived|eight|eighteen|eleven|fifteen|five|four|fourteen|nine|nineteen|one|seven|seventeen|six|sixteen|ten|thirteen|thirty|thirtyone|thirtytwo|three|twelve|twenty|twentyeight|twentyfive|twentyfour|twentynine|twentyone|twentyseven|twentysix|twentythree|twentytwo|two)$',
+               ''),
+             '-', '_') AS table_name
+    FROM documents
+    """,
+    doc="W4 table-name derivation + split-collection coalescing "
+    "(HBaseWriter.kt:103-117,601) over synthetic db/collection strings.",
+)
+def table_naming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    coll = F.concat(
+        F.lit("docs-"),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("-two"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("-archived"))
+        .otherwise(F.lit("")),
+    )
+    db = F.concat(F.lit("db-"), F.col("source"))
+    return docs.select("doc_id", table_name(db, coll).alias("table_name"))
+
+
+@register(
+    "manifest_projection",
+    """
+    SELECT '{"id":"' || event_id || '"}' AS id,
+           epoch_ms(ts) AS timestamp,
+           'events-db' AS db,
+           event_type AS collection,
+           'IMPORT' AS source,
+           'HDI' AS outer_type,
+           CAST(event_id AS VARCHAR) AS original_id,
+           CASE WHEN event_type = 'error' THEN 'MONGO_DELETE'
+                ELSE 'MONGO_IMPORT' END AS inner_type
+    FROM events
+    """,
+    doc="W5 manifest-row projection (ManifestRecord, DomainClasses.kt:29-36; "
+    "csv layout StreamingManifestWriter.kt:58-59) with canonical-id wrap.",
+)
+def manifest_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit('{"id":"'), F.col("event_id"), F.lit('"}')).alias("id"),
+        F.unix_millis("ts").alias("timestamp"),
+        F.lit("events-db").alias("db"),
+        F.col("event_type").alias("collection"),
+        F.lit("IMPORT").alias("source"),
+        F.lit("HDI").alias("outer_type"),
+        F.col("event_id").cast("string").alias("original_id"),
+        F.when(F.col("event_type") == "error", "MONGO_DELETE")
+        .otherwise("MONGO_IMPORT")
+        .alias("inner_type"),
+    )
+
+
+@register(
+    "rowkey_crc32",
+    None,  # DuckDB has no crc32 — driver records the weaker rows-only check;
+    # byte-level correctness is pinned by tests/test_pipeline.py::test_row_key_matches_crc32_spec
+    doc="K2 row key: 4-byte big-endian CRC32(canonical id) || canonical id "
+    "(MessageUtils.kt:120-149), Catalyst-native crc32/hex/unhex.",
+)
+def rowkey_crc32_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    canonical = F.concat(F.lit('{"id":"'), F.col("event_id"), F.lit('"}'))
+    return ev.select(
+        "event_id", row_key_hex(canonical).alias("key_hex")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical operator surface (SURVEY §2.6) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="group-by aggregate surface (SURVEY §2.6): TPC-H Q1-style pricing "
+    "summary; partial aggregation map-side, one shuffle.",
+)
+def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    """
+    SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="multi-join + agg + deterministic top-k (SURVEY §2.6 inner "
+    "equi-join): Q3-style shipping priority.",
+)
+def top_orders_by_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY n_name
+    """,
+    doc="Q5-style snowflake join; dims are broadcast (hinted) so the only "
+    "shuffle is the orders-lineitem fact join + final agg.",
+)
+def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = F.broadcast(t(spark, sf_dir, "region"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    customer = F.broadcast(t(spark, sf_dir, "customer"))
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "union_priorities",
+    """
+    SELECT o_orderpriority, count(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'
+    ) GROUP BY o_orderpriority
+    """,
+    doc="union surface (S3Reader.kt:67-72 multi-suffix listing concat).",
+)
+def union_priorities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderpriority")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_orderpriority")
+    return a.unionByName(b).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    """
+    SELECT r_name, count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="broadcast join surface (HttpKeyService.kt:39-41 key-map cache -> "
+    "broadcast map, SURVEY §2.6).",
+)
+def broadcast_dim_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    region = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="streaming-style tumbling window as a batch operator (engine "
+    "extension; Structured Streaming twin in streaming/).",
+)
+def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "asof_join_last_event",
+    """
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           last_login_ms
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_login_ms
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    doc="as-of join (engine extension, SURVEY §2.6 absent-in-reference "
+    "class): each purchase joined to the user's most recent prior signup "
+    "via a running window — no shuffle beyond the user_id partition.",
+)
+def asof_join_last_event_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_login = F.max(
+        F.when(F.col("event_type") == "signup", F.unix_millis("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_login_ms", last_login)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "last_login_ms",
+        )
+    )
