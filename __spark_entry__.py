@@ -70,6 +70,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
     from uc_historic_data_importer_spark.shipping import ensure_shipped
 
@@ -84,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
     return {

@@ -36,6 +36,16 @@ HEADLINE = [
     "revenue_by_nation",
     "tumbling_window_agg",
     "asof_join_last_event",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_language_id",
 ]
 
 
@@ -46,6 +56,7 @@ def force(df) -> int:
 
 def main() -> None:
     from uc_historic_data_importer_spark.session import get_spark
+    import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES, t
     import __spark_entry__ as entry_mod
 

@@ -1,0 +1,160 @@
+"""Unit tests for the training-data-pipeline extension operators
+(dedup / similarity / text / multimodal plumbing)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog", "en", "s2"),   # near dup
+        (4, "der schnelle braune fuchs und die katze", "de", "s2"),
+        (5, "completely different content about spark engines", "en", "s3"),
+        (6, "dog lazy the over jumps fox brown quick the", "en", "s3"),  # reordered dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),    # orthogonal to 0
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 0.98, 0.2], 1),   # near 3
+        (5, [-1.0, 0.0, 0.0, 0.0], 1),   # opposite of 0
+    ]
+    df = pytest.importorskip("pyspark.sql").SparkSession.getActiveSession()
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+class TestDedup:
+    def test_exact_dup_groups(self, docs):
+        groups = dedup.exact_dup_groups(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["dup_count"] == 2
+        assert groups[0]["keep_id"] == 1
+
+    def test_jaccard_pairs_find_near_dup(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(docs, threshold=0.3).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_minhash_lsh_exact_dups_always_pair(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, num_perms=16, bands=4).collect()
+        }
+        assert (1, 2) in pairs  # identical shingle sets -> identical signature
+        assert (4, 5) not in pairs
+
+    def test_minhash_df_cut(self, docs):
+        # df-cut drops ultra-common shingles before the join
+        out = dedup.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=1)
+        assert (1, 2) not in {
+            (r["doc_a"], r["doc_b"]) for r in out.collect()
+        }  # every shared shingle has freq>=2 and is cut
+
+    def test_simhash_identical_docs_collide(self, docs):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        assert sh[1] == sh[2]
+        assert sh[1] == sh[6]  # simhash is token-set based: reorder-invariant
+        assert sh[1] != sh[5]
+        buckets = dedup.simhash_buckets(docs).collect()
+        assert any(b["dup_count"] == 3 and b["keep_id"] == 1 for b in buckets)
+
+
+class TestSimilarity:
+    def test_cosine_topk_exact(self, vectors):
+        out = similarity.cosine_topk(
+            vectors, vectors.filter(F.col("vec_id") == 0), k=2
+        ).collect()
+        ranked = sorted(out, key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in ranked] == [1, 2]
+        assert ranked[0]["cos_sim"] == pytest.approx(
+            0.99 / math.sqrt(0.99**2 + 0.01), abs=1e-6
+        )
+
+    def test_ivf_restricts_to_cell(self, vectors):
+        out = similarity.ivf_topk(vectors, k=1).collect()
+        by_q = {r["query_id"]: r for r in out}
+        # vec 5's nearest global neighbor would be orthogonal vecs in cell 0;
+        # IVF restricts to label 1
+        assert by_q[5]["neighbor_id"] in (3, 4)
+        assert by_q[0]["neighbor_id"] == 1
+
+    def test_hyperplane_buckets_deterministic(self, vectors):
+        a = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_lsh_buckets(vectors).collect()}
+        b = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_lsh_buckets(vectors).collect()}
+        assert a == b
+        # opposite vectors land in complementary buckets (all planes flip)
+        assert a[0] ^ a[5] == (1 << 8) - 1
+
+
+class TestText:
+    def test_token_counts(self, docs):
+        out = {r["source"]: r for r in text.token_counts(docs).collect()}
+        assert out["s1"]["total_tokens"] == 18
+        assert out["s1"]["n_docs"] == 2
+
+    def test_quality_scores(self, docs):
+        row = {r["doc_id"]: r for r in text.quality_scores(docs).collect()}[1]
+        assert row["n_tokens"] == 9
+        assert row["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)  # 'the' x2
+        assert 0 < row["punct_ratio"] < 0.5
+
+    def test_language_id(self, docs):
+        out = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(docs).collect()}
+        assert out[1] == "en"
+        assert out[4] == "de"
+
+    def test_fingerprint_reorder_invariant(self, docs):
+        fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprints(docs).collect()}
+        assert fp[1] == fp[2] == fp[6]
+        assert fp[1] != fp[3]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (1, "image", bytearray(b"fake-png-payload-1"), "image/png", {}),
+            (2, "image", bytearray(b"fake-png-payload-1"), "image/png", {}),
+            (3, "image", bytearray(b""), "image/png", {}),
+            (4, "video", bytearray(b"fake-mp4"), "video/mp4", {"duration_s": "12"}),
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_extract_features_plumbing(self, media):
+        feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+        assert feats[1]["content_sha"] == feats[2]["content_sha"]
+        assert len(feats[1]["feature"]) == 8
+        assert feats[1]["width"] >= 64
+        # empty payload -> decoder error surfaced as sentinel, row kept
+        assert feats[3]["width"] == -1 and feats[3]["feature"] is None
+
+    def test_media_dedup_keys_jvm_side(self, media):
+        keys = {r["media_id"]: r for r in multimodal.media_dedup_keys(media).collect()}
+        assert keys[1]["content_sha"] == keys[2]["content_sha"]
+        assert keys[1]["n_bytes"] == 18
+
+    def test_frame_sample_plan(self, media):
+        frames = multimodal.frame_sample_plan(media, every_n_seconds=5).collect()
+        assert sorted(r["frame_ts_s"] for r in frames) == [0, 5, 10]

@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all engine-portable (shared md5-based hashing so DuckDB
+oracles reproduce them bit-for-bit) and all JVM-side Catalyst expressions
+— no Python UDFs anywhere:
+
+- exact: hash-groupBy on a content hash (one shuffle on a uniform key).
+- n-gram Jaccard: shingle explode + equi-join on shingle + group — the
+  exact similarity, quadratic only within shingle buckets.
+- MinHash + LSH: signature = min over permuted shingle hashes; band
+  buckets -> candidate pairs via a self-join on (band_idx, band_sig).
+  At 100 TB this is THE scalable path: cost is linear in corpus size +
+  output pairs, never all-pairs.
+- SimHash: 64-bit sign-vector of token-hash bit votes; exact-bucket or
+  hamming-band grouping.
+
+Scale notes: every join key here (content hash, shingle hash, band
+signature) is uniformly distributed by construction, so shuffles are
+skew-free; AQE coalesces the small side. For corpora where single hot
+shingles explode (stop-shingles), `jaccard_pairs` takes a
+`max_shingle_freq` cut — the standard df-cut that bounds join fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.functions.hashes import (
+    MERSENNE_61,
+    md5_i64,
+    perm_constants,
+)
+from uc_historic_data_importer_spark.operators.text import tokens_col
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5(content) groups with >1 member.
+
+    Returns (text_hash, dup_count, keep_id) where keep_id is the smallest
+    id — the deterministic survivor."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the tokenized text."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def doc_shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle_hash) exploded pairs, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    ).select("doc_id", md5_i64(F.col("shingle")).alias("h"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
+
+    |A ∩ B| via the shingle-hash equi-join; |A|,|B| via per-doc counts;
+    jaccard = common / (na + nb - common). `max_shingle_freq` drops
+    ultra-common shingles before the join (df-cut) — at corpus scale a
+    shingle shared by k docs costs k^2 join rows."""
+    sh = doc_shingle_hashes(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("h"), "h", "inner"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perms: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig_j = min over shingles of
+    (a_j * h + b_j) mod (2^61 - 1). One groupBy over the exploded
+    shingle hashes; all num_perms mins computed in the same aggregation
+    (map-side partial agg keeps shuffle payload = num_perms longs/doc)."""
+    sh = doc_shingle_hashes(df, text_col, id_col, n)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(perm_constants(num_perms))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perms: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (a < b): docs sharing at least one band.
+
+    band signature = md5 of the band's rows joined — uniform join key.
+    Self-join per (band_idx, band_sig) bucket; distinct pairs across
+    bands. Cost is linear in docs + bucket collisions, never all-pairs."""
+    rows_per_band = num_perms // bands
+    sig = minhash_signatures(df, num_perms, text_col, id_col, n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
+                    "band_sig"
+                ),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash per doc: for each bit position, sum ±1 votes of the
+    distinct-token hashes; bit set iff the vote is positive.
+
+    One explode + one groupBy computing all `bits` votes in the same
+    aggregation (map-side partial agg; shuffle payload = bits ints/doc).
+    The token hash is the shared md5_i64 (60 usable bits), so bits <= 60.
+    Returns (doc_id, simhash)."""
+    if bits > 60:
+        raise ValueError("md5_i64 provides 60 usable bits")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("w"),
+    ).select("doc_id", md5_i64(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    sig = tok.groupBy("doc_id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(simhash, dup_count, keep_id) for buckets with >1 member — exact
+    SimHash-collision dedup; hamming-distance banding layers on top the
+    same way MinHash-LSH bands do."""
+    return (
+        simhash(df, text_col, id_col, bits)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )

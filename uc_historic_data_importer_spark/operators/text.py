@@ -1,0 +1,99 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Catalyst expressions (JVM-side, whole-stage
+codegen) over the `documents` table shape (doc_id, text, lang, source,
+n_chars) — no Python in the hot path. Tokenization is a shared,
+engine-portable convention (lower + split on non-alphanumeric) so DuckDB
+oracles reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# small deterministic stopword list shared with oracles
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# marker words per language for the n-gram/marker language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """lowercased alphanumeric tokens, empties removed."""
+    return F.array_remove(F.split(F.lower(text), TOKEN_SPLIT_RE), "")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_col(F.col(text_col))).withColumn(
+        "n_tokens", F.size("tokens")
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Whitespace/regex token counting rolled up per group — the unit-economics
+    query of a training-data pipeline (tokens per source/shard)."""
+    toks = with_tokens(df, text_col)
+    return toks.groupBy(by).agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features: length, mean token length,
+    stopword ratio, non-alphanumeric (punct/space) ratio. Deterministic,
+    SQL-expressible; the composite score is a simple monotone blend."""
+    d = with_tokens(df, text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    alnum_chars = F.length(F.regexp_replace(F.lower(text), TOKEN_SPLIT_RE, ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter("tokens", lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = F.round(n_stop / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+    punct_ratio = F.round((n_chars - alnum_chars) / F.greatest(n_chars, F.lit(1)), 6)
+    mean_tok_len = F.round(
+        alnum_chars / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.col("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = count of language-marker tokens;
+    argmax with deterministic tiebreak (higher score, then language code
+    ascending); all-zero -> 'und'."""
+    d = with_tokens(df, text_col)
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter("tokens", lambda w: F.array_contains(arr, w)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # greatest over (score, lang) structs compares lexicographically:
+    # highest score wins; ties break to the alphabetically-LAST lang code
+    # (deterministic, mirrored in the DuckDB oracle's CASE order)
+    best = F.greatest(*scores)
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return d.select("doc_id", pred.alias("predicted_lang"))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set — the
+    canonical-form dedup key (word-order- and repetition-insensitive)."""
+    d = with_tokens(df, text_col)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tokens")))))
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,392 @@
+"""Extension-operator queries: dedup / similarity / text analysis /
+multimodal plumbing (the training-data-pipeline surface of the build
+brief). Registered into the same QUERIES dict as catalog.py.
+
+Every oracle reproduces the Spark computation exactly: shared tokenizer
+regex, shared md5_i64 hashing, shared permutation constants, DOUBLE
+arithmetic with pre-rank rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.functions.hashes import (
+    MERSENNE_61,
+    md5_i64_sql,
+    perm_constants,
+)
+from uc_historic_data_importer_spark.operators import dedup, similarity, text
+from uc_historic_data_importer_spark.plans.catalog import register, t
+
+# shared DuckDB fragments ----------------------------------------------------
+
+_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+_SHINGLE_CTE = f"""
+tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {md5_i64_sql('s')} AS h
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+2], ' ')
+                   for i in range(1, len(w) - 1)]) AS s
+    FROM tok
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    f"""
+    WITH tok AS (
+      SELECT source, len({_TOKENS_SQL}) AS n_tokens FROM documents
+    )
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+    FROM tok GROUP BY source
+    """,
+    doc="token counting per source shard (whitespace/regex tokenizer).",
+)
+def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(t(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len(w) AS INT) AS n_tokens,
+           round(len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                 / greatest(len(w), 1), 6) AS stopword_ratio,
+           round((length(text) -
+                  length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+                 / greatest(len(w), 1), 6) AS mean_token_len
+    FROM tok
+    """,
+    doc="document quality features: length / stopword ratio / punct ratio.",
+)
+def text_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, markers in sorted(text.LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_exprs.append(
+            f"len(list_filter(w, x -> list_contains({arr}, x))) AS s_{lang}"
+        )
+    langs = sorted(text.LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # ties break to the alphabetically-last code — mirrors the Spark
+    # struct-greatest comparison in operators/text.language_id
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for l in reversed(langs):
+        case += f"WHEN s_{l} = {m} THEN '{l}' "
+    case += "END"
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM tok)
+    SELECT doc_id, {case} AS predicted_lang FROM scored
+    """
+
+
+@register(
+    "text_language_id",
+    _langid_oracle(),
+    doc="marker-word language-ID heuristic with deterministic tiebreak.",
+)
+def text_language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+    FROM tok
+    """,
+    doc="canonical-form document fingerprint (sorted distinct token set).",
+)
+def text_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS dup_count,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    doc="exact dedup: content-hash groupBy, deterministic survivor.",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)
+    SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keep_id
+    FROM (SELECT doc_id,
+            md5(array_to_string(list_sort(list_distinct(w)), ' '))
+              AS fingerprint
+          FROM tok)
+    GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    doc="exact dedup on the canonical token-set fingerprint — catches "
+    "reordered/repeated-word duplicates that byte-exact hashing misses.",
+)
+def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = text.fingerprints(t(spark, sf_dir, "documents"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(common / (sa.n + sb.n - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common / (sa.n + sb.n - common) >= 0.5
+    """,
+    doc="exact 3-gram Jaccard near-dup pairs via shingle equi-join.",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_NUM_PERMS = 16
+_BANDS = 4
+_ROWS = _NUM_PERMS // _BANDS
+
+
+def _minhash_oracle() -> str:
+    consts = perm_constants(_NUM_PERMS)
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {MERSENNE_61}) AS mh{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    bands = []
+    for bi in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{bi * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        )
+        bands.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_sig FROM sig"
+        )
+    banded = " UNION ALL ".join(bands)
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({banded})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc="MinHash(16 perms) + LSH(4 bands x 4 rows) candidate pairs — the "
+    "linear-cost near-dup path at corpus scale.",
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), num_perms=_NUM_PERMS, bands=_BANDS
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    tw AS (SELECT DISTINCT doc_id, word FROM
+           (SELECT doc_id, unnest(w) AS word FROM tok)),
+    th AS (SELECT doc_id, {md5_i64_sql('word')} AS h FROM tw),
+    votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
+    SELECT simhash, count(*) AS dup_count, min(doc_id) AS keep_id
+    FROM (SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM votes)
+    GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="SimHash(32-bit) exact-collision dedup buckets.",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_buckets(
+        t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_inner_product(qv, cv) / "
+    "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT)
+        AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+    doc="brute-force exact cosine top-k (broadcast queries, no corpus "
+    "shuffle) — the ANN correctness baseline.",
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS query_id, a.label AS cell, b.vec_id AS neighbor_id,
+             round(list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v)) *
+                sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, cell, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT)
+        AS rank
+      FROM sims
+    ) WHERE rank <= 1
+    """,
+    doc="IVF-style search: nearest neighbor within the quantizer cell "
+    "(label column as cell assignment; partition-pruned at scale).",
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(t(spark, sf_dir, "embeddings"), k=1)
+
+
+@register(
+    "embedding_cosine_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) *
+              sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) /
+          (sqrt(list_inner_product(a.v, a.v)) *
+           sqrt(list_inner_product(b.v, b.v))) >= 0.4
+    """,
+    doc="embedding-cosine near-duplicate pairs within cells (threshold "
+    "0.4 on this corpus; 0.95+ for real near-dup data).",
+)
+def embedding_cosine_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("vb")
+    )
+    cos = similarity.cosine_col(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns)
+# ---------------------------------------------------------------------------
+
+@register(
+    "binary_media_keys",
+    """
+    SELECT doc_id AS media_id, sha256(text) AS content_sha,
+           octet_length(text::BLOB) AS n_bytes
+    FROM documents
+    """,
+    doc="multimodal binary-column plumbing: JVM-side sha256 + byte length "
+    "over an opaque payload (text bytes standing in for media payloads; "
+    "decode stage stubbed in operators/multimodal.py).",
+)
+def binary_media_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.sha2(payload, 256).alias("content_sha"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
