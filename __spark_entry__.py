@@ -59,7 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
             F.lit('"}}'),
         ).alias("raw_json"),
     )
-    norm = with_table_names(flatten_normalized(normalize_records(raw)))
+    norm = with_table_names(
+        flatten_normalized(normalize_records(raw, min_partitions=8))
+    )
     latest = latest_per_key_window(
         norm.filter(F.col("valid")), key_cols=("table", "key_hex")
     )

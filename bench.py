@@ -107,7 +107,9 @@ def main() -> None:
             F.lit('"}}'),
         ).alias("raw_json"),
     )
-    norm = with_table_names(flatten_normalized(normalize_records(raw)))
+    norm = with_table_names(
+        flatten_normalized(normalize_records(raw, min_partitions=int(CPUS)))
+    )
     latest = latest_per_key(
         norm.filter(F.col("valid")),
         key_cols=("table", "key_hex"),

@@ -17,7 +17,8 @@ Catalyst column versions are provided for SQL-expressible paths.
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+import re
+from datetime import date
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -31,34 +32,44 @@ SPARK_FMT_OFFSET = "yyyy-MM-dd'T'HH:mm:ss.SSSxx"  # xx matches +0000
 KAFKA_OUT_SUFFIX = "+0000"
 
 
+_TS_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})\.(\d{1,6})(Z|[+-]\d{4})$"
+)
+_EPOCH_ORDINAL = 719163  # date(1970, 1, 1).toordinal()
+
+
 def parse_hdi_timestamp_millis(value: str | None) -> int | None:
     """Parse one of the two accepted formats to epoch millis (UTC).
 
     Returns None when unparseable — callers decide whether that is a
     record error (kafkaDateFormat raises, HBaseWriter.kt:523-531) or a
     fallback trigger (lastModifiedDateTime hierarchy, :439-471).
+
+    Hand-rolled fixed-format parse: this runs once per record inside the
+    normalization UDF, and strptime was ~50% of the whole record cost.
+    Unlike lenient SimpleDateFormat we reject out-of-range fields
+    (month 13 etc.) instead of rolling them over.
     """
     if not value or not isinstance(value, str):
         return None
-    v = value.strip()
-    dt: datetime | None = None
-    if v.endswith("Z"):
-        try:
-            dt = datetime.strptime(v[:-1], "%Y-%m-%dT%H:%M:%S.%f").replace(
-                tzinfo=timezone.utc
-            )
-        except ValueError:
-            dt = None
-    else:
-        try:
-            dt = datetime.strptime(v, "%Y-%m-%dT%H:%M:%S.%f%z")
-        except ValueError:
-            dt = None
-    if dt is None:
+    m = _TS_RE.match(value.strip())
+    if m is None:
         return None
-    # integer arithmetic: avoid float .timestamp() rounding at ms precision
-    epoch_s = int(dt.replace(microsecond=0).timestamp())
-    return epoch_s * 1000 + dt.microsecond // 1000
+    y, mo, d, h, mi, s, frac, tz = m.groups()
+    try:
+        days = date(int(y), int(mo), int(d)).toordinal() - _EPOCH_ORDINAL
+    except ValueError:
+        return None
+    h, mi, s = int(h), int(mi), int(s)
+    if h > 23 or mi > 59 or s > 59:
+        return None
+    millis = int(frac.ljust(6, "0")) // 1000
+    offset_s = 0
+    if tz != "Z":
+        offset_s = (int(tz[1:3]) * 3600 + int(tz[3:5]) * 60) * (
+            -1 if tz[0] == "-" else 1
+        )
+    return ((days * 86400 + h * 3600 + mi * 60 + s) - offset_s) * 1000 + millis
 
 
 def kafka_date_format(value: str) -> str | None:
@@ -74,8 +85,15 @@ def kafka_date_format(value: str) -> str | None:
 
 
 def millis_to_kafka(millis: int) -> str:
-    dt = datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
-    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{millis % 1000:03d}" + KAFKA_OUT_SUFFIX
+    days, rem = divmod(millis, 86400000)
+    d = date.fromordinal(days + _EPOCH_ORDINAL)
+    h, rem = divmod(rem, 3600000)
+    mi, rem = divmod(rem, 60000)
+    s, ms = divmod(rem, 1000)
+    return (
+        f"{d.year:04d}-{d.month:02d}-{d.day:02d}T{h:02d}:{mi:02d}:{s:02d}.{ms:03d}"
+        + KAFKA_OUT_SUFFIX
+    )
 
 
 def parse_hdi_timestamp_col(col: Column) -> Column:

@@ -63,11 +63,23 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Shingling/hashing parallelism equals input partitions; a compact
+    source (single small parquet file) would serialize the CPU-heavy
+    higher-order-function stages onto one core. Round-robin repartition
+    when under the session's default parallelism — a no-op at real scale
+    where the input already has thousands of splits."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def doc_shingle_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingle_hash) exploded pairs, distinct per doc."""
-    return df.select(
+    return _ensure_parallel(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
     ).select("doc_id", md5_i64(F.col("shingle")).alias("h"))
@@ -193,7 +205,7 @@ def simhash(
     Returns (doc_id, simhash)."""
     if bits > 60:
         raise ValueError("md5_i64 provides 60 usable bits")
-    tok = df.select(
+    tok = _ensure_parallel(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("w"),
     ).select("doc_id", md5_i64(F.col("w")).alias("h"))

@@ -41,6 +41,16 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Similarity parallelism equals corpus partitions; a single-file
+    corpus would serialize the dot-product stage onto one core. No-op at
+    real scale (inputs already have many splits)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,15 +61,21 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k: (query_id, neighbor_id, cos_sim, rank).
 
+    Norms are precomputed per side BEFORE the join (1 dot product per
+    pair instead of 3 — same double values, sqrt is deterministic).
     Similarity is rounded BEFORE ranking so cross-engine float noise
     cannot flip ranks; ties break on neighbor id ascending."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_col(F.col(vec_col)).alias("q_norm"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = _ensure_parallel(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_col(F.col(vec_col)).alias("c_norm"),
     )
     sims = (
         q.crossJoin(c)
@@ -67,9 +83,11 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), round_dp).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -95,14 +113,17 @@ def ivf_topk(
     candidate set is independent, so the shuffle is on the (uniform)
     cell id and partition pruning applies when the corpus is stored
     partitioned by cell."""
+    corpus = _ensure_parallel(corpus)
     a = corpus.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_col(F.col(vec_col)).alias("q_norm"),
         F.col(cell_col).alias("cell"),
     )
     b = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm_col(F.col(vec_col)).alias("c_norm"),
         F.col(cell_col).alias("cell"),
     )
     sims = (
@@ -112,9 +133,11 @@ def ivf_topk(
             "query_id",
             "cell",
             "neighbor_id",
-            F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), round_dp).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

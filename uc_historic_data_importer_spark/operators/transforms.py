@@ -323,11 +323,31 @@ def _normalize_udf(raw: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([normalize_record(line) for line in raw])
 
 
-def normalize_records(df: DataFrame, raw_col: str = "raw_json") -> DataFrame:
+# The UDF is pure, but letting Catalyst treat it as deterministic allows
+# filter-pushdown to DUPLICATE the (expensive) evaluation below exchanges:
+# a filter on norm.valid gets rewritten to a second ArrowEvalPython under
+# the shuffle while the flatten projection keeps the original above it —
+# the whole normalize pass runs twice. Blocking optimizer movement costs
+# nothing (nothing useful can be pushed through a dynamic-JSON rewrite).
+_normalize_udf = _normalize_udf.asNondeterministic()
+
+
+def normalize_records(
+    df: DataFrame, raw_col: str = "raw_json", min_partitions: int | None = None
+) -> DataFrame:
     """Apply the full T1-T7/T10/K1/K3 normalization to a lines DataFrame.
 
     Input: any DataFrame with a `raw_col` string column (plus pass-through
     context columns such as db/collection/file_number/line_no).
     Output: input columns + `norm` struct column (NORMALIZED_SCHEMA).
-    """
+
+    `min_partitions`: the UDF's parallelism equals the input partition
+    count; a compact upstream source (one small parquet file, one
+    decrypted dump) serializes the whole CPU-bound stage onto one core.
+    When set, inputs with fewer partitions are round-robin repartitioned
+    first — the shuffle is cheap relative to per-record Python. At real
+    scale the input splits already provide parallelism and this is a
+    no-op."""
+    if min_partitions is not None and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     return df.withColumn("norm", _normalize_udf(F.col(raw_col)))

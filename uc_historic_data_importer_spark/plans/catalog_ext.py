@@ -353,17 +353,24 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("va"),
+        similarity.norm_col(F.col("embedding")).alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("embedding").alias("vb"),
+        similarity.norm_col(F.col("embedding")).alias("nb"),
     )
-    cos = similarity.cosine_col(F.col("va"), F.col("vb"))
+    cos = similarity.dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .select("vec_a", "vec_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cos_sim"))
     )
 
 
