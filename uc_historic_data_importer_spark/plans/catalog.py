@@ -341,6 +341,122 @@ def rowkey_crc32_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "normalize_pipeline",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_ms(ts) AS ms,
+             strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS base_ts
+      FROM events WHERE event_id % 20 < 4
+    )
+    SELECT event_id,
+           CASE
+             WHEN event_type = 'error' THEN 'MONGO_DELETE'
+             ELSE 'MONGO_IMPORT' END AS inner_type,
+           event_type = 'error' AS is_removed,
+           CASE event_id % 4
+             WHEN 0 THEN '{"id":"oid-' || user_id || '"}'
+             WHEN 1 THEN '{"n":"' || event_id || '","userId":"u-' || user_id || '"}'
+             WHEN 2 THEN '{"id":"plain-' || user_id || '"}'
+             ELSE '{"id":"late-' || user_id || '"}' END AS canonical_id,
+           CASE event_id % 4
+             WHEN 0 THEN 'FlattenedMongoId'
+             WHEN 1 THEN 'UnmodifiedObjectId'
+             ELSE 'UnmodifiedStringId' END AS id_modification,
+           CASE
+             WHEN event_type = 'error' THEN ms + 86400000
+             ELSE ms END AS version,
+           CASE event_id % 4
+             WHEN 1 THEN '_lastModifiedDateTimeStripped'
+             WHEN 2 THEN '_lastModifiedDateTime'
+             WHEN 3 THEN 'createdDateTime'
+             ELSE '_lastModifiedDateTimeStripped' END AS timestamp_source,
+           CASE event_id % 4
+             WHEN 2 THEN base_ts || 'Z'
+             ELSE base_ts || '+0000' END AS last_modified
+    FROM e
+    """,
+    doc="CORE-ENGINE PARITY: dump-record lines (4 id/timestamp shapes + "
+    "removed-wrapper promotion for 'error' events) run through the REAL "
+    "normalization UDF (T1/T3/T4/T5, K1, K3 — HBaseWriter.kt:141-213); "
+    "the oracle reproduces every output column independently in SQL.",
+)
+def normalize_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators.keying import flatten_normalized
+    from uc_historic_data_importer_spark.operators.transforms import (
+        normalize_records,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 < 4)
+    ts_z = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    # four id/timestamp shapes, cycling on event_id % 4:
+    #  0: {"$oid": ...} id + {"$date": ...} lastModified  (FlattenedMongoId)
+    #  1: compound object id + $date lastModified          (UnmodifiedObjectId)
+    #  2: plain string id + plain string lastModified      (used as-is)
+    #  3: plain string id + NO lastModified, $date created (fallback chain)
+    body = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(
+                F.lit('{"_id":{"$oid":"oid-'), F.col("user_id"),
+                F.lit('"},"_lastModifiedDateTime":{"$date":"'), ts_z, F.lit('"}}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(
+                F.lit('{"_id":{"userId":"u-'), F.col("user_id"),
+                F.lit('","n":"'), F.col("event_id"),
+                F.lit('"},"_lastModifiedDateTime":{"$date":"'), ts_z, F.lit('"}}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(
+                F.lit('{"_id":"plain-'), F.col("user_id"),
+                F.lit('","_lastModifiedDateTime":"'), ts_z, F.lit('"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"_id":"late-'), F.col("user_id"),
+                F.lit('","createdDateTime":{"$date":"'), ts_z, F.lit('"}}'),
+            )
+        )
+    )
+    removed_date = F.date_format(
+        F.col("ts") + F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    )
+    # 'error' events arrive wrapped in a _removed envelope (T1 promotion)
+    raw = F.when(
+        F.col("event_type") == "error",
+        F.concat(
+            F.lit('{"_removed":'), body,
+            F.lit(',"_removedDateTime":{"$date":"'), removed_date, F.lit('"}}'),
+        ),
+    ).otherwise(body)
+    lines = ev.select(
+        "event_id",
+        F.lit("events-db").alias("db"),
+        F.col("event_type").alias("collection"),
+        F.lit(1).alias("file_number"),
+        F.col("event_id").cast("int").alias("line_no"),
+        raw.alias("raw_json"),
+    )
+    norm = flatten_normalized(normalize_records(lines, min_partitions=8))
+    return norm.filter(F.col("valid")).select(
+        "event_id",
+        "inner_type",
+        "is_removed",
+        "canonical_id",
+        "id_modification",
+        "version",
+        "timestamp_source",
+        "last_modified",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classical operator surface (SURVEY §2.6) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------

@@ -1,0 +1,193 @@
+"""Structured Streaming variants of the batch pipeline.
+
+The reference is a one-shot batch job; its natural streaming twin (and
+the engine-extension surface of SURVEY.md §2.6 / §7.4.7) treats arriving
+dump files as a stream:
+
+    file source (JSONL) -> normalize (same UDF) -> watermarked
+    dedup on (table, key_hex, version) -> sinks via foreachBatch
+    + stateful latest-per-key via applyInPandasWithState
+
+Semantics parity: the batch pipeline's exists-filter (F4) becomes
+`dropDuplicatesWithinWatermark`; the latest-per-key view becomes a
+stateful operator whose state is exactly one (version, body) per key —
+the streaming materialization of the HBase versioned-cell "current
+state" query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from uc_historic_data_importer_spark.operators.keying import flatten_normalized
+from uc_historic_data_importer_spark.operators.naming import with_table_names
+from uc_historic_data_importer_spark.operators.transforms import normalize_records
+
+LINES_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType()),
+        T.StructField("collection", T.StringType()),
+        T.StructField("file_number", T.IntegerType()),
+        T.StructField("line_no", T.IntegerType()),
+        T.StructField("raw_json", T.StringType()),
+    ]
+)
+
+
+def read_jsonl_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of dump lines. Filename metadata is derived the
+    same way as the batch source (sources/jsonl.py); line numbers are not
+    defined under streaming (files split across batches) and are null."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 16)
+        .load(input_dir)
+        .withColumn("data_path", F.input_file_name())
+    )
+    groups = r"([\w-]+)\.([\w-]+)\.([0-9]+)\.json"
+    fname = F.element_at(F.split(F.col("data_path"), "/"), -1)
+    return raw.select(
+        F.regexp_extract(fname, groups, 1).alias("db"),
+        F.regexp_extract(fname, groups, 2).alias("collection"),
+        F.regexp_extract(fname, groups, 3).cast("int").alias("file_number"),
+        F.lit(None).cast("int").alias("line_no"),
+        F.col("value").alias("raw_json"),
+    )
+
+
+def normalized_stream(lines: DataFrame) -> DataFrame:
+    """Same single-pass normalization UDF as the batch path — the operator
+    is streaming-agnostic because it is stateless per record."""
+    return with_table_names(flatten_normalized(normalize_records(lines))).filter(
+        F.col("valid")
+    )
+
+
+def deduped_stream(norm: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """F4 under streaming: drop (table, key, version) duplicates with a
+    watermark bounding the dedup state — late re-deliveries beyond the
+    delay are the task-retry idempotence window."""
+    with_event_time = norm.withColumn(
+        "event_time", F.timestamp_millis(F.col("version"))
+    )
+    return with_event_time.withWatermark(
+        "event_time", watermark_delay
+    ).dropDuplicatesWithinWatermark(["table", "key_hex", "version"])
+
+
+def windowed_counts(norm: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Per-table tumbling-window put counts — the streaming F5 report."""
+    with_event_time = norm.withColumn(
+        "event_time", F.timestamp_millis(F.col("version"))
+    )
+    return (
+        with_event_time.withWatermark("event_time", "1 hour")
+        .groupBy("table", F.window("event_time", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("table", F.col("w.start").alias("window_start"), "n")
+    )
+
+
+_LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.LongType()),
+        T.StructField("record_json", T.StringType()),
+    ]
+)
+
+_LATEST_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("table", T.StringType()),
+        T.StructField("key_hex", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("record_json", T.StringType()),
+    ]
+)
+
+
+def _latest_state_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Keep exactly one (version, body) per key; emit when it advances."""
+    if state.exists:
+        (cur_version, cur_body) = state.get
+    else:
+        cur_version, cur_body = -1, None
+    for pdf in pdfs:
+        idx = pdf["version"].idxmax()
+        v = int(pdf["version"][idx])
+        if v > cur_version:
+            cur_version = v
+            cur_body = pdf["record_json"][idx]
+    state.update((cur_version, cur_body))
+    yield pd.DataFrame(
+        {
+            "table": [key[0]],
+            "key_hex": [key[1]],
+            "version": [cur_version],
+            "record_json": [cur_body],
+        }
+    )
+
+
+def latest_per_key_stream(norm: DataFrame) -> DataFrame:
+    """Stateful latest-per-key: the streaming materialization of the
+    versioned-KV current-state view (SURVEY.md §1.4) via
+    applyInPandasWithState. State per key = one (version, body) pair;
+    output mode 'update' emits the new current row whenever a key
+    advances."""
+    return norm.groupBy("table", "key_hex").applyInPandasWithState(
+        _latest_state_fn,
+        outputStructType=_LATEST_OUT_SCHEMA,
+        stateStructType=_LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def normalized_stream_batch_keys(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Batch-mode ground truth for the stateful latest-per-key stream: the
+    (table, key_hex, max version) set the state should converge to."""
+    from uc_historic_data_importer_spark.sources.jsonl import read_jsonl_lines
+
+    lines = read_jsonl_lines(spark, input_dir)
+    norm = with_table_names(flatten_normalized(normalize_records(lines))).filter(
+        F.col("valid")
+    )
+    return norm.groupBy("table", "key_hex").agg(F.max("version").alias("version"))
+
+
+def run_to_kv_sink(
+    norm: DataFrame, kv_path: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Materialize the stream into the same versioned-KV parquet layout as
+    the batch sink via foreachBatch (idempotent per batch id)."""
+    from uc_historic_data_importer_spark import sinks
+    from uc_historic_data_importer_spark.operators.envelope import (
+        RunContext,
+        passthrough_body,
+        with_envelope,
+    )
+
+    ctx = RunContext(
+        unit_of_work_id="stream", timestamp="1970-01-01T00:00:00.000", trace_id="stream"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enveloped = with_envelope(passthrough_body(batch_df), ctx)
+        sinks.kv_sink(enveloped, kv_path, mode="append")
+
+    writer = (
+        norm.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
