@@ -45,6 +45,51 @@ def read_kv(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def kv_put_sink(
+    df: DataFrame,
+    putter_factory,
+    max_batch_bytes: int = 100_000_000,
+) -> None:
+    """W1+W2 for a real KV cluster (HBase & co.): per-partition putter
+    with the reference's byte-bounded flush (HBaseWriter.kt:105-107,
+    214-233: accumulate until adding the next record would reach
+    max.batch.size.bytes, flush, plus a trailing under-size flush).
+
+    `putter_factory()` runs once per partition ON THE EXECUTOR and must
+    return an object with `put_batch(table, records)` (records =
+    list of (key: bytes, version: int, body: str)) and `close()`.
+    Retries/backoff (HBaseWriter.putBatch :543-573) belong inside the
+    putter, where the client owns connection state; Spark task retry
+    covers whole-partition failure (sink must be idempotent on
+    (key, version) — HBase puts are).
+    """
+    cols = df.select("table", "key", "version", F.col("envelope").alias("body"))
+
+    def _write_partition(rows):
+        putter = putter_factory()
+        try:
+            batch: list[tuple[bytes, int, str]] = []
+            batch_table: str | None = None
+            batch_bytes = 0
+            for r in rows:
+                body = r["body"]
+                if batch and (
+                    batch_table != r["table"]
+                    or batch_bytes + len(body) >= max_batch_bytes
+                ):
+                    putter.put_batch(batch_table, batch)
+                    batch, batch_bytes = [], 0
+                batch_table = r["table"]
+                batch.append((bytes(r["key"]), int(r["version"]), body))
+                batch_bytes += len(body)
+            if batch:
+                putter.put_batch(batch_table, batch)
+        finally:
+            putter.close()
+
+    cols.foreachPartition(_write_partition)
+
+
 def csv_escape(col: Column) -> Column:
     """commons-text StringEscapeUtils.escapeCsv: wrap in double quotes iff
     the value contains comma, quote, CR or LF; double embedded quotes."""

@@ -77,19 +77,16 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
                     f"Failed to parse encryption metadata: blank '{f}' in {r['meta_path']}"
                 )
         enriched.append(
-            {
-                **r.asDict(),
-                "key_encryption_key_id": meta["keyEncryptionKeyId"],
-                "encrypted_encryption_key": meta["encryptedEncryptionKey"],
-                "initialisation_vector": meta["initialisationVector"],
-                "plaintext_datakey": meta.get("plaintextDatakey"),
-            }
+            tuple(r)
+            + (
+                meta["keyEncryptionKeyId"],
+                meta["encryptedEncryptionKey"],
+                meta["initialisationVector"],
+                meta.get("plaintextDatakey"),
+            )
         )
-    spark = pairs.sparkSession
-    return spark.createDataFrame(enriched) if enriched else _empty(spark, pairs)
-
-
-def _empty(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    # explicit schema: optional fields (plaintextDatakey) may be None for
+    # every row, which defeats type inference
     schema = T.StructType(
         list(pairs.schema.fields)
         + [
@@ -99,7 +96,7 @@ def _empty(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             T.StructField("plaintext_datakey", T.StringType()),
         ]
     )
-    return spark.createDataFrame([], schema)
+    return pairs.sparkSession.createDataFrame(enriched, schema)
 
 
 def resolve_data_keys(pairs_with_meta: DataFrame, key_service: KeyService) -> dict[tuple[str, str], str]:
