@@ -73,6 +73,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
+    import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
     from uc_historic_data_importer_spark.shipping import ensure_shipped
 
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
+    import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
     return {

@@ -57,6 +57,7 @@ def force(df) -> int:
 def main() -> None:
     from uc_historic_data_importer_spark.session import get_spark
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
+    import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES, t
     import __spark_entry__ as entry_mod
 

@@ -1,0 +1,177 @@
+"""Additional classical-operator queries completing the SURVEY.md §2.6
+checklist surface: semi-joins, set operations, rollup aggregates, scalar
+string/hash functions, general window functions, and the part/supplier
+side of the star schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.plans.catalog import register, t
+
+
+@register(
+    "brand_revenue",
+    """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_acctbal > 1000
+    GROUP BY p_brand
+    """,
+    doc="fact-to-two-dimension join over the part/supplier arm of the "
+    "star schema (broadcast dims, single fact shuffle).",
+)
+def brand_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(t(spark, sf_dir, "part"))
+    supp = F.broadcast(
+        t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 1000)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "semi_join_discounted",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_discount > 0.09
+    )
+    """,
+    doc="left-semi join (EXISTS) — the positive twin of the F4 anti-join.",
+)
+def semi_join_discounted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.09)
+    return orders.join(
+        li, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "set_ops_customers",
+    """
+    SELECT c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="set operations (INTERSECT / EXCEPT) — engine extension beyond "
+    "the reference's union-only surface (S3Reader.kt:67-72).",
+)
+def set_ops_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    failed = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return urgent.intersect(low).exceptAll(failed.distinct())
+
+
+@register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="rollup / grouping-sets aggregate — subtotal hierarchy in one "
+    "pass (engine extension; absent in reference).",
+)
+def rollup_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "scalar_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(c_mktsegment, 'B', 'X') AS seg_replaced,
+           md5(c_name) AS name_md5,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+    doc="scalar string/hash surface (SURVEY §2.6: regexp_extract, "
+    "replace, pad, md5, length — HBaseWriter.kt:87-116 idioms).",
+)
+def scalar_string_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).alias("cust_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_mktsegment"), F.lit("B"), F.lit("X")).alias(
+            "seg_replaced"
+        ),
+        F.md5(F.encode(F.col("c_name"), "UTF-8")).alias("name_md5"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "window_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           CAST(rank() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             AS INT) AS price_rank,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_orderkey
+    FROM orders
+    """,
+    doc="general window surface: running sum, rank, lag with "
+    "deterministic ordering.",
+)
+def window_running_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rank_w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        F.rank().over(rank_w).alias("price_rank"),
+        F.lag("o_orderkey").over(order_w).alias("prev_orderkey"),
+    )
