@@ -53,6 +53,9 @@ _TS_COLS = {
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the driver's session may not be UTC; date_format/window alignment
+    # must match the (naive-UTC) DuckDB oracle timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _TS_COLS.get(name, ()):
