@@ -51,17 +51,28 @@ _TS_COLS = {
 }
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Raw scan: timestamp columns stay as nanos-longs. Filters written
+    against the raw long column push down to the parquet scan, which the
+    converted form (timestamp_micros(x div 1000)) never can — use this +
+    `ns()` thresholds for scan-heavy time-filtered queries."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the driver's session may not be UTC; date_format/window alignment
     # must match the (naive-UTC) DuckDB oracle timestamps
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def convert_ts(df: DataFrame, name: str) -> DataFrame:
     dtypes = dict(df.dtypes)
     for c in _TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return convert_ts(t_raw(spark, sf_dir, name), name)
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -482,6 +493,8 @@ def normalize_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "summary; partial aggregation map-side, one shuffle.",
 )
 def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_shipdate is a native parquet timestamp (only events.ts is nanos),
+    # so this predicate reaches the scan as a PushedFilter
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp")
     )
