@@ -85,6 +85,39 @@ def doc_shingle_hashes(
     ).select("doc_id", md5_i64(F.col("shingle")).alias("h"))
 
 
+def _bucket_pairs(df: DataFrame, *bucket_cols: str) -> DataFrame:
+    """(doc_a, doc_b) pairs of docs sharing a bucket, generated JVM-side:
+    groupBy bucket -> sorted id array -> all (i < j) combinations via
+    nested array transforms. One shuffle of the bucketed rows; fan-out is
+    bounded by bucket sizes (callers df-cut hot buckets)."""
+    ids = F.array_sort(F.collect_list("doc_id"))
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("_ids"),
+                        (i + 2).cast("int"),
+                        F.greatest(
+                            F.size(F.col("_ids")) - i - 1, F.lit(0)
+                        ).cast("int"),
+                    ),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    return (
+        df.groupBy(*bucket_cols)
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -106,11 +139,12 @@ def jaccard_pairs(
             freq.filter(F.col("df") <= max_shingle_freq).select("h"), "h", "inner"
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # pair generation via groupBy + in-array combinations instead of a
+    # self-join: one pass over the shingle set (a self-join would scan and
+    # shuffle it twice), and the per-bucket fan-out is the same k^2/2 rows
     common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(sh, "h")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
@@ -177,20 +211,9 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_sig")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # bucket-local pair expansion (one pass) instead of a banded self-join
+    # (two passes over the signature computation + a shuffle join)
+    return _bucket_pairs(banded, "band_idx", "band_sig").distinct()
 
 
 def simhash(
