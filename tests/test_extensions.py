@@ -158,3 +158,42 @@ class TestMultimodal:
     def test_frame_sample_plan(self, media):
         frames = multimodal.frame_sample_plan(media, every_n_seconds=5).collect()
         assert sorted(r["frame_ts_s"] for r in frames) == [0, 5, 10]
+
+
+class TestSkew:
+    def test_salted_agg_matches_direct(self, spark):
+        from uc_historic_data_importer_spark.operators.skew import salted_agg
+
+        df = spark.range(10000).select(
+            (F.col("id") % 3).alias("k"), (F.col("id") % 97).cast("double").alias("v")
+        )
+        salted = {
+            r["k"]: r
+            for r in salted_agg(
+                df, ["k"],
+                {"n": ("count", "sum", None), "total": ("sum", "sum", "v"),
+                 "mx": ("max", "max", "v")},
+            ).collect()
+        }
+        direct = {
+            r["k"]: r
+            for r in df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+                F.max("v").alias("mx"),
+            ).collect()
+        }
+        for k in direct:
+            assert salted[k]["n"] == direct[k]["n"]
+            assert abs(salted[k]["total"] - direct[k]["total"]) < 1e-6
+            assert salted[k]["mx"] == direct[k]["mx"]
+
+    def test_salted_distinct_count_exact(self, spark):
+        from uc_historic_data_importer_spark.operators.skew import (
+            salted_distinct_count,
+        )
+
+        df = spark.range(10000).select(
+            (F.col("id") % 2).alias("k"), (F.col("id") % 123).alias("v")
+        )
+        out = {r["k"]: r["n_distinct_v"] for r in salted_distinct_count(df, ["k"], "v").collect()}
+        assert out == {0: 123, 1: 123}

@@ -73,3 +73,22 @@ def test_kv_put_sink_byte_bounded_batches(spark, tmp_path):
             rows += fh.read().splitlines()
     assert len(rows) == 100
     assert all(r.startswith("t1|") for r in rows)
+
+
+def test_bucketed_latest_has_no_shuffle(spark, tmp_path):
+    from uc_historic_data_importer_spark.operators.latest import latest_per_key
+
+    df = spark.range(1000).select(
+        F.lit("t1").alias("table"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("key"),
+        F.md5(F.col("id").cast("string")).alias("key_hex"),
+        (F.col("id") % 7).alias("version"),
+        F.concat(F.lit("body-"), F.col("id").cast("string")).alias("envelope"),
+    )
+    sinks.kv_sink_bucketed(df, "kv_bucketed_test", str(tmp_path / "bkv"), n_buckets=4)
+    tbl = spark.table("kv_bucketed_test").withColumnRenamed("body", "envelope")
+    latest = latest_per_key(tbl, key_cols=("key_hex",), payload_cols=("envelope",))
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    # bucketing makes the groupBy(key_hex) aggregation Exchange-free
+    assert "Exchange" not in plan, plan
+    assert latest.count() == 1000

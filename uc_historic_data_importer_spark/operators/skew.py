@@ -1,0 +1,70 @@
+"""Skew-handling utilities for hot keys at scale.
+
+AQE's skew-join splitting (enabled in session.py) covers joins; these
+cover the aggregation side: a handful of hot keys (one giant collection,
+one pathological document id) can pin a single reducer. Salting splits
+each hot key across `n_salts` reducers with a two-phase aggregation —
+results are EXACTLY those of the direct aggregation (the salted query is
+oracle-checked against a plain GROUP BY in the catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str, str | None]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    aggs: output_name -> (phase1_fn, phase2_fn, source_col), e.g.
+        {"n":     ("count", "sum", None),
+         "total": ("sum",   "sum", "value"),
+         "mx":    ("max",   "max", "value")}
+    phase2 must be phase1's combiner (count -> sum; sum/min/max ->
+    themselves). source_col None means count over the rows.
+
+    Phase 1 groups on (keys..., salt) so a hot key spreads over n_salts
+    reducers; phase 2 combines the n_salts partials per key. Spark's own
+    map-side partial aggregation already covers simple cases; explicit
+    salting is for the ones it can't — high-cardinality intermediate
+    state, collect-like aggregates, or single-key skew where one
+    reducer's combine step is itself too large.
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[
+            getattr(F, fn1)(F.col(src) if src else F.lit(1)).alias(f"_p_{out}")
+            for out, (fn1, _fn2, src) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            getattr(F, fn2)(F.col(f"_p_{out}")).alias(out)
+            for out, (_fn1, fn2, _src) in aggs.items()
+        ]
+    )
+
+
+def salted_distinct_count(
+    df: DataFrame, keys: list[str], value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Exact distinct count per key under skew: salt by the VALUE hash so
+    each distinct value lands in exactly one salt bucket (no double
+    counting), dedup within buckets, then sum bucket cardinalities."""
+    salt = F.pmod(F.hash(F.col(value_col)), F.lit(n_salts))
+    per_bucket = (
+        df.withColumn("_salt", salt)
+        .select(*keys, "_salt", value_col)
+        .dropDuplicates([*keys, "_salt", value_col])
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_bucket.groupBy(*keys).agg(
+        F.sum("_n").alias(f"n_distinct_{value_col}")
+    )

@@ -143,6 +143,57 @@ def scalar_string_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg_counts",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="skew-safe two-phase salted aggregation (operators/skew.py): the "
+    "oracle is the PLAIN group-by — salting must be result-identical.",
+)
+def salted_agg_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "sum", None),
+            "total_value": ("sum", "sum", "value"),
+            "max_value": ("max", "max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+@register(
+    "salted_distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS n_distinct_user_id
+    FROM events GROUP BY event_type
+    """,
+    doc="skew-safe exact distinct count: value-hash salting (each "
+    "distinct value lands in one bucket) -> bucket dedup -> sum.",
+)
+def salted_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return salted_distinct_count(ev, ["event_type"], "user_id", n_salts=16)
+
+
+@register(
     "window_running_totals",
     """
     SELECT o_custkey, o_orderkey,

@@ -45,6 +45,32 @@ def read_kv(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def kv_sink_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """W2 alternative for repeat-query workloads: the versioned-cell
+    table bucketed (and sorted) on key_hex via saveAsTable.
+
+    Bucketing pre-shuffles ONCE at write time; every subsequent
+    latest-per-key aggregation, (key, version) exists anti-join, or
+    key-equi self-join reads bucket-local data and plans WITHOUT an
+    Exchange (verified in tests/test_sinks.py::test_bucketed_latest_has_no_shuffle).
+    At 100 TB that converts the hottest recurring query from a full
+    shuffle into a scan."""
+    (
+        df.select("table", "key", "key_hex", "version", F.col("envelope").alias("body"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "key_hex")
+        .sortBy("key_hex", "version")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
 def kv_put_sink(
     df: DataFrame,
     putter_factory,
