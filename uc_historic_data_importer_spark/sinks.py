@@ -154,6 +154,7 @@ def manifest_rows(df: DataFrame) -> DataFrame:
         F.col("inner_type").alias("inner_type"),
         F.col("collection").alias("_uncoalesced_collection"),
         F.col("file_number").alias("_file_number"),
+        F.col("line_no").alias("_line_no"),
     )
 
 
@@ -176,6 +177,7 @@ def manifest_lines(df: DataFrame) -> DataFrame:
         F.col("db").alias("_db"),
         F.col("_uncoalesced_collection"),
         F.col("_file_number"),
+        F.col("_line_no"),
         line.alias("line"),
     )
 
@@ -209,7 +211,11 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
 
     (
         rows.repartition("_db", "_uncoalesced_collection", "_file_number")
-        .sortWithinPartitions("_db", "_uncoalesced_collection", "_file_number")
+        # line order within each file matches the reference's sequential
+        # writer (rows appended as the stream is read)
+        .sortWithinPartitions(
+            "_db", "_uncoalesced_collection", "_file_number", "_line_no"
+        )
         .rdd.mapPartitions(_write)
         .count()
     )
