@@ -46,6 +46,12 @@ HEADLINE = [
     "text_token_counts",
     "text_quality_scores",
     "text_language_id",
+    "normalize_pipeline",
+    "brand_revenue",
+    "window_running_totals",
+    "salted_agg_counts",
+    "salted_distinct_users",
+    "rollup_pricing",
 ]
 
 
@@ -70,9 +76,18 @@ def main() -> None:
 
     ensure_shipped(spark)
 
-    # warm the JVM + parquet footers once
+    # warm the JVM, parquet footers, and the Python UDF worker pool once
     t(spark, SF_DIR, "events").count()
     t(spark, SF_DIR, "lineitem").count()
+    from uc_historic_data_importer_spark.operators.transforms import (
+        normalize_records as _warm_norm,
+    )
+    _warm_norm(
+        t(spark, "/root/testdata/sf0.001", "events").selectExpr(
+            "'{}' as raw_json"
+        ).limit(256),
+        min_partitions=int(CPUS),
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
