@@ -196,6 +196,14 @@ class TestTimestampHierarchy:
         r = N({"_id": "A", self.LM: "not-a-date"})
         assert not r["valid"] and r["skip_reason"] == "date_error"
 
+    def test_empty_string_lmdt_is_record_error_not_fallback(self):
+        # docs/data_transformations.md:74-82 says empty values fall back to
+        # createdDateTime, but the CODE path (HBaseWriter.kt:455-459 primitive
+        # branch -> getTimestampAsLong("") throws) skips the record; the
+        # code is authoritative (pinned by the reference's own behavior)
+        r = N({"_id": "A", self.LM: "", "createdDateTime": "2015-03-20T12:23:25.183Z"})
+        assert not r["valid"] and r["skip_reason"] == "date_error"
+
 
 class TestOptionalDates:
     def test_created_flattened_and_overwritten(self):
