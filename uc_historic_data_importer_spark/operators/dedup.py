@@ -128,22 +128,50 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
 
-    |A ∩ B| via the shingle-hash equi-join; |A|,|B| via per-doc counts;
-    jaccard = common / (na + nb - common). `max_shingle_freq` drops
-    ultra-common shingles before the join (df-cut) — at corpus scale a
-    shingle shared by k docs costs k^2 join rows."""
+    |A ∩ B| via shared-shingle buckets; |A|,|B| via per-doc counts over the
+    kept shingles; jaccard = common / (na + nb - common). `max_shingle_freq`
+    drops ultra-common shingles (df-cut, from numerator AND denominator) —
+    at corpus scale a shingle shared by k docs costs k^2 pair rows.
+
+    Single-scan shape: the corpus is tokenized/shingled/hashed ONCE, shuffled
+    on the shingle hash ONCE into (h -> sorted doc list) buckets; the df-cut,
+    the per-doc sizes, and the pair expansion are all derived from that one
+    aggregate. The two consumers share an identical Exchange subtree, so
+    Spark's ReuseExchange runs the expensive scan+explode exactly once —
+    the previous join-based form scanned the corpus 6x."""
     sh = doc_shingle_hashes(df, text_col, id_col, n)
+    buckets = sh.groupBy("h").agg(F.array_sort(F.collect_list("doc_id")).alias("_ids"))
     if max_shingle_freq is not None:
-        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("h"), "h", "inner"
-        )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # pair generation via groupBy + in-array combinations instead of a
-    # self-join: one pass over the shingle set (a self-join would scan and
-    # shuffle it twice), and the per-bucket fan-out is the same k^2/2 rows
+        buckets = buckets.filter(F.size("_ids") <= max_shingle_freq)
+    # post-cut per-doc shingle counts, computed from the bucket aggregate
+    # (cheap: re-runs only the agg over the reused shuffle, not the scan)
+    sizes = (
+        buckets.select(F.explode("_ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # pair generation via in-array (i < j) combinations: per-bucket fan-out
+    # is the same k^2/2 rows a self-join would produce, but with one pass
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("_ids"),
+                        (i + 2).cast("int"),
+                        F.greatest(F.size(F.col("_ids")) - i - 1, F.lit(0)).cast("int"),
+                    ),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     common = (
-        _bucket_pairs(sh, "h")
+        buckets.filter(F.size("_ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

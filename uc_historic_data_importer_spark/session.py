@@ -44,6 +44,14 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # collect_list/collect_set partial aggregation (shingle buckets,
+        # minhash band buckets) falls back to sort-based aggregation after
+        # only 128 in-memory groups by default — every dedup map task blows
+        # past that and pays an external sort of serialized buffers (6-7x
+        # slowdown measured at sf0.1). Per-task group counts are bounded by
+        # shuffle-partition sizing and the df-cut bounds the list payloads,
+        # so a 2M-group in-memory map is safe at the 100 TB target too.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
