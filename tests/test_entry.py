@@ -47,7 +47,7 @@ def test_every_query_has_callable_and_most_have_oracles():
     missing = set(oracles) - set(qs)
     assert not missing  # no orphan oracle
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"rowkey_crc32"}  # documented DuckDB crc32 gap
+    assert rows_only == set()  # every query is value-hash oracle-checked
 
 
 @pytest.mark.parametrize("name", SUBSET)

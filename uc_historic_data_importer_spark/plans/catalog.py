@@ -340,12 +340,45 @@ def manifest_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB has no crc32 builtin, but CRC32 (IEEE, reflected, poly 0xEDB88320)
+# folds over utf8 bytes with a 256-entry lookup table — expressible with
+# list_reduce + a literal table, so the row-key query gets a full value-hash
+# oracle instead of the weaker rows-only check.
+def _crc32_table() -> list[int]:
+    tab = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        tab.append(c)
+    return tab
+
+
+_CRC32_TAB_SQL = "[" + ",".join(map(str, _crc32_table())) + "]"
+
+_CRC32_SQL = (
+    "xor(list_reduce(list_prepend(4294967295::BIGINT, "
+    "list_transform(range(1, octet_length(encode({s})) + 1), "
+    "i -> ('0x' || substr(hex(encode({s})), 2*i - 1, 2))::BIGINT)), "
+    f"(crc, b) -> xor(crc >> 8, ({_CRC32_TAB_SQL})[(xor(crc, b) & 255) + 1])), "
+    "4294967295::BIGINT)"
+)
+
+
 @register(
     "rowkey_crc32",
-    None,  # DuckDB has no crc32 — driver records the weaker rows-only check;
-    # byte-level correctness is pinned by tests/test_pipeline.py::test_row_key_matches_crc32_spec
+    f"""
+    WITH e AS (
+      SELECT event_id, '{{"id":"' || event_id || '"}}' AS canonical FROM events
+    )
+    SELECT event_id,
+           lower(lpad(hex({_CRC32_SQL.format(s="canonical")}), 8, '0')
+                 || hex(encode(canonical))) AS key_hex
+    FROM e
+    """,
     doc="K2 row key: 4-byte big-endian CRC32(canonical id) || canonical id "
-    "(MessageUtils.kt:120-149), Catalyst-native crc32/hex/unhex.",
+    "(MessageUtils.kt:120-149), Catalyst-native crc32/hex/unhex; the DuckDB "
+    "oracle reproduces CRC32 via a list_reduce fold over a literal table.",
 )
 def rowkey_crc32_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
