@@ -52,6 +52,8 @@ HEADLINE = [
     "salted_agg_counts",
     "salted_distinct_users",
     "rollup_pricing",
+    "percentile_prices",
+    "pivot_order_status",
 ]
 
 

@@ -262,3 +262,57 @@ class TestBodyPreservation:
     def test_malformed_json_skipped(self):
         assert normalize_record('{"_id": {"a"')["skip_reason"] == "parse_error"
         assert normalize_record("[1,2]")["skip_reason"] == "parse_error"
+
+
+class TestSerializerEquivalence:
+    """The orjson fast path must be byte-identical to the stdlib fallback
+    for every record shape the engine handles (operators/transforms.py
+    _loads/_dumps_compact)."""
+
+    CASES = [
+        {"_id": {"$oid": "aabbccddeeff001122334455"}, "v": 1,
+         "_lastModifiedDateTime": {"$date": "2020-03-01T10:00:00.000Z"}},
+        {"_id": {"b": "2", "a": "1"}, "explicit_null": None,
+         "unicode": "na\u00efve \u00a3 \u00fc", "nested": {"deep": [1, 2.5, None, True]},
+         "createdDateTime": {"$date": "2019-01-01T00:00:00.000Z"}},
+        {"_id": "plain", "_removed": {"_id": "plain", "x": 1},
+         "_removedDateTime": {"$date": "2020-05-05T05:05:05.000Z"},
+         "timestamp": 1588654005000},
+        {"_id": {"createdDateTime": {"$date": "2017-02-02T09:01:01.000Z"},
+                 "other": "k"}, "q": "r"},
+    ]
+
+    def test_orjson_and_stdlib_paths_agree(self, monkeypatch):
+        import uc_historic_data_importer_spark.operators.transforms as tr
+        if tr.orjson is None:
+            pytest.skip("orjson not installed; only the stdlib path exists")
+        for rec in self.CASES:
+            raw = json.dumps(rec)
+            fast = tr.normalize_record(raw)
+            with monkeypatch.context() as m:
+                m.setattr(tr, "orjson", None)
+                slow = tr.normalize_record(raw)
+            assert fast == slow, f"serializer divergence for {raw}"
+
+    def test_exotic_floats_semantically_equal(self, monkeypatch):
+        """orjson renders 1e-9/1.5e300 without zero-padding or '+' (both
+        valid JSON, identical round-trip values); byte divergence is
+        confined to these shapes and accepted — the reference's Gson
+        rendering ('1.5E300') differs from stdlib python too."""
+        import uc_historic_data_importer_spark.operators.transforms as tr
+        if tr.orjson is None:
+            pytest.skip("orjson not installed")
+        raw = json.dumps({"_id": 42, "tiny": 1e-9, "big": 1.5e300})
+        fast = tr.normalize_record(raw)
+        with monkeypatch.context() as m:
+            m.setattr(tr, "orjson", None)
+            slow = tr.normalize_record(raw)
+        assert json.loads(fast["record_json"]) == json.loads(slow["record_json"])
+        assert {k: v for k, v in fast.items() if k != "record_json"} == {
+            k: v for k, v in slow.items() if k != "record_json"
+        }
+
+    def test_huge_int_falls_back_to_stdlib(self):
+        import uc_historic_data_importer_spark.operators.transforms as tr
+        big = {"k": 2**70, "a": 1}
+        assert tr._dumps_compact(big) == json.dumps(big, separators=(",", ":"))

@@ -226,3 +226,57 @@ def window_running_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(rank_w).alias("price_rank"),
         F.lag("o_orderkey").over(order_w).alias("prev_orderkey"),
     )
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_discount, 0.50), 4) AS median_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="ordered-set aggregate surface: exact interpolated percentiles "
+    "(Spark `percentile` == DuckDB `quantile_cont`, both linear "
+    "interpolation). The exact form buffers per-group values "
+    "(ObjectHashAggregate); the 100 TB path swaps in approx_percentile "
+    "(t-digest sketch, fixed-size partial agg) — same query shape, "
+    "bounded memory, mergeable map-side.",
+)
+def percentile_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_discount", F.lit(0.50)), 4).alias("median_discount"),
+    )
+
+
+@register(
+    "pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS F,
+           count(*) FILTER (o_orderstatus = 'O') AS O,
+           count(*) FILTER (o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot / crosstab surface: explicit pivot values keep the output "
+    "schema static (no extra values-discovery pass over the fact table, "
+    "which `.pivot(col)` without values would need) and the rotation is "
+    "one partial-agg shuffle — the same cost as the flat group-by.",
+)
+def pivot_order_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
