@@ -159,6 +159,19 @@ class TestMultimodal:
         frames = multimodal.frame_sample_plan(media, every_n_seconds=5).collect()
         assert sorted(r["frame_ts_s"] for r in frames) == [0, 5, 10]
 
+    def test_resize_binary_roundtrip(self, media):
+        out = {r["media_id"]: r for r in multimodal.resize_images(media, 128, 64).collect()}
+        # image rows transformed: tagged header with requested dims
+        p1 = bytes(out[1]["payload"])
+        assert p1[:4] == b"RSZ1"
+        assert int.from_bytes(p1[4:6], "big") == 128
+        assert int.from_bytes(p1[6:8], "big") == 64
+        # identical inputs -> identical resized payloads (determinism)
+        assert p1 == bytes(out[2]["payload"])
+        # non-image passes through untouched, schema stays binary
+        assert bytes(out[4]["payload"]) == b"fake-mp4"
+        assert out[4]["target_w"] == 128
+
 
 class TestSkew:
     def test_salted_agg_matches_direct(self, spark):

@@ -125,3 +125,62 @@ def media_dedup_keys(media: DataFrame) -> DataFrame:
         F.sha2(F.col("payload"), 256).alias("content_sha"),
         F.octet_length(F.col("payload")).alias("n_bytes"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+    ]
+)
+
+
+def _resize_image_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize: deterministic fake (production: PIL resize + re-encode).
+
+    Emits a payload whose size scales with the target area so batch-size
+    behavior downstream is realistic; prefixed with a tag + dims so tests
+    can assert the transform ran per-row."""
+    if not payload:
+        raise ValueError("empty media payload")
+    tag = b"RSZ1" + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+    body = hashlib.sha256(payload).digest()
+    reps = max(1, (w * h) // (64 * len(body)))
+    return tag + body * reps
+
+
+def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
+    """Binary-in/binary-out resize via mapInPandas.
+
+    The output payload column stays BinaryType so further media stages
+    (feature extraction, re-encode, sink) chain without schema changes.
+    Non-image rows pass through untouched (payload unchanged) — the
+    filter happens inside the batch to keep one streaming pass; at scale,
+    partition by `kind` upstream and this op reads only image files."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                if row.kind == "image" and payload:
+                    payload = _resize_image_stub(payload, width, height)
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "kind": row.kind,
+                        "payload": payload,
+                        "mime": row.mime,
+                        "target_w": width,
+                        "target_h": height,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload", "mime").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
