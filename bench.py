@@ -54,6 +54,7 @@ HEADLINE = [
     "rollup_pricing",
     "percentile_prices",
     "pivot_order_status",
+    "range_join_error_after_click",
 ]
 
 

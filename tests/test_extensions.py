@@ -210,3 +210,52 @@ class TestSkew:
         )
         out = {r["k"]: r["n_distinct_v"] for r in salted_distinct_count(df, ["k"], "v").collect()}
         assert out == {0: 123, 1: 123}
+
+
+class TestRangeJoin:
+    def test_matches_naive_cross_join(self, spark):
+        from uc_historic_data_importer_spark.operators.range_join import interval_join
+
+        left = spark.createDataFrame(
+            [(i, i * 7000 % 100000) for i in range(200)], "lid INT, ms BIGINT"
+        ).select("lid", F.timestamp_millis(F.col("ms")).alias("ts"))
+        right = spark.createDataFrame(
+            [(i, i * 3100 % 100000) for i in range(300)], "rid INT, ms BIGINT"
+        ).select("rid", F.timestamp_millis(F.col("ms")).alias("ts"))
+
+        got = interval_join(left, right, "ts", "ts", lower_ms=-500, upper_ms=2500)
+        got_pairs = {(r["lid"], r["rid"]) for r in got.collect()}
+
+        naive = (
+            left.crossJoin(right.select(F.col("rid"), F.col("ts").alias("ts2")))
+            .filter(
+                (F.unix_millis("ts2") >= F.unix_millis("ts") - 500)
+                & (F.unix_millis("ts2") <= F.unix_millis("ts") + 2500)
+            )
+        )
+        naive_pairs = {(r["lid"], r["rid"]) for r in naive.collect()}
+        assert got_pairs == naive_pairs
+        assert len(got_pairs) > 0
+        # no duplicate pairs from the bucket explode
+        assert got.count() == len(got_pairs)
+
+    def test_equi_scoped_and_no_nested_loop(self, spark):
+        from uc_historic_data_importer_spark.operators.range_join import interval_join
+
+        left = spark.createDataFrame(
+            [(i, i % 5, (i * 911) % 50000) for i in range(200)],
+            "lid INT, k INT, ms BIGINT",
+        ).select("lid", "k", F.timestamp_millis(F.col("ms")).alias("ts"))
+        right = spark.createDataFrame(
+            [(i, i % 5, (i * 577) % 50000) for i in range(200)],
+            "rid INT, k INT, ms BIGINT",
+        ).select("rid", "k", F.timestamp_millis(F.col("ms")).alias("ts"))
+
+        got = interval_join(
+            left, right, "ts", "ts", lower_ms=0, upper_ms=1000, equi_keys=["k"]
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        for r in got.collect():
+            assert 0 <= r["ts_r"].timestamp() - r["ts"].timestamp() <= 1.0

@@ -709,3 +709,39 @@ def asof_join_last_event_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_login_ms",
         )
     )
+
+
+@register(
+    "range_join_error_after_click",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS error_id,
+           epoch_ms(e.ts) - epoch_ms(c.ts) AS lag_ms
+    FROM events c JOIN events e
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND epoch_ms(e.ts) >= epoch_ms(c.ts) + 1
+     AND epoch_ms(e.ts) <= epoch_ms(c.ts) + 60000
+    """,
+    doc="range (band) join (engine extension): errors within 60s after a "
+    "click. operators/range_join.py bins timestamps into window-width "
+    "buckets and equi-joins on the bucket, replacing Spark's default "
+    "broadcast-nested-loop (O(L*R), undistributable) with one skew-free "
+    "shuffle per side + an exact filter.",
+)
+def range_join_error_after_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators.range_join import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "ts"
+    )
+    joined = interval_join(
+        clicks, errors, left_ts="ts", right_ts="ts", lower_ms=1, upper_ms=60000
+    )
+    return joined.select(
+        "click_id",
+        "error_id",
+        (F.unix_millis("ts_r") - F.unix_millis("ts")).alias("lag_ms"),
+    )
