@@ -131,17 +131,27 @@ def main() -> None:
 
     force(pipeline_e2e(warm_dir))
 
+    # Each query is timed TRIES times and the minimum wins: queries are
+    # deterministic, so min is the steady-state estimate least polluted by
+    # co-tenant CPU noise on a shared host (observed: random 3-5x spikes
+    # on CPU-heavy stages that vanish under repetition).
+    tries = int(os.environ.get("SPARK_GRAFT_BENCH_TRIES", "2"))
+
+    def timed(mk) -> float:
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.time()
+            force(mk())
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.time()
-        force(QUERIES[name].fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed(lambda: QUERIES[name].fn(spark, SF_DIR))
 
-    t0 = time.time()
-    force(pipeline_e2e(SF_DIR))
-    timings["pipeline_e2e"] = round(time.time() - t0, 3)
+    timings["pipeline_e2e"] = timed(lambda: pipeline_e2e(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
