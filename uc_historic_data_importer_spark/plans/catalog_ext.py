@@ -397,3 +397,97 @@ def binary_media_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("content_sha"),
         F.octet_length(payload).alias("n_bytes"),
     )
+
+
+# streaming contract query -------------------------------------------------
+
+def _streaming_oracle_sql() -> str:
+    from uc_historic_data_importer_spark.plans.catalog import _CRC32_SQL
+
+    crc = _CRC32_SQL.format(s="canonical")
+    return f"""
+    WITH raw AS (
+      SELECT '{{"id":"u-' || user_id || '-' || (event_id % 1000) || '"}}'
+               AS canonical,
+             epoch_ms(ts) AS version
+      FROM events WHERE event_id % 20 < 4
+    )
+    SELECT 'events_db:stream' AS "table",
+           lower(lpad(hex({crc}), 8, '0') || hex(encode(canonical))) AS key_hex,
+           max(version) AS version
+    FROM raw GROUP BY key_hex
+    """
+
+
+@register(
+    "streaming_latest_per_key",
+    _streaming_oracle_sql(),
+    doc="Structured Streaming stateful latest-per-key "
+    "(applyInPandasWithState, streaming/stream_pipeline.py) run to "
+    "completion with trigger(availableNow) over dump files derived from "
+    "the events table; the converged state is hash-compared against the "
+    "batch ground truth the DuckDB oracle computes directly. Stream/batch "
+    "convergence IS the correctness statement for the stateful operator.",
+)
+def streaming_latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from uc_historic_data_importer_spark.streaming.stream_pipeline import (
+        latest_per_key_stream,
+        normalized_stream,
+        read_jsonl_stream,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 < 4)
+    lines = ev.select(
+        F.concat(
+            F.lit('{"_id":"u-'),
+            F.col("user_id"),
+            F.lit("-"),
+            F.col("event_id") % 1000,
+            F.lit('","_lastModifiedDateTime":{"$date":"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.lit('"}}'),
+        ).alias("value")
+    )
+
+    work = tempfile.mkdtemp(prefix="hdi_stream_q_")
+    try:
+        raw_dir = os.path.join(work, "raw")
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        # several dump files so availableNow processes real micro-batches
+        lines.coalesce(4).write.mode("overwrite").text(raw_dir)
+        for i, part in enumerate(sorted(glob.glob(os.path.join(raw_dir, "part-*"))), 1):
+            os.rename(part, os.path.join(in_dir, f"events-db.stream.{i:04d}.json"))
+
+        qn = "latest_stream_" + uuid.uuid4().hex[:12]
+        stream = latest_per_key_stream(
+            normalized_stream(read_jsonl_stream(spark, in_dir))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        q.stop()
+        # update mode re-emits a key whenever it advances; the converged
+        # state is the max version each key reached
+        final = (
+            spark.table(qn)
+            .groupBy("table", "key_hex")
+            .agg(F.max("version").alias("version"))
+        )
+        rows = [(r["table"], r["key_hex"], r["version"]) for r in final.collect()]
+        spark.catalog.dropTempView(qn)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "table string, key_hex string, version long")
