@@ -112,3 +112,24 @@ def test_date_roundtrip_both_formats(y, mo, d, h, mi, s, ms):
     assert mz == moff
     assert kafka_date_format(z) == off
     assert millis_to_kafka(mz) == off
+
+
+@settings(max_examples=200, deadline=None)
+@given(body=bodies, id_obj=st.dictionaries(st.text(min_size=1, max_size=8), st.text(max_size=8), min_size=1, max_size=4))
+def test_orjson_fast_path_equals_stdlib(body, id_obj):
+    """The orjson hot path must be byte-identical to the stdlib fallback
+    for arbitrary (non-exotic-float) record bodies."""
+    import uc_historic_data_importer_spark.operators.transforms as tr
+
+    if tr.orjson is None:
+        return
+    record = {"_id": id_obj, **body, "_lastModifiedDateTime": LM}
+    raw = json.dumps(record, ensure_ascii=False)
+    fast = tr.normalize_record(raw)
+    saved = tr.orjson
+    try:
+        tr.orjson = None
+        slow = tr.normalize_record(raw)
+    finally:
+        tr.orjson = saved
+    assert fast == slow
