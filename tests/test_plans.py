@@ -1,0 +1,54 @@
+"""Physical-plan regression guards: the properties PLANS.md documents must
+survive future changes. Each assertion is a scale property — losing it
+would be invisible at test scale and disastrous at 100 TB."""
+
+import pytest
+
+import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
+import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
+from uc_historic_data_importer_spark.plans.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # the shipdate predicate must reach the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # ...and the scan must not read columns the query never touches
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_snowflake_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # the dims are hinted broadcast: no sort-merge join may appear at any
+    # scale for region/nation/customer sides
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_top_k_never_global_sorts(spark):
+    plan = plan_of(spark, "top_orders_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_equi_join(spark):
+    plan = plan_of(spark, "range_join_error_after_click")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_normalize_udf_evaluated_once(spark):
+    plan = plan_of(spark, "normalize_pipeline")
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_anti_join_stays_anti(spark):
+    plan = plan_of(spark, "anti_join_existing")
+    assert "LeftAnti" in plan
