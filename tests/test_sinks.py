@@ -92,3 +92,63 @@ def test_bucketed_latest_has_no_shuffle(spark, tmp_path):
     # bucketing makes the groupBy(key_hex) aggregation Exchange-free
     assert "Exchange" not in plan, plan
     assert latest.count() == 1000
+
+
+class TestCompaction:
+    def test_compact_keeps_newest_versions_and_collapses_cells(self, spark, tmp_path):
+        rows = [
+            # key A: 3 versions, v3 duplicated with two bodies (cell overwrite)
+            ("t1:c", b"\x01", "aa", 1, "bodyA1"),
+            ("t1:c", b"\x01", "aa", 2, "bodyA2"),
+            ("t1:c", b"\x01", "aa", 3, "bodyA3-early"),
+            ("t1:c", b"\x01", "aa", 3, "bodyA3-late"),
+            # key B: 1 version
+            ("t1:c", b"\x02", "bb", 7, "bodyB7"),
+            # second table
+            ("t2:c", b"\x03", "cc", 5, "bodyC5"),
+        ]
+        df = spark.createDataFrame(
+            rows, "table string, key binary, key_hex string, version long, body string"
+        )
+        src = str(tmp_path / "kv")
+        out = str(tmp_path / "kv_compacted")
+        df.write.partitionBy("table").parquet(src)
+
+        sinks.compact_kv(spark, src, out, keep_versions=2)
+        got = {
+            (r["table"], r["key_hex"], r["version"]): r["body"]
+            for r in spark.read.parquet(out).collect()
+        }
+        # keep_versions=2 -> versions 3 and 2 for key A; duplicate v3 cells
+        # collapse deterministically (max body)
+        assert got[("t1:c", "aa", 3)] == "bodyA3-late"
+        assert ("t1:c", "aa", 2) in got
+        assert ("t1:c", "aa", 1) not in got
+        assert got[("t1:c", "bb", 7)] == "bodyB7"
+        assert got[("t2:c", "cc", 5)] == "bodyC5"
+        assert len(got) == 4
+
+    def test_compact_single_shuffle(self, spark, tmp_path):
+        df = spark.range(100).select(
+            F.lit("t:c").alias("table"),
+            F.lit(b"\x00").alias("key"),
+            (F.col("id") % 10).cast("string").alias("key_hex"),
+            (F.col("id")).alias("version"),
+            F.col("id").cast("string").alias("body"),
+        )
+        src = str(tmp_path / "kv2")
+        df.write.partitionBy("table").parquet(src)
+        kv = spark.read.parquet(src)
+        from pyspark.sql.window import Window
+
+        by_key = Window.partitionBy("table", "key_hex")
+        cell = Window.partitionBy("table", "key_hex", "version").orderBy(F.desc("body"))
+        plan = (
+            kv.withColumn("_vr", F.dense_rank().over(by_key.orderBy(F.desc("version"))))
+            .withColumn("_cp", F.row_number().over(cell))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # both windows run off the same (table, key_hex) exchange
+        assert plan.count("Exchange hashpartitioning") == 1

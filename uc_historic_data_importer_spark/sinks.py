@@ -71,6 +71,51 @@ def kv_sink_bucketed(
     )
 
 
+def compact_kv(
+    spark,
+    path: str,
+    out_path: str,
+    keep_versions: int = 1,
+) -> None:
+    """Major compaction for the versioned-cell table: rewrite keeping only
+    the newest `keep_versions` VERSIONS per (table, key_hex), one cell per
+    version.
+
+    The reference's HBase tables keep maxVersions=MAX_INT and delegate
+    cleanup to HBase compactions (HbaseClient.kt:83-92); an analytics
+    engine owns that lifecycle itself. Semantics per HBase's cell model:
+    a (key, version) pair holds ONE cell — duplicate appends in the KV
+    log collapse (deterministically: max body wins, standing in for
+    last-write-wins which an append log cannot order); keep_versions
+    counts distinct versions via dense_rank. Both windows share the
+    (table, key_hex) hash partitioning, so the whole compaction is ONE
+    skew-free shuffle (CRC-prefixed keys) + a partitioned rewrite. Run
+    periodically: afterwards every latest-per-key query scans
+    keep_versions cells per key instead of the full history — at 100 TB
+    the difference between reading the table and reading the live set."""
+    from pyspark.sql.window import Window
+
+    kv = spark.read.parquet(path)
+    by_key = Window.partitionBy("table", "key_hex")
+    version_rank = F.dense_rank().over(
+        by_key.orderBy(F.desc("version"))
+    )
+    cell_pick = F.row_number().over(
+        Window.partitionBy("table", "key_hex", "version").orderBy(F.desc("body"))
+    )
+    compacted = (
+        kv.withColumn("_vr", version_rank)
+        .withColumn("_cp", cell_pick)
+        .filter((F.col("_vr") <= keep_versions) & (F.col("_cp") == 1))
+        .drop("_vr", "_cp")
+    )
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("table")
+        .parquet(out_path)
+    )
+
+
 def kv_put_sink(
     df: DataFrame,
     putter_factory,
