@@ -159,6 +159,21 @@ class TestMultimodal:
         frames = multimodal.frame_sample_plan(media, every_n_seconds=5).collect()
         assert sorted(r["frame_ts_s"] for r in frames) == [0, 5, 10]
 
+    def test_audio_chunk_plan(self, spark):
+        rows = [
+            (10, "audio", bytearray(b"pcm"), "audio/wav",
+             {"duration_s": "70", "sample_rate": "8000"}),
+            (11, "video", bytearray(b"mp4"), "video/mp4", {"duration_s": "70"}),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        chunks = multimodal.audio_chunk_plan(df, chunk_s=30, overlap_s=5).collect()
+        assert all(r["media_id"] == 10 for r in chunks)  # video excluded
+        assert [r["chunk_start_s"] for r in chunks] == [0, 25, 50]
+        last = chunks[-1]
+        assert last["chunk_end_s"] == 70
+        assert last["start_frame"] == 50 * 8000
+        assert last["n_frames"] == 20 * 8000
+
     def test_resize_binary_roundtrip(self, media):
         out = {r["media_id"]: r for r in multimodal.resize_images(media, 128, 64).collect()}
         # image rows transformed: tagged header with requested dims

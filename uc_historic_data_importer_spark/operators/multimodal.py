@@ -184,3 +184,44 @@ def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> Data
     return media.select("media_id", "kind", "payload", "mime").mapInPandas(
         _resize, schema=RESIZED_SCHEMA
     )
+
+
+def audio_chunk_plan(
+    media: DataFrame, chunk_s: int = 30, overlap_s: int = 5
+) -> DataFrame:
+    """Audio chunking plan: one row per (possibly overlapping) window to
+    decode — the audio twin of frame_sample_plan.
+
+    Chunk boundaries come from typed metadata (`meta['duration_s']`,
+    `meta['sample_rate']`), so the plan is pure JVM-side arithmetic; only
+    the decode of selected chunks (same stubbed hook) would touch Python.
+    Overlap is the standard trick for transcription/window models so no
+    utterance is cut at a boundary."""
+    if overlap_s >= chunk_s:
+        raise ValueError("overlap_s must be < chunk_s")
+    dur = F.coalesce(F.element_at(F.col("meta"), "duration_s").cast("int"), F.lit(0))
+    rate = F.coalesce(
+        F.element_at(F.col("meta"), "sample_rate").cast("int"), F.lit(16000)
+    )
+    step = chunk_s - overlap_s
+    starts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(step))
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            rate.alias("sample_rate"),
+            dur.alias("duration_s"),
+            F.explode(starts).alias("chunk_start_s"),
+        )
+        .withColumn(
+            "chunk_end_s",
+            F.least(F.col("chunk_start_s") + chunk_s, F.col("duration_s")),
+        )
+        .withColumn(
+            "start_frame", F.col("chunk_start_s") * F.col("sample_rate")
+        )
+        .withColumn(
+            "n_frames",
+            (F.col("chunk_end_s") - F.col("chunk_start_s")) * F.col("sample_rate"),
+        )
+    )
