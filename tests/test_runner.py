@@ -53,3 +53,30 @@ def test_runner_manifest_only_mode(spark, tmp_path, capsys):
     assert rc == 0
     assert not os.path.exists(kv)  # import sink gated off
     assert len(os.listdir(manifests)) == 1
+
+
+def test_runner_compact_mode(spark, tmp_path, capsys):
+    inp = tmp_path / "in3"
+    inp.mkdir()
+    write_dump_file(str(inp / "db-3.coll.0001.json"))
+    kv = str(tmp_path / "kv3")
+    rc = main([
+        "--input-dir", str(inp), "--plain-jsonl",
+        "--run-mode", "import", "--kv-path", kv,
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    out = str(tmp_path / "kv3_compacted")
+    rc = main([
+        "--compact-src", kv, "--compact-out", out,
+        "--keep-versions", "1", "--master", "local[4]",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["mode"] == "compact"
+    # compaction keeps exactly one cell per live key
+    distinct_keys = (
+        spark.read.parquet(kv).select("table", "key_hex").distinct().count()
+    )
+    assert report["kept_cells"] == distinct_keys

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
-    p.add_argument("--input-dir", required=True)
+    p.add_argument("--input-dir")
     p.add_argument("--prefix", action="append", default=None,
                    help="subdirectory prefix(es) to list (repeatable)")
     p.add_argument("--plain-jsonl", action="store_true",
@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encrypt-output", action="store_true")
     p.add_argument("--data-key", default=None, help="base64 AES key for T8")
     p.add_argument("--master", default=None)
+    # maintenance: versioned-KV compaction (HBase major-compaction analogue)
+    p.add_argument("--compact-src", default=None,
+                   help="compact this KV path instead of importing")
+    p.add_argument("--compact-out", default=None)
+    p.add_argument("--keep-versions", type=int, default=1)
     return p
 
 
@@ -83,6 +88,27 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master,
         shuffle_partitions=args.parallelism,
     )
+
+    if args.compact_src:
+        if not args.compact_out:
+            print("--compact-out is required with --compact-src", file=sys.stderr)
+            return 2
+        from uc_historic_data_importer_spark import sinks
+
+        sinks.compact_kv(
+            spark, args.compact_src, args.compact_out, args.keep_versions
+        )
+        out = spark.read.parquet(args.compact_out)
+        print(json.dumps({
+            "mode": "compact",
+            "kept_cells": out.count(),
+            "keep_versions": args.keep_versions,
+        }))
+        return 0
+
+    if not args.input_dir:
+        print("--input-dir is required for import runs", file=sys.stderr)
+        return 2
 
     if args.plain_jsonl:
         lines = read_jsonl_lines(spark, args.input_dir)
