@@ -100,6 +100,32 @@ class TestSimilarity:
         assert by_q[5]["neighbor_id"] in (3, 4)
         assert by_q[0]["neighbor_id"] == 1
 
+    def test_kmeans_ivf_build(self, vectors):
+        cents = similarity.kmeans_fit(vectors, k=2, iters=2)
+        assert len(cents) == 2
+        for c in cents:
+            assert sum(x * x for x in c) == pytest.approx(1.0, abs=1e-9)
+        # deterministic: no RNG, fixed init, fixed iteration count
+        assert cents == similarity.kmeans_fit(vectors, k=2, iters=2)
+        out = {
+            r["vec_id"]: r["cell"]
+            for r in similarity.assign_cells(vectors, cents).collect()
+        }
+        assert set(out) == {0, 1, 2, 3, 4, 5}
+        # assignment == driver-side brute-force nearest centroid
+        for r in vectors.select("vec_id", "embedding").collect():
+            v = r["embedding"]
+            vn = math.sqrt(sum(x * x for x in v))
+            sims = [
+                round(
+                    sum(a * b for a, b in zip(v, c))
+                    / (vn * (math.sqrt(sum(x * x for x in c)) or 1.0)),
+                    6,
+                )
+                for c in cents
+            ]
+            assert out[r["vec_id"]] == sims.index(max(sims))
+
     def test_hyperplane_buckets_deterministic(self, vectors):
         a = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_lsh_buckets(vectors).collect()}
         b = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_lsh_buckets(vectors).collect()}

@@ -20,6 +20,8 @@ list_inner_product over DOUBLE[]).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -174,3 +176,110 @@ def hyperplane_lsh_buckets(
             F.lit(0).cast("long")
         )
     return corpus.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def _cell_expr(
+    centroids: list[list[float]], vec_col: str, round_dp: int
+) -> Column:
+    """Nearest-centroid argmax as a pure column expression (no join).
+
+    Cosine to each centroid is rounded BEFORE the argmax and ties break
+    to the LOWEST cell id (strict > keeps the earlier centroid), so the
+    assignment is bit-stable across engines."""
+    v = F.col(vec_col)
+    vn = norm_col(v)
+    best_s: Column | None = None
+    best_j: Column | None = None
+    for j, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        score = F.round(dot_col(v, carr) / (vn * F.lit(cn)), round_dp)
+        if best_s is None:
+            best_s, best_j = score, F.lit(0)
+        else:
+            wins = score > best_s
+            best_j = F.when(wins, F.lit(j)).otherwise(best_j)
+            best_s = F.when(wins, score).otherwise(best_s)
+    return best_j.cast("int")
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: nearest centroid by cosine.
+
+    Centroids ship as literal arrays (the broadcast-small side — K x dim
+    doubles), so assignment is a single narrow map over the corpus: no
+    join, no shuffle, trivially parallel at any corpus size. At 100 TB
+    this is the write-path `PARTITIONED BY (cell)` column that makes
+    `ivf_topk` partition-pruned."""
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _cell_expr(centroids, vec_col, round_dp).alias("cell"),
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    centroid_dp: int = 12,
+) -> list[list[float]]:
+    """Deterministic spherical k-means fit for the IVF quantizer.
+
+    Init = the k lowest-id vectors (deterministic, no RNG to ship); each
+    round is one narrow map (cell argmax inline — no self-join) feeding
+    one shuffle of (cell, dim, partial sums) via posexplode + groupBy —
+    driver state is K x dim regardless of corpus size. Per-dim means are
+    rounded half-away-from-zero at `centroid_dp` so an external oracle
+    can reproduce the exact centroid doubles (Spark partial-agg sum
+    order is nondeterministic at the last bits; the round collapses it).
+    Empty / all-zero cells keep their previous centroid. `iters` is
+    small and fixed: the quantizer needs balanced-ish cells, not
+    convergence proofs."""
+    first = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(vec_col, id_col).orderBy(id_col).take(k)
+    ]
+    centroids = [_unit(c) for c in first]
+    for _ in range(iters):
+        sums = (
+            corpus.select(
+                _cell_expr(centroids, vec_col, round_dp).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("dim", "x"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        acc: dict[int, list[float]] = {}
+        for r in sums:
+            acc.setdefault(int(r["cell"]), [0.0] * dim)[int(r["dim"])] = (
+                _round_away(float(r["sx"]) / int(r["n"]), centroid_dp)
+            )
+        centroids = [
+            _unit(acc[j]) if j in acc and any(acc[j]) else centroids[j]
+            for j in range(k)
+        ]
+    return centroids
+
+
+def _round_away(x: float, dp: int) -> float:
+    """round-half-away-from-zero — matches Spark/DuckDB `round()`;
+    Python's builtin rounds half-even and would diverge from the
+    oracle on exact-half values."""
+    m = 10.0**dp
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
+def _unit(v: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]

@@ -334,6 +334,87 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(t(spark, sf_dir, "embeddings"), k=1)
 
 
+def _ivf_build_oracle(k: int = 4, iters: int = 2) -> str:
+    """Unrolled deterministic spherical k-means (init = k lowest ids,
+    `iters` fixed rounds) as pure DuckDB SQL — the fit is iterative but
+    its iteration count is a constant, so each round becomes one
+    assign-CTE + one update-CTE and the whole build stays oracle-checked
+    rather than rows-only."""
+    ip = "list_inner_product"
+
+    def unit(e: str) -> str:
+        n = (
+            f"(CASE WHEN sqrt({ip}({e}, {e})) = 0 THEN 1.0 "
+            f"ELSE sqrt({ip}({e}, {e})) END)"
+        )
+        return f"list_transform({e}, x -> x / {n})"
+
+    def assign(cent: str, out: str) -> str:
+        cn = (
+            f"(CASE WHEN sqrt({ip}(c.c, c.c)) = 0 THEN 1.0 "
+            f"ELSE sqrt({ip}(c.c, c.c)) END)"
+        )
+        return f"""{out} AS (
+      SELECT vec_id, cell FROM (
+        SELECT t.vec_id, c.cell, row_number() OVER (
+          PARTITION BY t.vec_id ORDER BY
+            round({ip}(t.v, c.c) / (sqrt({ip}(t.v, t.v)) * {cn}), 6) DESC,
+            c.cell ASC) AS rn
+        FROM v t CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+    def update(prev_assign: str, prev_cent: str, out: str) -> str:
+        return f"""{out}_l AS (
+      SELECT cell, list(mx ORDER BY dim) AS l FROM (
+        SELECT cell, dim, round(sum(x) / count(*), 12) AS mx FROM (
+          SELECT a.cell, generate_subscripts(t.v, 1) AS dim,
+                 unnest(t.v) AS x
+          FROM {prev_assign} a JOIN v t USING (vec_id)
+        ) GROUP BY cell, dim
+      ) GROUP BY cell
+    ),
+    {out} AS (
+      SELECT p.cell,
+             CASE WHEN m.l IS NULL
+                    OR len(list_filter(m.l, x -> x != 0)) = 0
+                  THEN p.c ELSE {unit('m.l')} END AS c
+      FROM {prev_cent} p LEFT JOIN {out}_l m USING (cell)
+    )"""
+
+    parts = [
+        f"""WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             {unit('v')} AS c
+      FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(assign(f"c{i}", f"a{i}"))
+        parts.append(update(f"a{i}", f"c{i}", f"c{i + 1}"))
+    parts.append(assign(f"c{iters}", "af"))
+    return (
+        ",\n    ".join(parts)
+        + "\n    SELECT vec_id, CAST(cell AS INT) AS cell FROM af"
+    )
+
+
+@register(
+    "ann_ivf_build",
+    _ivf_build_oracle(k=4, iters=2),
+    doc="IVF index build: deterministic spherical k-means fit (k=4, 2 "
+    "rounds, init = lowest ids) + coarse-quantizer cell assignment — "
+    "the write-path producer of ivf_topk's partition column.",
+)
+def ann_ivf_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=4, iters=2)
+    return similarity.assign_cells(emb, cents)
+
+
 @register(
     "embedding_cosine_neardup",
     f"""
