@@ -36,6 +36,7 @@ HEADLINE = [
     "revenue_by_nation",
     "tumbling_window_agg",
     "asof_join_last_event",
+    "event_sessionization",
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_minhash_lsh",

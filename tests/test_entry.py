@@ -16,6 +16,8 @@ SUBSET = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "salted_agg_counts",
+    "event_sessionization",
+    "ann_ivf_build",
 ]
 
 TABLES = (

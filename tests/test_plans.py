@@ -52,3 +52,18 @@ def test_normalize_udf_evaluated_once(spark):
 def test_anti_join_stays_anti(spark):
     plan = plan_of(spark, "anti_join_existing")
     assert "LeftAnti" in plan
+
+
+def test_sessionization_single_shuffle(spark):
+    # window (lag + running sum) and the per-session rollup must all ride
+    # ONE hash exchange on user_id: HashPartitioning(user_id) satisfies
+    # the groupBy(user_id, session_idx) clustering requirement
+    plan = plan_of(spark, "event_sessionization")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_cell_assignment_no_join(spark):
+    # nearest-centroid assignment is a pure projection: any join in the
+    # plan means the centroids stopped being literals
+    plan = plan_of(spark, "ann_ivf_build")
+    assert "Join" not in plan

@@ -30,6 +30,7 @@ from uc_historic_data_importer_spark.functions.dates import parse_hdi_timestamp_
 from uc_historic_data_importer_spark.functions.keys import row_key_hex
 from uc_historic_data_importer_spark.operators.filters import filter_status_col
 from uc_historic_data_importer_spark.operators.naming import table_name
+from uc_historic_data_importer_spark.operators.sessions import session_stats
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -709,6 +710,38 @@ def asof_join_last_event_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_login_ms",
         )
     )
+
+
+@register(
+    "event_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events
+    ),
+    flags AS (
+      SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                       OR ts_ms - lag(ts_ms) OVER w > 1800000
+                THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        AS session_idx
+      FROM flags
+    )
+    SELECT user_id, session_idx,
+           min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+           count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    doc="gap-based sessionization (engine extension, 30-min gap): lag "
+    "flag + running sum share one (user, time) sort — a single shuffle "
+    "— then a per-session rollup.",
+)
+def event_sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(t(spark, sf_dir, "events"))
 
 
 @register(
