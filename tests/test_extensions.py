@@ -72,6 +72,18 @@ class TestDedup:
             (r["doc_a"], r["doc_b"]) for r in out.collect()
         }  # every shared shingle has freq>=2 and is cut
 
+    def test_connected_components_chain(self, spark):
+        # chain 1-2-3 collapses transitively even though (1,3) was never
+        # a pair; (5,6) is a separate cluster
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+        )
+        out = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
     def test_simhash_identical_docs_collide(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
         assert sh[1] == sh[2]

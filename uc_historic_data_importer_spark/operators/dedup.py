@@ -287,3 +287,62 @@ def simhash_buckets(
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters: (doc_id, component) where
+    component = the smallest doc_id reachable through the pair graph —
+    the canonical keep-id of the cluster.
+
+    Min-label propagation to fixpoint: each round every node takes the
+    min of its own label and its neighbors' labels (one equi-join on the
+    edge list + one groupBy — two shuffles per round), and the driver
+    stops when a round changes nothing. Rounds needed = graph diameter;
+    near-dup graphs are clique-like (LSH links most pair combinations
+    directly), so this converges in 2-3 rounds where a general graph
+    would want large-star/small-star contraction. `localCheckpoint`
+    truncates the per-round lineage so the plan does not grow
+    quadratically with rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )

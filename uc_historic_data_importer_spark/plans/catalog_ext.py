@@ -200,7 +200,9 @@ _BANDS = 4
 _ROWS = _NUM_PERMS // _BANDS
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in `pairs(doc_a, doc_b)` — shared by the pair
+    query and the connected-components oracle."""
     consts = perm_constants(_NUM_PERMS)
     mins = ", ".join(
         f"min((h * {a} + {b}) % {MERSENNE_61}) AS mh{j}"
@@ -215,15 +217,19 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_sig FROM sig"
         )
     banded = " UNION ALL ".join(bands)
-    return f"""
-    WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-    banded AS ({banded})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-               AND a.doc_id < b.doc_id
-    """
+    banded AS ({banded}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_pairs_ctes()} SELECT doc_a, doc_b FROM pairs"
 
 
 @register(
@@ -236,6 +242,41 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         t(spark, sf_dir, "documents"), num_perms=_NUM_PERMS, bands=_BANDS
     )
+
+
+def _components_oracle() -> str:
+    """True components via recursive transitive closure (UNION dedups, so
+    the walk terminates); component = min reachable id — the same
+    fixpoint the Spark min-label propagation converges to, independent
+    of iteration strategy."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
+@register(
+    "dedup_components",
+    _components_oracle(),
+    doc="near-dup cluster canonicalization: MinHash-LSH pairs collapsed "
+    "to connected components; component = min doc_id = the cluster's "
+    "keep-id (min-label propagation, converges in graph-diameter "
+    "rounds).",
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), num_perms=_NUM_PERMS, bands=_BANDS
+    )
+    return dedup.connected_components(pairs)
 
 
 _SIMHASH_BITS = 32
