@@ -52,6 +52,7 @@ HEADLINE = [
     "window_running_totals",
     "salted_agg_counts",
     "salted_distinct_users",
+    "hll_distinct_users",
     "rollup_pricing",
     "percentile_prices",
     "pivot_order_status",

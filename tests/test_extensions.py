@@ -10,6 +10,7 @@ from uc_historic_data_importer_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    sketches,
     text,
 )
 
@@ -312,3 +313,59 @@ class TestRangeJoin:
         assert "CartesianProduct" not in plan
         for r in got.collect():
             assert 0 <= r["ts_r"].timestamp() - r["ts"].timestamp() <= 1.0
+
+
+class TestSketches:
+    def test_hll_accuracy(self, spark):
+        df = spark.range(0, 2000).select((F.col("id") % 1300).alias("v"))
+        est = sketches.hll_distinct(df, "v").collect()[0]["hll_distinct"]
+        # 256 registers -> ~6.5% standard error; 15% is a 2+ sigma bound
+        assert abs(est - 1300) / 1300 < 0.15
+
+    def test_hll_registers_merge(self, spark):
+        # the register table is the mergeable state: max-merging two
+        # halves' registers must equal the whole corpus's registers
+        df = spark.range(0, 2000).select("id", (F.col("id") % 731).alias("v"))
+        whole = {
+            r["bucket"]: r["max_rho"]
+            for r in sketches.hll_registers(df, "v").collect()
+        }
+        lo = sketches.hll_registers(df.filter("id < 1000"), "v")
+        hi = sketches.hll_registers(df.filter("id >= 1000"), "v")
+        merged = {
+            r["bucket"]: r["max_rho"]
+            for r in lo.union(hi)
+            .groupBy("bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .collect()
+        }
+        assert merged == whole
+
+    def test_cms_never_underestimates(self, spark):
+        df = spark.range(0, 1000).select((F.col("id") % 37).alias("v"))
+        exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact_n"))
+        counters = sketches.cms_counters(df, "v")
+        est = {
+            r["v"]: (r["exact_n"], r["cms_n"])
+            for r in sketches.cms_estimate(counters, exact, "v").collect()
+        }
+        assert len(est) == 37
+        for v, (exact_n, cms_n) in est.items():
+            assert cms_n >= exact_n, (v, exact_n, cms_n)
+
+    def test_cms_counters_merge(self, spark):
+        df = spark.range(0, 1000).select("id", (F.col("id") % 53).alias("v"))
+        whole = {
+            (r["row_idx"], r["bucket"]): r["cnt"]
+            for r in sketches.cms_counters(df, "v").collect()
+        }
+        lo = sketches.cms_counters(df.filter("id < 500"), "v")
+        hi = sketches.cms_counters(df.filter("id >= 500"), "v")
+        merged = {
+            (r["row_idx"], r["bucket"]): r["cnt"]
+            for r in lo.union(hi)
+            .groupBy("row_idx", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        assert merged == whole

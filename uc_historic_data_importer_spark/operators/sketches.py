@@ -1,0 +1,275 @@
+"""Deterministic distinct-count sketch (HyperLogLog) — engine-portable.
+
+Spark's `approx_count_distinct` and DuckDB's `approx_count_distinct`
+use different hash functions and register encodings, so their estimates
+can never hash-match. This HLL is built on the repo's shared `md5_i64`
+hash (functions/hashes.py) with exact integer bit-slicing, so the
+DuckDB oracle reproduces the registers — and therefore the estimate —
+bit-for-bit. That turns "approximate" into "deterministic approximate":
+the estimator error is real HLL error, but any two engines agree on the
+answer.
+
+Why a sketch at all: at 100 TB, `count(distinct x)` shuffles every
+distinct value; the HLL register table is 2^p rows per group (p=8 →
+256), the per-bucket `max` combines map-side, and register tables MERGE
+(max per bucket) — the streaming/cube-friendly cardinality path.
+
+Layout of the 60-bit hash (p index bits, 60-p remainder bits):
+    bucket = h >> (60-p)          — register index, 0..2^p-1
+    w      = h & (2^(60-p) - 1)   — remainder
+    rho    = leading zeros of w within (60-p) bits, + 1  (w=0 → 61-p)
+`rho` uses a chained integer-threshold CASE (no floating log2), so it
+is exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.functions.hashes import md5_i64, md5_i64_sql
+
+HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    # the standard HLL bias constant; embedded at full precision in both
+    # the Spark plan and the SQL oracle so the engines share the double
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _rho_expr(w: Column, rem_bits: int) -> Column:
+    expr = F.lit(rem_bits + 1)
+    # descending thresholds: w >= 2^(rem_bits-1) → 1, ... w >= 1 → rem_bits
+    out = None
+    for r in range(1, rem_bits + 1):
+        threshold = 1 << (rem_bits - r)
+        cond = w >= F.lit(threshold)
+        out = F.when(cond, F.lit(r)) if out is None else out.when(cond, F.lit(r))
+    return out.otherwise(expr)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Mergeable HLL state: one row per (group, bucket) with the max rho.
+
+    This is the sketch you persist / union / re-aggregate: merging two
+    register tables is groupBy(bucket).max(rho) again."""
+    rem_bits = HASH_BITS - p
+    hashed = df.select(
+        *group_cols, md5_i64(F.col(value_col).cast("string")).alias("_h")
+    )
+    bucket = F.shiftright(F.col("_h"), rem_bits).alias("bucket")
+    w = F.col("_h").bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = _rho_expr(w, rem_bits).alias("rho")
+    return (
+        hashed.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group HLL cardinality estimate (column `hll_distinct`).
+
+    Standard estimator with the small-range (linear counting)
+    correction: raw = alpha * m^2 / sum(2^-M_j) (empty registers
+    contribute 2^0 = 1); if raw <= 2.5m and V empty registers remain,
+    estimate = m * ln(m / V)."""
+    m = 1 << p
+    regs = hll_registers(df, value_col, group_cols, p)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_present_pow"),
+        F.count(F.lit(1)).alias("_nonempty"),
+    )
+    denom = F.col("_present_pow") + (F.lit(m) - F.col("_nonempty"))
+    v_zero = F.lit(m) - F.col("_nonempty")
+    raw = F.lit(_alpha(m)) * F.lit(float(m * m)) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, round_dp).alias("hll_distinct")
+    )
+
+
+def hll_sql(
+    value_expr: str,
+    table: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB SQL reproducing hll_distinct exactly (shared constants,
+    same integer slicing, same double arithmetic)."""
+    m = 1 << p
+    rem_bits = HASH_BITS - p
+    mask = (1 << rem_bits) - 1
+    cases = " ".join(
+        f"WHEN w >= {1 << (rem_bits - r)} THEN {r}"
+        for r in range(1, rem_bits + 1)
+    )
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby_regs = ", ".join(list(group_cols) + ["bucket"])
+    gby = ", ".join(group_cols)
+    gby_clause = f"GROUP BY {gby}" if group_cols else ""
+    return f"""
+    WITH hashed AS (
+      SELECT {gsel}{md5_i64_sql(value_expr)} AS full_h FROM {table}
+    ),
+    sliced AS (
+      SELECT {gsel}(full_h >> {rem_bits}) AS bucket,
+             (full_h & {mask}) AS w
+      FROM hashed
+    ),
+    h AS (
+      SELECT {gsel}bucket, CASE {cases} ELSE {rem_bits + 1} END AS rho
+      FROM sliced
+    ),
+    regs AS (
+      SELECT {gsel}bucket, max(rho) AS max_rho FROM h GROUP BY {gby_regs}
+    ),
+    agg AS (
+      SELECT {gsel}sum(power(2.0, -max_rho)) AS present_pow,
+             count(*) AS nonempty
+      FROM regs {gby_clause}
+    )
+    SELECT {gsel}round(
+      CASE WHEN {_alpha(m)!r}::DOUBLE * {float(m * m)!r}::DOUBLE /
+                  (present_pow + ({m} - nonempty)) <= {2.5 * m!r}::DOUBLE
+             AND ({m} - nonempty) > 0
+           THEN {float(m)!r}::DOUBLE *
+                  ln({float(m)!r}::DOUBLE / ({m} - nonempty))
+           ELSE {_alpha(m)!r}::DOUBLE * {float(m * m)!r}::DOUBLE /
+                  (present_pow + ({m} - nonempty))
+      END, {round_dp}) AS hll_distinct
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+
+def _cms_bits(d: int, w: int) -> int:
+    bits = (w - 1).bit_length()
+    if w != 1 << bits:
+        raise ValueError("cms width must be a power of two")
+    if d * bits > HASH_BITS:
+        raise ValueError("d * log2(w) exceeds the 60-bit hash")
+    return bits
+
+
+def _cms_bucket_structs(h: Column, d: int, w: int) -> list[Column]:
+    bits = _cms_bits(d, w)
+    return [
+        F.struct(
+            F.lit(j).alias("row_idx"),
+            F.shiftright(h, j * bits)
+            .bitwiseAND(F.lit(w - 1))
+            .alias("bucket"),
+        )
+        for j in range(d)
+    ]
+
+
+def cms_counters(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-min counter table: (row_idx, bucket, cnt), d*w cells total.
+
+    One scan: each value explodes into its d (row, bucket) cells — a
+    single shuffle of (row_idx, bucket) partial counts, state d*w
+    regardless of input size. Like the HLL register table, counter
+    tables MERGE: union + groupBy(row_idx, bucket).sum.
+
+    Row j's bucket is a DISJOINT log2(w)-bit window of the shared 60-bit
+    md5 hash. The small-multiplier permutation family used for MinHash
+    is wrong here: (a*h+b) mod w preserves low-bit differences, so two
+    values with equal low bits would collide in EVERY row and the min
+    could never shake the collision out. Disjoint md5 windows make
+    all-row collisions ~w^-d."""
+    hashed = df.select(md5_i64(F.col(value_col).cast("string")).alias("_h"))
+    entries = F.array(*_cms_bucket_structs(F.col("_h"), d, w))
+    return (
+        hashed.select(F.explode(entries).alias("e"))
+        .select("e.row_idx", "e.bucket")
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: min over the d counters a value hashes to.
+
+    `candidates` is small by construction (the values you suspect are
+    heavy), so the join broadcasts it against the d*w counter table.
+    CMS guarantees cms_n >= true count (collisions only inflate)."""
+    hashed = candidates.withColumn(
+        "_h", md5_i64(F.col(value_col).cast("string"))
+    )
+    entries = F.array(*_cms_bucket_structs(F.col("_h"), d, w))
+    keep = [c for c in candidates.columns]
+    cells = hashed.select(*keep, F.explode(entries).alias("e")).select(
+        *keep, "e.row_idx", "e.bucket"
+    )
+    return (
+        F.broadcast(cells)
+        .join(counters, ["row_idx", "bucket"])
+        .groupBy(*keep)
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+
+
+def cms_sql(
+    value_expr: str, table: str, d: int = 4, w: int = 256, top_k: int = 10
+) -> str:
+    """DuckDB SQL reproducing the heavy-hitter query: exact top-k values
+    with their CMS estimates (same hash windows, same counters)."""
+    bits = _cms_bits(d, w)
+    h = md5_i64_sql(f"CAST({value_expr} AS VARCHAR)")
+    counter_rows = " UNION ALL ".join(
+        f"SELECT {j} AS row_idx, ((h >> {j * bits}) & {w - 1}) AS bucket "
+        f"FROM hashed"
+        for j in range(d)
+    )
+    cand_rows = " UNION ALL ".join(
+        f"SELECT user_val, exact_n, {j} AS row_idx, "
+        f"((h >> {j * bits}) & {w - 1}) AS bucket FROM cand"
+        for j in range(d)
+    )
+    return f"""
+    WITH hashed AS (SELECT {h} AS h FROM {table}),
+    counters AS (
+      SELECT row_idx, bucket, count(*) AS cnt
+      FROM ({counter_rows}) GROUP BY row_idx, bucket
+    ),
+    exact AS (
+      SELECT {value_expr} AS user_val, count(*) AS exact_n
+      FROM {table} GROUP BY 1
+      ORDER BY exact_n DESC, user_val LIMIT {top_k}
+    ),
+    cand AS (SELECT user_val, exact_n,
+                    {md5_i64_sql("CAST(user_val AS VARCHAR)")} AS h
+             FROM exact)
+    SELECT user_val, exact_n, min(cnt) AS cms_n
+    FROM ({cand_rows}) c JOIN counters USING (row_idx, bucket)
+    GROUP BY user_val, exact_n
+    """

@@ -17,7 +17,12 @@ from uc_historic_data_importer_spark.functions.hashes import (
     md5_i64_sql,
     perm_constants,
 )
-from uc_historic_data_importer_spark.operators import dedup, similarity, text
+from uc_historic_data_importer_spark.operators import (
+    dedup,
+    similarity,
+    sketches,
+    text,
+)
 from uc_historic_data_importer_spark.plans.catalog import register, t
 
 # shared DuckDB fragments ----------------------------------------------------
@@ -242,6 +247,43 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         t(spark, sf_dir, "documents"), num_perms=_NUM_PERMS, bands=_BANDS
     )
+
+
+@register(
+    "hll_distinct_users",
+    sketches.hll_sql(
+        "CAST(user_id AS VARCHAR)", "events", group_cols=("event_type",)
+    ),
+    doc="deterministic HyperLogLog (p=8, shared md5 hash): per-type "
+    "distinct-user estimate that hash-matches the oracle — the "
+    "mergeable-register cardinality path that replaces count(distinct) "
+    "at 100 TB.",
+)
+def hll_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.hll_distinct(
+        t(spark, sf_dir, "events"), "user_id", group_cols=("event_type",)
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    sketches.cms_sql("user_id", "events", top_k=10),
+    doc="deterministic count-min sketch (d=4 x w=256, shared portable "
+    "hashes): the exact top-10 users with their CMS point estimates — "
+    "cms_n >= exact_n by construction; the mergeable-counter frequency "
+    "path at stream/100 TB scale.",
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+        .select(F.col("user_id").alias("user_val"), "exact_n")
+    )
+    counters = sketches.cms_counters(ev, "user_id")
+    return sketches.cms_estimate(counters, exact, "user_val")
 
 
 def _components_oracle() -> str:
