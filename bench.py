@@ -53,6 +53,7 @@ HEADLINE = [
     "salted_agg_counts",
     "salted_distinct_users",
     "hll_distinct_users",
+    "bloom_anti_join_lineitem",
     "rollup_pricing",
     "percentile_prices",
     "pivot_order_status",

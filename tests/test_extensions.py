@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from uc_historic_data_importer_spark.operators import (
+    bloom,
     dedup,
     multimodal,
     similarity,
@@ -369,3 +370,59 @@ class TestSketches:
             .collect()
         }
         assert merged == whole
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        existing = spark.range(0, 500).select(F.col("id").alias("k"))
+        words = bloom.bloom_build(existing, "k")
+        probe = existing.withColumn(
+            "maybe", bloom.maybe_contains(F.col("k"), words)
+        )
+        assert probe.filter(~F.col("maybe")).count() == 0
+
+    def test_false_positive_rate_sane(self, spark):
+        existing = spark.range(0, 2000).select(F.col("id").alias("k"))
+        words = bloom.bloom_build(existing, "k")
+        # disjoint probe domain: ids that were never inserted
+        probe = spark.range(1_000_000, 1_010_000).select(
+            bloom.maybe_contains(F.col("id"), words).alias("maybe")
+        )
+        fp = probe.filter(F.col("maybe")).count()
+        # n=2000, m=65536, k=3 -> theoretical fpr ~0.07%; allow 10x slack
+        assert fp / 10_000 < 0.007, fp
+
+    def test_anti_join_equals_plain(self, spark):
+        records = spark.range(0, 3000).select(
+            (F.col("id") % 700).alias("k"), F.col("id").alias("payload")
+        )
+        existing = spark.range(0, 400).select((F.col("id") * 2).alias("ek"))
+        got = sorted(
+            (r["k"], r["payload"])
+            for r in bloom.bloom_anti_join(
+                records, existing, "k", "ek"
+            ).collect()
+        )
+        want = sorted(
+            (r["k"], r["payload"])
+            for r in records.join(
+                existing.select(F.col("ek").alias("k")), "k", "left_anti"
+            ).collect()
+        )
+        assert got == want and len(want) > 0
+
+    def test_probe_plan_is_map_only(self, spark):
+        existing = spark.range(0, 100).select(F.col("id").alias("k"))
+        words = bloom.bloom_build(existing, "k")
+        probe = spark.range(0, 1000).filter(
+            ~bloom.maybe_contains(F.col("id"), words)
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_word_merge(self, spark):
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        whole = bloom.bloom_build(df, "k")
+        lo = bloom.bloom_build(df.filter("k < 500"), "k")
+        hi = bloom.bloom_build(df.filter("k >= 500"), "k")
+        assert [a | b for a, b in zip(lo, hi)] == whole

@@ -1,0 +1,138 @@
+"""Deterministic Bloom filter — the scale path for the exists-filter (F4).
+
+The reference checks record existence with batched HBase ``existsAll``
+RPCs (reference ``app/batch/HbaseClient.kt:43-52``, applied per put batch
+at ``app/batch/HBaseWriter.kt:549-552``). The rebuild's exact operator is
+a ``left_anti`` join (``operators/filters.py::anti_join_existing``), but
+at 100 TB the anti-join shuffles the FULL record stream on the key. This
+module adds the standard pre-shuffle accelerator: build a Bloom filter
+over the existing-key snapshot, embed it in the plan as a constant array
+(m = 2^16 bits = 8 KB), and reject definitely-new records MAP-SIDE, so
+only the maybe-existing sliver (true positives + ~2% false positives)
+pays the exact anti-join shuffle.
+
+Why not Spark's built-in bloom (``DataFrameStatFunctions.bloomFilter`` /
+runtime row-group bloom pushdown): its hash (Murmur3) is not
+reproducible in the DuckDB oracle, and the built-in returns an opaque
+JVM object rather than a plan-visible constant. This one is built on the
+shared ``md5_i64`` hash (functions/hashes.py), so ``bloom_anti_join``
+can be oracle-checked for EXACT equality against a plain SQL ANTI JOIN —
+the Bloom stage must be invisible in the result (no false negatives),
+which the driver's value-hash compare proves end to end.
+
+Layout: k disjoint log2(m)-bit windows of the 60-bit md5 hash give the k
+bit positions (same disjoint-window trick as the count-min sketch — a
+small-multiplier permutation family would preserve low-bit collisions
+across all k probes). Words are 32-bit so ``1 << bit`` never touches the
+int64 sign bit in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.functions.hashes import md5_i64
+
+HASH_BITS = 60
+WORD_BITS = 32
+
+
+def _check_params(k: int, m: int) -> int:
+    bits = (m - 1).bit_length()
+    if m != 1 << bits:
+        raise ValueError("bloom m (bits) must be a power of two")
+    if k * bits > HASH_BITS:
+        raise ValueError("k * log2(m) exceeds the 60-bit hash")
+    return bits
+
+
+def _positions(h: Column, k: int, m: int) -> list[Column]:
+    bits = _check_params(k, m)
+    return [
+        F.shiftright(h, j * bits).bitwiseAND(F.lit(m - 1)) for j in range(k)
+    ]
+
+
+def bloom_build(
+    existing: DataFrame, value_col: str, k: int = 3, m: int = 1 << 16
+) -> list[int]:
+    """Build the filter driver-side: a dense list of m/32 words.
+
+    One scan of the existing snapshot, one map-side-combined shuffle of
+    at most m/32 = 2048 (word_idx, partial-or) groups, then a 2048-row
+    collect. The result is small enough (8 KB) to inline into the probe
+    plan as a literal — the probe stage then needs no join at all. Word
+    tables MERGE across snapshots with elementwise OR.
+    """
+    _check_params(k, m)
+    h = md5_i64(F.col(value_col).cast("string"))
+    pos = F.explode(F.array(*_positions(h, k, m))).alias("pos")
+    words = (
+        existing.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word_idx"),
+            # python-side shiftleft only takes a literal shift; the SQL
+            # builtin accepts a column
+            F.call_function(
+                "shiftleft",
+                F.lit(1),
+                F.col("pos").bitwiseAND(F.lit(WORD_BITS - 1)).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    dense = [0] * (m // WORD_BITS)
+    for r in words:
+        dense[r["word_idx"]] = r["word"]
+    return dense
+
+
+def maybe_contains(
+    value: Column, words: list[int], k: int = 3, m: int = 1 << 16
+) -> Column:
+    """Boolean column: value possibly in the set (never a false negative).
+
+    Pure whole-stage-codegen expression over a literal word array — the
+    100 TB probe is map-only: no shuffle, no join, no Python.
+    """
+    _check_params(k, m)
+    arr = F.array(*[F.lit(w) for w in words])
+    h = md5_i64(value.cast("string"))
+    cond = None
+    for p in _positions(h, k, m):
+        word = F.element_at(arr, (F.shiftright(p, 5) + 1).cast("int"))
+        bit_set = F.call_function(
+            "shiftright", word, p.bitwiseAND(F.lit(WORD_BITS - 1)).cast("int")
+        ).bitwiseAND(F.lit(1)) == F.lit(1)
+        cond = bit_set if cond is None else (cond & bit_set)
+    return cond
+
+
+def bloom_anti_join(
+    records: DataFrame,
+    existing: DataFrame,
+    record_key: str,
+    existing_key: str | None = None,
+    k: int = 3,
+    m: int = 1 << 16,
+) -> DataFrame:
+    """Exact anti-join with a Bloom pre-filter on the records side.
+
+    Result is IDENTICAL to ``records.join(existing, ..., "left_anti")``
+    (Bloom filters have no false negatives): definitely-new rows pass
+    map-side; only maybe-existing rows (true hits + ~(1-e^{-kn/m})^k
+    false positives) reach the shuffle for the exact check.
+    """
+    ek = existing_key or record_key
+    words = bloom_build(existing, ek, k, m)
+    maybe = maybe_contains(F.col(record_key), words, k, m)
+    definite_new = records.filter(~maybe)
+    needs_check = records.filter(maybe).join(
+        existing.select(F.col(ek).alias(record_key)).distinct(),
+        on=record_key,
+        how="left_anti",
+    )
+    return definite_new.unionByName(needs_check)

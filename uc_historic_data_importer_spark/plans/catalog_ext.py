@@ -18,6 +18,7 @@ from uc_historic_data_importer_spark.functions.hashes import (
     perm_constants,
 )
 from uc_historic_data_importer_spark.operators import (
+    bloom,
     dedup,
     similarity,
     sketches,
@@ -284,6 +285,40 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counters = sketches.cms_counters(ev, "user_id")
     return sketches.cms_estimate(counters, exact, "user_val")
+
+
+@register(
+    "bloom_anti_join_lineitem",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey NOT IN (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY l_returnflag
+    """,
+    doc="exists-filter scale path (F4): Bloom-prefiltered anti-join. The "
+    "8 KB filter over finished-order keys is inlined in the plan, so "
+    "definitely-new lineitems pass MAP-SIDE; only the maybe sliver pays "
+    "the exact anti-join shuffle. The oracle is a plain SQL anti-join — "
+    "hash-equality proves the Bloom stage introduces no false negatives.",
+)
+def bloom_anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    existing = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    new_rows = bloom.bloom_anti_join(
+        li, existing, "l_orderkey", "o_orderkey"
+    )
+    return new_rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
 
 
 def _components_oracle() -> str:
