@@ -426,3 +426,58 @@ class TestBloom:
         lo = bloom.bloom_build(df.filter("k < 500"), "k")
         hi = bloom.bloom_build(df.filter("k >= 500"), "k")
         assert [a | b for a, b in zip(lo, hi)] == whole
+
+
+class TestSampling:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).cast("string").alias("stratum"),
+        )
+
+    def test_hash_sample_fraction_and_stability(self, spark, corpus):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        a = {r["doc_id"] for r in sampling.hash_sample(corpus, "doc_id", 0.2).collect()}
+        b = {
+            r["doc_id"]
+            for r in sampling.hash_sample(
+                corpus.repartition(13), "doc_id", 0.2
+            ).collect()
+        }
+        assert a == b  # partition-layout independent
+        assert 0.15 < len(a) / 5000 < 0.25
+        # nested fractions: a 10% sample is a subset of the 20% sample
+        c = {r["doc_id"] for r in sampling.hash_sample(corpus, "doc_id", 0.1).collect()}
+        assert c <= a
+
+    def test_split_assign_disjoint_and_growth_stable(self, spark, corpus):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        full = {
+            r["doc_id"]: r["split"]
+            for r in sampling.split_assign(corpus, "doc_id", 0.1, 0.1).collect()
+        }
+        assert set(full.values()) == {"train", "val", "test"}
+        # growth stability: labels computed on a half corpus agree
+        half = {
+            r["doc_id"]: r["split"]
+            for r in sampling.split_assign(
+                corpus.filter("doc_id < 2500"), "doc_id", 0.1, 0.1
+            ).collect()
+        }
+        assert all(full[k] == v for k, v in half.items())
+
+    def test_stratified_sample_exact_n(self, spark, corpus):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        out = sampling.stratified_sample(corpus, "doc_id", "stratum", 11)
+        sizes = {
+            r["stratum"]: r["n"]
+            for r in out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sizes == {str(i): 11 for i in range(7)}
+        # small stratum: takes all rows, no padding
+        tiny = corpus.filter("doc_id < 3")
+        assert sampling.stratified_sample(tiny, "doc_id", "stratum", 11).count() == 3

