@@ -54,6 +54,8 @@ HEADLINE = [
     "salted_distinct_users",
     "hll_distinct_users",
     "bloom_anti_join_lineitem",
+    "hist_quantile_prices",
+    "text_tfidf_top_terms",
     "rollup_pricing",
     "percentile_prices",
     "pivot_order_status",

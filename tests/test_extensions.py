@@ -481,3 +481,54 @@ class TestSampling:
         # small stratum: takes all rows, no padding
         tiny = corpus.filter("doc_id < 3")
         assert sampling.stratified_sample(tiny, "doc_id", "stratum", 11).count() == 3
+
+
+class TestTfIdf:
+    def test_distinctive_term_ranks_first(self, spark):
+        rows = [
+            (1, "spark spark spark engine"),
+            (2, "engine engine common words"),
+            (3, "common words again again"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = text.tf_idf_top_terms(df, top_n=1).collect()
+        top = {r["doc_id"]: r["token"] for r in out}
+        # 'spark' appears only in doc 1 and 3x there -> its top term
+        assert top[1] == "spark"
+        assert all(r["term_rank"] == 1 for r in out)
+
+    def test_topn_cut_deterministic(self, spark):
+        # doc of 5 unique tokens, all identical tf/df -> tie broken by token
+        df = spark.createDataFrame([(1, "b a c e d")], ["doc_id", "text"])
+        out = text.tf_idf_top_terms(df, top_n=3).orderBy("term_rank").collect()
+        assert [r["token"] for r in out] == ["a", "b", "c"]
+
+
+class TestHistQuantiles:
+    def test_accuracy_vs_exact(self, spark):
+        df = spark.range(1, 20001).select(
+            (F.col("id") * 0.5).alias("v"), F.lit("g").alias("grp")
+        )
+        counts = sketches.hist_counts(df, "v", group_cols=("grp",))
+        row = sketches.hist_quantiles(counts, group_cols=("grp",)).collect()[0]
+        # exact p50=5000.25, p90=9000.45, p99=9900.495; scale=100 ->
+        # bucket edge within ~1% relative below the true value
+        for col, exact in (("p5", 5000.25), ("p9", 9000.45), ("p99", 9900.5)):
+            assert abs(row[col] - exact) / exact < 0.02, (col, row[col])
+
+    def test_counts_merge(self, spark):
+        df = spark.range(0, 5000).select((F.col("id") % 997).alias("v"))
+        whole = {
+            r["bucket"]: r["cnt"]
+            for r in sketches.hist_counts(df, "v").collect()
+        }
+        lo = sketches.hist_counts(df.filter("id < 2500"), "v")
+        hi = sketches.hist_counts(df.filter("id >= 2500"), "v")
+        merged = {
+            r["bucket"]: r["cnt"]
+            for r in lo.union(hi)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        assert merged == whole

@@ -273,3 +273,115 @@ def cms_sql(
     FROM ({cand_rows}) c JOIN counters USING (row_idx, bucket)
     GROUP BY user_val, exact_n
     """
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile sketch (mergeable percentiles)
+# ---------------------------------------------------------------------------
+
+def hist_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    scale: int = 100,
+) -> DataFrame:
+    """Mergeable quantile state: log-bucket counts per group.
+
+    bucket = floor(ln(1 + value) * scale) for value >= 0 — relative
+    bucket width e^(1/scale) - 1 (scale=100 -> ~1% relative error),
+    ~scale * ln(max_value) buckets total. Exact percentiles need a
+    global sort (operators surface `percentile_prices`); this is the
+    100 TB path: one map-side-combined shuffle into tiny fixed state
+    that MERGES (union + groupBy.sum) across partitions, days, or
+    streaming micro-batches. DDSketch's bucket rule, kept to pure
+    ln/floor so any engine reproduces it bit-for-bit.
+    """
+    bucket = F.floor(
+        F.log(F.lit(1.0) + F.col(value_col).cast("double")) * F.lit(scale)
+    ).alias("bucket")
+    return (
+        df.select(*group_cols, bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    counts: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+    scale: int = 100,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Quantile estimates from the bucket table: for each q, the lower
+    edge of the first bucket whose cumulative count reaches q * total.
+    The counts table is sketch-sized, so the window pass is cheap."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.lit(q) * F.col("total"), F.col("bucket")
+            )
+        ).alias(f"_b{i}")
+        for i, q in enumerate(qs)
+    ]
+    agg = cum.groupBy(*group_cols).agg(*picks)
+    edge = lambda b: F.round(  # noqa: E731 — bucket lower edge, inverse of the rule
+        F.exp(b.cast("double") / F.lit(scale)) - F.lit(1.0), round_dp
+    )
+    qcols = [
+        edge(F.col(f"_b{i}")).alias(f"p{str(q).replace('0.', '')}")
+        for i, q in enumerate(qs)
+    ]
+    return agg.select(*group_cols, *qcols)
+
+
+def hist_quantiles_sql(
+    value_expr: str,
+    table: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+    scale: int = 100,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB SQL reproducing hist_counts + hist_quantiles exactly."""
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby_b = ", ".join(list(group_cols) + ["bucket"])
+    gby = ", ".join(group_cols)
+    gby_clause = f"GROUP BY {gby}" if group_cols else ""
+    part = f"PARTITION BY {gby}" if group_cols else ""
+    picks = ", ".join(
+        f"min(CASE WHEN cum >= {q!r} * total THEN bucket END) AS b{i}"
+        for i, q in enumerate(qs)
+    )
+    outs = ", ".join(
+        f"round(exp(b{i}::DOUBLE / {scale}) - 1.0, {round_dp}) "
+        f"AS p{str(q).replace('0.', '')}"
+        for i, q in enumerate(qs)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT {gsel}floor(ln(1.0 + ({value_expr})::DOUBLE) * {scale}) AS bucket,
+             count(*) AS cnt
+      FROM {table} GROUP BY {gby_b}
+    ),
+    cum AS (
+      SELECT {gsel}bucket, cnt,
+             sum(cnt) OVER ({part} ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER ({part}) AS total
+      FROM counts
+    ),
+    agg AS (SELECT {gsel}{picks} FROM cum {gby_clause})
+    SELECT {gsel}{outs} FROM agg
+    """

@@ -91,6 +91,63 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.select("doc_id", pred.alias("predicted_lang"))
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-n characteristic terms per document by smoothed TF-IDF.
+
+    idf = ln((N+1)/(df+1)) + 1 (sklearn-style smoothing: never zero,
+    never divides by zero). Ranking uses the ROUNDED score plus a token
+    tiebreak so the cut at top_n is deterministic across engines.
+
+    Plan shape at scale: one explode + (doc,token) partial-agg shuffle;
+    the token document-frequency table derives from that SAME
+    aggregate (groupBy token), so the corpus is scanned once. The
+    tf<->df join shuffles on token — the vocabulary side is Zipf-small
+    after aggregation and map-side combine bounds the explode volume.
+    """
+    toks = with_tokens(df, text_col)
+    tf = (
+        toks.select(id_col, F.explode("tokens").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(id_col, "token", "tfidf", F.col("rk").alias("term_rank"))
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set — the
     canonical-form dedup key (word-order- and repetition-insensitive)."""

@@ -388,6 +388,58 @@ def stratified_sample_documents_q(
     )
 
 
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, token, tfidf, rk AS term_rank FROM (
+      SELECT scored.*, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+      ) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="top-3 characteristic terms per document by smoothed TF-IDF "
+    "(sklearn idf). Single corpus scan: the (doc,token) aggregate feeds "
+    "both tf and the document-frequency table; ranking cuts on the "
+    "rounded score + token tiebreak so the top-n is deterministic.",
+)
+def text_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tf_idf_top_terms(t(spark, sf_dir, "documents"), top_n=3)
+
+
+@register(
+    "hist_quantile_prices",
+    sketches.hist_quantiles_sql(
+        "l_extendedprice", "lineitem", group_cols=("l_returnflag",)
+    ),
+    doc="mergeable log-histogram quantile sketch (DDSketch bucket rule, "
+    "scale=100 -> ~1% relative error): p50/p90/p99 extended price per "
+    "return flag from fixed-size bucket state — the 100 TB percentile "
+    "path that replaces the global sort; bucket tables merge across "
+    "partitions/days/micro-batches.",
+)
+def hist_quantile_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    counts = sketches.hist_counts(
+        li, "l_extendedprice", group_cols=("l_returnflag",)
+    )
+    return sketches.hist_quantiles(counts, group_cols=("l_returnflag",))
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
