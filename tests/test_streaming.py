@@ -86,3 +86,57 @@ def test_stateful_latest_per_key(spark, stream_dirs):
     assert final.count() == batch_keys.count()
     mismatch = final.join(batch_keys, ["table", "key_hex", "version"], "left_anti")
     assert mismatch.count() == 0
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    from uc_historic_data_importer_spark.operators import sessions
+
+    inp = tmp_path / "events_in"
+    inp.mkdir()
+    # user 1: two sessions (40-min gap); user 2: one session
+    rows = [
+        (1, 1, "2021-01-01T10:00:00"),
+        (2, 1, "2021-01-01T10:10:00"),
+        (3, 1, "2021-01-01T10:50:01"),  # >30min after prev -> new session
+        (4, 1, "2021-01-01T11:00:00"),
+        (5, 2, "2021-01-01T09:00:00"),
+        (6, 2, "2021-01-01T09:20:00"),
+    ]
+    with open(inp / "events.json", "w") as f:
+        for eid, uid, ts in rows:
+            f.write(
+                json.dumps({"event_id": eid, "user_id": uid, "ts": ts}) + "\n"
+            )
+    schema = "event_id LONG, user_id LONG, ts STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(inp))
+        .withColumn("event_time", F.to_timestamp("ts"))
+    )
+    out = sp.session_counts_stream(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.table("sess_stream").collect()
+    )
+    batch = (
+        spark.read.schema(schema)
+        .json(str(inp))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    want = sorted(
+        (r["user_id"], r["n"])
+        for r in sessions.sessionize(batch, gap_ms=30 * 60 * 1000)
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want == [(1, 2), (1, 2), (2, 2)]

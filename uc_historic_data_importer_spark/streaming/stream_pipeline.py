@@ -151,6 +151,39 @@ def latest_per_key_stream(norm: DataFrame) -> DataFrame:
     )
 
 
+def session_counts_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "event_time",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessions over a stream via the native session_window.
+
+    The streaming twin of ``operators/sessions.py`` (which derives the
+    same sessions with a lag-window in batch): events of one key merge
+    into a session while consecutive gaps stay within ``gap``; the
+    watermark closes sessions and evicts their state, bounding memory to
+    open sessions only. Used with output mode ``complete`` in tests so
+    unclosed trailing sessions are visible for the batch-convergence
+    check; production append-mode emits each session once, on close.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def normalized_stream_batch_keys(spark: SparkSession, input_dir: str) -> DataFrame:
     """Batch-mode ground truth for the stateful latest-per-key stream: the
     (table, key_hex, max version) set the state should converge to."""
