@@ -67,3 +67,33 @@ def test_ivf_cell_assignment_no_join(spark):
     # plan means the centroids stopped being literals
     plan = plan_of(spark, "ann_ivf_build")
     assert "Join" not in plan
+
+
+def test_hash_sample_is_map_only_scan(spark):
+    plan = plan_of(spark, "hash_sample_documents")
+    # hash-range selection is a pure filter over the scan: no exchange
+    assert "Exchange" not in plan
+    # and projection pruning holds: text is never read
+    assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_hll_single_aggregation_pass(spark):
+    # register build + estimate: one exchange for the (group, bucket)
+    # agg, one for the per-group rollup — never a per-value shuffle
+    plan = plan_of(spark, "hll_distinct_users")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_hist_quantiles_state_stays_sketch_sized(spark):
+    plan = plan_of(spark, "hist_quantile_prices")
+    # no global sort anywhere: the quantile comes from bucket state
+    assert "Sort [l_extendedprice" not in plan
+    assert "rangepartitioning(l_extendedprice" not in plan
+
+
+def test_tfidf_single_corpus_scan(spark):
+    # tf and document-frequency both derive from one explode: exactly
+    # one scan reads real columns (the N-docs count scan is
+    # metadata-only, ReadSchema: struct<>)
+    plan = plan_of(spark, "text_tfidf_top_terms")
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") == 1

@@ -104,11 +104,14 @@ def tf_idf_top_terms(
     tiebreak so the cut at top_n is deterministic across engines.
 
     Plan shape at scale: one explode + (doc,token) partial-agg shuffle;
-    the token document-frequency table derives from that SAME
-    aggregate (groupBy token), so the corpus is scanned once. The
-    tf<->df join shuffles on token — the vocabulary side is Zipf-small
-    after aggregation and map-side combine bounds the explode volume.
+    document frequency is a count-over-token WINDOW on that same
+    aggregate — not a second groupBy whose lineage would re-scan the
+    corpus (Catalyst plans DataFrame reuse as recomputation unless the
+    exchange happens to be reused). The corpus parquet is read once
+    with real columns, plus one metadata-only count scan for N.
     """
+    from pyspark.sql import Window
+
     toks = with_tokens(df, text_col)
     tf = (
         toks.select(id_col, F.explode("tokens").alias("token"))
@@ -116,9 +119,9 @@ def tf_idf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("token"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -136,8 +139,6 @@ def tf_idf_top_terms(
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tfidf"), F.asc("token")
     )
