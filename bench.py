@@ -56,6 +56,7 @@ HEADLINE = [
     "bloom_anti_join_lineitem",
     "hist_quantile_prices",
     "text_tfidf_top_terms",
+    "corpus_curation",
     "rollup_pricing",
     "percentile_prices",
     "pivot_order_status",

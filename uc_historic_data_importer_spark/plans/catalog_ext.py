@@ -440,6 +440,69 @@ def hist_quantile_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hist_quantiles(counts, group_cols=("l_returnflag",))
 
 
+@register(
+    "corpus_curation",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS w FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, len(w) AS n_tokens,
+             len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+               / greatest(len(w), 1) AS stop_ratio,
+             md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+      FROM tok
+    ),
+    kept AS (
+      SELECT * FROM feat WHERE n_tokens >= 5 AND stop_ratio <= 0.5
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT kept.*, row_number() OVER (
+          PARTITION BY fp ORDER BY doc_id
+        ) AS rk FROM kept
+      ) WHERE rk = 1
+    )
+    SELECT {sampling.split_sql("doc_id", 0.05, 0.05)} AS split,
+           source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM dedup GROUP BY 1, 2
+    """,
+    doc="the composed curation pipeline in ONE scan: quality filter "
+    "(token count + stopword ratio) -> canonical-fingerprint dedup "
+    "(keep lowest doc_id) -> hash-range train/val/test labels -> "
+    "per-split/source unit economics. One pass derives every feature; "
+    "the only shuffles are the fingerprint rank and the final rollup.",
+)
+def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    d = text.with_tokens(docs)
+    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    n_stop = F.size(
+        F.filter("tokens", lambda w: F.array_contains(stop_arr, w))
+    )
+    stop_ratio = n_stop / F.greatest(F.col("n_tokens"), F.lit(1))
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tokens"))))
+    )
+    kept = d.filter(
+        (F.col("n_tokens") >= 5) & (stop_ratio <= 0.5)
+    ).withColumn("fp", fp)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    labeled = sampling.split_assign(deduped, "doc_id", 0.05, 0.05)
+    return labeled.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
