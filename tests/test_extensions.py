@@ -532,3 +532,34 @@ class TestHistQuantiles:
             .collect()
         }
         assert merged == whole
+
+
+class TestFunnel:
+    def test_ordered_funnel_counts(self, spark):
+        from uc_historic_data_importer_spark.operators import sessions
+
+        rows = [
+            # user 1 completes in order
+            (1, "view", "2021-01-01T10:00:00"),
+            (1, "click", "2021-01-01T10:05:00"),
+            (1, "purchase", "2021-01-01T10:10:00"),
+            # user 2: purchase BEFORE view -> stops at click
+            (2, "purchase", "2021-01-01T09:00:00"),
+            (2, "view", "2021-01-01T10:00:00"),
+            (2, "click", "2021-01-01T10:30:00"),
+            # user 3: early click before view, later click after ->
+            # the LATER click qualifies; purchase after it completes
+            (3, "click", "2021-01-01T08:00:00"),
+            (3, "view", "2021-01-01T09:00:00"),
+            (3, "click", "2021-01-01T09:30:00"),
+            (3, "purchase", "2021-01-01T09:45:00"),
+            # user 4 never views
+            (4, "click", "2021-01-01T10:00:00"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts_str"]
+        ).withColumn("ts", F.to_timestamp("ts_str"))
+        row = sessions.funnel_counts(
+            ev, ("view", "click", "purchase")
+        ).collect()[0]
+        assert (row["n_view"], row["n_click"], row["n_purchase"]) == (3, 3, 2)

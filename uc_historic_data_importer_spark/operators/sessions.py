@@ -71,3 +71,46 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(value_col), round_dp).alias("total_value"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: users whose FIRST qualifying occurrence
+    of each step strictly follows the previous step's.
+
+    t_1 = min ts of step 1; t_i = min ts of step i with ts > t_{i-1}
+    (the first step-i event after the funnel got there — NOT
+    min(step_i) > t_{i-1}, which would miss users whose early step-i
+    events precede step 1). Returns one row: n_<step> = users reaching
+    each step.
+
+    Plan shape: partitionBy-only windows need a hash exchange but NO
+    sort, and all i levels share the one exchange on the key; the final
+    count is a scalar agg. Per-key state is i timestamps — skew-proof.
+    """
+    w = Window.partitionBy(key_col)
+    df = events.withColumn("_ts", F.unix_millis(F.col(ts_col)))
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col("_ts") > F.col(prev))
+        cur = f"_t{i}"
+        df = df.withColumn(
+            cur, F.min(F.when(cond, F.col("_ts"))).over(w)
+        )
+        prev = cur
+    per_user = df.groupBy(key_col).agg(
+        *[F.min(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    return per_user.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"n_{s}")
+            for i, s in enumerate(steps)
+        ]
+    )

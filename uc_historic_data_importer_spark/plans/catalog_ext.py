@@ -503,6 +503,93 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    u1 AS (
+      SELECT user_id, min(ts_ms) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, min(e.ts_ms) AS t2
+      FROM u1 JOIN e USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts_ms > u1.t1 GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, min(e.ts_ms) AS t3
+      FROM u2 JOIN e USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts_ms > u2.t2 GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM u1) AS n_view,
+           (SELECT count(*) FROM u2) AS n_click,
+           (SELECT count(*) FROM u3) AS n_purchase
+    """,
+    doc="ordered funnel (view -> click -> purchase): users whose first "
+    "qualifying occurrence of each step strictly follows the previous "
+    "step's first occurrence. One key-partitioned exchange (no sort) "
+    "carries all funnel levels; per-key state is |steps| timestamps.",
+)
+def funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import sessions as sess
+
+    ev = t(spark, sf_dir, "events")
+    return sess.funnel_counts(ev, ("view", "click", "purchase"))
+
+
+@register(
+    "split_decontamination",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' '))
+               AS fp,
+             {sampling.split_sql("doc_id", 0.05, 0.05)} AS split
+      FROM documents
+    ),
+    flagged AS (
+      SELECT split, fp,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY fp) AS has_train
+      FROM fp
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(has_train) AS BIGINT) AS n_contaminated
+    FROM flagged WHERE split <> 'train'
+    GROUP BY split
+    """,
+    doc="train/test decontamination audit: held-out documents whose "
+    "canonical fingerprint also appears in train. One scan; the "
+    "has-train flag is a max window over the fingerprint partition, so "
+    "the only shuffle is the fp exchange plus the tiny final rollup.",
+)
+def split_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    d = text.with_tokens(docs).withColumn(
+        "fp",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tokens"))))
+        ),
+    )
+    d = sampling.split_assign(d, "doc_id", 0.05, 0.05)
+    has_train = F.max(
+        F.when(F.col("split") == "train", F.lit(1)).otherwise(F.lit(0))
+    ).over(Window.partitionBy("fp"))
+    return (
+        d.withColumn("has_train", has_train)
+        .filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_train").cast("bigint").alias("n_contaminated"),
+        )
+    )
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
