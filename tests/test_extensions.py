@@ -563,3 +563,39 @@ class TestFunnel:
             ev, ("view", "click", "purchase")
         ).collect()[0]
         assert (row["n_view"], row["n_click"], row["n_purchase"]) == (3, 3, 2)
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from uc_historic_data_importer_spark.operators import skew
+
+        fact = spark.range(0, 2000).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("payload")
+        )
+        dim = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(7)], ["k", "label"]
+        )
+        got = sorted(
+            (r["k"], r["payload"], r["label"])
+            for r in skew.salted_join(
+                fact, dim, "k", n_salts=4, salt_col="payload"
+            ).collect()
+        )
+        want = sorted(
+            (r["k"], r["payload"], r["label"])
+            for r in fact.join(dim, "k").collect()
+        )
+        assert got == want and len(want) == 2000
+
+    def test_hot_key_spreads_over_salts(self, spark):
+        from uc_historic_data_importer_spark.operators import skew
+
+        # one key, many rows: every salt bucket must receive some rows
+        fact = spark.range(0, 1000).select(
+            F.lit(1).alias("k"), F.col("id").alias("payload")
+        )
+        salted = fact.withColumn(
+            "_salt", F.pmod(F.hash(F.col("payload")), F.lit(4))
+        )
+        n_buckets = salted.select("_salt").distinct().count()
+        assert n_buckets == 4

@@ -68,3 +68,36 @@ def salted_distinct_count(
     return per_bucket.groupBy(*keys).agg(
         F.sum("_n").alias(f"n_distinct_{value_col}")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Big-big equi-join with a salted hot-key side.
+
+    When the dim side is too large to broadcast AND fact keys are
+    skewed, a plain shuffle join pins the hot key's reducer. Salting
+    spreads each fact key over n_salts reducers and replicates the dim
+    rows n_salts-fold (dim pays n_salts x its size in shuffle — use on
+    the smaller side). Result is EXACTLY the plain join (the catalog
+    oracle-checks it against one).
+
+    The fact salt derives from ``salt_col`` (any well-distributed column
+    NOT equal to the join key; hashing the key itself would put one hot
+    key entirely in one bucket again); default is the whole-row hash.
+    AQE's skew-join splitting covers sort-merge joins adaptively — this
+    explicit form is for when you must pin the strategy (e.g. a skewed
+    key feeding a downstream co-partitioned stage).
+    """
+    salt_src = (
+        F.hash(F.col(salt_col)) if salt_col else F.hash(*fact.columns)
+    )
+    f = fact.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

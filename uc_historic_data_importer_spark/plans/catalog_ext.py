@@ -590,6 +590,63 @@ def split_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_join_priority_revenue",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="big-big join with explicit fact-side salting (skew.py::"
+    "salted_join, 8 salts): each fact key spreads over 8 reducers, the "
+    "dim side replicates 8x. Result hash-matches the plain SQL join — "
+    "salting is invisible in the answer, by construction.",
+)
+def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import skew
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        "l_extendedprice",
+        "l_discount",
+        "l_linenumber",
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    joined = skew.salted_join(
+        li, orders, "k", n_salts=8, salt_col="l_linenumber"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="full CUBE over (returnflag, linestatus): all four grouping "
+    "sets in one pass (the grouping-sets expansion is a single shuffle "
+    "with expand, not four scans).",
+)
+def cube_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
