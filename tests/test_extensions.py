@@ -599,3 +599,16 @@ class TestSaltedJoin:
         )
         n_buckets = salted.select("_salt").distinct().count()
         assert n_buckets == 4
+
+
+class TestGroupCentroids:
+    def test_centroid_math(self, spark, vectors):
+        out = {
+            (r["label"], r["dim"]): (r["centroid"], r["n_vectors"])
+            for r in similarity.group_centroids(vectors).collect()
+        }
+        # label 0 = vecs 0,1,2 -> dim0 mean = (1 + 0.99 + 0)/3
+        assert out[(0, 0)][0] == pytest.approx((1 + 0.99 + 0) / 3, abs=1e-6)
+        assert out[(0, 0)][1] == 3
+        # label 1 = vecs 3,4,5 -> dim2 mean = (1 + 0.98 + 0)/3
+        assert out[(1, 2)][0] == pytest.approx((1 + 0.98) / 3, abs=1e-6)

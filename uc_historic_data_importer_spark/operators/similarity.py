@@ -283,3 +283,28 @@ def _round_away(x: float, dp: int) -> float:
 def _unit(v: list[float]) -> list[float]:
     n = math.sqrt(sum(x * x for x in v)) or 1.0
     return [x / n for x in v]
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Element-wise centroid per group, long format (group, dim, centroid).
+
+    The building block of IVF retraining, cluster-drift monitors, and
+    class prototypes: posexplode -> ONE map-side-combined shuffle of
+    (group, dim, partial sum/count) — state is |groups| x dim no matter
+    the corpus size, and partials merge, so the same shape serves
+    incremental refresh. Long format keeps the result oracle-hashable
+    (array columns would hash float formatting, not math).
+    """
+    return (
+        df.select(group_col, F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy(group_col, "dim")
+        .agg(
+            F.round(F.avg("x"), round_dp).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

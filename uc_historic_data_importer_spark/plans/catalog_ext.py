@@ -647,6 +647,24 @@ def cube_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_label_centroids",
+    """
+    SELECT label, i - 1 AS dim,
+           round(avg(embedding[i]), 6) AS centroid,
+           count(*) AS n_vectors
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+    doc="per-label embedding centroid, long format: posexplode -> one "
+    "map-side-combined shuffle of (label, dim) partials; state is "
+    "|labels| x dim regardless of corpus size and partials merge for "
+    "incremental refresh. The IVF-retrain / cluster-drift primitive.",
+)
+def embedding_label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.group_centroids(t(spark, sf_dir, "embeddings"))
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
