@@ -612,3 +612,26 @@ class TestGroupCentroids:
         assert out[(0, 0)][1] == 3
         # label 1 = vecs 3,4,5 -> dim2 mean = (1 + 0.98 + 0)/3
         assert out[(1, 2)][0] == pytest.approx((1 + 0.98) / 3, abs=1e-6)
+
+
+class TestScd2:
+    def test_interval_chain(self, spark):
+        from uc_historic_data_importer_spark.operators.latest import (
+            scd2_intervals,
+        )
+
+        rows = [
+            ("k1", 100), ("k1", 200), ("k1", 300),
+            ("k2", 50),
+        ]
+        df = spark.createDataFrame(rows, ["key_hex", "version"])
+        out = {
+            (r["key_hex"], r["version"]): (r["valid_to"], r["is_current"])
+            for r in scd2_intervals(df, key_cols=("key_hex",)).collect()
+        }
+        assert out[("k1", 100)] == (200, False)
+        assert out[("k1", 200)] == (300, False)
+        assert out[("k1", 300)] == (None, True)
+        assert out[("k2", 50)] == (None, True)
+        # exactly one current row per key
+        assert sum(1 for v in out.values() if v[1]) == 2

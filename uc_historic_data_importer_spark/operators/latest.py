@@ -56,3 +56,31 @@ def latest_per_key_window(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("table", "key_hex"),
+    version_col: str = "version",
+    open_end: int | None = None,
+) -> DataFrame:
+    """Versioned cells -> SCD-2 validity intervals.
+
+    The KV sink keeps every version of a key (the reference's HBase
+    maxVersions=MAX_INT model, SURVEY.md §1.4); this derives the
+    temporal-table view: each version is valid from its own timestamp
+    until the next version's (`valid_to`), the current version staying
+    open (`open_end`, default NULL). `is_current` marks the row the
+    latest-per-key operator would pick — making latest_per_key a
+    degenerate read of this view.
+
+    One shuffle on the key (lead shares the latest-per-key window
+    spec); at 100 TB this is the same per-key timeline partitioning as
+    sessionization.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).asc())
+    nxt = F.lead(F.col(version_col)).over(w)
+    return df.withColumn(
+        "valid_to",
+        F.coalesce(nxt, F.lit(open_end).cast("long")),
+    ).withColumn("is_current", nxt.isNull())

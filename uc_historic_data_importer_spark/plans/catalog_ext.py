@@ -665,6 +665,141 @@ def embedding_label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.group_centroids(t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "scd2_user_intervals",
+    """
+    WITH dedup AS (
+      SELECT user_id, epoch_ms(ts) AS version, max(event_id) AS event_id
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, version, event_id,
+           lead(version) OVER (
+             PARTITION BY user_id ORDER BY version
+           ) AS valid_to,
+           lead(version) OVER (
+             PARTITION BY user_id ORDER BY version
+           ) IS NULL AS is_current
+    FROM dedup
+    """,
+    doc="versioned cells -> SCD-2 temporal view (operators/latest.py::"
+    "scd2_intervals): each version valid until the next one, current "
+    "row open — the HBase maxVersions model read as a temporal table; "
+    "latest-per-key is the is_current slice. One key shuffle (lead "
+    "shares the latest-per-key window spec).",
+)
+def scd2_user_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators.latest import scd2_intervals
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("version"), "event_id"
+    )
+    dedup = ev.groupBy("user_id", "version").agg(
+        F.max("event_id").alias("event_id")
+    )
+    return scd2_intervals(dedup, key_cols=("user_id",))
+
+
+@register(
+    "resample_daily_fill",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(value) AS v
+      FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi FROM ev GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, e.v
+      FROM spine s LEFT JOIN ev e USING (user_id, day)
+    )
+    SELECT user_id, day,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS UNBOUNDED PRECEDING
+           ), 4) AS filled
+    FROM joined
+    """,
+    doc="time-series resampling: per-user daily spine "
+    "(sequence/explode) left-joined to daily sums, gaps forward-filled "
+    "with last(ignorenulls) — the time-alignment operator. Spine "
+    "generation is map-side from per-key bounds; the fill rides the "
+    "same key-partitioned window as sessionization.",
+)
+def resample_daily_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    joined = spine.join(ev, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
+    )
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+           round(list_max(list_transform(embedding,
+                 x -> abs(x::DOUBLE))), 6) AS max_abs
+    FROM embeddings
+    """,
+    doc="higher-order-function surface over array columns: l2 norm via "
+    "transform+aggregate (sequential fold — same summation order as the "
+    "oracle's list_sum), max-abs via array_max. Pure codegen, map-only; "
+    "the building block the cosine/IVF operators inline.",
+)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * x.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    max_abs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(max_abs, 6).alias("max_abs"),
+    )
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
