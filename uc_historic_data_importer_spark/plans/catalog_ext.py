@@ -800,6 +800,54 @@ def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_spend_segments",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             round(sum(o_totalprice), 2) AS total_spend,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, total_spend, n_orders,
+           ntile(4) OVER (ORDER BY total_spend DESC, custkey) AS quartile,
+           round(cume_dist() OVER (
+             ORDER BY total_spend DESC, custkey), 6) AS cdist,
+           round(total_spend - lag(total_spend) OVER (
+             ORDER BY total_spend DESC, custkey), 2) AS gap_to_prev
+    FROM spend
+    """,
+    doc="ranking-window surface (ntile / cume_dist / lag with "
+    "deterministic tiebreaks) over pre-aggregated customer spend. The "
+    "global-order window runs on the AGGREGATE (one row per customer), "
+    "not the fact stream; where even the aggregate is too large for a "
+    "single ranking task, the hist_quantile sketch is the scale path "
+    "for the same segmentation.",
+)
+def customer_spend_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("custkey"))
+    return spend.select(
+        "custkey",
+        "total_spend",
+        "n_orders",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(
+            F.col("total_spend") - F.lag("total_spend").over(w), 2
+        ).alias("gap_to_prev"),
+    )
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
