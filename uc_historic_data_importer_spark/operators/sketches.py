@@ -73,21 +73,20 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame,
-    value_col: str,
+def hll_estimate(
+    regs: DataFrame,
     group_cols: tuple[str, ...] = (),
     p: int = 8,
     round_dp: int = 4,
 ) -> DataFrame:
-    """Per-group HLL cardinality estimate (column `hll_distinct`).
+    """Estimate from a register table (as built by hll_registers, or the
+    max-merge of several) — the read side of incremental maintenance.
 
     Standard estimator with the small-range (linear counting)
     correction: raw = alpha * m^2 / sum(2^-M_j) (empty registers
     contribute 2^0 = 1); if raw <= 2.5m and V empty registers remain,
     estimate = m * ln(m / V)."""
     m = 1 << p
-    regs = hll_registers(df, value_col, group_cols, p)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_present_pow"),
         F.count(F.lit(1)).alias("_nonempty"),
@@ -101,6 +100,20 @@ def hll_distinct(
     ).otherwise(raw)
     return agg.select(
         *group_cols, F.round(est, round_dp).alias("hll_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group HLL cardinality estimate (column `hll_distinct`):
+    register build + estimator in one plan."""
+    return hll_estimate(
+        hll_registers(df, value_col, group_cols, p), group_cols, p, round_dp
     )
 
 

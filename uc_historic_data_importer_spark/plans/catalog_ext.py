@@ -848,6 +848,31 @@ def customer_spend_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_incremental_daily",
+    sketches.hll_sql(
+        "CAST(user_id AS VARCHAR)", "events", group_cols=("event_type",)
+    ),
+    doc="incremental sketch maintenance, end to end: per-DAY register "
+    "tables (the nightly job's persisted state) max-merged across days, "
+    "then estimated. The oracle is the DIRECT whole-table HLL — the "
+    "result is bit-identical because max over daily maxes is the global "
+    "max: the merge is lossless by construction, which this query "
+    "proves under the driver's value hash.",
+)
+def hll_incremental_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = sketches.hll_registers(
+        ev, "user_id", group_cols=("event_type", "day")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    return sketches.hll_estimate(merged, group_cols=("event_type",))
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
