@@ -140,3 +140,35 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want == [(1, 2), (1, 2), (2, 2)]
+
+
+def test_streaming_hll_registers_converge_to_batch(spark, tmp_path):
+    from uc_historic_data_importer_spark.operators import sketches
+
+    inp = tmp_path / "hll_in"
+    inp.mkdir()
+    # two files -> two micro-batches; duplicated users across files
+    for fname, lo, hi in (("a.json", 0, 400), ("b.json", 200, 600)):
+        with open(inp / fname, "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps({"user_id": i % 350}) + "\n")
+    schema = "user_id LONG"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(inp))
+    # the batch register builder IS the streaming one: groupBy + max is
+    # a supported streaming aggregation; state = 2^p registers
+    regs = sketches.hll_registers(stream, "user_id")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    streamed = sketches.hll_estimate(spark.table("hll_regs")).collect()[0]
+    batch_df = spark.read.schema(schema).json(str(inp))
+    direct = sketches.hll_distinct(batch_df, "user_id").collect()[0]
+    assert streamed["hll_distinct"] == direct["hll_distinct"]
