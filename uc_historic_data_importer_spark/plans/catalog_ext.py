@@ -873,6 +873,44 @@ def hll_incremental_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_estimate(merged, group_cols=("event_type",))
 
 
+@register(
+    "media_feature_extract",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha,
+           64 + ('0x' || substring(md5(text), 1, 2))::INT AS width,
+           64 + ('0x' || substring(md5(text), 3, 2))::INT AS height,
+           round((('0x' || substring(md5(text), 5, 2))::INT) / 255.0, 6)
+             AS feat0
+    FROM documents
+    """,
+    doc="the mapInPandas decode/feature stage under a REAL oracle: "
+    "payloads are deterministic bytes (document text), and the stub "
+    "decoder derives dims/features from the payload's md5, which the "
+    "SQL oracle reproduces — so the Arrow batch plumbing (binary in, "
+    "typed features out, payloads never returning to the JVM) is "
+    "value-hash-checked end to end, not just rows-only.",
+)
+def media_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import multimodal
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_sha",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
+    )
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
