@@ -57,6 +57,20 @@ HEADLINE = [
     "hist_quantile_prices",
     "text_tfidf_top_terms",
     "corpus_curation",
+    "split_decontamination",
+    "funnel_view_click_purchase",
+    "scd2_user_intervals",
+    "resample_daily_fill",
+    "customer_spend_segments",
+    "cube_pricing",
+    "salted_join_priority_revenue",
+    "embedding_label_centroids",
+    "embedding_norms",
+    "media_feature_extract",
+    "hll_incremental_daily",
+    "hash_sample_documents",
+    "split_assign_documents",
+    "stratified_sample_documents",
     "rollup_pricing",
     "percentile_prices",
     "pivot_order_status",
