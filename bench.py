@@ -68,6 +68,7 @@ HEADLINE = [
     "embedding_norms",
     "media_feature_extract",
     "hll_incremental_daily",
+    "snapshot_diff_orders",
     "hash_sample_documents",
     "split_assign_documents",
     "stratified_sample_documents",

@@ -635,3 +635,30 @@ class TestScd2:
         assert out[("k2", 50)] == (None, True)
         # exactly one current row per key
         assert sum(1 for v in out.values() if v[1]) == 2
+
+
+class TestSnapshotDiff:
+    def test_all_statuses(self, spark):
+        from uc_historic_data_importer_spark.operators import diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "CHANGED"), (4, "d")], ["k", "v"]
+        )
+        got = {
+            r["k"]: r["status"]
+            for r in diff.snapshot_diff(old, new, ("k",)).collect()
+        }
+        assert got == {
+            1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+        }
+
+    def test_null_vs_empty_distinct(self, spark):
+        from uc_historic_data_importer_spark.operators import diff
+
+        old = spark.createDataFrame([(1, None)], "k INT, v STRING")
+        new = spark.createDataFrame([(1, "")], "k INT, v STRING")
+        (row,) = diff.snapshot_diff(old, new, ("k",)).collect()
+        assert row["status"] == "changed"

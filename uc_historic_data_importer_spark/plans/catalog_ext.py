@@ -911,6 +911,60 @@ def media_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                 coalesce(CAST(round(o_totalprice, 2) AS VARCHAR), chr(0))))
+               AS hash_old
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 coalesce(CAST(CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                                    ELSE o_orderstatus END AS VARCHAR),
+                          chr(0)),
+                 coalesce(CAST(round(o_totalprice, 2) AS VARCHAR), chr(0))))
+               AS hash_new
+      FROM orders
+    )
+    SELECT CASE WHEN hash_old IS NULL THEN 'added'
+                WHEN hash_new IS NULL THEN 'removed'
+                WHEN hash_old = hash_new THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_keys
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    GROUP BY 1
+    """,
+    doc="snapshot reconciliation (operators/diff.py): per-key "
+    "added/removed/changed/unchanged between two synthetic snapshot "
+    "views of orders. Each side reduces to (key, md5) MAP-SIDE — full "
+    "rows never shuffle, only 16-byte hashes reach the one full-outer "
+    "join; bucketed snapshots would join with no exchange at all.",
+)
+def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import diff
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice"), 2).alias("price2"),
+    )
+    old = base.filter(F.col("o_orderkey") % 7 != 0)
+    new = base.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return diff.snapshot_diff_summary(old, new, ("o_orderkey",))
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
