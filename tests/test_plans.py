@@ -97,3 +97,35 @@ def test_tfidf_single_corpus_scan(spark):
     # metadata-only, ReadSchema: struct<>)
     plan = plan_of(spark, "text_tfidf_top_terms")
     assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") == 1
+
+
+def test_no_query_plans_scale_antipatterns(spark):
+    """Catalog-wide plan lint: NO query may plan a cartesian product, a
+    row-at-a-time Python UDF, or a nested-loop join. These are the three
+    silent 100 TB killers — invisible at test scale, each turns a
+    linear job quadratic or single-threaded."""
+    offenders = {}
+    for name, spec in QUERIES.items():
+        plan = plan_of(spark, name)
+        bad = [
+            marker
+            for marker in (
+                "CartesianProduct",
+                "BatchEvalPython",  # row-at-a-time Python UDF
+            )
+            if marker in plan
+        ]
+        # BroadcastNestedLoopJoin is tolerable ONLY where the broadcast
+        # side is small by construction: tfidf broadcasts a 1-row count
+        # aggregate; brute-force ANN broadcasts the (small) query set
+        # against the corpus — the intended all-pairs baseline, which is
+        # embarrassingly parallel and shuffle-free (ivf_topk is the
+        # pruned scale path)
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in ("text_tfidf_top_terms", "ann_cosine_topk")
+        ):
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
