@@ -965,6 +965,40 @@ def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.snapshot_diff_summary(old, new, ("o_orderkey",))
 
 
+@register(
+    "media_frame_plan",
+    """
+    WITH vids AS (
+      SELECT event_id AS media_id,
+             CAST(floor(least(greatest(value, 1), 120)) AS INT)
+               AS duration_s
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT media_id, unnest(range(0, duration_s, 5)) AS frame_ts_s
+    FROM vids
+    """,
+    doc="video frame-sampling plan (multimodal.frame_sample_plan): one "
+    "row per frame to decode every 5 s, derived ENTIRELY from typed "
+    "metadata JVM-side (sequence + explode) — the decode set is planned "
+    "and prunable before any binary payload or Python is touched.",
+)
+def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import multimodal
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    media = ev.select(
+        F.col("event_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.create_map(
+            F.lit("duration_s"),
+            F.least(F.greatest(F.col("value"), F.lit(1.0)), F.lit(120.0))
+            .cast("int")
+            .cast("string"),
+        ).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(media, every_n_seconds=5)
+
+
 def _components_oracle() -> str:
     """True components via recursive transitive closure (UNION dedups, so
     the walk terminates); component = min reachable id — the same
