@@ -160,18 +160,29 @@ def with_envelope(
     encrypted_encryption_key: str = "",
 ) -> DataFrame:
     """T9: add the `envelope` column. Expects `db_object`/`iv` columns from
-    encrypt_body or passthrough_body."""
+    encrypt_body or passthrough_body.
+
+    The encryption block must describe how `dbObject` is NOW encrypted —
+    the reference stamps the freshly-obtained DKS data key
+    (MessageProducer.kt:63-65, `dataKeyResult.dataKeyEncryptionKeyId` /
+    `ciphertextDataKey`), never the source file's key. So an explicit
+    run-level key id wins; the source-metadata column is only a fallback
+    for passthrough runs that re-announce the original encryption."""
+
+    def pick(run_value: str, source_col: str) -> Column:
+        if run_value:
+            return F.lit(run_value)
+        if source_col in df.columns:
+            return F.coalesce(F.col(source_col), F.lit(""))
+        return F.lit("")
+
     return df.withColumn(
         "envelope",
         envelope_col(
             ctx,
             F.col("db_object"),
-            F.coalesce(F.col("key_encryption_key_id"), F.lit(key_encryption_key_id))
-            if "key_encryption_key_id" in df.columns
-            else F.lit(key_encryption_key_id),
+            pick(key_encryption_key_id, "key_encryption_key_id"),
             F.col("iv"),
-            F.coalesce(F.col("encrypted_encryption_key"), F.lit(encrypted_encryption_key))
-            if "encrypted_encryption_key" in df.columns
-            else F.lit(encrypted_encryption_key),
+            pick(encrypted_encryption_key, "encrypted_encryption_key"),
         ),
     )
