@@ -86,6 +86,44 @@ class TestDedup:
         }
         assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
+    def test_connected_components_nonconvergence_raises(self, spark):
+        # a 6-node path has diameter 5; 2 rounds cannot converge — must
+        # raise instead of silently returning wrong clusters (ADVICE r1)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], ["doc_a", "doc_b"]
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(pairs, max_iters=2)
+
+    def test_star_components_path_graph_converges_fast(self, spark):
+        # length-50 path: diameter 49 would need ~25+ min-label rounds;
+        # large-star/small-star must converge within a log-scale budget
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 50)], ["doc_a", "doc_b"]
+        )
+        out = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components_star(pairs, max_iters=10).collect()
+        }
+        assert out == {i: 1 for i in range(1, 51)}
+
+    def test_star_components_matches_min_label(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = {(rng.randint(1, 40), rng.randint(1, 40)) for _ in range(45)}
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        star = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        label = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components(pairs, max_iters=50).collect()
+        }
+        assert star == label
+
     def test_simhash_identical_docs_collide(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
         assert sh[1] == sh[2]
@@ -213,6 +251,28 @@ class TestMultimodal:
         assert last["chunk_end_s"] == 70
         assert last["start_frame"] == 50 * 8000
         assert last["n_frames"] == 20 * 8000
+
+    def test_degenerate_duration_assets_skipped(self, spark):
+        # missing / zero / unparseable duration_s: no zero-length work
+        # items may reach the decode stage (ADVICE r1)
+        rows = [
+            (20, "video", bytearray(b"v"), "video/mp4", {}),
+            (21, "video", bytearray(b"v"), "video/mp4", {"duration_s": "0"}),
+            (22, "video", bytearray(b"v"), "video/mp4", {"duration_s": "x"}),
+            (23, "video", bytearray(b"v"), "video/mp4", {"duration_s": "7"}),
+            (24, "audio", bytearray(b"a"), "audio/wav", {}),
+            (25, "audio", bytearray(b"a"), "audio/wav",
+             {"duration_s": "0", "sample_rate": "8000"}),
+            (26, "audio", bytearray(b"a"), "audio/wav",
+             {"duration_s": "40", "sample_rate": "8000"}),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        frames = multimodal.frame_sample_plan(df, every_n_seconds=5).collect()
+        assert {r["media_id"] for r in frames} == {23}
+        assert sorted(r["frame_ts_s"] for r in frames) == [0, 5]
+        chunks = multimodal.audio_chunk_plan(df, chunk_s=30, overlap_s=5).collect()
+        assert {r["media_id"] for r in chunks} == {26}
+        assert all(r["n_frames"] > 0 for r in chunks)
 
     def test_resize_binary_roundtrip(self, media):
         out = {r["media_id"]: r for r in multimodal.resize_images(media, 128, 64).collect()}
@@ -410,6 +470,32 @@ class TestBloom:
             ).collect()
         )
         assert got == want and len(want) > 0
+
+    def test_build_cache_detects_grown_snapshot(self, spark, tmp_path):
+        # same cache_key, but the snapshot under the path gained files:
+        # the fingerprint must re-key so new keys don't pass as
+        # definitely-new (ADVICE r1 staleness hazard)
+        p = str(tmp_path / "snap")
+        spark.range(0, 100).select(F.col("id").alias("k")).write.parquet(p)
+        snap1 = spark.read.parquet(p)
+        w1 = bloom.bloom_build_cached(snap1, "k", cache_key=p)
+        spark.range(100, 200).select(F.col("id").alias("k")).write.mode(
+            "append"
+        ).parquet(p)
+        snap2 = spark.read.parquet(p)
+        w2 = bloom.bloom_build_cached(snap2, "k", cache_key=p)
+        assert w1 != w2  # stale filter NOT served
+        probe = snap2.withColumn(
+            "maybe", bloom.maybe_contains(F.col("k"), w2)
+        )
+        assert probe.filter(~F.col("maybe")).count() == 0
+
+    def test_build_cache_bounded(self, spark):
+        bloom.bloom_cache_clear()
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        for i in range(bloom._BUILD_CACHE_MAX + 5):
+            bloom.bloom_build_cached(df, "k", cache_key=f"snap-{i}")
+        assert len(bloom._BUILD_CACHE) <= bloom._BUILD_CACHE_MAX
 
     def test_probe_plan_is_map_only(self, spark):
         existing = spark.range(0, 100).select(F.col("id").alias("k"))

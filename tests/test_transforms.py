@@ -316,3 +316,65 @@ class TestSerializerEquivalence:
         import uc_historic_data_importer_spark.operators.transforms as tr
         big = {"k": 2**70, "a": 1}
         assert tr._dumps_compact(big) == json.dumps(big, separators=(",", ":"))
+
+    def test_loads_acceptance_is_environment_independent(self, monkeypatch):
+        """Pinned parse acceptance (ADVICE r1): non-finite literals are
+        rejected and >64-bit ints accepted IDENTICALLY with and without
+        orjson — the same raw record must never parse on one cluster and
+        skip as parse_error on another."""
+        import uc_historic_data_importer_spark.operators.transforms as tr
+
+        rejected = ['{"x": NaN}', '{"x": Infinity}', '{"x": -Infinity}']
+        for raw in rejected:
+            with pytest.raises(ValueError):
+                tr._loads(raw)
+            with monkeypatch.context() as m:
+                m.setattr(tr, "orjson", None)
+                with pytest.raises(ValueError):
+                    tr._loads(raw)
+
+        # >64-bit ints: orjson demotes to float; the stdlib path must too
+        big = f'{{"x": {2**70}}}'
+        v_fast = tr._loads(big)["x"]
+        with monkeypatch.context() as m:
+            m.setattr(tr, "orjson", None)
+            v_slow = tr._loads(big)["x"]
+        assert v_fast == v_slow == float(2**70)
+        assert type(v_fast) is type(v_slow) is float
+        # 64-bit boundary stays int in both
+        edge = f'{{"x": {2**64 - 1}}}'
+        assert tr._loads(edge)["x"] == 2**64 - 1
+        with monkeypatch.context() as m:
+            m.setattr(tr, "orjson", None)
+            assert type(tr._loads(edge)["x"]) is int
+
+    def test_exotic_literal_record_normalizes_identically(self, monkeypatch):
+        """Records with bigint bodies normalize to the same values both
+        ways (byte rendering of the demoted float may differ, like the
+        accepted exotic-float divergence); NaN-bearing records skip as
+        parse_error identically both ways."""
+        import uc_historic_data_importer_spark.operators.transforms as tr
+
+        if tr.orjson is None:
+            pytest.skip("orjson not installed")
+        ok = (
+            f'{{"_id": {{"k": "exotic"}}, "big": {2**70},'
+            ' "_lastModifiedDateTime": {"$date": "2020-01-01T00:00:00.000Z"}}'
+        )
+        fast = tr.normalize_record(ok)
+        with monkeypatch.context() as m:
+            m.setattr(tr, "orjson", None)
+            slow = tr.normalize_record(ok)
+        assert json.loads(fast["record_json"]) == json.loads(slow["record_json"])
+        assert {k: v for k, v in fast.items() if k != "record_json"} == {
+            k: v for k, v in slow.items() if k != "record_json"
+        }
+        assert fast.get("skip_reason") != "parse_error"
+
+        bad = '{"_id": {"k": "exotic"}, "nan": NaN}'
+        fast_bad = tr.normalize_record(bad)
+        with monkeypatch.context() as m:
+            m.setattr(tr, "orjson", None)
+            slow_bad = tr.normalize_record(bad)
+        assert fast_bad == slow_bad
+        assert fast_bad.get("skip_reason") == "parse_error"

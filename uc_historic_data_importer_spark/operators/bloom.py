@@ -36,6 +36,8 @@ words are 32-bit so ``1 << bit`` never touches the int64 sign bit.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -140,6 +142,24 @@ def maybe_contains(
 
 
 _BUILD_CACHE: dict[str, list[int]] = {}
+_BUILD_CACHE_MAX = 32
+
+
+def _snapshot_fingerprint(df: DataFrame) -> str:
+    """Cheap content fingerprint of the files backing a DataFrame: the
+    sorted input-file listing (parquet/ORC files are immutable once
+    written, so the listing names the snapshot). Falls back to empty for
+    non-file-backed frames (in-memory test data), where the caller's
+    explicit key is the only identity."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive; API is stable
+        return ""
+    h = hashlib.sha256()
+    for f in sorted(files):
+        h.update(f.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
 
 
 def bloom_build_cached(
@@ -149,18 +169,30 @@ def bloom_build_cached(
     k: int = 3,
     m: int = 1 << 16,
 ) -> list[int]:
-    """bloom_build memoized by an explicit snapshot key.
+    """bloom_build memoized by snapshot key + backing-file fingerprint.
 
     A filter describes an immutable existing-keys snapshot; production
     builds it once per snapshot and reuses it across every import run
     against that snapshot (rebuilding per query would charge the full
-    build scan to each of them). The caller owns cache-key hygiene:
-    the key must name the snapshot (path + predicate), not the session.
+    build scan to each of them). The caller names the snapshot
+    (path + predicate) via cache_key; the input-file fingerprint guards
+    against the snapshot under the same name changing within a driver
+    process (ADVICE r1) — a grown snapshot re-keys and rebuilds instead
+    of serving a stale filter that would pass new keys as definitely-new.
+    The cache is FIFO-bounded so long-lived drivers cannot leak filters.
     """
-    kk = f"{cache_key}|{value_col}|{k}|{m}"
+    kk = f"{cache_key}|{_snapshot_fingerprint(existing)}|{value_col}|{k}|{m}"
     if kk not in _BUILD_CACHE:
+        if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
+            _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
         _BUILD_CACHE[kk] = bloom_build(existing, value_col, k, m)
     return _BUILD_CACHE[kk]
+
+
+def bloom_cache_clear() -> None:
+    """Explicit invalidation hook for callers that mutate snapshots
+    in-place (discouraged; prefer immutable snapshot paths)."""
+    _BUILD_CACHE.clear()
 
 
 def bloom_anti_join(

@@ -343,6 +343,105 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing): the pair graph's diameter "
+            "exceeds the round budget. Raise max_iters or use "
+            "connected_components_star (O(log n) rounds on any graph shape)."
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, component) via alternating large-star/small-star edge
+    contraction — O(log n) rounds on ANY graph shape, vs. O(diameter)
+    for min-label propagation. Use this when dup graphs may be chains
+    (transitive near-dup links) rather than LSH-style cliques.
+
+    Each round: large-star points every neighbor v > u at the minimum m
+    of N(u) ∪ {u}; small-star points every neighbor v ≤ u (and u) at m.
+    Both are one groupBy + one broadcast-free equi-join per step; edges
+    monotonically contract toward (node, component-min) stars, and the
+    round count is logarithmic in component size (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14).
+    `localCheckpoint` truncates lineage per round as in
+    connected_components.
+    """
+    # canonical (high, low) edge list, self-loop-free
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetrized neighborhoods: every strictly-greater neighbor v of
+        # u points at m(u) = min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # edges arrive (high, low); every low neighbor (and u itself)
+        # points at the neighborhood minimum
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            e.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            moved.union(self_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        contracted = _small_star(_large_star(edges))
+        contracted = contracted.localCheckpoint(eager=True)
+        changed = (
+            contracted.join(edges, ["u", "v"], "left_anti").count()
+            + edges.join(contracted, ["u", "v"], "left_anti").count()
+        )
+        edges = contracted
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds — this should not happen (round count is logarithmic "
+            "in component size); inspect the edge list for pathologies."
+        )
+    # fixpoint edges are (node, component-min) stars; isolated minima
+    # label themselves
+    comp = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    return (
+        nodes.join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
     )

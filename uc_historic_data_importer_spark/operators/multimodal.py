@@ -103,15 +103,18 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     Uses the typed `meta['duration_s']` column — the plan (which frames,
     from which byte ranges) is computed entirely JVM-side; only the
     decode of selected frames would touch Python. Decoding itself is the
-    same stubbed hook as extract_features."""
+    same stubbed hook as extract_features.
+
+    Assets with missing or non-positive duration metadata are SKIPPED
+    (no rows emitted) rather than planned as zero-length work items
+    (ADVICE r1); route them through a metadata-repair pass if they must
+    not be dropped silently."""
     dur = F.coalesce(
-        F.element_at(F.col("meta"), "duration_s").cast("int"), F.lit(0)
+        F.element_at(F.col("meta"), "duration_s").try_cast("int"), F.lit(0)
     )
-    frames = F.sequence(
-        F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_n_seconds)
-    )
+    frames = F.sequence(F.lit(0), dur - 1, F.lit(every_n_seconds))
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter((F.col("kind") == "video") & (dur > 0))
         .select("media_id", F.explode(frames).alias("frame_ts_s"))
     )
 
@@ -196,17 +199,21 @@ def audio_chunk_plan(
     `meta['sample_rate']`), so the plan is pure JVM-side arithmetic; only
     the decode of selected chunks (same stubbed hook) would touch Python.
     Overlap is the standard trick for transcription/window models so no
-    utterance is cut at a boundary."""
+    utterance is cut at a boundary.
+
+    Assets with missing or non-positive duration metadata are SKIPPED
+    (no rows emitted) rather than planned as zero-length chunks
+    (ADVICE r1)."""
     if overlap_s >= chunk_s:
         raise ValueError("overlap_s must be < chunk_s")
-    dur = F.coalesce(F.element_at(F.col("meta"), "duration_s").cast("int"), F.lit(0))
+    dur = F.coalesce(F.element_at(F.col("meta"), "duration_s").try_cast("int"), F.lit(0))
     rate = F.coalesce(
-        F.element_at(F.col("meta"), "sample_rate").cast("int"), F.lit(16000)
+        F.element_at(F.col("meta"), "sample_rate").try_cast("int"), F.lit(16000)
     )
     step = chunk_s - overlap_s
-    starts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(step))
+    starts = F.sequence(F.lit(0), dur - 1, F.lit(step))
     return (
-        media.filter(F.col("kind") == "audio")
+        media.filter((F.col("kind") == "audio") & (dur > 0))
         .select(
             "media_id",
             rate.alias("sample_rate"),

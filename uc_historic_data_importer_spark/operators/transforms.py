@@ -33,11 +33,37 @@ except ImportError:  # pragma: no cover
     orjson = None  # type: ignore[assignment]
 
 
+def _reject_nonfinite(name: str) -> float:
+    raise ValueError(f"non-finite JSON literal: {name}")
+
+
+def _int_orjson_semantics(s: str) -> int | float:
+    # orjson parses integers inside [-2^63, 2^64) as int and demotes
+    # anything wider to float; mirror that exactly.
+    v = int(s)
+    return v if -(2**63) <= v < 2**64 else float(s)
+
+
+def _strict_loads(raw: str) -> Any:
+    """stdlib parse pinned to orjson's number semantics: NaN/Infinity
+    literals rejected (also avoids orjson.dumps silently re-serializing
+    non-finite floats as null), >64-bit integers demoted to float."""
+    return json.loads(
+        raw, parse_constant=_reject_nonfinite, parse_int=_int_orjson_semantics
+    )
+
+
 def _loads(raw: str) -> Any:
-    """JSON parse on the fast path (orjson ~2x stdlib for record bodies)."""
+    """JSON parse on the fast path (orjson ~2x stdlib for record bodies).
+
+    Pinned environment-independent behavior (ADVICE r1): the stdlib path
+    is hooked to reject the NaN/Infinity literals orjson rejects and to
+    demote >64-bit integers to float the way orjson does, so the same raw
+    record parses to the same value (or skips with the same reason) with
+    or without orjson installed."""
     if orjson is not None:
         return orjson.loads(raw)
-    return json.loads(raw)
+    return _strict_loads(raw)
 
 
 def _dumps_compact(obj: Any) -> str:

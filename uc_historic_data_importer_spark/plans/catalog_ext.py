@@ -600,9 +600,11 @@ def split_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     doc="big-big join with explicit fact-side salting (skew.py::"
-    "salted_join, 8 salts): each fact key spreads over 8 reducers, the "
-    "dim side replicates 8x. Result hash-matches the plain SQL join — "
-    "salting is invisible in the answer, by construction.",
+    "salted_join, 8 salts): each fact key spreads over 8 reducers via "
+    "the whole-row hash (a low-cardinality column like l_linenumber "
+    "would occupy at most its distinct-count of the 8 buckets — ADVICE "
+    "r1), the dim side replicates 8x. Result hash-matches the plain SQL "
+    "join — salting is invisible in the answer, by construction.",
 )
 def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uc_historic_data_importer_spark.operators import skew
@@ -616,9 +618,7 @@ def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), "o_orderpriority"
     )
-    joined = skew.salted_join(
-        li, orders, "k", n_salts=8, salt_col="l_linenumber"
-    )
+    joined = skew.salted_join(li, orders, "k", n_salts=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(
