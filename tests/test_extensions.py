@@ -252,6 +252,37 @@ class TestMultimodal:
         assert last["start_frame"] == 50 * 8000
         assert last["n_frames"] == 20 * 8000
 
+    def test_extract_features_real_png_decode(self, spark):
+        # genuine decode: dims come from IHDR/pixels, not the md5 stub
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+        px = b"\x00" * 3 * 6 + b"\xff" * 3 * 2  # 6 black + 2 white pixels
+        png = ic.encode_png(4, 2, 3, px, filter_type=4)
+        rows = [
+            (30, "image", bytearray(png), "image/png", {}),
+            (31, "image", bytearray(b"not-an-image"), "application/bin", {}),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        feats = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
+        assert (feats[30]["width"], feats[30]["height"]) == (4, 2)
+        hist = feats[30]["feature"]
+        assert hist[0] == pytest.approx(0.75) and hist[7] == pytest.approx(0.25)
+        # non-image payload still flows through the stub path
+        assert feats[31]["width"] == 64 + __import__("hashlib").md5(
+            b"not-an-image"
+        ).digest()[0]
+
+    def test_resize_real_png_payload(self, spark):
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+        src = ic.encode_png(4, 4, 3, bytes(range(48)))
+        rows = [(40, "image", bytearray(src), "image/png", {})]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = multimodal.resize_images(df, 8, 6).collect()[0]
+        w, h, ch, px = ic.decode_png(bytes(out["payload"]))
+        assert (w, h, ch) == (8, 6, 3)
+        assert px[:3] == bytes(range(3))  # top-left pixel preserved
+
     def test_degenerate_duration_assets_skipped(self, spark):
         # missing / zero / unparseable duration_s: no zero-length work
         # items may reach the decode stage (ADVICE r1)

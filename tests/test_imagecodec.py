@@ -1,0 +1,135 @@
+"""Pure-Python PNG codec + header parsers (functions/imagecodec.py).
+
+encode_png can emit any scanline filter type, so decode_png's
+unfiltering branches (None/Sub/Up/Average/Paeth) are each checked as
+the exact inverse of an independently-implemented forward filter."""
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+
+def gradient(w, h, ch):
+    return bytes(
+        ((x * 7 + y * 13 + c * 29) * 255 // max(1, (w * 7 + h * 13 + ch * 29)))
+        & 0xFF
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+class TestPngRoundtrip:
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_roundtrip_all_filters_all_color_types(self, filter_type, channels):
+        w, h = 7, 5
+        px = gradient(w, h, channels)
+        payload = ic.encode_png(w, h, channels, px, filter_type=filter_type)
+        assert payload.startswith(ic.PNG_SIGNATURE)
+        rw, rh, rch, rpx = ic.decode_png(payload)
+        assert (rw, rh, rch) == (w, h, channels)
+        assert rpx == px
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        filter_type=st.integers(0, 4),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def test_roundtrip_property(self, w, h, channels, filter_type, seed):
+        import random
+
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        rt = ic.decode_png(ic.encode_png(w, h, channels, px, filter_type))
+        assert rt == (w, h, channels, px)
+
+    def test_known_1x1_white(self):
+        payload = ic.encode_png(1, 1, 3, b"\xff\xff\xff")
+        w, h, ch, px = ic.decode_png(payload)
+        assert (w, h, ch, px) == (1, 1, 3, b"\xff\xff\xff")
+
+
+class TestPngErrors:
+    def test_not_png(self):
+        with pytest.raises(ic.UnsupportedImageError):
+            ic.decode_png(b"JFIF not a png")
+
+    def test_truncated(self):
+        payload = ic.encode_png(4, 4, 3, gradient(4, 4, 3))
+        with pytest.raises(ValueError):
+            ic.decode_png(payload[:20])
+
+    def test_unsupported_bit_depth(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        payload = (
+            ic.PNG_SIGNATURE
+            + ic._chunk(b"IHDR", ihdr)
+            + ic._chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + ic._chunk(b"IEND", b"")
+        )
+        with pytest.raises(ic.UnsupportedImageError):
+            ic.decode_png(payload)
+
+    def test_corrupt_idat_size(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        payload = (
+            ic.PNG_SIGNATURE
+            + ic._chunk(b"IHDR", ihdr)
+            + ic._chunk(b"IDAT", zlib.compress(b"\x00" * 3))
+            + ic._chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            ic.decode_png(payload)
+
+
+class TestHeaderDims:
+    def test_jpeg_sof0(self):
+        # minimal SOF0 frame: SOI + APP0 + SOF0(h=480, w=640)
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3)
+        payload = b"\xff\xd8" + app0 + sof
+        assert ic.jpeg_dims(payload) == (640, 480)
+        assert ic.sniff(payload) == "jpeg"
+
+    def test_jpeg_skips_dht(self):
+        dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+        sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 10, 20, 3)
+        payload = b"\xff\xd8" + dht + sof2
+        assert ic.jpeg_dims(payload) == (20, 10)
+
+    def test_gif(self):
+        payload = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+        assert ic.gif_dims(payload) == (320, 200)
+        assert ic.sniff(payload) == "gif"
+
+
+class TestFeaturesAndResize:
+    def test_luminance_histogram_black_white(self):
+        px = b"\x00" * 3 * 6 + b"\xff" * 3 * 2  # 6 black + 2 white RGB px
+        hist = ic.luminance_histogram(3, px, bins=8)
+        assert hist[0] == 0.75 and hist[7] == 0.25
+        assert sum(hist) == pytest.approx(1.0, abs=1e-5)
+
+    def test_resize_nearest_identity_and_upscale(self):
+        px = gradient(4, 4, 3)
+        assert ic.resize_nearest(4, 4, 3, px, 4, 4) == px
+        up = ic.resize_nearest(4, 4, 3, px, 8, 8)
+        assert len(up) == 8 * 8 * 3
+        # corner pixels survive nearest-neighbor
+        assert up[:3] == px[:3]
+
+    def test_resize_downscale_picks_source_pixels(self):
+        px = gradient(8, 8, 1)
+        down = ic.resize_nearest(8, 8, 1, px, 2, 2)
+        assert down == bytes(
+            [px[0 * 8 + 0], px[0 * 8 + 4], px[4 * 8 + 0], px[4 * 8 + 4]]
+        )

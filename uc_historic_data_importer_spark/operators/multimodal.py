@@ -2,10 +2,13 @@
 with typed metadata, processed via Arrow-batched pandas UDFs.
 
 The Spark-side machinery — schema, partitioning, UDF signatures, batch
-shapes — is real and tested; the actual media decoding is stubbed behind
-clearly-marked hooks because the image/audio libraries are not in this
-container (per the build brief). Swap `_decode_image_stub` for
-PIL/torchvision in production; nothing else changes.
+shapes — is real and tested. Decoding is REAL for PNG (pure-stdlib
+codec, ``functions/imagecodec.py``: IHDR geometry, IDAT inflate,
+scanline unfiltering) and header-real for JPEG/GIF dims; payloads
+outside that scope fall back to the deterministic stub
+(`_decode_image_stub`) so the plumbing stays testable without media
+libraries. Swap the codec for PIL/torchvision in production; nothing
+else changes.
 
 Design for 100 TB of media:
 - binary payloads stay opaque until the last possible stage (no JVM<->
@@ -25,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from uc_historic_data_importer_spark.functions import imagecodec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -50,12 +55,12 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decode: deterministic fake decoder.
+    """STUB decode: deterministic fake decoder for payloads the real
+    codec cannot handle (non-image bytes, palette/16-bit PNG, ...).
 
-    Production: `img = PIL.Image.open(io.BytesIO(payload))` and a real
-    feature extractor. Here: dims derived from the content hash, feature =
-    8 deterministic floats — keeps the full plumbing testable without
-    media libs. Raises on empty payload like a real decoder would."""
+    Dims derived from the content hash, feature = 8 deterministic
+    floats — keeps the full plumbing testable for arbitrary payloads.
+    Raises on empty payload like a real decoder would."""
     if not payload:
         raise ValueError("empty media payload")
     h = hashlib.md5(payload).digest()
@@ -63,6 +68,29 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     height = 64 + h[1]
     feature = [round(b / 255.0, 6) for b in h[2:10]]
     return width, height, feature
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode dispatcher: real PNG decode (dims + 8-bin luminance
+    histogram from actual pixels), header-real dims for JPEG/GIF (stub
+    features — entropy decode needs a real jpeg library), stub for
+    everything else."""
+    if not payload:
+        raise ValueError("empty media payload")
+    container = imagecodec.sniff(payload)
+    try:
+        if container == "png":
+            w, h, ch, px = imagecodec.decode_png(payload)
+            return w, h, imagecodec.luminance_histogram(ch, px, bins=8)
+        if container == "jpeg":
+            w, h = imagecodec.jpeg_dims(payload)
+            return w, h, _decode_image_stub(payload)[2]
+        if container == "gif":
+            w, h = imagecodec.gif_dims(payload)
+            return w, h, _decode_image_stub(payload)[2]
+    except imagecodec.UnsupportedImageError:
+        pass
+    return _decode_image_stub(payload)
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
@@ -78,7 +106,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
                 try:
-                    w, h, feat = _decode_image_stub(payload)
+                    w, h, feat = _decode_image(payload)
                 except ValueError:
                     w, h, feat = -1, -1, None
                 out.append(
@@ -156,6 +184,21 @@ def _resize_image_stub(payload: bytes, w: int, h: int) -> bytes:
     return tag + body * reps
 
 
+def _resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """Resize dispatcher: PNG payloads get a REAL nearest-neighbor
+    resample (decode -> resample -> re-encode, still a valid PNG);
+    everything else keeps the deterministic stub."""
+    if imagecodec.sniff(payload) == "png":
+        try:
+            sw, sh, ch, px = imagecodec.decode_png(payload)
+            return imagecodec.encode_png(
+                w, h, ch, imagecodec.resize_nearest(sw, sh, ch, px, w, h)
+            )
+        except imagecodec.UnsupportedImageError:
+            pass
+    return _resize_image_stub(payload, w, h)
+
+
 def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
     """Binary-in/binary-out resize via mapInPandas.
 
@@ -171,7 +214,7 @@ def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> Data
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
                 if row.kind == "image" and payload:
-                    payload = _resize_image_stub(payload, width, height)
+                    payload = _resize_image(payload, width, height)
                 out.append(
                     {
                         "media_id": row.media_id,
