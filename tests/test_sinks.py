@@ -94,6 +94,93 @@ def test_bucketed_latest_has_no_shuffle(spark, tmp_path):
     assert latest.count() == 1000
 
 
+class FlakyStore(sinks.InMemoryKVStore):
+    """Writes the first `fail_after` cells of an attempt, then raises —
+    the half-landed-batch failure mode the retry loop must handle."""
+
+    def __init__(self, fail_attempts=1, fail_after=2):
+        super().__init__()
+        self.fail_attempts = fail_attempts
+        self.fail_after = fail_after
+        self.attempts = 0
+
+    def put_batch(self, table, records):
+        self.attempts += 1
+        if self.attempts <= self.fail_attempts:
+            super().put_batch(table, records[: self.fail_after])
+            raise ConnectionError("store went away mid-batch")
+        super().put_batch(table, records)
+
+
+BATCH = [(f"k{i}".encode(), 1, f"body-{i}") for i in range(5)]
+
+
+class TestRetryingPutter:
+    def test_failed_batch_retries_without_duplicating_cells(self):
+        store = FlakyStore(fail_attempts=1, fail_after=2)
+        delays = []
+        putter = sinks.RetryingPutter(store, sleep=delays.append)
+        putter.put_batch("t", BATCH)
+        # every cell present exactly once: the two cells written by the
+        # failed attempt were re-filtered out on retry (F4 in the loop)
+        assert len(store.cells) == 5
+        assert len(store.put_log) == 5
+        assert len(set(store.put_log)) == 5
+        assert delays == [1.0]  # one retry, initial backoff
+
+    def test_backoff_schedule_matches_reference(self):
+        store = FlakyStore(fail_attempts=3, fail_after=0)
+        delays = []
+        sinks.RetryingPutter(store, sleep=delays.append).put_batch("t", BATCH)
+        # HBaseWriter.kt:556-557: initial, then initial*attempts*multiplier
+        assert delays == [1.0, 2.0, 4.0]
+        assert len(store.cells) == 5
+
+    def test_exhaustion_reraises_last_error(self):
+        store = FlakyStore(fail_attempts=99, fail_after=0)
+        putter = sinks.RetryingPutter(store, sleep=lambda _: None)
+        with pytest.raises(ConnectionError):
+            putter.put_batch("t", BATCH)
+        assert store.attempts == sinks.PUT_MAX_ATTEMPTS
+
+    def test_rerun_is_idempotent(self):
+        store = sinks.InMemoryKVStore()
+        putter = sinks.RetryingPutter(store, sleep=lambda _: None)
+        putter.put_batch("t", BATCH)
+        putter.put_batch("t", BATCH)  # full rerun: everything filtered
+        assert len(store.put_log) == 5
+
+    def test_kv_put_sink_accepts_retrying_putter(self, spark, tmp_path):
+        # end-to-end through the Spark sink: executor-side state comes
+        # back via a file-backed log so the assertion sees every put
+        import json as _json
+
+        log = str(tmp_path / "puts.jsonl")
+
+        class FileLogStore(sinks.InMemoryKVStore):
+            def put_batch(self, table, records):
+                super().put_batch(table, records)
+                with open(log, "a") as fh:
+                    for key, version, _body in records:
+                        fh.write(
+                            _json.dumps(
+                                [table, key.decode(), version]
+                            )
+                            + "\n"
+                        )
+
+        df = spark.createDataFrame(
+            [("t1", b"k1", 1, "b1"), ("t1", b"k2", 2, "b2"), ("t2", b"k3", 1, "b3")],
+            ["table", "key", "version", "envelope"],
+        ).coalesce(1)
+        sinks.kv_put_sink(
+            df, lambda: sinks.RetryingPutter(FileLogStore(), sleep=lambda _: None)
+        )
+        with open(log) as fh:
+            entries = [tuple(_json.loads(line)) for line in fh]
+        assert sorted(entries) == [("t1", "k1", 1), ("t1", "k2", 2), ("t2", "k3", 1)]
+
+
 class TestCompaction:
     def test_compact_keeps_newest_versions_and_collapses_cells(self, spark, tmp_path):
         rows = [

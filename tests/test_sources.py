@@ -120,6 +120,96 @@ class TestMetadata:
         assert calls == [("kek", "E")]
 
 
+class FakePaginatedLister:
+    """ListObjectsV2-shaped fake: fixed page size, continuation tokens,
+    optionally failing the first N calls to exercise retry."""
+
+    def __init__(self, keys, page_size=100, fail_first=0):
+        self.keys = sorted(keys)
+        self.page_size = page_size
+        self.fail_first = fail_first
+        self.calls = 0
+
+    def list_page(self, prefix, continuation_token):
+        self.calls += 1
+        if self.calls <= self.fail_first:
+            raise ConnectionError("transient listing failure")
+        scoped = [k for k in self.keys if k[0].startswith(prefix)]
+        start = int(continuation_token) if continuation_token else 0
+        page = scoped[start : start + self.page_size]
+        nxt = start + self.page_size
+        return L.ListPage(page, str(nxt) if nxt < len(scoped) else None)
+
+
+class TestPaginatedListing:
+    # 510 pairs = the reference's pagination stress fixture
+    # (Makefile sample-data with -n510 exceeds one 1000-key page once
+    # metadata sidecars are counted)
+    KEYS = [
+        (f"in/db-1.coll-{i:03d}.0001.json{suffix}", 10)
+        for i in range(510)
+        for suffix in (".gz.enc", ".encryption.json")
+    ]
+
+    def test_multi_page_listing_complete(self, spark):
+        lister = FakePaginatedLister(self.KEYS, page_size=100)
+        out = L.list_objects(spark, lister, prefixes=["in/"])
+        assert out.count() == 1020
+        # 1020 keys / 100 per page = 11 page fetches
+        assert lister.calls == 11
+        pairs = L.pair_files(out)
+        assert pairs.count() == 510
+
+    def test_retry_with_backoff_then_success(self, spark):
+        lister = FakePaginatedLister(self.KEYS[:20], fail_first=3)
+        delays = []
+        out = L.list_objects(
+            spark, lister, prefixes=["in/"], sleep=delays.append
+        )
+        assert out.count() == 20
+        # S3Helper.kt backoff: 1 s initial, x2 per attempt
+        assert delays == [1.0, 2.0, 4.0]
+
+    def test_retry_exhaustion_raises(self, spark):
+        lister = FakePaginatedLister(self.KEYS[:4], fail_first=99)
+        with pytest.raises(L.ListingError, match="after 5 attempts"):
+            L.list_objects(spark, lister, prefixes=["in/"], sleep=lambda _: None)
+        assert lister.calls == 5
+
+    def test_prefix_scoping(self, spark):
+        keys = self.KEYS + [("other/x.y.0001.json.gz.enc", 5)]
+        lister = FakePaginatedLister(keys)
+        out = L.list_objects(spark, lister, prefixes=["other/"])
+        assert out.count() == 1
+
+    def test_boto3_shaped_client_adapter(self, spark):
+        # verify the Boto3Lister request/response contract with a fake
+        # client — keys, sizes, IsTruncated/NextContinuationToken walk
+        class FakeS3Client:
+            def __init__(self, keys):
+                self.keys = keys
+
+            def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+                start = int(ContinuationToken or 0)
+                page = self.keys[start : start + 2]
+                truncated = start + 2 < len(self.keys)
+                resp = {
+                    "Contents": [
+                        {"Key": k, "Size": s} for k, s in page
+                    ],
+                    "IsTruncated": truncated,
+                }
+                if truncated:
+                    resp["NextContinuationToken"] = str(start + 2)
+                return resp
+
+        keys = [(f"p/db.c.{i:04d}.json.gz.enc", i) for i in range(1, 6)]
+        lister = L.Boto3Lister("bucket", client=FakeS3Client(keys))
+        out = L.list_objects(spark, lister, prefixes=["p/"])
+        got = {(r["path"], r["size"]) for r in out.collect()}
+        assert got == set(keys)
+
+
 class TestCryptoSource:
     def test_decrypt_stream_roundtrip(self):
         import io

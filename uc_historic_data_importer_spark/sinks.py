@@ -161,6 +161,96 @@ def kv_put_sink(
     cols.foreachPartition(_write_partition)
 
 
+# HBaseWriter.kt:543-573 putBatch policy
+PUT_MAX_ATTEMPTS = 5
+PUT_INITIAL_BACKOFF_S = 1.0
+PUT_BACKOFF_MULTIPLIER = 2.0
+
+
+class RetryingPutter:
+    """Concrete putter for ``kv_put_sink`` wrapping any KV store client.
+
+    Reproduces the reference's putBatch retry loop
+    (HBaseWriter.kt:543-573) including its load-bearing detail: the
+    exists-filter (F4) runs INSIDE the retry loop, so a batch that
+    failed halfway re-filters against the store before the next attempt
+    and never re-puts the cells that landed. Backoff matches the
+    reference: ``initial`` on the first retry, then
+    ``initial * attempts * multiplier``.
+
+    ``store`` needs ``exists(table, key, version) -> bool``,
+    ``put_batch(table, records)`` and ``close()`` — an HBase, Bigtable,
+    or REST client adapter is a few lines; ``InMemoryKVStore`` below is
+    the reference implementation used by the tests."""
+
+    def __init__(
+        self,
+        store,
+        max_attempts: int = PUT_MAX_ATTEMPTS,
+        initial_backoff_s: float = PUT_INITIAL_BACKOFF_S,
+        backoff_multiplier: float = PUT_BACKOFF_MULTIPLIER,
+        sleep=None,
+    ):
+        import time
+
+        self.store = store
+        self.max_attempts = max_attempts
+        self.initial_backoff_s = initial_backoff_s
+        self.backoff_multiplier = backoff_multiplier
+        self.sleep = sleep if sleep is not None else time.sleep
+
+    def put_batch(self, table: str, records) -> None:
+        attempts = 0
+        last: Exception | None = None
+        while attempts < self.max_attempts:
+            try:
+                # F4 inside the loop: drop cells that already exist
+                # (including ones a previous failed attempt wrote)
+                filtered = [
+                    r
+                    for r in records
+                    if not self.store.exists(table, r[0], r[1])
+                ]
+                self.store.put_batch(table, filtered)
+                return
+            except Exception as ex:  # noqa: BLE001 - client errors vary
+                delay = (
+                    self.initial_backoff_s
+                    if attempts == 0
+                    else self.initial_backoff_s
+                    * attempts
+                    * self.backoff_multiplier
+                )
+                self.sleep(delay)
+                last = ex
+                attempts += 1
+        assert last is not None
+        raise last
+
+    def close(self) -> None:
+        self.store.close()
+
+
+class InMemoryKVStore:
+    """Dict-backed versioned-cell store: the minimal store contract for
+    RetryingPutter (and a template for real client adapters)."""
+
+    def __init__(self):
+        self.cells: dict[tuple[str, bytes, int], str] = {}
+        self.put_log: list[tuple[str, bytes, int]] = []
+
+    def exists(self, table: str, key: bytes, version: int) -> bool:
+        return (table, key, version) in self.cells
+
+    def put_batch(self, table: str, records) -> None:
+        for key, version, body in records:
+            self.cells[(table, key, version)] = body
+            self.put_log.append((table, key, version))
+
+    def close(self) -> None:
+        pass
+
+
 def csv_escape(col: Column) -> Column:
     """commons-text StringEscapeUtils.escapeCsv: wrap in double quotes iff
     the value contains comma, quote, CR or LF; double embedded quotes."""

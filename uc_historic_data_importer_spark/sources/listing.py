@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import os
 import re
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
+from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,18 +41,141 @@ class MissingMetadataError(Exception):
     metadata sidecar is a hard error."""
 
 
-def list_local_objects(spark: SparkSession, root: str, prefixes: list[str] | None = None) -> DataFrame:
-    """S1: list objects under a directory tree (local test analogue of the
-    paginated S3 listing; pagination/retry is the FS client's job —
-    S3Helper.kt:17-28 maps to Hadoop S3A retry settings at scale)."""
-    rows = []
-    roots = [os.path.join(root, p) for p in prefixes] if prefixes else [root]
-    for r in roots:
-        for dirpath, _dirs, files in os.walk(r):
+@dataclass
+class ListPage:
+    """One page of an object listing: (key, size) descriptors plus the
+    continuation token for the next page (None on the last page)."""
+
+    objects: list[tuple[str, int]]
+    next_token: str | None = None
+
+
+class ObjectLister(Protocol):
+    """Pluggable listing backend (S1).
+
+    Mirrors the S3 ListObjectsV2 shape (S3Reader.kt:79-97: request,
+    follow nextContinuationToken while truncated) without binding to a
+    client library: local filesystem, boto3, or a Hadoop FS wrapper all
+    fit behind this one method."""
+
+    def list_page(
+        self, prefix: str, continuation_token: str | None
+    ) -> ListPage: ...
+
+
+class ListingError(Exception):
+    """Page fetch failed after all retries (S3Exception analogue)."""
+
+
+@dataclass
+class LocalFsLister:
+    """Local directory walk exposed through the paginated interface.
+
+    ``page_size`` exists so pagination handling is exercised even in
+    local tests (one giant page would never follow a token)."""
+
+    root: str
+    page_size: int = 1000
+
+    def list_page(self, prefix: str, continuation_token: str | None) -> ListPage:
+        base = os.path.join(self.root, prefix) if prefix else self.root
+        keys = []
+        for dirpath, _dirs, files in os.walk(base):
             for f in files:
                 p = os.path.join(dirpath, f)
-                rows.append((p, os.path.getsize(p)))
+                keys.append((p, os.path.getsize(p)))
+        keys.sort()
+        start = int(continuation_token) if continuation_token else 0
+        page = keys[start : start + self.page_size]
+        nxt = start + self.page_size
+        return ListPage(page, str(nxt) if nxt < len(keys) else None)
+
+
+@dataclass
+class Boto3Lister:
+    """S3 backend via boto3 ListObjectsV2 (S3Reader.kt:79-97 parity).
+
+    Import-gated: constructing it without boto3 installed raises with a
+    clear message; nothing else in the module needs the dependency."""
+
+    bucket: str
+    client: object | None = None
+
+    def __post_init__(self):
+        if self.client is None:
+            try:
+                import boto3  # type: ignore[import-not-found]
+            except ImportError as ex:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "Boto3Lister requires boto3; install it or inject a client"
+                ) from ex
+            self.client = boto3.client("s3")
+
+    def list_page(self, prefix: str, continuation_token: str | None) -> ListPage:
+        kwargs = {"Bucket": self.bucket, "Prefix": prefix}
+        if continuation_token:
+            kwargs["ContinuationToken"] = continuation_token
+        resp = self.client.list_objects_v2(**kwargs)  # type: ignore[attr-defined]
+        objects = [
+            (o["Key"], int(o["Size"])) for o in resp.get("Contents", [])
+        ]
+        token = (
+            resp.get("NextContinuationToken")
+            if resp.get("IsTruncated")
+            else None
+        )
+        return ListPage(objects, token)
+
+
+# S3Helper.kt:45-49 retry policy
+LIST_MAX_ATTEMPTS = 5
+LIST_INITIAL_BACKOFF_S = 1.0
+LIST_BACKOFF_MULTIPLIER = 2.0
+
+
+def list_objects(
+    spark: SparkSession,
+    lister: ObjectLister,
+    prefixes: list[str] | None = None,
+    max_attempts: int = LIST_MAX_ATTEMPTS,
+    sleep=time.sleep,
+) -> DataFrame:
+    """S1: enumerate all objects via a pluggable paginated lister.
+
+    Follows continuation tokens until exhausted per prefix
+    (S3Reader.kt:90-97) and retries each page fetch with exponential
+    backoff (S3Helper.kt:33-49: 5 attempts, 1 s initial, x2). Listing is
+    driver-side metadata work exactly as in the reference; the result is
+    a small descriptor DataFrame that everything downstream consumes."""
+    rows: list[tuple[str, int]] = []
+    for prefix in prefixes if prefixes else [""]:
+        token: str | None = None
+        while True:
+            attempt, delay = 0, LIST_INITIAL_BACKOFF_S
+            while True:
+                try:
+                    page = lister.list_page(prefix, token)
+                    break
+                except Exception as ex:
+                    attempt += 1
+                    if attempt >= max_attempts:
+                        raise ListingError(
+                            f"listing prefix {prefix!r} failed after "
+                            f"{max_attempts} attempts: {ex}"
+                        ) from ex
+                    sleep(delay)
+                    delay *= LIST_BACKOFF_MULTIPLIER
+            rows.extend(page.objects)
+            token = page.next_token
+            if token is None:
+                break
     return spark.createDataFrame(rows or [], LISTING_SCHEMA)
+
+
+def list_local_objects(spark: SparkSession, root: str, prefixes: list[str] | None = None) -> DataFrame:
+    """S1: list objects under a directory tree (LocalFsLister behind the
+    same paginated interface as the S3 backend)."""
+    return list_objects(spark, LocalFsLister(root), prefixes)
 
 
 def pair_files(listing: DataFrame, strict: bool = True) -> DataFrame:
