@@ -28,6 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
     operator end to end."""
     from pyspark.sql import functions as F
 
+    from uc_historic_data_importer_spark.session import prepare_session
     from uc_historic_data_importer_spark.shipping import ensure_shipped
     from uc_historic_data_importer_spark.operators.keying import flatten_normalized
     from uc_historic_data_importer_spark.operators.latest import latest_per_key_window
@@ -36,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from uc_historic_data_importer_spark.plans.catalog import t
 
     ensure_shipped(spark)
+    prepare_session(spark)
     ev = t(spark, "/root/testdata/sf0.001", "events")
     # each event becomes one Mongo-dump line; ~20% get the $oid id shape,
     # deletes come from the 'error' type
@@ -115,11 +117,13 @@ def _ordered_queries():
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from uc_historic_data_importer_spark.session import prepare_session
     from uc_historic_data_importer_spark.shipping import ensure_shipped
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_shipped(spark)
+            prepare_session(spark)
             return fn(spark, sf_dir)
 
         return run

@@ -56,11 +56,12 @@ def t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Raw scan: timestamp columns stay as nanos-longs. Filters written
     against the raw long column push down to the parquet scan, which the
     converted form (timestamp_micros(x div 1000)) never can — use this +
-    `ns()` thresholds for scan-heavy time-filtered queries."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the driver's session may not be UTC; date_format/window alignment
-    # must match the (naive-UTC) DuckDB oracle timestamps
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    `ns()` thresholds for scan-heavy time-filtered queries.
+
+    Requires session.prepare_session confs (nanosAsLong, UTC); query
+    functions themselves are side-effect-free — sessions built by
+    get_spark are prepared already, and the driver-contract wrapper in
+    __spark_entry__ prepares external sessions once."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -66,4 +66,22 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    return prepare_session(builder.getOrCreate())
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Set the runtime confs the catalog relies on, ONCE, on any session
+    — including externally-created ones (the correctness driver builds
+    its own). Keeping these here means query/table functions are
+    side-effect-free (round-1 advice: no spark.conf.set inside catalog
+    code).
+
+    - nanosAsLong: testdata timestamps are parquet TIMESTAMP(NANOS),
+      which Spark otherwise refuses; scans read them as longs and
+      convert via timestamp_micros (catalog.convert_ts).
+    - UTC session timezone: reference timestamp parity
+      (HBaseWriter.kt:598-600) and naive-UTC DuckDB oracle alignment.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
