@@ -23,7 +23,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline set: every operator family — normalize UDF, window, anti-join,
-# multi-join agg, groupBy, dedup/similarity extensions as they land
+# multi-join agg, groupBy, dedup/similarity extensions.
+# FROZEN as of round 1 (BASELINE.md per-query table): membership must not
+# change, so round-over-round totals stay apples-to-apples. Bench new
+# operators separately until a deliberate baseline reset.
 HEADLINE = [
     "latest_per_key",
     "anti_join_existing",
