@@ -779,3 +779,166 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "")], "k INT, v STRING")
         (row,) = diff.snapshot_diff(old, new, ("k",)).collect()
         assert row["status"] == "changed"
+
+
+class TestPacking:
+    def test_concat_chunk_offsets(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        rows = [
+            (1, "a b c d e"),        # 5 tokens
+            (2, "f g h"),            # 3 tokens
+            (3, "i j k l m n o p"),  # 8 tokens
+            (4, ""),                 # empty doc: zero-width span
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in packing.pack_concat_chunks(
+                df, budget=4, n_shards=1
+            ).collect()
+        }
+        # one shard -> pure doc_id order: starts 0, 5, 8, 16
+        assert out[1]["start_off"] == 0
+        assert out[2]["start_off"] == 5
+        assert out[3]["start_off"] == 8
+        assert out[4]["start_off"] == 16
+        # doc 1 spans chunks 0-1 (tokens 0..4), doc 2 fits chunk 1,
+        # doc 3 spans 2-3 (tokens 8..15)
+        assert (out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 1)
+        assert (out[2]["first_chunk"], out[2]["last_chunk"]) == (1, 1)
+        assert (out[3]["first_chunk"], out[3]["last_chunk"]) == (2, 3)
+        assert out[3]["n_chunks"] == 2
+        assert out[4]["n_tokens"] == 0 and out[4]["n_chunks"] == 0
+
+    def test_shard_membership_is_id_pure(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        df1 = spark.createDataFrame(
+            [(i, "w " * (i % 7 + 1)) for i in range(40)], ["doc_id", "text"]
+        )
+        # dropping other rows never moves a doc's shard (id-pure hash)
+        df2 = df1.filter(F.col("doc_id") % 2 == 0)
+        s1 = {
+            r["doc_id"]: r["shard"]
+            for r in packing.pack_concat_chunks(df1, budget=8).collect()
+        }
+        s2 = {
+            r["doc_id"]: r["shard"]
+            for r in packing.pack_concat_chunks(df2, budget=8).collect()
+        }
+        assert all(s1[d] == s2[d] for d in s2)
+
+
+class TestPii:
+    def test_scrub_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.com and c.d+x@e-f.org now"),
+                (2, "server 10.0.200.7 called 202-555-0199"),
+                (3, "no pii here"),
+                (4, "not a phone: 1234-567-8901"),  # \b kills the match
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+        assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 0
+        assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+        assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] == 1
+        assert out[2]["redacted"] == "server <IPV4> called <PHONE>"
+        assert out[3]["redacted"] == "no pii here"
+        assert out[4]["n_phone"] == 0 and out[4]["redacted"] == out[4]["text"]
+
+
+class TestRepetition:
+    def test_scores(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a a"), (2, "one"), (3, ""), (4, "x y x y")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in text.repetition_scores(df).collect()}
+        assert out[1]["n_bigrams"] == 3
+        assert out[1]["dup_bigram_ratio"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+        assert out[1]["distinct_token_ratio"] == 0.25
+        # single-token / empty docs bypass the bigram build (sequence
+        # guard) instead of producing a descending index array
+        assert out[2]["n_bigrams"] == 0 and out[2]["dup_bigram_ratio"] == 0.0
+        assert out[3]["n_tokens"] == 0 and out[3]["distinct_token_ratio"] == 0.0
+        # "x y x y": bigrams [x y, y x, x y] -> 2 distinct of 3
+        assert out[4]["dup_bigram_ratio"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+
+
+class TestQuantizeInt8:
+    def test_codes_exact(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, -0.5, 0.0]), (1, [0.0, 0.0, 0.0])],
+            ["vec_id", "embedding"],
+        )
+        out = similarity.quantize_int8(df).collect()
+        codes = {(r["vec_id"], r["dim"]): r["q_val"] for r in out}
+        # scale = 1/127; q = floor(x*127 + 0.5)
+        assert codes[(0, 0)] == 127
+        assert codes[(0, 1)] == -63  # round-half-up: floor(-63.5+0.5) = -63
+        assert codes[(0, 2)] == 0
+        # degenerate all-zero vector: q = 0, scale 0
+        assert codes[(1, 0)] == 0
+        scales = {r["vec_id"]: r["scale_r"] for r in out}
+        assert scales[0] == pytest.approx(1 / 127, abs=1e-6)
+        assert scales[1] == 0.0
+
+    def test_dequant_error_bounded(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = similarity.quantize_int8(df).collect()
+        vecs = dict(rows)
+        for r in q:
+            x = vecs[r["vec_id"]][r["dim"]]
+            maxabs = max(abs(v) for v in vecs[r["vec_id"]])
+            scale = maxabs / 127.0
+            assert abs(x - r["q_val"] * scale) <= scale / 2 + 1e-9
+            assert -127 <= r["q_val"] <= 127
+
+
+class TestLshBuckets:
+    def test_bucket_properties(self, spark):
+        v = [0.3, -0.7, 0.2, 0.9]
+        rows = [
+            (0, v),
+            (1, v),                       # identical -> same bucket
+            (2, [2 * x for x in v]),      # scaling-invariant
+            (3, [-x for x in v]),         # antipode -> complement bucket
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {
+            r["vec_id"]: r["bucket"]
+            for r in similarity.hyperplane_lsh_buckets(df).collect()
+        }
+        assert out[0] == out[1] == out[2]
+        assert 0 <= out[0] <= 255
+        # dots are all nonzero for this vector, so every bit flips
+        assert out[0] + out[3] == 255
+
+
+class TestNgramDecontamination:
+    def test_shared_grams_flagged(self, spark):
+        test = spark.createDataFrame(
+            [(100, "one two three four five")], ["doc_id", "text"]
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "prefix one two three four suffix words"),  # 1 shared
+                (2, "totally unrelated text about engines"),
+                (3, "one two three four five"),  # both test 4-grams
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["n_contaminated_grams"]
+            for r in dedup.ngram_contamination(train, test, n=4).collect()
+        }
+        assert out == {1: 1, 3: 2}

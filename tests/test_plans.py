@@ -129,3 +129,34 @@ def test_no_query_plans_scale_antipatterns(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_round2_text_vector_ops_are_map_only(spark):
+    """PII scrub, repetition scores, int8 quantization, and LSH bucket
+    assignment are pure per-row column expressions — any Exchange that
+    sneaks in means a 100 TB scan suddenly shuffles 100 TB."""
+    for name in (
+        "pii_redaction",
+        "text_repetition_scores",
+        "embedding_quantize_int8",
+        "embedding_lsh_buckets",
+    ):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_pack_sequences_single_sharded_window_shuffle(spark):
+    """Packing's prefix sum must partition by shard (independent
+    reducers), never a global single-partition window."""
+    plan = plan_of(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning(shard") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ngram_decontamination_broadcasts_test_side(spark):
+    """The corpus-side sweep must be a map-side BroadcastHashJoin of the
+    (small, bounded) eval-set gram hashes — a SortMergeJoin here would
+    shuffle every gram of the full corpus."""
+    plan = plan_of(spark, "ngram_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -445,3 +445,33 @@ def connected_components_star(
             "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
         )
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: train documents sharing any word
+    n-gram with the held-out set, with the shared-gram count.
+
+    The canonical eval-leakage check (PaLM/GPT-style n-gram overlap),
+    complementing the exact-fingerprint audit in split_decontamination:
+    a train document is flagged if ANY of its n-grams appears in ANY
+    test document. Plan shape at 100 TB: the test side is an eval
+    benchmark — bounded and small by construction — so its distinct gram
+    hashes BROADCAST and the sweep over train is a map-side
+    BroadcastHashJoin + one (doc, partial-count) aggregation; the
+    full-corpus side is never shuffled on the gram key.
+
+    Returns (doc_id, n_contaminated_grams) for flagged train docs only.
+    """
+    test_grams = doc_shingle_hashes(test, text_col, id_col, n).select("h").distinct()
+    train_grams = doc_shingle_hashes(train, text_col, id_col, n)
+    return (
+        train_grams.join(F.broadcast(test_grams), "h", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )

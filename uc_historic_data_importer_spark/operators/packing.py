@@ -1,0 +1,106 @@
+"""Sequence packing for LLM pretraining: concat-and-chunk layout.
+
+Pretraining data loaders concatenate tokenized documents and slice the
+stream into fixed-size context windows ("concat-and-chunk", the GPT-style
+packing). The planning step — which window(s) does each document land
+in — is a pure prefix-sum over token counts, so it is expressible as a
+window aggregation and needs NO Python and NO driver state.
+
+Scale design: a single global ordering would be one unbounded window =
+one reducer. Instead documents are sharded by an engine-portable hash of
+their id (md5_i64 % n_shards) and packed independently per shard; each
+shard is its own chunk namespace ((shard, chunk) is the window id). At
+100 TB, n_shards is sized to executor count and each shard's prefix sum
+is an independent partition of ONE window shuffle — no serialization
+point. Membership is rerun-stable: a document's shard depends only on
+its own id, and within a shard the order is (doc_id) — deterministic.
+
+The reference has no packing operator (its job is a KV import); this is
+extension surface for the training-data pipeline alongside sampling /
+dedup / text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.functions.hashes import md5_i64, md5_i64_sql
+from uc_historic_data_importer_spark.operators.text import tokens_col
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign each document its [start, end) token span in the packed
+    stream of its shard, plus the chunk ids that span covers.
+
+    Returns (doc_id, shard, n_tokens, start_off, first_chunk,
+    last_chunk, n_chunks): ``first_chunk == last_chunk`` means the
+    document fits one context window; larger spans are split across
+    ``n_chunks`` consecutive windows exactly as the loader would slice
+    them.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = F.size(tokens_col(F.col(text_col)))
+    shard = (md5_i64(F.col(id_col).cast("string")) % F.lit(n_shards)).alias("shard")
+    base = df.select(F.col(id_col).alias("doc_id"), shard, toks.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = base.withColumn("start_off", start)
+    first_chunk = F.floor(F.col("start_off") / budget)
+    # empty documents occupy zero tokens: they sit at their offset and
+    # span zero chunks (first > last by convention, n_chunks = 0)
+    last_chunk = F.floor(
+        (F.col("start_off") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget
+    )
+    n_chunks = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+        last_chunk - first_chunk + 1
+    )
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_off",
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+        n_chunks.cast("long").alias("n_chunks"),
+    )
+
+
+def pack_sql(tokens_sql: str, budget: int, n_shards: int) -> str:
+    """DuckDB SQL reproducing pack_concat_chunks over `documents`."""
+    h = md5_i64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, ({h} % {n_shards}) AS shard,
+             len({tokens_sql}) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_off
+      FROM base
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens, start_off,
+           CAST(floor(start_off / {budget}) AS BIGINT) AS first_chunk,
+           CAST(floor((start_off + greatest(n_tokens, 1) - 1)
+                      / {budget}) AS BIGINT) AS last_chunk,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE floor((start_off + greatest(n_tokens, 1) - 1) / {budget})
+                     - floor(start_off / {budget}) + 1 END AS BIGINT)
+             AS n_chunks
+    FROM offs
+    """

@@ -308,3 +308,40 @@ def group_centroids(
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization, long format
+    (vec_id, dim, q_val, scale_r).
+
+    scale = max|x| / 127; q = floor(x / scale + 0.5) — round-half-up
+    spelled as floor so every engine computes the identical integer (no
+    dependence on an engine's round() tie mode), which makes the quantized
+    codes an EXACT oracle target. 4x memory cut for ANN shortlists: the
+    IVF/LSH probe scans int8 codes and only re-ranks the top candidates
+    against float vectors. Map-only, zero shuffle; long format keeps the
+    result hashable (int codes, not float-array formatting).
+    Degenerate all-zero vectors quantize to 0 with scale 0.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    ex = df.select(
+        F.col(id_col).alias("vec_id"),
+        scale.alias("scale"),
+        F.posexplode(v).alias("dim", "x"),
+    )
+    q_val = F.when(
+        F.col("scale") > 0,
+        F.floor(F.col("x") / F.col("scale") + F.lit(0.5)).cast("int"),
+    ).otherwise(F.lit(0))
+    return ex.select(
+        "vec_id",
+        "dim",
+        q_val.alias("q_val"),
+        F.round(F.col("scale"), 6).alias("scale_r"),
+    )

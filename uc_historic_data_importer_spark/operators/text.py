@@ -149,6 +149,81 @@ def tf_idf_top_terms(
     )
 
 
+# PII patterns restricted to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word boundary.
+# No lookaround — RE2 has none.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+# redaction order is part of the contract: email first (an address may
+# contain digits that would otherwise half-match the numeric patterns),
+# then ipv4, then phone
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact PII spans (email / IPv4 / NANP phone) — the
+    mandatory scrub pass of a training-data pipeline.
+
+    Pure JVM regexp expressions (regexp_count + regexp_replace chain),
+    map-only, whole-stage codegen; patterns are dialect-portable so the
+    DuckDB oracle reproduces counts and redacted text byte-for-byte.
+    Adds n_<kind> count columns and a `redacted` column; original text
+    column is preserved for audit."""
+    out = df
+    red = F.col(text_col)
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn("redacted", red)
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics: distinct-token ratio and
+    duplicate-bigram ratio (Gopher-style repetition signals).
+
+    Zero shuffle: bigrams are built with array higher-order functions
+    (sequence + transform + element_at) and deduplicated with
+    array_distinct — all inside whole-stage codegen, no explode, no
+    (doc, ngram) blow-up row count. The size(w) >= 2 guard matters:
+    Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than returning
+    empty, so short documents must bypass the bigram build."""
+    d = with_tokens(df, text_col)
+    w = F.col("tokens")
+    n = F.col("n_tokens")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    d = d.withColumn("bigrams", bigrams)
+    nb = F.size("bigrams")
+    ndb = F.size(F.array_distinct(F.col("bigrams")))
+    token_div = F.round(
+        F.size(F.array_distinct(w)) / F.greatest(n, F.lit(1)), 6
+    )
+    big_rep = F.when(
+        nb > 0, F.round(F.lit(1.0) - ndb / nb, 6)
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nb.alias("n_bigrams"),
+        token_div.alias("distinct_token_ratio"),
+        big_rep.alias("dup_bigram_ratio"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set — the
     canonical-form dedup key (word-order- and repetition-insensitive)."""

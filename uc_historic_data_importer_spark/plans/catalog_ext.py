@@ -1423,3 +1423,253 @@ def streaming_latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, "table string, key_hex string, version long")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: packing / PII / repetition / quantization / LSH /
+# n-gram decontamination
+# ---------------------------------------------------------------------------
+
+from uc_historic_data_importer_spark.operators import packing  # noqa: E402
+
+
+@register(
+    "pack_sequences",
+    packing.pack_sql(_TOKENS_SQL, budget=128, n_shards=8),
+    doc="concat-and-chunk sequence packing plan: each document's token "
+    "span and context-window ids in its shard's packed stream. Sharded "
+    "prefix sum (md5_i64(doc_id) % 8) — ONE window shuffle whose "
+    "partitions are independent, no global ordering serialization point; "
+    "shard count scales with the cluster at 100 TB.",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_concat_chunks(
+        t(spark, sf_dir, "documents"), budget=128, n_shards=8
+    )
+
+
+def _pii_aug_sql() -> str:
+    return """
+      text ||
+      CASE WHEN doc_id % 3 = 0
+           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           ELSE '' END ||
+      CASE WHEN doc_id % 4 = 0
+           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 100 AS VARCHAR)
+           ELSE '' END ||
+      CASE WHEN doc_id % 5 = 0
+           THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END
+    """
+
+
+def _pii_oracle() -> str:
+    from uc_historic_data_importer_spark.operators.text import (
+        PII_ORDER,
+        PII_PATTERNS,
+    )
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS n_{k}"
+        for k in PII_ORDER
+    )
+    red = "text"
+    for k in PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return f"""
+    WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS text FROM documents)
+    SELECT doc_id, {counts}, {red} AS redacted FROM aug
+    """
+
+
+@register(
+    "pii_redaction",
+    _pii_oracle(),
+    doc="PII scrub pass (email / IPv4 / NANP phone): dialect-portable "
+    "regexp_count + ordered regexp_replace chain, map-only codegen. The "
+    "query plants deterministic doc_id-derived PII on both sides so the "
+    "oracle checks counts AND redacted text byte-for-byte on nonzero "
+    "matches (operators/text.py::pii_scrub).",
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 202-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text.pii_scrub(aug).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted"
+    )
+
+
+@register(
+    "text_repetition_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    big AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                  ELSE [] END AS bg
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_tokens,
+           CAST(len(bg) AS INT) AS n_bigrams,
+           round(len(list_distinct(w)) / greatest(len(w), 1), 6)
+             AS distinct_token_ratio,
+           CASE WHEN len(bg) > 0
+                THEN round(1.0 - len(list_distinct(bg)) / len(bg), 6)
+                ELSE 0.0 END AS dup_bigram_ratio
+    FROM big
+    """,
+    doc="Gopher-style within-document repetition signals (distinct-token "
+    "ratio, duplicate-bigram ratio) built entirely with array "
+    "higher-order functions — zero shuffle, zero explode, pure "
+    "whole-stage codegen (operators/text.py::repetition_scores).",
+)
+def text_repetition_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           unnest([{'dim': i - 1,
+                    'q_val': CASE WHEN scale > 0
+                             THEN CAST(floor(e[i] / scale + 0.5) AS INT)
+                             ELSE 0 END}
+                   for i in range(1, len(e) + 1)], recursive := true),
+           round(scale, 6) AS scale_r
+    FROM s
+    """,
+    doc="symmetric per-vector int8 quantization for ANN shortlist scans "
+    "(4x memory cut; float re-rank only on the shortlist). Round-half-up "
+    "spelled as floor(x/scale + 0.5) pins identical integers in every "
+    "engine — the codes are an EXACT oracle target. Map-only "
+    "(operators/similarity.py::quantize_int8).",
+)
+def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
+
+
+def _lsh_oracle(n_planes: int = 8, dim: int = 64) -> str:
+    import hashlib
+
+    def coeff(p: int, i: int) -> float:
+        h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+        return (h % 1000) / 1000.0 - 0.5
+
+    bits = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"e[{i + 1}] * {coeff(p, i)!r}" for i in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    )
+    SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM v
+    """
+
+
+@register(
+    "embedding_lsh_buckets",
+    _lsh_oracle(),
+    doc="sign-LSH bucket assignment (8 deterministic integer-derived "
+    "hyperplanes): vectors sharing a bucket are near-duplicate "
+    "candidates. Map-only column expression — the all-pairs cosine "
+    "problem becomes a bucket equi-group at 100 TB. Coefficients are "
+    "md5-derived constants so the unrolled oracle reproduces every dot "
+    "product bit-for-bit (operators/similarity.py::hyperplane_lsh_buckets).",
+)
+def embedding_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hyperplane_lsh_buckets(t(spark, sf_dir, "embeddings"))
+
+
+_4GRAM_CTE = f"""
+tok4 AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+sh4 AS (
+  SELECT DISTINCT doc_id, {md5_i64_sql('s')} AS h
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+3], ' ')
+                   for i in range(1, len(w) - 2)]) AS s
+    FROM tok4
+  )
+)
+"""
+
+
+@register(
+    "ngram_decontamination",
+    f"""
+    WITH {_4GRAM_CTE},
+    split AS (
+      SELECT doc_id, {sampling.split_sql("doc_id", 0.05, 0.05)} AS split
+      FROM documents
+    ),
+    te AS (
+      SELECT DISTINCT h FROM sh4 JOIN split USING (doc_id)
+      WHERE split = 'test'
+    )
+    SELECT tr.doc_id, count(*) AS n_contaminated_grams
+    FROM sh4 tr
+    JOIN split st ON tr.doc_id = st.doc_id AND st.split = 'train'
+    JOIN te ON tr.h = te.h
+    GROUP BY tr.doc_id
+    """,
+    doc="benchmark decontamination by word 4-gram overlap: train docs "
+    "sharing any 4-gram with the held-out split, PaLM-style. The test "
+    "side (an eval set — small by construction) broadcasts its distinct "
+    "gram hashes; the corpus-side sweep is a map-side "
+    "BroadcastHashJoin + one partial-agg shuffle, never a corpus-wide "
+    "gram exchange (operators/dedup.py::ngram_contamination).",
+)
+def ngram_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = sampling.split_assign(
+        t(spark, sf_dir, "documents"), "doc_id", 0.05, 0.05
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return dedup.ngram_contamination(train, test, n=4)
