@@ -942,3 +942,30 @@ class TestNgramDecontamination:
             for r in dedup.ngram_contamination(train, test, n=4).collect()
         }
         assert out == {1: 1, 3: 2}
+
+
+class TestShortDocShingles:
+    def test_sub_n_token_docs_yield_empty_shingles(self, spark):
+        """Regression: sequence(0, -1) descends in Spark, so a document
+        shorter than n tokens used to crash element_at under ANSI mode
+        in every shingle-based operator."""
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, ""), (3, "a b c d")], ["doc_id", "text"]
+        )
+        out = dedup.doc_shingle_hashes(df, n=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["h"])
+        assert 1 not in by_doc and 2 not in by_doc
+        assert len(by_doc[3]) == 2  # "a b c", "b c d"
+
+    def test_short_docs_flow_through_jaccard_and_lsh(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "the quick brown fox jumps"),
+             (3, "the quick brown fox leaps")],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.jaccard_pairs(df).collect()
+        assert all({p["doc_a"], p["doc_b"]} == {2, 3} for p in pairs)
+        lsh = dedup.minhash_lsh_pairs(df).collect()  # must not raise
+        assert all(1 not in (p["doc_a"], p["doc_b"]) for p in lsh)

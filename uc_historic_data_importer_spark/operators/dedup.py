@@ -51,9 +51,18 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the tokenized text."""
+    """Distinct word n-gram shingles of the tokenized text.
+
+    Documents shorter than n tokens yield an EMPTY shingle set. The
+    size guard is load-bearing: Spark's sequence(0, -1) DESCENDS
+    ([0, -1]) instead of returning empty, and the -1 index would make
+    element_at throw under ANSI mode — a crash that only a sub-n-token
+    document triggers, i.e. invisible until real-corpus stragglers hit
+    it at scale."""
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
