@@ -969,3 +969,85 @@ class TestShortDocShingles:
         assert all({p["doc_a"], p["doc_b"]} == {2, 3} for p in pairs)
         lsh = dedup.minhash_lsh_pairs(df).collect()  # must not raise
         assert all(1 not in (p["doc_a"], p["doc_b"]) for p in lsh)
+
+
+class TestMixtureSample:
+    def test_weights_shape_the_mixture(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        rows = [(i, "w", "dom_a" if i < 200 else "dom_b", "x") for i in range(400)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+        out = sampling.mixture_sample(
+            df, {"dom_a": 2.0, "dom_b": 0.5}, domain_col="source"
+        )
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts["dom_a"] == 400  # exactly 2 copies each
+        assert 60 <= counts["dom_b"] <= 140  # ~half, hash-selected
+        # copy indices present and bounded
+        copies = {r["copy_idx"] for r in out.select("copy_idx").distinct().collect()}
+        assert copies <= {0, 1, 2}
+
+    def test_zero_weight_drops_domain_and_is_rerun_stable(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        rows = [(i, "w", "a" if i % 2 else "b", "x") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+        out1 = sampling.mixture_sample(df, {"a": 0.0, "b": 0.4})
+        assert out1.filter(F.col("source") == "a").count() == 0
+        ids1 = sorted(r["doc_id"] for r in out1.collect())
+        ids2 = sorted(r["doc_id"] for r in sampling.mixture_sample(df, {"a": 0.0, "b": 0.4}).collect())
+        assert ids1 == ids2
+
+    def test_negative_weight_rejected(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        df = spark.createDataFrame([(1, "t", "a", "x")], ["doc_id", "text", "source", "lang"])
+        with pytest.raises(ValueError):
+            sampling.mixture_sample(df, {"a": -1.0})
+
+
+class TestChunkSpans:
+    def test_overlapping_windows(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        toks = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, toks), (2, "only three tokens"), (3, "")],
+            ["doc_id", "text"],
+        )
+        out = packing.chunk_spans(df, size=4, stride=2)
+        rows = sorted(
+            (r["doc_id"], r["chunk_idx"], r["start_tok"], r["end_tok"], r["chunk_text"])
+            for r in out.collect()
+        )
+        d1 = [r for r in rows if r[0] == 1]
+        # starts 0,2,4,6,8 -> spans [0,4) [2,6) [4,8) [6,10) [8,10)
+        assert [(r[2], r[3]) for r in d1] == [(0, 4), (2, 6), (4, 8), (6, 10), (8, 10)]
+        assert d1[0][4] == "t0 t1 t2 t3"
+        assert d1[-1][4] == "t8 t9"
+        # short doc -> single truncated chunk; empty doc -> no rows
+        d2 = [r for r in rows if r[0] == 2]
+        assert len(d2) == 2 and d2[0][4] == "only three tokens"
+        assert not [r for r in rows if r[0] == 3]
+
+    def test_disjoint_chunking_covers_exactly(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, " ".join("w" + str(j) for j in range(i))) for i in range(1, 30)],
+            ["doc_id", "text"],
+        )
+        out = packing.chunk_spans(df, size=8, stride=8).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append((r["start_tok"], r["end_tok"]))
+        for doc_id, spans in per_doc.items():
+            spans.sort()
+            # disjoint spans tile [0, n) exactly
+            assert spans[0][0] == 0
+            for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+                assert a2 == b1
+            assert spans[-1][1] == doc_id  # n_tokens == doc_id here

@@ -160,3 +160,11 @@ def test_ngram_decontamination_broadcasts_test_side(spark):
     plan = plan_of(spark, "ngram_decontamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mixture_and_chunking_are_map_only(spark):
+    """Mixture construction and RAG chunking are explode fan-outs that
+    stay inside the scan stage — no Exchange may appear."""
+    for name in ("mixture_sample_documents", "chunk_spans_documents"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name

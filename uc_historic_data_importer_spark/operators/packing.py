@@ -104,3 +104,71 @@ def pack_sql(tokens_sql: str, budget: int, n_shards: int) -> str:
              AS n_chunks
     FROM offs
     """
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / embedding ingestion):
+    one row per (doc, chunk) with token offsets and the chunk text.
+
+    stride < size gives the standard sliding overlap; stride == size is
+    disjoint chunking. Map-only — the sequence/posexplode fan-out is
+    ceil(n_tokens / stride) per document, bounded and local, never a
+    shuffle. Empty documents produce no chunks (the n > 0 guard, not a
+    degenerate zero-width row).
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    starts = F.when(
+        F.col("n_tokens") > 0,
+        F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(stride)),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    ex = base.select(
+        "doc_id",
+        "n_tokens",
+        "_toks",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    end = F.least(F.col("start_tok") + size, F.col("n_tokens"))
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        end.alias("end_tok"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("start_tok") + 1, end - F.col("start_tok")),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_sql(tokens_sql: str, size: int, stride: int) -> str:
+    """DuckDB SQL reproducing chunk_spans over `documents`."""
+    return f"""
+    WITH tok AS (SELECT doc_id, {tokens_sql} AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             unnest([{{'chunk_idx': CAST(i // {stride} AS INT),
+                       'start_tok': CAST(i AS INT)}}
+                     for i in range(0, len(w), {stride})],
+                    recursive := true)
+      FROM tok
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(least(start_tok + {size}, len(w)) AS INT) AS end_tok,
+           array_to_string(
+             w[start_tok + 1 : least(start_tok + {size}, len(w))], ' ')
+             AS chunk_text
+    FROM c
+    """

@@ -27,6 +27,8 @@ Three operators:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,3 +116,91 @@ def split_sql(id_expr: str, val_fraction: float, test_fraction: float) -> str:
         f"WHEN ({h} % {DENOM}) < {test_hi} THEN 'test' "
         f"ELSE 'train' END"
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Domain-mixture construction (DoReMi-style reweighting): emit each
+    row round(weight) times deterministically — weight 2.5 yields 2 full
+    copies plus a third kept for half the ids; weight 0.25 keeps a
+    quarter of the domain; weight 0 drops it.
+
+    Fractional membership keys off md5_i64(id:copy), so the mixture is
+    rerun-stable, growth-stable, and engine-portable like every sampler
+    here. Map-only with bounded fan-out (ceil(max weight) copies); the
+    epoch/copy index is returned so downstream packing can interleave
+    copies instead of clustering them. Weights are resolved to integer
+    thresholds at plan build — no float comparison at runtime (float to
+    int casts round in some engines and truncate in others).
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+
+    def levels(w: float) -> tuple[int, int]:
+        n_full = int(math.floor(w))
+        return n_full, int(round((w - n_full) * DENOM))
+
+    n_full_col = F.lit(levels(default_weight)[0])
+    thresh_col = F.lit(levels(default_weight)[1])
+    for dom, w in sorted(weights.items()):
+        nf, th = levels(w)
+        cond = F.col(domain_col) == dom
+        n_full_col = F.when(cond, F.lit(nf)).otherwise(n_full_col)
+        thresh_col = F.when(cond, F.lit(th)).otherwise(thresh_col)
+
+    out = df.withColumn("_n_full", n_full_col).withColumn("_thresh", thresh_col)
+    out = out.withColumn(
+        "copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n_full")))
+    )
+    frac_key = (
+        md5_i64(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col("copy_idx"))
+        )
+        % F.lit(DENOM)
+    )
+    return (
+        out.filter(
+            (F.col("copy_idx") < F.col("_n_full")) | (frac_key < F.col("_thresh"))
+        )
+        .drop("_n_full", "_thresh")
+    )
+
+
+def mixture_sql(
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_expr: str = "doc_id",
+    default_weight: float = 1.0,
+) -> str:
+    """DuckDB fragment reproducing mixture_sample over `documents`:
+    returns (CTE body, WHERE predicate) as a single SELECT."""
+    from uc_historic_data_importer_spark.functions.hashes import md5_i64_sql
+
+    def levels(w: float) -> tuple[int, int]:
+        n_full = int(math.floor(w))
+        return n_full, int(round((w - n_full) * DENOM))
+
+    nf_case = f"CASE {domain_col} "
+    th_case = f"CASE {domain_col} "
+    for dom, w in sorted(weights.items()):
+        nf, th = levels(w)
+        nf_case += f"WHEN '{dom}' THEN {nf} "
+        th_case += f"WHEN '{dom}' THEN {th} "
+    dnf, dth = levels(default_weight)
+    nf_case += f"ELSE {dnf} END"
+    th_case += f"ELSE {dth} END"
+    h = md5_i64_sql(f"(CAST({id_expr} AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR))")
+    return f"""
+      SELECT * EXCLUDE (_n_full, _thresh)
+      FROM (
+        SELECT *, {nf_case} AS _n_full, {th_case} AS _thresh,
+               unnest(range(0, ({nf_case}) + 1)) AS copy_idx
+        FROM documents
+      )
+      WHERE copy_idx < _n_full OR ({h} % {DENOM}) < _thresh
+    """

@@ -1673,3 +1673,42 @@ def ngram_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("split") == "train")
     test = docs.filter(F.col("split") == "test")
     return dedup.ngram_contamination(train, test, n=4)
+
+
+_MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+
+
+@register(
+    "mixture_sample_documents",
+    f"""
+    SELECT doc_id, source, CAST(copy_idx AS INT) AS copy_idx
+    FROM ({sampling.mixture_sql(_MIXTURE_WEIGHTS)})
+    """,
+    doc="domain-mixture construction (DoReMi-style reweighting): "
+    "deterministic per-domain up/down-sampling with an epoch index — "
+    "weight 2.5 emits 2 full copies + a hash-selected half, 0.25 keeps a "
+    "quarter, 0 drops the domain. Map-only, fan-out bounded by "
+    "ceil(max weight); thresholds resolve to integers at plan build so "
+    "no engine-dependent float-to-int cast exists at runtime "
+    "(operators/sampling.py::mixture_sample).",
+)
+def mixture_sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sampling.mixture_sample(
+        t(spark, sf_dir, "documents"), _MIXTURE_WEIGHTS
+    )
+    return out.select("doc_id", "source", F.col("copy_idx").cast("int"))
+
+
+@register(
+    "chunk_spans_documents",
+    packing.chunk_sql(_TOKENS_SQL, size=48, stride=24),
+    doc="overlapping token-window chunking for RAG/embedding ingestion "
+    "(size 48, stride 24): per-(doc, chunk) offsets + chunk text, "
+    "map-only posexplode with ceil(n_tokens/stride) local fan-out — "
+    "never a shuffle; empty docs chunk to nothing rather than a "
+    "zero-width row (operators/packing.py::chunk_spans).",
+)
+def chunk_spans_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.chunk_spans(
+        t(spark, sf_dir, "documents"), size=48, stride=24
+    )
