@@ -111,12 +111,13 @@ def main() -> None:
     t(spark, SF_DIR, "events").count()
     t(spark, SF_DIR, "lineitem").count()
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        if name in QUERIES:
-            try:
-                force(QUERIES[name].fn(spark, warm_dir))
-            except Exception:
-                pass
+    for name in QUERIES:
+        if name == "streaming_latest_per_key":
+            continue
+        try:
+            force(QUERIES[name].fn(spark, warm_dir))
+        except Exception:
+            pass
     # flagship end-to-end pipeline (normalize UDF included), as a function of
     # scale dir so the warm-up pass compiles/forks the same UDF stage
     from pyspark.sql import functions as F
@@ -177,6 +178,20 @@ def main() -> None:
 
     timings["pipeline_e2e"] = timed(lambda: pipeline_e2e(SF_DIR))
 
+    # Non-headline queries are timed too (single try) and reported under
+    # "extras" — visibility for operators added after the round-1 freeze
+    # WITHOUT moving the frozen headline total. The streaming query is
+    # excluded: it builds its own file fixture and measures convergence,
+    # not throughput.
+    extras: dict[str, float] = {}
+    for name in sorted(set(QUERIES) - set(HEADLINE) - {"streaming_latest_per_key"}):
+        t0 = time.time()
+        try:
+            force(QUERIES[name].fn(spark, SF_DIR))
+            extras[name] = round(time.time() - t0, 3)
+        except Exception:
+            extras[name] = -1.0
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -186,6 +201,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": float(sf),
             }
         )
