@@ -42,9 +42,12 @@ class QuerySpec:
     doc: str = ""
 
 
-# testdata timestamps are parquet TIMESTAMP(NANOS) which Spark refuses by
-# default; read them as nanos-longs and convert (integer div — double
-# division would lose microsecond precision on 1.7e18 values)
+# Legacy testdata snapshots carried parquet TIMESTAMP(NANOS), read as
+# nanos-longs (nanosAsLong) and converted here (integer div — double
+# division would lose microsecond precision on 1.7e18 values). Current
+# snapshots carry naive TIMESTAMP(MICROS), which prepare_session's
+# inferTimestampNTZ=false maps straight to TIMESTAMP — convert_ts then
+# no-ops. Both representations yield identical UTC instants.
 _TS_COLS = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
