@@ -1,0 +1,189 @@
+"""CDC changelog merge (operators/cdc.py) and Z-order layout
+(operators/layout.py) semantics."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.operators import cdc, layout
+
+
+class TestMergeChangelog:
+    def _snapshot(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alice", 10.0),
+                (2, "bob", 20.0),
+                (3, "carol", 30.0),
+                (4, "dave", 40.0),
+            ],
+            "id long, name string, score double",
+        )
+
+    def test_put_delete_insert_passthrough(self, spark):
+        # change payload covers only `score`; `name` must pass through
+        changes = spark.createDataFrame(
+            [
+                (2, 1, "P", 21.0),   # update existing
+                (3, 1, "D", None),   # delete existing
+                (9, 1, "P", 90.0),   # insert brand-new key
+            ],
+            "id long, seq long, op string, score double",
+        )
+        out = cdc.merge_changelog(
+            self._snapshot(spark), changes, key_cols=("id",)
+        )
+        rows = {r["id"]: r for r in out.collect()}
+        assert set(rows) == {1, 2, 4, 9}
+        assert rows[1]["score"] == 10.0 and rows[1]["name"] == "alice"
+        assert rows[2]["score"] == 21.0 and rows[2]["name"] == "bob"
+        assert rows[9]["score"] == 90.0 and rows[9]["name"] is None
+
+    def test_latest_seq_wins_and_resurrection(self, spark):
+        changes = spark.createDataFrame(
+            [
+                (1, 1, "P", 11.0),
+                (1, 2, "P", 12.0),   # latest put wins
+                (2, 1, "D", None),
+                (2, 2, "P", 22.0),   # put after tombstone resurrects
+                (4, 1, "P", 44.0),
+                (4, 2, "D", None),   # tombstone after put deletes
+            ],
+            "id long, seq long, op string, score double",
+        )
+        out = cdc.merge_changelog(
+            self._snapshot(spark), changes, key_cols=("id",)
+        )
+        rows = {r["id"]: r["score"] for r in out.collect()}
+        assert rows == {1: 12.0, 2: 22.0, 3: 30.0}
+
+    def test_put_may_null_a_field(self, spark):
+        # the op discriminator (not coalesce) picks the side: an explicit
+        # NULL in a winning put must null the snapshot value
+        changes = spark.createDataFrame(
+            [(1, 1, "P", None)], "id long, seq long, op string, score double"
+        )
+        out = cdc.merge_changelog(
+            self._snapshot(spark), changes, key_cols=("id",)
+        )
+        row = {r["id"]: r for r in out.collect()}[1]
+        assert row["score"] is None and row["name"] == "alice"
+
+    def test_delete_of_absent_key_is_noop(self, spark):
+        changes = spark.createDataFrame(
+            [(77, 1, "D", None)], "id long, seq long, op string, score double"
+        )
+        out = cdc.merge_changelog(
+            self._snapshot(spark), changes, key_cols=("id",)
+        )
+        assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
+
+    def test_seq_tie_is_deterministic(self, spark):
+        # same seq twice (upstream bug): struct ordering breaks the tie
+        # on (op, payload) — 'P' > 'D', then higher score — identically
+        # on every run/partitioning
+        changes = spark.createDataFrame(
+            [(1, 1, "P", 5.0), (1, 1, "P", 7.0), (1, 1, "D", None)],
+            "id long, seq long, op string, score double",
+        )
+        expected = None
+        for _ in range(3):
+            out = cdc.merge_changelog(
+                self._snapshot(spark).repartition(3),
+                changes.repartition(2),
+                key_cols=("id",),
+            )
+            got = sorted((r["id"], r["score"]) for r in out.collect())
+            if expected is None:
+                expected = got
+            assert got == expected
+        assert (1, 7.0) in expected  # 'P' beats 'D', 7.0 beats 5.0
+
+
+class TestZorder:
+    def _z_py(self, a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for j in range(bits):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    def test_key_matches_python_reference(self, spark):
+        vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (1234, 4321), (7, 56)]
+        df = spark.createDataFrame(vals, "a long, b long")
+        got = df.select(
+            "a", "b", layout.zorder_key([F.col("a"), F.col("b")]).alias("z")
+        ).collect()
+        for r in got:
+            assert r["z"] == self._z_py(r["a"], r["b"]), (r["a"], r["b"])
+
+    def test_sql_oracle_matches_spark(self, spark):
+        import duckdb
+
+        vals = [(i * 37 % 65536, i * 101 % 65536) for i in range(200)]
+        df = spark.createDataFrame(vals, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select(
+                "a", "b", layout.zorder_key([F.col("a"), F.col("b")]).alias("z")
+            ).collect()
+        }
+        con = duckdb.connect()
+        zsql = layout.zorder_key_sql(["a", "b"])
+        for (a, b), z in got.items():
+            (zd,) = con.execute(
+                f"SELECT {zsql} FROM (SELECT {a}::BIGINT a, {b}::BIGINT b)"
+            ).fetchone()
+            assert zd == z
+
+    def test_overflow_guard(self):
+        with pytest.raises(ValueError):
+            layout.zorder_key([F.lit(1)] * 4, bits=16)
+
+    def test_layout_write_tightens_minmax_spans(self, spark, tmp_path):
+        # the point of the layout: per-file min-max spans shrink in BOTH
+        # dimensions vs an unclustered write, so parquet stats pruning
+        # can skip files for predicates on either column
+        n, files = 4096, 8
+        df = spark.range(n).select(
+            (F.col("id") * 2654435761 % 1024).alias("x"),
+            (F.col("id") * 40503 % 1024).alias("y"),
+        )
+        plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zord")
+        df.repartition(files).write.parquet(plain_dir)
+        layout.zorder_layout(df, ["x", "y"], num_files=files).drop(
+            "_z"
+        ).write.parquet(z_dir)
+
+        def _stat(md, i, col):
+            rg = md.row_group(i)
+            for c in range(rg.num_columns):
+                cc = rg.column(c)
+                if cc.path_in_schema == col:
+                    return cc.statistics.min, cc.statistics.max
+            raise KeyError(col)
+
+        def spans(d: str, col: str) -> int:
+            total = 0
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                los, his = [], []
+                for i in range(md.num_row_groups):
+                    lo, hi = _stat(md, i, col)
+                    los.append(lo)
+                    his.append(hi)
+                total += max(his) - min(los)
+            return total
+
+        for col in ("x", "y"):
+            plain, zord = spans(plain_dir, col), spans(z_dir, col)
+            # random layout: every file spans ~the full domain. With f
+            # files over 2 interleaved dims each file covers ~1/sqrt(f)
+            # of EACH domain (f=8 -> ~0.35x + boundary slack), so a 25%
+            # summed-span cut per dim is the conservative bound — the
+            # point is both dims tighten at once, which no single-column
+            # sort achieves
+            assert zord < plain * 0.75, (col, plain, zord)

@@ -1712,3 +1712,134 @@ def chunk_spans_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_spans(
         t(spark, sf_dir, "documents"), size=48, stride=24
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog merge + data-skipping layout
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_merge_orders",
+    """
+    WITH snap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    c1 AS (
+      SELECT o_orderkey, 1 AS seq,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'P' END AS op,
+             o_totalprice * 1.05 AS o_totalprice,
+             'UPDATED-1' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    c2 AS (
+      SELECT o_orderkey, 2 AS seq, 'P' AS op,
+             o_totalprice * 1.10 AS o_totalprice,
+             'UPDATED-2' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 6 = 0
+    ),
+    log AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+    latest AS (
+      SELECT * FROM log
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+    )
+    SELECT coalesce(s.o_orderkey, l.o_orderkey) AS o_orderkey,
+           s.o_custkey, s.o_orderstatus,
+           CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                ELSE s.o_totalprice END AS o_totalprice,
+           CASE WHEN l.op IS NOT NULL THEN l.o_orderpriority
+                ELSE s.o_orderpriority END AS o_orderpriority
+    FROM snap s FULL OUTER JOIN latest l ON s.o_orderkey = l.o_orderkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    doc="CDC apply / MERGE INTO (operators/cdc.py::merge_changelog): a "
+    "two-epoch put/delete changelog folds into the orders snapshot — "
+    "latest seq wins, puts upsert (inserting keys the snapshot never "
+    "had, with NULL pass-through columns), tombstones delete, and a "
+    "seq-2 put resurrects keys a seq-1 tombstone killed. One map-side-"
+    "compacted groupBy on the primary key + one co-partitioned "
+    "full-outer join; the incremental sibling of the reference's bulk "
+    "import (HBase put/delete versions, HBaseWriter.kt:214-233).",
+)
+def cdc_merge_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import cdc
+
+    orders = t(spark, sf_dir, "orders")
+    snap = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    c1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit(cdc.OP_DELETE))
+        .otherwise(F.lit(cdc.OP_PUT))
+        .alias("op"),
+        (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+        F.lit("UPDATED-1").alias("o_orderpriority"),
+    )
+    c2 = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit(cdc.OP_PUT).alias("op"),
+        (F.col("o_totalprice") * 1.10).alias("o_totalprice"),
+        F.lit("UPDATED-2").alias("o_orderpriority"),
+    )
+    return cdc.merge_changelog(
+        snap, c1.unionByName(c2), key_cols=("o_orderkey",)
+    )
+
+
+from uc_historic_data_importer_spark.operators.layout import zorder_key_sql as _zsql  # noqa: E402
+
+_Z_EXPRS_SQL = ["(l_partkey & 65535)", "(l_suppkey & 65535)"]
+
+
+@register(
+    "zorder_stats_lineitem",
+    f"""
+    SELECT ({_zsql(_Z_EXPRS_SQL, bits=16)} >> 12) AS z_bucket,
+           count(*) AS n_rows,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering audit (operators/layout.py): "
+    "interleave the bits of (l_partkey, l_suppkey) into one 32-bit key "
+    "— a pure codegen bit expression, map-only — and aggregate per "
+    "high-order key range the row count and the min-max span of BOTH "
+    "dimensions. Each z_bucket is the min-max envelope one output file "
+    "would carry after zorder_layout's range-partitioned write: tight "
+    "in every interleaved dimension at once, which is what makes "
+    "parquet min-max pruning fire for predicates on either column at "
+    "100 TB.",
+)
+def zorder_stats_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import layout
+
+    li = t(spark, sf_dir, "lineitem")
+    mask = F.lit(65535).cast("long")
+    z = layout.zorder_key(
+        [
+            F.col("l_partkey").cast("long").bitwiseAND(mask),
+            F.col("l_suppkey").cast("long").bitwiseAND(mask),
+        ],
+        bits=16,
+    )
+    return (
+        li.select(
+            F.shiftright(z, 12).alias("z_bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
