@@ -168,3 +168,23 @@ def test_mixture_and_chunking_are_map_only(spark):
     for name in ("mixture_sample_documents", "chunk_spans_documents"):
         plan = plan_of(spark, name)
         assert "Exchange" not in plan, name
+
+
+def test_cdc_merge_log_compacts_before_join(spark):
+    """The changelog must partial-aggregate map-side (struct max), ride
+    ONE hash exchange, and feed the full-outer join WITHOUT a second
+    exchange — the aggregation's hashpartitioning(o_orderkey) satisfies
+    the join's clustering. Snapshot + log = exactly two exchanges."""
+    plan = plan_of(spark, "cdc_merge_orders")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    # partial + final aggregation pair proves the map-side compaction
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+
+
+def test_zorder_key_is_map_only(spark):
+    """The Morton key is pure bit arithmetic: the only exchange allowed
+    is the final stats groupBy; the key computation itself must stay in
+    the scan stage."""
+    plan = plan_of(spark, "zorder_stats_lineitem")
+    assert plan.count("Exchange hashpartitioning") == 1
