@@ -172,3 +172,55 @@ def test_streaming_hll_registers_converge_to_batch(spark, tmp_path):
     batch_df = spark.read.schema(schema).json(str(inp))
     direct = sketches.hll_distinct(batch_df, "user_id").collect()[0]
     assert streamed["hll_distinct"] == direct["hll_distinct"]
+
+
+def test_changelog_merge_sink_converges_to_batch_merge(spark, tmp_path):
+    """Two change files streamed one-per-batch through the CDC merge sink
+    must leave the same final snapshot as one batch merge of the full
+    ordered log — puts upsert, tombstones delete, later batches override
+    earlier ones."""
+    from uc_historic_data_importer_spark.operators import cdc
+
+    in_dir = tmp_path / "changes"
+    in_dir.mkdir()
+    schema = "id BIGINT, seq BIGINT, op STRING, score DOUBLE"
+    epoch1 = spark.createDataFrame(
+        [(1, 1, "P", 10.0), (2, 1, "P", 20.0), (3, 1, "P", 30.0),
+         (2, 2, "D", None)],
+        schema,
+    )
+    epoch2 = spark.createDataFrame(
+        [(1, 3, "P", 11.0),   # update key 1
+         (2, 3, "P", 22.0),   # resurrect key 2
+         (3, 3, "D", None),   # delete key 3
+         (4, 3, "P", 40.0)],  # insert key 4
+        schema,
+    )
+    epoch1.coalesce(1).write.parquet(str(in_dir / "e1"))
+    epoch2.coalesce(1).write.parquet(str(in_dir / "e2"))
+
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    snap_base = str(tmp_path / "snap")
+    q = sp.run_changelog_merge_sink(
+        changes, snap_base, str(tmp_path / "chk"), key_cols=("id",)
+    )
+    _run(q)
+
+    latest = sp.latest_snapshot_version(spark, snap_base)
+    assert latest is not None
+    got = {
+        (r["id"], r["score"])
+        for r in spark.read.parquet(f"{snap_base}/v={latest}").collect()
+    }
+
+    # batch ground truth: fold the full ordered log from empty
+    empty = spark.createDataFrame([], "id BIGINT, score DOUBLE")
+    want_df = cdc.merge_changelog(
+        cdc.merge_changelog(empty, epoch1, ("id",)), epoch2, ("id",)
+    )
+    want = {(r["id"], r["score"]) for r in want_df.collect()}
+    assert got == want == {(1, 11.0), (2, 22.0), (4, 40.0)}

@@ -17,6 +17,7 @@ state" query.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import Iterable
 
 import pandas as pd
@@ -224,3 +225,82 @@ def run_to_kv_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_changelog_merge_sink(
+    changes: DataFrame,
+    snapshot_base: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    available_now: bool = True,
+):
+    """Streaming CDC apply: maintain a compacted current-state snapshot
+    under ``snapshot_base/v=N`` by folding each micro-batch of put/delete
+    changes into the previous version via ``operators/cdc.py::
+    merge_changelog`` (the streaming twin of the batch MERGE INTO).
+
+    Exactly-once without a table format: batch N reads the newest
+    ``v < N`` snapshot and (over)writes ``v=N`` — a replayed batch (after
+    a crash between write and checkpoint commit) re-reads the same input
+    version and overwrites its own output, so retries are idempotent and
+    a half-written ``v=N`` is never read by anyone. Readers pick the
+    newest complete version (``latest_snapshot_version``); old versions
+    are retention, pruned like any TTL'd table history.
+
+    Ordering: ``seq`` orders changes WITHIN a batch; across batches,
+    arrival order wins (standard CDC log-offset semantics — the source's
+    offsets are monotone, so a correctly ordered log gives the global
+    latest-per-key result).
+
+    Scale: each fold is the batch merge plan — map-side log compaction +
+    one co-partitioned join against the snapshot (see PLANS.md). State
+    lives in parquet, not executor memory; a day's changelog against a
+    10^11-key snapshot is one merge job, not 10^11 stateful keys.
+    """
+    from uc_historic_data_importer_spark.operators import cdc
+
+    keys = list(key_cols)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = latest_snapshot_version(spark, snapshot_base, below=batch_id)
+        payload = [c for c in batch_df.columns if c not in (seq_col, op_col)]
+        if prev is None:
+            snap = spark.createDataFrame([], batch_df.select(*payload).schema)
+        else:
+            snap = spark.read.parquet(f"{snapshot_base}/v={prev}")
+        merged = cdc.merge_changelog(snap, batch_df, keys, seq_col, op_col)
+        merged.write.mode("overwrite").parquet(f"{snapshot_base}/v={batch_id}")
+
+    writer = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_snapshot_version(
+    spark: SparkSession, snapshot_base: str, below: int | None = None
+) -> int | None:
+    """Newest complete ``v=N`` under ``snapshot_base`` (N < ``below`` if
+    given); None when no snapshot exists yet. Driver-side listing is
+    O(versions) — directory names only, never data."""
+    import os
+
+    try:
+        entries = os.listdir(snapshot_base)
+    except FileNotFoundError:
+        return None
+    versions = [
+        int(e.split("=", 1)[1])
+        for e in entries
+        if e.startswith("v=") and e.split("=", 1)[1].isdigit()
+    ]
+    if below is not None:
+        versions = [v for v in versions if v < below]
+    return max(versions, default=None)
