@@ -1051,3 +1051,30 @@ class TestChunkSpans:
             for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
                 assert a2 == b1
             assert spans[-1][1] == doc_id  # n_tokens == doc_id here
+
+
+class TestBpeTokens:
+    def test_piece_boundaries(self, spark):
+        from uc_historic_data_importer_spark.operators.text import bpe_pieces_col
+
+        df = spark.createDataFrame(
+            [("Hello world, it's 2026!",), ("   ",), ("",), ("don't—stop",)],
+            "text string",
+        )
+        got = [r[0] for r in df.select(bpe_pieces_col(F.col("text"))).collect()]
+        assert got[0] == ["Hello", " world", ",", " it", "'s", " 2026", "!"]
+        assert got[1] == [] and got[2] == []
+        assert got[3] == ["don", "'t", "—", "stop"]
+
+    def test_fertility_guards_empty_docs(self, spark):
+        from uc_historic_data_importer_spark.operators.text import bpe_token_stats
+
+        df = spark.createDataFrame(
+            [("a", "two words"), ("a", ""), ("b", "x")],
+            "source string, text string",
+        )
+        rows = {r["source"]: r for r in bpe_token_stats(df).collect()}
+        # empty doc contributes no ratio (no div-by-zero under ANSI)
+        assert rows["a"]["avg_fertility"] == 1.0
+        assert rows["a"]["total_ws_tokens"] == 2
+        assert rows["b"]["total_bpe_tokens"] == 1

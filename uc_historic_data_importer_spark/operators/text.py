@@ -230,3 +230,52 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     d = with_tokens(df, text_col)
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tokens")))))
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# GPT-2-style pretokenizer (public pattern family: contraction suffixes,
+# space-prefixed letter runs / digit runs / punctuation runs, whitespace).
+# Expressed with constructs RE2 (DuckDB) and java.util.regex (Spark)
+# evaluate identically — leftmost-first alternation, ASCII classes — so
+# the oracle reproduces piece boundaries exactly.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_pieces_col(text: Column) -> Column:
+    """BPE-ish pretokenizer pieces of the raw (case-preserved) text,
+    whitespace-only pieces removed — the standard proxy for 'how many
+    tokens will the tokenizer emit' when the merge table isn't in play.
+    Pure codegen `regexp_extract_all`; no Python, no shuffle."""
+    return F.filter(
+        F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0)),
+        lambda p: F.trim(p) != "",
+    )
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", by: str = "source"
+) -> DataFrame:
+    """Per-group BPE-piece vs whitespace-token unit economics: total
+    pieces, total whitespace tokens, and the mean per-doc pieces/word
+    blowup ratio (the fertility estimate that sizes a training run).
+    Map-only tokenization + one groupBy on the (low-cardinality) group
+    key."""
+    pieces = bpe_pieces_col(F.col(text_col))
+    ws = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(by),
+        F.size(pieces).alias("n_bpe"),
+        F.size(ws).alias("n_ws"),
+    )
+    return base.groupBy(by).agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("n_ws") > 0,
+                    F.col("n_bpe").cast("double") / F.col("n_ws"),
+                )
+            ),
+            4,
+        ).alias("avg_fertility"),
+    )

@@ -1843,3 +1843,37 @@ def zorder_stats_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+    WITH pieces AS (
+      SELECT source,
+             len(list_filter(
+                 regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
+                 x -> trim(x) != '')) AS n_bpe,
+             len({_TOKENS_SQL}) AS n_ws
+      FROM documents
+    )
+    SELECT source,
+           sum(n_bpe) AS total_bpe_tokens,
+           sum(n_ws) AS total_ws_tokens,
+           round(avg(CASE WHEN n_ws > 0
+                          THEN n_bpe::DOUBLE / n_ws END), 4) AS avg_fertility
+    FROM pieces GROUP BY source
+    """,
+    doc="BPE-ish token counting (operators/text.py::bpe_token_stats): "
+    "GPT-2-style pretokenizer pieces (contraction suffixes, space-"
+    "prefixed letter/digit/punct runs) via one codegen regexp_extract_all "
+    "— the brief's 'whitespace + BPE-ish regex' pair. Per-source piece "
+    "totals plus the mean pieces-per-word fertility that sizes a "
+    "training run. Map-only scan + one low-cardinality groupBy; the "
+    "pattern uses only constructs RE2 and java.util.regex evaluate "
+    "identically, proven by the value-hash oracle.",
+)
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import text as text_ops
+
+    return text_ops.bpe_token_stats(t(spark, sf_dir, "documents"))
