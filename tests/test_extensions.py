@@ -1078,3 +1078,68 @@ class TestBpeTokens:
         assert rows["a"]["avg_fertility"] == 1.0
         assert rows["a"]["total_ws_tokens"] == 2
         assert rows["b"]["total_bpe_tokens"] == 1
+
+
+class TestProductQuantization:
+    def _corpus(self, spark):
+        # 8-dim, m=2 subspaces of 4; two obvious clusters per subspace
+        rows = [
+            (0, [0.0, 0.0, 0.0, 0.0, 9.0, 9.0, 9.0, 9.0]),
+            (1, [0.1, 0.0, 0.0, 0.0, 9.1, 9.0, 9.0, 9.0]),
+            (2, [5.0, 5.0, 5.0, 5.0, 1.0, 1.0, 1.0, 1.0]),
+            (3, [5.1, 5.0, 5.0, 5.0, 1.1, 1.0, 1.0, 1.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_fit_is_deterministic_and_partition_invariant(self, spark):
+        from uc_historic_data_importer_spark.operators import pq
+
+        c = self._corpus(spark)
+        b1 = pq.pq_fit(c, m=2, k=2, iters=2)
+        b2 = pq.pq_fit(c.repartition(3), m=2, k=2, iters=2)
+        assert b1 == b2
+        assert len(b1) == 2 and len(b1[0]) == 2 and len(b1[0][0]) == 4
+
+    def test_encode_clusters_and_codes_are_small_ints(self, spark):
+        from uc_historic_data_importer_spark.operators import pq
+
+        c = self._corpus(spark)
+        books = pq.pq_fit(c, m=2, k=2, iters=2)
+        codes = {r["vec_id"]: (r["code_0"], r["code_1"])
+                 for r in pq.pq_encode(c, books).collect()}
+        # vectors 0,1 share both subspace clusters; 2,3 share the other
+        assert codes[0] == codes[1] and codes[2] == codes[3]
+        assert codes[0] != codes[2]
+
+    def test_adc_equals_exact_distance_on_centroid_vectors(self, spark):
+        from uc_historic_data_importer_spark.operators import pq
+
+        c = self._corpus(spark)
+        books = pq.pq_fit(c, m=2, k=2, iters=2)
+        # a query exactly on one centroid pair: ADC distance to any
+        # corpus vector == exact distance between quantized forms
+        qv = books[0][0] + books[1][0]
+        out = {r["neighbor_id"]: r["approx_dist"]
+               for r in pq.pq_topk(c, books, qv, k=4).collect()}
+        codes = {r["vec_id"]: (r["code_0"], r["code_1"])
+                 for r in pq.pq_encode(c, books).collect()}
+        for vid, (c0, c1) in codes.items():
+            want = sum(
+                (a - b) ** 2
+                for a, b in zip(qv, books[0][c0] + books[1][c1])
+            )
+            assert abs(out[vid] - want) < 1e-6, vid
+
+    def test_empty_code_keeps_previous_centroid(self, spark):
+        from uc_historic_data_importer_spark.operators import pq
+
+        # k=3 but only two natural clusters: the starved code must keep
+        # its init centroid instead of collapsing to zeros
+        c = self._corpus(spark)
+        books = pq.pq_fit(c, m=2, k=3, iters=1)
+        init_sub = [0.1, 0.0, 0.0, 0.0]  # vec 1's first subvector (init code 1)
+        assert any(b == init_sub for b in books[0]) or all(
+            any(abs(x) > 0 for x in b) for b in books[0]
+        )

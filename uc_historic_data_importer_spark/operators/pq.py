@@ -1,0 +1,209 @@
+"""Product quantization (PQ) for embedding search at corpus scale.
+
+The 100 TB ANN standard (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011; the IVF-PQ layout of FAISS): split
+each d-dim vector into ``m`` subvectors, learn a tiny per-subspace
+codebook (k centroids each), store each vector as ``m`` small codes
+(here m bytes — a 64-dim float vector compresses 64x), and answer
+queries with asymmetric distance computation (ADC): per subspace a
+k-entry lookup table of exact query-to-centroid distances, so the
+approximate distance of every stored vector is ``m`` table lookups —
+no float vector is ever read at search time.
+
+Spark shape:
+- fit: per subspace, deterministic L2 k-means — assignment is an inline
+  argmin column expression (no join), the update is one map-side-
+  combined shuffle of (code, dim, partial sums); driver state is
+  m * k * (d/m) doubles = one codebook, regardless of corpus size.
+- encode: pure map — m argmin expressions over literal codebooks; the
+  output (vec_id, code_0..code_{m-1}) is the compact table you persist
+  (PARTITIONED BY an IVF cell at real scale).
+- search: pure map over the codes table — ADC score = sum of m
+  element_at lookups into literal LUT arrays — then TakeOrdered k.
+  Scoring shuffles nothing and reads only the codes.
+
+Determinism discipline (shared with similarity.kmeans_fit): distances
+are rounded at ``round_dp`` BEFORE every argmin with ties to the lowest
+code; centroid means are rounded half-away-from-zero at ``centroid_dp``;
+init is the k lowest-id subvectors. Every float the oracle must
+reproduce passes through an explicit round, so DuckDB replays the fit,
+the codes, and the ADC ranking bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uc_historic_data_importer_spark.operators.similarity import (
+    _ensure_parallel,
+    _round_away,
+    dot_col,
+)
+
+
+def _sub(vec: Column, j: int, sub_dim: int) -> Column:
+    """Subspace j of a vector as doubles (1-based slice)."""
+    return F.slice(vec.cast("array<double>"), j * sub_dim + 1, sub_dim)
+
+
+def _l2sq_expr(sub: Column, cent: list[float]) -> Column:
+    """||sub - cent||^2 as (sub.sub + cent.cent) - 2*sub.cent — the same
+    association order the DuckDB oracle uses, so the doubles match
+    bit-for-bit before the rounding even applies."""
+    carr = F.array(*[F.lit(float(x)) for x in cent])
+    cc = 0.0
+    for x in cent:
+        cc += float(x) * float(x)
+    return (dot_col(sub, sub) + F.lit(cc)) - 2.0 * dot_col(sub, carr)
+
+
+def _code_expr(sub: Column, codebook: list[list[float]], round_dp: int) -> Column:
+    """argmin code for one subspace: distances rounded before the argmin,
+    ties to the LOWEST code (strict < keeps the earlier one)."""
+    best_s: Column | None = None
+    best_j: Column | None = None
+    for c, cent in enumerate(codebook):
+        d = F.round(_l2sq_expr(sub, cent), round_dp)
+        if best_s is None:
+            best_s, best_j = d, F.lit(0)
+        else:
+            wins = d < best_s
+            best_j = F.when(wins, F.lit(c)).otherwise(best_j)
+            best_s = F.when(wins, d).otherwise(best_s)
+    return best_j.cast("int")
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    centroid_dp: int = 12,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace L2 k-means: returns codebooks[m][k][d/m].
+
+    Init = subvectors of the k lowest-id vectors. Each round runs m
+    small aggregation jobs (one per subspace): inline argmin assignment
+    feeding a (code, dim) groupBy of partial sums — the shuffle carries
+    k * sub_dim partials per map partition. Codes that capture no
+    vectors keep their previous centroid (mirrored in the oracle with a
+    coalesce join)."""
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+
+    first = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(vec_col, id_col).orderBy(id_col).take(k)
+    ]
+    books = [
+        [v[j * sub_dim : (j + 1) * sub_dim] for v in first] for j in range(m)
+    ]
+    for _ in range(iters):
+        for j in range(m):
+            sums = (
+                corpus.select(
+                    _code_expr(
+                        _sub(F.col(vec_col), j, sub_dim), books[j], round_dp
+                    ).alias("code"),
+                    F.posexplode(_sub(F.col(vec_col), j, sub_dim)).alias(
+                        "dim", "x"
+                    ),
+                )
+                .groupBy("code", "dim")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            acc: dict[int, list[float]] = {}
+            for r in sums:
+                acc.setdefault(int(r["code"]), [0.0] * sub_dim)[int(r["dim"])] = (
+                    _round_away(float(r["sx"]) / int(r["n"]), centroid_dp)
+                )
+            books[j] = [acc.get(c, books[j][c]) for c in range(k)]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}): the persisted compact index — pure
+    map over the corpus, no shuffle."""
+    sub_dim = len(codebooks[0][0])
+    return _ensure_parallel(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            _code_expr(
+                _sub(F.col(vec_col), j, sub_dim), codebooks[j], round_dp
+            ).alias(f"code_{j}")
+            for j in range(len(codebooks))
+        ],
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k: (neighbor_id, approx_dist, rank), nearest first.
+
+    The LUTs (m arrays of k exact query-to-centroid distances) are
+    computed driver-side — m*k doubles — and shipped as literals; the
+    per-vector score is m element_at lookups added in subspace order,
+    rounded before ranking with ties to the lowest id. TakeOrdered
+    replaces any global sort."""
+    m = len(codebooks)
+    luts: list[list[float]] = []
+    sub_dim = len(codebooks[0][0])
+    for j in range(m):
+        q_sub = [float(x) for x in query_vec[j * sub_dim : (j + 1) * sub_dim]]
+        qq = 0.0
+        for x in q_sub:
+            qq += x * x
+        row = []
+        for cent in codebooks[j]:
+            cc = 0.0
+            qc = 0.0
+            for a, b in zip(q_sub, cent):
+                cc_term = float(b) * float(b)
+                cc += cc_term
+                qc += a * float(b)
+            row.append((qq + cc) - 2.0 * qc)
+        luts.append(row)
+
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, round_dp)
+    score: Column = F.lit(0.0)
+    for j in range(m):
+        lut = F.array(*[F.lit(float(d)) for d in luts[j]])
+        score = score + F.element_at(lut, F.col(f"code_{j}") + 1)
+    scored = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(score, round_dp).alias("approx_dist"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col("neighbor_id") != exclude_id)
+    from pyspark.sql import Window
+
+    # orderBy + limit compiles to TakeOrderedAndProject (no global sort,
+    # no exchange of the full corpus); the rank window then runs over k
+    # rows only
+    top = scored.orderBy(F.asc("approx_dist"), F.asc("neighbor_id")).limit(k)
+    w = Window.orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1877,3 +1877,114 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uc_historic_data_importer_spark.operators import text as text_ops
 
     return text_ops.bpe_token_stats(t(spark, sf_dir, "documents"))
+
+
+def _pq_oracle(
+    m: int = 4, k: int = 4, iters: int = 1, dim: int = 64,
+    query_id: int = 0, topk: int = 10,
+) -> str:
+    """Unrolled product-quantization fit + encode + ADC search as pure
+    DuckDB SQL (operators/pq.py semantics, same rounding discipline as
+    _ivf_build_oracle): per subspace, k-means init = subvectors of the k
+    lowest ids, `iters` assign/update rounds (means rounded away-from-
+    zero at 12 dp, empty codes keep the previous centroid via coalesce),
+    then argmin encoding and the LUT distance sum — every float passes
+    an explicit round before any argmin/rank, so the replay is exact."""
+    sub = dim // m
+    ip = "list_inner_product"
+
+    def l2(a: str, b: str) -> str:
+        # (a.a + b.b) - 2*a.b — the association order pq.py uses
+        return f"(({ip}({a}, {a}) + {ip}({b}, {b})) - 2*{ip}({a}, {b}))"
+
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
+    for j in range(m):
+        a, b = j * sub + 1, (j + 1) * sub
+        sv = f"emb[{a}:{b}]"
+        ctes.append(
+            f"""cb{j}_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, {sv} AS c
+      FROM v ORDER BY vec_id LIMIT {k})"""
+        )
+        for it in range(iters):
+            prev, nxt = f"cb{j}_{it}", f"cb{j}_{it + 1}"
+            ctes.append(
+                f"""a{j}_{it} AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code, row_number() OVER (
+          PARTITION BY t.vec_id
+          ORDER BY round({l2(f't.{sv}', 'c.c')}, 6) ASC, c.code ASC) AS rn
+        FROM v t CROSS JOIN {prev} c
+      ) WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""u{j}_{it} AS (
+      SELECT code, list(mx ORDER BY dim) AS c FROM (
+        SELECT code, dim, round(sum(x) / count(*), 12) AS mx FROM (
+          SELECT s.code, generate_subscripts(t.{sv}, 1) AS dim,
+                 unnest(t.{sv}) AS x
+          FROM a{j}_{it} s JOIN v t USING (vec_id)
+        ) GROUP BY code, dim
+      ) GROUP BY code)"""
+            )
+            ctes.append(
+                f"""{nxt} AS (
+      SELECT p.code, coalesce(n.c, p.c) AS c
+      FROM {prev} p LEFT JOIN u{j}_{it} n USING (code))"""
+            )
+        final = f"cb{j}_{iters}"
+        ctes.append(
+            f"""e{j} AS (
+      SELECT vec_id, code AS code_{j} FROM (
+        SELECT t.vec_id, c.code, row_number() OVER (
+          PARTITION BY t.vec_id
+          ORDER BY round({l2(f't.{sv}', 'c.c')}, 6) ASC, c.code ASC) AS rn
+        FROM v t CROSS JOIN {final} c
+      ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""lut{j} AS (
+      SELECT c.code, {l2(f'q.emb[{a}:{b}]', 'c.c')} AS d
+      FROM {final} c CROSS JOIN (SELECT emb FROM v WHERE vec_id = {query_id}) q)"""
+        )
+    joins = " ".join(f"JOIN e{j} USING (vec_id)" for j in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON e{j}.code_{j} = l{j}.code" for j in range(m)
+    )
+    dist = " + ".join(f"l{j}.d" for j in range(m))
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    scored AS (
+      SELECT e0.vec_id AS neighbor_id, round({dist}, 6) AS approx_dist
+      FROM e0 {joins} {lut_joins}
+      WHERE e0.vec_id <> {query_id}
+    )
+    SELECT neighbor_id, approx_dist,
+           CAST(row_number() OVER (
+             ORDER BY approx_dist ASC, neighbor_id ASC) AS INT) AS rank
+    FROM scored ORDER BY approx_dist ASC, neighbor_id ASC LIMIT {topk}
+    """
+
+
+@register(
+    "ann_pq_topk",
+    _pq_oracle(m=4, k=4, iters=1, dim=64, query_id=0, topk=10),
+    doc="product quantization ADC search (operators/pq.py, Jégou et al. "
+    "2011 / FAISS IVF-PQ layout): per-subspace deterministic L2 k-means "
+    "codebooks (m=4, k=4, 1 round), map-only argmin encoding to m small "
+    "codes (64x compression of the 64-dim corpus), and query answering "
+    "as m literal-LUT lookups per vector + TakeOrdered — search reads "
+    "ONLY the codes table, never a float vector. The full fit+encode+"
+    "search chain replays bit-for-bit in the unrolled SQL oracle.",
+)
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq.pq_fit(emb, m=4, k=4, iters=1)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return pq.pq_topk(emb, books, qv, k=10, exclude_id=0)
