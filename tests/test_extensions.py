@@ -1143,3 +1143,32 @@ class TestProductQuantization:
         assert any(b == init_sub for b in books[0]) or all(
             any(abs(x) > 0 for x in b) for b in books[0]
         )
+
+
+class TestWeightedSample:
+    def test_proportional_and_deterministic(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        # heavy ids 0-9 (w=1000) vs light ids 10-109 (w=1): heavies must
+        # dominate a 10-of-110 draw despite being 9% of candidates
+        rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(110)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        pick = lambda d: sorted(
+            r["id"]
+            for r in sampling.weighted_sample(
+                d, "id", "w", n_per_group=10
+            ).collect()
+        )
+        got = pick(df)
+        assert got == pick(df.repartition(7))  # partition-invariant
+        assert sum(1 for i in got if i < 10) >= 7
+
+    def test_nonpositive_weights_never_sampled(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double"
+        )
+        got = [r["id"] for r in
+               sampling.weighted_sample(df, "id", "w", 5).collect()]
+        assert got == [3]

@@ -204,3 +204,48 @@ def mixture_sql(
       )
       WHERE copy_idx < _n_full OR ({h} % {DENOM}) < _thresh
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_per_group: int,
+    group_col: str | None = None,
+    key_dp: int = 8,
+) -> DataFrame:
+    """Weighted sample without replacement, deterministic (A-ES scheme,
+    Efraimidis & Spirakis 2006): each row gets key = ln(u) / w with u a
+    hash-derived uniform in (0, 1], and the top-n keys win — selection
+    probability proportional to weight, no RNG, rerun- and
+    partitioning-stable.
+
+    The key is rounded at ``key_dp`` BEFORE ranking (libm ``ln`` may
+    differ in the last ulp across engines; the round + id tiebreak make
+    the pick order total and oracle-reproducible). Non-positive weights
+    are excluded — a zero-weight row must never be sampled and ln(u)/0
+    is undefined. One shuffle, partitioned by group (or a TakeOrdered-
+    style global top-n when ``group_col`` is None via a single-group
+    window over the already-filtered candidates).
+    """
+    u = (_bucket(id_col) + 1).cast("double") / F.lit(float(DENOM))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), key_dp)
+    cand = df.filter(F.col(weight_col) > 0).withColumn("_wkey", key)
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(F.desc("_wkey"), F.col(id_col))
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_wkey", "_rk")
+    )
+
+
+def weighted_key_sql(id_expr: str, weight_expr: str, key_dp: int = 8) -> str:
+    """DuckDB expression matching weighted_sample's ranking key."""
+    from uc_historic_data_importer_spark.functions.hashes import md5_i64_sql
+
+    h = md5_i64_sql(f"CAST({id_expr} AS VARCHAR)")
+    return (
+        f"round(ln((({h} % {DENOM}) + 1)::DOUBLE / {DENOM}) / "
+        f"({weight_expr})::DOUBLE, {key_dp})"
+    )

@@ -1988,3 +1988,32 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
     return pq.pq_topk(emb, books, qv, k=10, exclude_id=0)
+
+
+@register(
+    "weighted_sample_documents",
+    f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {sampling.weighted_key_sql('doc_id', 'n_chars')} DESC,
+                        doc_id) AS rk
+      FROM documents WHERE n_chars > 0
+    ) WHERE rk <= 5
+    """,
+    doc="weighted sampling without replacement (operators/sampling.py::"
+    "weighted_sample, Efraimidis-Spirakis A-ES): P(pick) proportional to "
+    "document length, no RNG — the hash-derived uniform makes the draw "
+    "rerun- and cluster-size-stable, and the key is rounded before "
+    "ranking so libm ln() ulp noise cannot flip the pick across "
+    "engines. Top-5 per source; one shuffle partitioned by source.",
+)
+def weighted_sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.weighted_sample(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        n_per_group=5,
+        group_col="source",
+    ).select("doc_id", "source", "n_chars")
