@@ -293,3 +293,38 @@ def pivot_order_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
     )
+
+
+@register(
+    "rolling_window_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_7d_revenue,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+             AS n_orders_7d
+    FROM orders
+    """,
+    doc="range-interval window (RANGE BETWEEN time PRECEDING): trailing "
+    "7-day revenue + order count per customer. The frame is defined by "
+    "TIME values, not row offsets, so equal-timestamp peers always "
+    "aggregate together — deterministic without a total tiebreak. One "
+    "shuffle on the (uniform) customer key.",
+)
+def rolling_window_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d_revenue"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )

@@ -1881,7 +1881,7 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_oracle(
     m: int = 4, k: int = 4, iters: int = 1, dim: int = 64,
-    query_id: int = 0, topk: int = 10,
+    query_id: int = 0, topk: int = 10, same_cell_only: bool = False,
 ) -> str:
     """Unrolled product-quantization fit + encode + ADC search as pure
     DuckDB SQL (operators/pq.py semantics, same rounding discipline as
@@ -1952,13 +1952,20 @@ def _pq_oracle(
         f"JOIN lut{j} l{j} ON e{j}.code_{j} = l{j}.code" for j in range(m)
     )
     dist = " + ".join(f"l{j}.d" for j in range(m))
+    cell_join, cell_pred = "", ""
+    if same_cell_only:
+        cell_join = "JOIN embeddings em ON em.vec_id = e0.vec_id"
+        cell_pred = (
+            f" AND em.label = (SELECT label FROM embeddings"
+            f" WHERE vec_id = {query_id})"
+        )
     cte_block = ",\n    ".join(ctes)
     return f"""
     WITH {cte_block},
     scored AS (
       SELECT e0.vec_id AS neighbor_id, round({dist}, 6) AS approx_dist
-      FROM e0 {joins} {lut_joins}
-      WHERE e0.vec_id <> {query_id}
+      FROM e0 {joins} {lut_joins} {cell_join}
+      WHERE e0.vec_id <> {query_id}{cell_pred}
     )
     SELECT neighbor_id, approx_dist,
            CAST(row_number() OVER (
@@ -2017,3 +2024,27 @@ def weighted_sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_per_group=5,
         group_col="source",
     ).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "ann_ivfpq_topk",
+    _pq_oracle(m=4, k=4, iters=1, dim=64, query_id=0, topk=10,
+               same_cell_only=True),
+    doc="the full IVF-PQ search layout (FAISS IndexIVFPQ): the coarse "
+    "quantizer (here the pretrained `label` cell, as in ann_ivf_topk) "
+    "prunes the candidate set to the query's cell — a map-only "
+    "predicate that becomes partition pruning when the codes table is "
+    "stored PARTITIONED BY (cell) — and PQ ADC ranks the survivors "
+    "reading only their m-byte codes. At 100 TB: scan 1/n_cells of a "
+    "64x-compressed table instead of the float corpus.",
+)
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq.pq_fit(emb, m=4, k=4, iters=1)
+    q_row = emb.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in q_row["embedding"]]
+    cell = q_row["label"]
+    candidates = emb.filter(F.col("label") == cell)
+    return pq.pq_topk(candidates, books, qv, k=10, exclude_id=0)
