@@ -224,3 +224,63 @@ def test_changelog_merge_sink_converges_to_batch_merge(spark, tmp_path):
     )
     want = {(r["id"], r["score"]) for r in want_df.collect()}
     assert got == want == {(1, 11.0), (2, 22.0), (4, 40.0)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (clicks -> errors within
+    (0, 10 min]) must produce exactly the batch interval_join pairs."""
+    from uc_historic_data_importer_spark.operators.range_join import interval_join
+
+    base = 1_700_000_000_000  # ms
+    clicks = [
+        (1, base + 0),
+        (1, base + 300_000),
+        (2, base + 0),
+    ]
+    errors = [
+        (1, base + 60_000),    # within 10min of click@0
+        (1, base + 540_000),   # within of click@0 AND click@300k
+        (2, base + 660_000),   # 11min after click@0 -> no match
+        (3, base + 60_000),    # no click for user 3
+    ]
+    cdir, edir = tmp_path / "clicks", tmp_path / "errors"
+    spark.createDataFrame(clicks, "user_id long, l_ms long").select(
+        "user_id", F.timestamp_millis(F.col("l_ms")).alias("l_ts")
+    ).coalesce(1).write.parquet(str(cdir))
+    spark.createDataFrame(errors, "user_id long, r_ms long").select(
+        "user_id", F.timestamp_millis(F.col("r_ms")).alias("r_ts")
+    ).coalesce(1).write.parquet(str(edir))
+
+    ls = spark.readStream.schema("user_id BIGINT, l_ts TIMESTAMP").parquet(str(cdir))
+    rs = spark.readStream.schema("user_id BIGINT, r_ts TIMESTAMP").parquet(str(edir))
+    joined = sp.interval_join_stream(
+        ls, rs, lower_ms=1, upper_ms=600_000, equi_keys=("user_id",)
+    ).select(
+        F.col("l.user_id").alias("user_id"), "l.l_ts", "r.r_ts"
+    )
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    got = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    lb = spark.read.parquet(str(cdir))
+    rb = spark.read.parquet(str(edir))
+    want_df = interval_join(
+        lb, rb, lower_ms=1, upper_ms=600_000,
+        left_ts="l_ts", right_ts="r_ts", equi_keys=("user_id",),
+    )
+    want = {
+        (r["user_id"], r["l_ts"], r["r_ts"]) for r in want_df.collect()
+    }
+    assert got == want
+    assert len(got) == 3

@@ -304,3 +304,48 @@ def latest_snapshot_version(
     if below is not None:
         versions = [v for v in versions if v < below]
     return max(versions, default=None)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    lower_ms: int,
+    upper_ms: int,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    equi_keys: Sequence[str] = ("user_id",),
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair (l, r) where r's event time is
+    inside [l.ts + lower_ms, l.ts + upper_ms], with equi keys — the
+    streaming twin of ``operators/range_join.py::interval_join``.
+
+    Under streaming, Spark's native stream-stream join handles the time
+    band directly: both sides are watermarked, the range predicate goes
+    into the join condition, and the watermarks + time bound let the
+    engine EVICT join state once no future match is possible — state is
+    bounded by (watermark delay + window span) of per-key history, not
+    the whole stream. This is the case where the batch operator's bucket
+    trick is unnecessary: the streaming engine already turns the time
+    bound into a state-cleanup condition (public Structured Streaming
+    inner-join-with-time-range semantics).
+
+    Batch parity: run both sides through the batch ``interval_join`` and
+    the joined sets converge (pinned in tests with availableNow)."""
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = F.lit(True)
+    for k in equi_keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_ms} MILLISECONDS")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_ms} MILLISECONDS")
+        )
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, "inner")
