@@ -108,26 +108,48 @@ def pq_fit(
         [v[j * sub_dim : (j + 1) * sub_dim] for v in first] for j in range(m)
     ]
     for _ in range(iters):
-        for j in range(m):
-            sums = (
-                corpus.select(
-                    _code_expr(
-                        _sub(F.col(vec_col), j, sub_dim), books[j], round_dp
-                    ).alias("code"),
-                    F.posexplode(_sub(F.col(vec_col), j, sub_dim)).alias(
-                        "dim", "x"
-                    ),
+        # ONE corpus scan + ONE shuffle per iteration for all m
+        # subspaces: the per-subspace argmin codes ride along as an
+        # array column; posexplode of the full vector recovers
+        # (subspace, dim) from the position. Group count = m * k *
+        # sub_dim — driver state stays one codebook.
+        codes = F.array(
+            *[
+                _code_expr(
+                    _sub(F.col(vec_col), j, sub_dim), books[j], round_dp
                 )
-                .groupBy("code", "dim")
-                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-                .collect()
+                for j in range(m)
+            ]
+        )
+        sums = (
+            corpus.select(
+                codes.alias("_codes"),
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "x"
+                ),
             )
-            acc: dict[int, list[float]] = {}
-            for r in sums:
-                acc.setdefault(int(r["code"]), [0.0] * sub_dim)[int(r["dim"])] = (
-                    _round_away(float(r["sx"]) / int(r["n"]), centroid_dp)
-                )
-            books[j] = [acc.get(c, books[j][c]) for c in range(k)]
+            .select(
+                F.expr(f"CAST(pos div {sub_dim} AS INT)").alias("j"),
+                F.element_at(
+                    F.col("_codes"),
+                    F.expr(f"CAST((pos div {sub_dim}) + 1 AS INT)"),
+                ).alias("code"),
+                F.expr(f"pos % {sub_dim}").alias("dim"),
+                "x",
+            )
+            .groupBy("j", "code", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        accs: list[dict[int, list[float]]] = [{} for _ in range(m)]
+        for r in sums:
+            j = int(r["j"])
+            accs[j].setdefault(int(r["code"]), [0.0] * sub_dim)[
+                int(r["dim"])
+            ] = _round_away(float(r["sx"]) / int(r["n"]), centroid_dp)
+        books = [
+            [accs[j].get(c, books[j][c]) for c in range(k)] for j in range(m)
+        ]
     return books
 
 
