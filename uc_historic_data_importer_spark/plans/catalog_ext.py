@@ -2048,3 +2048,77 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = q_row["label"]
     candidates = emb.filter(F.col("label") == cell)
     return pq.pq_topk(candidates, books, qv, k=10, exclude_id=0)
+
+
+@register(
+    "audit_orders_constraints",
+    """
+    SELECT count(*) AS row_count,
+           sum(CASE WHEN NOT (o_totalprice > 0)
+                      OR o_totalprice IS NULL THEN 1 ELSE 0 END)
+             AS positive_price,
+           sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                      OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             AS known_status,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS custkey_present,
+           sum(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01')
+                      OR o_orderdate IS NULL THEN 1 ELSE 0 END)
+             AS date_in_range
+    FROM orders
+    """,
+    doc="declarative constraint audit (operators/audit.py::"
+    "constraint_audit, the Deequ/expectations shape): every violation "
+    "count from ONE scan and ONE aggregate — adding a constraint adds a "
+    "conditional sum, never a pass. NULL check results count as "
+    "violations. The table-level generalization of the reference's "
+    "record gates (F1/F2) and drop accounting (F5).",
+)
+def audit_orders_constraints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import audit
+
+    orders = t(spark, sf_dir, "orders")
+    return audit.constraint_audit(
+        orders,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_present": F.col("o_custkey").isNotNull(),
+            "date_in_range": F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"),
+        },
+    )
+
+
+@register(
+    "profile_orders_columns",
+    """
+    WITH w AS (
+      SELECT count(*) AS row_count,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+             count(DISTINCT o_orderstatus) AS s_distinct,
+             CAST(min(o_orderstatus) AS VARCHAR) AS s_min,
+             CAST(max(o_orderstatus) AS VARCHAR) AS s_max,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+             count(DISTINCT o_custkey) AS c_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS c_min,
+             CAST(max(o_custkey) AS VARCHAR) AS c_max
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS "column", s_nulls AS n_nulls,
+           s_distinct AS n_distinct, s_min AS min_str, s_max AS max_str,
+           row_count FROM w
+    UNION ALL
+    SELECT 'o_custkey', c_nulls, c_distinct, c_min, c_max, row_count FROM w
+    """,
+    doc="column profiling (operators/audit.py::column_profile): nulls, "
+    "exact distincts, min/max per column in one aggregate pass (multi-"
+    "distinct via Spark's expand rewrite); long format so heterogeneous "
+    "column types share a schema. The HLL sketch family substitutes for "
+    "exact distincts at the largest tables.",
+)
+def profile_orders_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import audit
+
+    return audit.column_profile(
+        t(spark, sf_dir, "orders"), ["o_orderstatus", "o_custkey"]
+    )
