@@ -1241,3 +1241,28 @@ class TestPqRecall:
         # all picks must come from the query's cluster
         assert all(g < 10 for g in got), got
         assert recall >= 0.4, (recall, got, exact_ids)
+
+
+class TestKAnonymity:
+    def test_violating_groups_and_null_linkability(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 1), ("b", 2), (None, 2)],
+            "seg string, nat int",
+        )
+        got = {
+            (r["seg"], r["nat"]): r["group_size"]
+            for r in audit.k_anonymity_audit(df, ["seg", "nat"], k=3).collect()
+        }
+        # (a,1) has 3 members -> safe; singletons violate, incl. NULL seg
+        assert got == {("b", 2): 1, (None, 2): 1}
+
+    def test_k_floor(self, spark):
+        import pytest as _pytest
+
+        from uc_historic_data_importer_spark.operators import audit
+
+        df = spark.createDataFrame([("a",)], "seg string")
+        with _pytest.raises(ValueError):
+            audit.k_anonymity_audit(df, ["seg"], k=1)

@@ -83,3 +83,24 @@ def referential_orphans(
         on=child_key,
         how="left_anti",
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Groups of quasi-identifier combinations smaller than ``k`` — the
+    re-identification risk audit run before releasing or training on
+    user-adjacent data (public k-anonymity notion, Sweeney 2002).
+
+    Returns (quasi columns..., group_size) for every violating group.
+    One map-side-combined groupBy on
+    the quasi columns; NULLs form their own group (a null quasi value is
+    still a linkable value). Pair with text.pii_scrub for the content
+    side of the same governance gate."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

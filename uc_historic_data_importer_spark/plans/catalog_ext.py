@@ -2122,3 +2122,25 @@ def profile_orders_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.column_profile(
         t(spark, sf_dir, "orders"), ["o_orderstatus", "o_custkey"]
     )
+
+
+@register(
+    "k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 8
+    """,
+    doc="k-anonymity audit (operators/audit.py::k_anonymity_audit, "
+    "Sweeney 2002): quasi-identifier groups (nation, market segment) "
+    "with fewer than k=8 members — the re-identification risk gate for "
+    "user-adjacent training data. One map-side-combined groupBy; NULL "
+    "quasi values form their own (linkable) group.",
+)
+def k_anonymity_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import audit
+
+    return audit.k_anonymity_audit(
+        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=8
+    )
