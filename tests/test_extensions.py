@@ -1266,3 +1266,51 @@ class TestKAnonymity:
         df = spark.createDataFrame([("a",)], "seg string")
         with _pytest.raises(ValueError):
             audit.k_anonymity_audit(df, ["seg"], k=1)
+
+
+class TestIncrementalLsh:
+    def test_exact_dup_across_batch_boundary_found(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (3, "an entirely different document about spark plans")],
+            "doc_id long, text string",
+        )
+        incoming = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+             (20, "nothing like anything stored before at all here")],
+            "doc_id long, text string",
+        )
+        got = {(r["new_id"], r["corpus_id"])
+               for r in dedup.lsh_join_incremental(incoming, corpus).collect()}
+        assert (10, 1) in got
+        assert all(n != 20 for n, _ in got)
+
+    def test_matches_self_join_pairs_on_union(self, spark):
+        """Incremental(batch vs corpus) must find exactly the cross-
+        boundary subset of the full self-join's pairs."""
+        from uc_historic_data_importer_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"shared prefix tokens alpha beta gamma delta {i % 3}")
+             for i in range(12)],
+            "doc_id long, text string",
+        )
+        full = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (r["doc_a"], r["doc_b"])
+                for r in dedup.minhash_lsh_pairs(docs).collect()
+            )
+        }
+        inc = dedup.lsh_join_incremental(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+        got = {
+            (min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"]))
+            for r in inc.collect()
+        }
+        want = {(a, b) for a, b in full if (a % 2) != (b % 2)}
+        assert got == want and got

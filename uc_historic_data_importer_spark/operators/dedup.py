@@ -232,6 +232,26 @@ def minhash_lsh_pairs(
     band signature = md5 of the band's rows joined — uniform join key.
     Self-join per (band_idx, band_sig) bucket; distinct pairs across
     bands. Cost is linear in docs + bucket collisions, never all-pairs."""
+    banded = minhash_band_signatures(df, num_perms, bands, text_col, id_col, n)
+    # bucket-local pair expansion (one pass) instead of a banded self-join
+    # (two passes over the signature computation + a shuffle join)
+    return _bucket_pairs(banded, "band_idx", "band_sig").distinct()
+
+
+def minhash_band_signatures(
+    df: DataFrame,
+    num_perms: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, band_idx, band_sig): the persistable LSH index rows.
+
+    This is what a production corpus stores (PARTITIONED BY band_idx,
+    bucketed by band_sig): incoming batches compute THEIR bands with the
+    same constants and equi-join — dedup-against-corpus without ever
+    re-reading corpus text (see lsh_join_incremental)."""
     rows_per_band = num_perms // bands
     sig = minhash_signatures(df, num_perms, text_col, id_col, n)
     band_cols = []
@@ -245,12 +265,42 @@ def minhash_lsh_pairs(
                 ),
             )
         )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_sig")
-    # bucket-local pair expansion (one pass) instead of a banded self-join
-    # (two passes over the signature computation + a shuffle join)
-    return _bucket_pairs(banded, "band_idx", "band_sig").distinct()
+
+
+def lsh_join_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    num_perms: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(new_id, corpus_id) near-dup candidates of an INCOMING batch
+    against an EXISTING corpus — the incremental form of
+    minhash_lsh_pairs, and the dedup operation a growing training corpus
+    actually runs every day: hash only the new batch, equi-join its band
+    signatures against the corpus's stored signature table on the
+    uniform (band_idx, band_sig) key. Cost is linear in the batch +
+    matches; the corpus text is never re-read (its bands are the
+    persisted index), and a batch-side broadcast applies when the daily
+    increment is small."""
+    nb = minhash_band_signatures(new_df, num_perms, bands, text_col, id_col, n)
+    cb = minhash_band_signatures(
+        corpus_df, num_perms, bands, text_col, id_col, n
+    )
+    return (
+        nb.alias("n")
+        .join(cb.alias("c"), ["band_idx", "band_sig"])
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
 
 
 def simhash(

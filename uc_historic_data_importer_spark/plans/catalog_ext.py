@@ -2144,3 +2144,51 @@ def k_anonymity_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.k_anonymity_audit(
         t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=8
     )
+
+
+def _incremental_lsh_oracle() -> str:
+    """Bands of incoming (doc_id % 10 = 0) vs corpus (rest), equi-joined
+    — shares the exact signature/band CTEs of dedup_minhash_lsh."""
+    consts = perm_constants(_NUM_PERMS)
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {MERSENNE_61}) AS mh{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    bands = []
+    for bi in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{bi * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        )
+        bands.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_sig FROM sig"
+        )
+    banded = " UNION ALL ".join(bands)
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({banded})
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM banded n
+    JOIN banded c ON n.band_idx = c.band_idx AND n.band_sig = c.band_sig
+    WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    """
+
+
+@register(
+    "dedup_incremental_lsh",
+    _incremental_lsh_oracle(),
+    doc="incremental dedup-against-corpus (dedup.py::lsh_join_"
+    "incremental): the daily operation of a growing corpus — hash ONLY "
+    "the incoming batch (doc_id % 10 = 0 here), equi-join its MinHash "
+    "band signatures against the corpus's persisted signature index on "
+    "the uniform (band_idx, band_sig) key. Corpus text is never re-read;"
+    " cost is linear in batch + matches, broadcastable when the "
+    "increment is small.",
+)
+def dedup_incremental_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.lsh_join_incremental(
+        incoming, corpus, num_perms=_NUM_PERMS, bands=_BANDS
+    )
