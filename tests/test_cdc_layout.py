@@ -187,3 +187,59 @@ class TestZorder:
             # point is both dims tighten at once, which no single-column
             # sort achieves
             assert zord < plain * 0.75, (col, plain, zord)
+
+
+class TestMergeChangelogProperty:
+    def test_many_random_logs_match_python_fold(self, spark):
+        """50 randomized (snapshot, log) cases folded in ONE Spark merge
+        (log_id joins the key) must each match the obvious Python dict
+        fold. Seeded, unique seq per (log, key) — the documented
+        determinism contract."""
+        import random
+
+        rng = random.Random(42)
+        snap_rows, change_rows = [], []
+        expected = {}
+        for log_id in range(50):
+            keys = list(range(rng.randint(1, 8)))
+            snap = {k: round(rng.uniform(0, 100), 3)
+                    for k in keys if rng.random() < 0.7}
+            n_changes = rng.randint(0, 12)
+            log = []
+            seqs = rng.sample(range(100), n_changes)
+            for i in range(n_changes):
+                k = rng.choice(keys + [99])  # 99 = possibly-new key
+                op = "D" if rng.random() < 0.3 else "P"
+                val = round(rng.uniform(0, 100), 3) if op == "P" else None
+                log.append((k, seqs[i], op, val))
+            # python fold
+            state = dict(snap)
+            winners = {}
+            for k, seq, op, val in log:
+                if k not in winners or seq > winners[k][0]:
+                    winners[k] = (seq, op, val)
+            for k, (seq, op, val) in winners.items():
+                if op == "D":
+                    state.pop(k, None)
+                else:
+                    state[k] = val
+            expected[log_id] = state
+            snap_rows += [(log_id, k, v) for k, v in snap.items()]
+            change_rows += [(log_id, k, s, o, v) for k, s, o, v in log]
+
+        from uc_historic_data_importer_spark.operators import cdc
+
+        snap_df = spark.createDataFrame(
+            snap_rows, "log_id long, id long, score double"
+        )
+        chg_df = spark.createDataFrame(
+            change_rows, "log_id long, id long, seq long, op string, score double"
+        )
+        out = cdc.merge_changelog(
+            snap_df, chg_df, key_cols=("log_id", "id")
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["log_id"], {})[r["id"]] = r["score"]
+        for log_id, want in expected.items():
+            assert got.get(log_id, {}) == want, log_id
