@@ -133,3 +133,71 @@ class TestFeaturesAndResize:
         assert down == bytes(
             [px[0 * 8 + 0], px[0 * 8 + 4], px[4 * 8 + 0], px[4 * 8 + 4]]
         )
+
+
+class TestWavCodec:
+    def test_roundtrip_and_features(self):
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+
+        samples = [0, 1000, -1000, 32767, -32768, 5]
+        wav = ac.encode_wav(44100, samples)
+        rate, ch, got = ac.decode_wav(wav)
+        assert (rate, ch, got) == (44100, 1, samples)
+        dur, rms, peak = ac.audio_features(rate, got)
+        assert peak == 32768 and dur == 0
+        assert abs(rms - (sum(s * s for s in samples) / 6) ** 0.5) < 1e-9
+
+    def test_tolerates_extra_chunks_and_padding(self):
+        import struct
+
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+
+        wav = bytearray(ac.encode_wav(8000, [1, 2, 3]))
+        # splice a LIST chunk with odd size (forces pad-byte handling)
+        # between fmt and data
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        spliced = bytearray(bytes(wav[:fmt_end]) + extra + bytes(wav[fmt_end:]))
+        struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+        rate, ch, samples = ac.decode_wav(bytes(spliced))
+        assert samples == [1, 2, 3]
+
+    def test_rejects_non_wav_and_truncated(self):
+        import pytest as _pytest
+
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+
+        with _pytest.raises(ac.UnsupportedAudioError):
+            ac.decode_wav(b"\x89PNG\r\n\x1a\nnot audio")
+        wav = ac.encode_wav(8000, [1, 2, 3, 4])
+        with _pytest.raises(ac.UnsupportedAudioError):
+            ac.decode_wav(wav[:-3])  # truncated data chunk
+
+    def test_rejects_non_pcm16(self):
+        import struct
+
+        import pytest as _pytest
+
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+
+        wav = bytearray(ac.encode_wav(8000, [1, 2]))
+        # flip bits-per-sample to 8 inside the fmt chunk
+        struct.pack_into("<H", wav, 12 + 8 + 14, 8)
+        with _pytest.raises(ac.UnsupportedAudioError):
+            ac.decode_wav(bytes(wav))
+
+    def test_undecodable_payload_yields_sentinel_row(self, spark):
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+        from uc_historic_data_importer_spark.operators import multimodal
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        good = ac.encode_wav(8000, [10, -10] * 50)
+        media = spark.createDataFrame(
+            [(1, "audio", bytearray(good)), (2, "audio", bytearray(b"junk"))],
+            "media_id long, kind string, payload binary",
+        )
+        rows = {r["media_id"]: r
+                for r in multimodal.extract_audio_features(media).collect()}
+        assert rows[1]["n_samples"] == 100 and rows[1]["peak"] == 10
+        assert rows[2]["sample_rate"] == -1 and rows[2]["rms"] is None

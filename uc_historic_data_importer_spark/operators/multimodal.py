@@ -275,3 +275,58 @@ def audio_chunk_plan(
             (F.col("chunk_end_s") - F.col("chunk_start_s")) * F.col("sample_rate"),
         )
     )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode via mapInPandas: canonical PCM16 WAV payloads
+    (functions/audiocodec.py, pure stdlib) become (sample_rate,
+    n_samples, duration_ms, rms, peak); undecodable payloads yield a
+    -1/null row instead of failing the batch. Same 100 TB shape as
+    extract_features: payloads never return to the JVM, only scalar
+    features do."""
+    from uc_historic_data_importer_spark.functions import audiocodec
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                try:
+                    rate, _ch, samples = audiocodec.decode_wav(payload)
+                    dur, rms, peak = audiocodec.audio_features(rate, samples)
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "sample_rate": rate,
+                            "n_samples": len(samples),
+                            "duration_ms": dur,
+                            "rms": rms,
+                            "peak": peak,
+                        }
+                    )
+                except (audiocodec.UnsupportedAudioError, ValueError):
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "sample_rate": -1,
+                            "n_samples": -1,
+                            "duration_ms": -1,
+                            "rms": None,
+                            "peak": -1,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)

@@ -2192,3 +2192,62 @@ def dedup_incremental_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_join_incremental(
         incoming, corpus, num_perms=_NUM_PERMS, bands=_BANDS
     )
+
+
+@register(
+    "media_wav_decode",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             (2 + doc_id % 6) AS p,
+             (100 + (doc_id % 10) * 50) AS scale,
+             (50 + doc_id % 20) AS reps
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(p * reps AS INT) AS n_samples,
+           CAST((p * reps * 1000) // 8000 AS INT) AS duration_ms,
+           round(sqrt((scale * scale * list_sum(
+             list_transform(range(p), r -> (r - p // 2) * (r - p // 2))
+           ))::DOUBLE / p), 6) AS rms,
+           CAST(scale * (p // 2) AS INT) AS peak
+    FROM params
+    """,
+    doc="REAL audio decode under the full value-hash oracle (the WAV "
+    "twin of media_png_decode): each doc_id deterministically becomes a "
+    "genuine PCM16 RIFF/WAVE payload (functions/audiocodec.encode_wav — "
+    "sawtooth period 2+id%6, amplitude step 100+50*(id%10), length "
+    "p*(50+id%20) at 8 kHz), and the pipeline recovers sample rate, "
+    "length, duration, RMS and peak by actually PARSING the container "
+    "and PCM frames in the mapInPandas stage. The oracle recomputes RMS "
+    "in closed form over one waveform period (integer accumulation + "
+    "one correctly-rounded division = bit-equal doubles); a single "
+    "mis-parsed chunk or sample hash-mismatches.",
+)
+def media_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import multimodal
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_wav(ids: pd.Series) -> pd.Series:
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+
+        def build(i: int) -> bytes:
+            p = 2 + i % 6
+            scale = 100 + (i % 10) * 50
+            reps = 50 + i % 20
+            samples = [((j % p) - p // 2) * scale for j in range(p * reps)]
+            return ac.encode_wav(8000, samples)
+
+        return ids.map(build)
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        mk_wav(F.col("doc_id")).alias("payload"),
+    )
+    out = multimodal.extract_audio_features(media)
+    return out.select(
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        F.round("rms", 6).alias("rms"), "peak",
+    )
