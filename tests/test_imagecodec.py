@@ -201,3 +201,49 @@ class TestWavCodec:
                 for r in multimodal.extract_audio_features(media).collect()}
         assert rows[1]["n_samples"] == 100 and rows[1]["peak"] == 10
         assert rows[2]["sample_rate"] == -1 and rows[2]["rms"] is None
+
+
+class TestMp4Codec:
+    def test_roundtrip(self):
+        from uc_historic_data_importer_spark.functions import videocodec as vc
+
+        mp4 = vc.encode_mp4_meta(1920, 1080, 125_500, timescale=600)
+        assert vc.parse_mp4_meta(mp4) == (1920, 1080, 125_500)
+
+    def test_rejects_foreign_and_malformed(self):
+        import struct
+
+        import pytest as _pytest
+
+        from uc_historic_data_importer_spark.functions import videocodec as vc
+
+        with _pytest.raises(vc.UnsupportedVideoError):
+            vc.parse_mp4_meta(b"RIFF....WAVE not a video")
+        mp4 = bytearray(vc.encode_mp4_meta(64, 48, 1000))
+        struct.pack_into(">I", mp4, 0, 4)  # corrupt ftyp box size < 8
+        with _pytest.raises(vc.UnsupportedVideoError):
+            vc.parse_mp4_meta(bytes(mp4))
+
+    def test_missing_moov(self):
+        import pytest as _pytest
+
+        from uc_historic_data_importer_spark.functions import videocodec as vc
+
+        mp4 = vc.encode_mp4_meta(64, 48, 1000)
+        ftyp_only = mp4[: 8 + 16]  # just the ftyp box
+        with _pytest.raises(vc.UnsupportedVideoError):
+            vc.parse_mp4_meta(ftyp_only)
+
+    def test_sentinel_rows_for_junk(self, spark):
+        from uc_historic_data_importer_spark.functions import videocodec as vc
+        from uc_historic_data_importer_spark.operators import multimodal
+
+        media = spark.createDataFrame(
+            [(1, "video", bytearray(vc.encode_mp4_meta(640, 480, 2000))),
+             (2, "video", bytearray(b"not mp4 at all"))],
+            "media_id long, kind string, payload binary",
+        )
+        rows = {r["media_id"]: r
+                for r in multimodal.extract_video_meta(media).collect()}
+        assert (rows[1]["width"], rows[1]["height"], rows[1]["duration_ms"]) == (640, 480, 2000)
+        assert rows[2]["width"] == -1

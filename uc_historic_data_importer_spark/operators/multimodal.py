@@ -330,3 +330,43 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+
+def extract_video_meta(media: DataFrame) -> DataFrame:
+    """REAL MP4 container parse via mapInPandas (functions/videocodec.py
+    box walking): (width, height, duration_ms) from moov/mvhd/tkhd.
+    Frame decode is deliberately out of scope (codec territory) — this
+    metadata is what feeds frame_sample_plan's JVM-side planning.
+    Unparseable payloads yield -1 sentinels."""
+    from uc_historic_data_importer_spark.functions import videocodec
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                try:
+                    w, h, dur = videocodec.parse_mp4_meta(payload)
+                except (videocodec.UnsupportedVideoError, ValueError):
+                    w, h, dur = -1, -1, -1
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "width": w,
+                        "height": h,
+                        "duration_ms": dur,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_extract, schema=VIDEO_META_SCHEMA)

@@ -2251,3 +2251,46 @@ def media_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "sample_rate", "n_samples", "duration_ms",
         F.round("rms", 6).alias("rms"), "peak",
     )
+
+
+@register(
+    "media_mp4_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(320 + (doc_id % 8) * 80 AS INT) AS width,
+           CAST(240 + (doc_id % 6) * 60 AS INT) AS height,
+           CAST(1000 + (doc_id % 100) * 250 AS INT) AS duration_ms
+    FROM documents
+    """,
+    doc="REAL video container parse under the value-hash oracle (the "
+    "MP4 member of the png/wav family): each doc_id deterministically "
+    "becomes a genuine ISO-BMFF box tree (functions/videocodec."
+    "encode_mp4_meta, timescale 600) and the pipeline recovers track "
+    "dims (16.16 fixed point) and duration by actually WALKING "
+    "ftyp/moov/mvhd/tkhd in the mapInPandas stage. Frame decode stays "
+    "out of scope (codec territory); this metadata feeds "
+    "frame_sample_plan's JVM-side planning.",
+)
+def media_mp4_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import multimodal
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_mp4(ids: pd.Series) -> pd.Series:
+        from uc_historic_data_importer_spark.functions import videocodec as vc
+
+        def build(i: int) -> bytes:
+            return vc.encode_mp4_meta(
+                320 + (i % 8) * 80,
+                240 + (i % 6) * 60,
+                1000 + (i % 100) * 250,
+                timescale=600,
+            )
+
+        return ids.map(build)
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        mk_mp4(F.col("doc_id")).alias("payload"),
+    )
+    return multimodal.extract_video_meta(media)
