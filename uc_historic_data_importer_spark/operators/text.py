@@ -242,12 +242,14 @@ BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s
 
 def bpe_pieces_col(text: Column) -> Column:
     """BPE-ish pretokenizer pieces of the raw (case-preserved) text,
-    whitespace-only pieces removed — the standard proxy for 'how many
-    tokens will the tokenizer emit' when the merge table isn't in play.
-    Pure codegen `regexp_extract_all`; no Python, no shuffle."""
+    whitespace-only pieces removed (ALL whitespace — `trim` strips
+    spaces only and would let a tab-run count as a token) — the
+    standard proxy for 'how many tokens will the tokenizer emit' when
+    the merge table isn't in play. Pure codegen `regexp_extract_all`;
+    no Python, no shuffle."""
     return F.filter(
         F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0)),
-        lambda p: F.trim(p) != "",
+        lambda p: ~p.rlike(r"^\s*$"),
     )
 
 

@@ -1853,7 +1853,7 @@ def zorder_stats_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(
                  regexp_extract_all(text,
                    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
-                 x -> trim(x) != '')) AS n_bpe,
+                 x -> NOT regexp_matches(x, '^\\s*$'))) AS n_bpe,
              len({_TOKENS_SQL}) AS n_ws
       FROM documents
     )
