@@ -239,3 +239,30 @@ class TestCompaction:
         )
         # both windows run off the same (table, key_hex) exchange
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestBackfill:
+    def test_dynamic_overwrite_touches_only_present_partitions(self, spark, tmp_path):
+        from uc_historic_data_importer_spark import sinks
+
+        path = str(tmp_path / "kv")
+
+        def mk(table, n, ver):
+            return spark.createDataFrame(
+                [(table, f"k{i}", f"{i:02x}", ver, f"body-{table}-{ver}-{i}")
+                 for i in range(n)],
+                "table string, key string, key_hex string, version long, envelope string",
+            )
+
+        sinks.kv_sink(mk("db1:collA", 5, 1), path)
+        sinks.kv_sink(mk("db1:collB", 3, 1), path)
+
+        # backfill collA only, with new versions and FEWER rows
+        sinks.kv_backfill(mk("db1:collA", 2, 2), path)
+
+        got = spark.read.parquet(path)
+        a = got.filter(F.col("table") == "db1:collA").collect()
+        b = got.filter(F.col("table") == "db1:collB").collect()
+        # collA fully replaced (old 5 v1 rows gone), collB untouched
+        assert sorted(r["version"] for r in a) == [2, 2]
+        assert len(b) == 3 and all(r["version"] == 1 for r in b)

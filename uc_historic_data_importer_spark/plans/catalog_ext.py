@@ -2294,3 +2294,55 @@ def media_mp4_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mk_mp4(F.col("doc_id")).alias("payload"),
     )
     return multimodal.extract_video_meta(media)
+
+
+@register(
+    "curriculum_order_documents",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, n_tokens,
+             CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INT)
+               AS difficulty_bin
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, difficulty_bin,
+           CAST(row_number() OVER (
+             ORDER BY difficulty_bin,
+                      {md5_i64_sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+             AS BIGINT) AS curriculum_pos
+    FROM binned
+    """,
+    doc="curriculum ordering (easy-to-hard corpus scheduling, public "
+    "curriculum-learning recipe): documents ntile into 4 difficulty "
+    "bins by token length, then a deterministic hash shuffle WITHIN "
+    "each bin (no RNG — rerun-stable epochs) yields the global "
+    "curriculum position. One ranking exchange; at corpus scale the "
+    "bin boundaries come from the log-histogram sketch instead of an "
+    "exact ntile and positions are assigned per-shard.",
+)
+def curriculum_order_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uc_historic_data_importer_spark.functions.hashes import md5_i64
+    from uc_historic_data_importer_spark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    binned = docs.withColumn(
+        "difficulty_bin",
+        F.ntile(4).over(Window.orderBy("n_tokens", "doc_id")),
+    )
+    pos_w = Window.orderBy(
+        "difficulty_bin",
+        md5_i64(F.col("doc_id").cast("string")),
+        "doc_id",
+    )
+    return binned.select(
+        "doc_id", "n_tokens", "difficulty_bin",
+        F.row_number().over(pos_w).cast("long").alias("curriculum_pos"),
+    )

@@ -357,3 +357,23 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
     return sorted(
         os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".csv")
     )
+
+
+def kv_backfill(df: DataFrame, path: str) -> None:
+    """Partition-scoped re-import (W7's re-run mode done right at
+    scale): dynamic partition overwrite replaces ONLY the `table=`
+    partitions present in this batch — re-importing one collection
+    never touches (or rewrites) any other collection's cells, and a
+    crashed backfill leaves untouched partitions readable.
+
+    This is the idempotent fix-one-collection operation the reference
+    performs by re-running the whole job against a table it truncates
+    (`docs/running.md` re-run guidance); with dynamic overwrite the
+    blast radius is exactly the collections being re-imported."""
+    (
+        df.select("table", "key", "key_hex", "version", F.col("envelope").alias("body"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("table")
+        .parquet(path)
+    )
