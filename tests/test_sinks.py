@@ -266,3 +266,40 @@ class TestBackfill:
         # collA fully replaced (old 5 v1 rows gone), collB untouched
         assert sorted(r["version"] for r in a) == [2, 2]
         assert len(b) == 3 and all(r["version"] == 1 for r in b)
+
+
+class TestSchemaEvolution:
+    def test_kv_read_spans_old_and_new_cell_schemas(self, spark, tmp_path):
+        """A corpus written over months gains columns: cells written
+        before the change must stay readable next to new ones
+        (mergeSchema), with the added column NULL on old rows — and
+        latest_per_key must still collapse versions across the schema
+        boundary."""
+        from uc_historic_data_importer_spark import sinks
+        from uc_historic_data_importer_spark.operators.latest import latest_per_key
+
+        path = str(tmp_path / "kv")
+        old = spark.createDataFrame(
+            [("t1", "k1", "aa", 1, "body-v1")],
+            "table string, key string, key_hex string, version long, envelope string",
+        )
+        sinks.kv_sink(old, path)
+        new = spark.createDataFrame(
+            [("t1", "k1", "aa", 2, "body-v2", "eu-west-1")],
+            "table string, key string, key_hex string, version long, "
+            "envelope string, region string",
+        )
+        (
+            new.select("table", "key", "key_hex", "version",
+                       F.col("envelope").alias("body"), "region")
+            .write.mode("append").partitionBy("table").parquet(path)
+        )
+        kv = spark.read.option("mergeSchema", "true").parquet(path)
+        assert "region" in kv.columns and kv.count() == 2
+        old_row = kv.filter(F.col("version") == 1).first()
+        assert old_row["region"] is None
+        latest = latest_per_key(
+            kv, key_cols=("table", "key_hex"), payload_cols=("body", "region")
+        ).collect()
+        assert len(latest) == 1
+        assert latest[0]["body"] == "body-v2" and latest[0]["region"] == "eu-west-1"
