@@ -247,3 +247,55 @@ class TestMp4Codec:
                 for r in multimodal.extract_video_meta(media).collect()}
         assert (rows[1]["width"], rows[1]["height"], rows[1]["duration_ms"]) == (640, 480, 2000)
         assert rows[2]["width"] == -1
+
+
+class TestCodecFuzzHardening:
+    def test_wav_zero_channels_and_rate_typed_error(self):
+        import struct
+
+        import pytest as _pytest
+
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+
+        for offset in (2, 4):  # channels field / sample-rate field
+            wav = bytearray(ac.encode_wav(8000, [1, 2]))
+            width = "<H" if offset == 2 else "<I"
+            struct.pack_into(width, wav, 12 + 8 + offset, 0)
+            with _pytest.raises(ac.UnsupportedAudioError):
+                ac.decode_wav(bytes(wav))
+
+    def test_mp4_degenerate_boxes_typed_error(self):
+        import struct
+
+        import pytest as _pytest
+
+        from uc_historic_data_importer_spark.functions import videocodec as vc
+
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        empty_mvhd = struct.pack(">I", 8) + b"mvhd"
+        moov = struct.pack(">I", 8 + len(empty_mvhd)) + b"moov" + empty_mvhd
+        with _pytest.raises(vc.UnsupportedVideoError):
+            vc.parse_mp4_meta(ftyp + moov)
+
+    def test_random_bytes_raise_only_typed_errors(self):
+        import random
+
+        from uc_historic_data_importer_spark.functions import (
+            audiocodec as ac,
+            videocodec as vc,
+        )
+
+        rng = random.Random(7)
+        for trial in range(3000):
+            n = rng.randrange(0, 96)
+            b = bytes(rng.randrange(256) for _ in range(n))
+            if trial % 3 == 0:
+                b = b"RIFF" + b[:4] + b"WAVE" + b[8:]
+            if trial % 3 == 1 and n >= 8:
+                b = b[:4] + b"ftyp" + b[8:]
+            for fn, err in ((ac.decode_wav, ac.UnsupportedAudioError),
+                            (vc.parse_mp4_meta, vc.UnsupportedVideoError)):
+                try:
+                    fn(b)
+                except err:
+                    pass  # the ONLY acceptable failure type

@@ -71,6 +71,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         raise UnsupportedAudioError(
             f"only PCM16 supported (format={audio_format}, bits={bits})"
         )
+    if n_channels == 0 or sample_rate == 0:
+        raise UnsupportedAudioError("zero channels or sample rate")
     if len(data) % (2 * n_channels):
         raise UnsupportedAudioError("data chunk not frame-aligned")
     samples = list(struct.unpack(f"<{len(data) // 2}h", data))

@@ -88,6 +88,8 @@ def parse_mp4_meta(payload: bytes) -> tuple[int, int, int]:
             continue
         for inner, is_, ie in _walk(payload, s, e):
             if inner == b"mvhd":
+                if ie - is_ < 20:
+                    raise UnsupportedVideoError("mvhd box too short")
                 version = payload[is_]
                 if version != 0:
                     raise UnsupportedVideoError("mvhd v1 unsupported")
@@ -97,6 +99,8 @@ def parse_mp4_meta(payload: bytes) -> tuple[int, int, int]:
             elif inner == b"trak":
                 for t, ts_, te in _walk(payload, is_, ie):
                     if t == b"tkhd" and width is None:
+                        if te - ts_ < 8:
+                            raise UnsupportedVideoError("tkhd box too short")
                         # v0 tkhd: dims are the last 8 bytes, 16.16 fixed
                         w_fx, h_fx = struct.unpack_from(">II", payload, te - 8)
                         width, height = w_fx >> 16, h_fx >> 16
