@@ -1202,8 +1202,6 @@ class TestPqRecall:
         """On clearly clustered data PQ must retrieve same-cluster
         neighbors: recall@5 of ADC vs exact L2 >= 0.8. Measures the
         QUALITY of the approximation, not just its determinism."""
-        import itertools
-
         from uc_historic_data_importer_spark.operators import pq
 
         # 4 well-separated cluster centers in 8-dim; 10 points each with
