@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from uc_historic_data_importer_spark.operators.similarity import (
     _ensure_parallel,
     _round_away,
-    dot_col,
 )
 
 
@@ -49,24 +48,37 @@ def _sub(vec: Column, j: int, sub_dim: int) -> Column:
     return F.slice(vec.cast("array<double>"), j * sub_dim + 1, sub_dim)
 
 
-def _l2sq_expr(sub: Column, cent: list[float]) -> Column:
-    """||sub - cent||^2 as (sub.sub + cent.cent) - 2*sub.cent — the same
-    association order the DuckDB oracle uses, so the doubles match
-    bit-for-bit before the rounding even applies."""
-    carr = F.array(*[F.lit(float(x)) for x in cent])
-    cc = 0.0
-    for x in cent:
-        cc += float(x) * float(x)
-    return (dot_col(sub, sub) + F.lit(cc)) - 2.0 * dot_col(sub, carr)
+def _dot_lit(sub: Column, cent: list[float]) -> Column:
+    """sub · literal centroid, UNROLLED into element_at multiply-adds.
+
+    The higher-order-function dot (aggregate over zip_with) is
+    interpreted per row — hoisting the centroid to literals turns the
+    whole product into whole-stage-codegen scalar arithmetic (~10x on
+    the encode path). Left-associated sum = the same association as a
+    sequential accumulate, so DuckDB's list_inner_product reproduces
+    the double bit-for-bit."""
+    acc: Column | None = None
+    for i, x in enumerate(cent):
+        term = F.element_at(sub, i + 1) * F.lit(float(x))
+        acc = term if acc is None else acc + term
+    return acc if acc is not None else F.lit(0.0)
 
 
 def _code_expr(sub: Column, codebook: list[list[float]], round_dp: int) -> Column:
-    """argmin code for one subspace: distances rounded before the argmin,
-    ties to the LOWEST code (strict < keeps the earlier one)."""
+    """argmin code for one subspace: comparison keys rounded before the
+    argmin, ties to the LOWEST code (strict < keeps the earlier one).
+
+    The key is (cent.cent - 2*sub.cent), NOT the full ||sub-cent||^2:
+    sub.sub is constant across codes, so dropping it changes no argmin
+    result and removes k interpreted self-dots per row. The oracle
+    rounds the identical key, so tie behavior stays engine-portable."""
     best_s: Column | None = None
     best_j: Column | None = None
     for c, cent in enumerate(codebook):
-        d = F.round(_l2sq_expr(sub, cent), round_dp)
+        cc = 0.0
+        for x in cent:
+            cc += float(x) * float(x)
+        d = F.round(F.lit(cc) - 2.0 * _dot_lit(sub, cent), round_dp)
         if best_s is None:
             best_s, best_j = d, F.lit(0)
         else:
@@ -107,6 +119,9 @@ def pq_fit(
     books = [
         [v[j * sub_dim : (j + 1) * sub_dim] for v in first] for j in range(m)
     ]
+    # single-file corpora scan as ONE partition; the iteration's
+    # explode+aggregate is CPU-bound and must parallelize
+    corpus = _ensure_parallel(corpus)
     for _ in range(iters):
         # ONE corpus scan + ONE shuffle per iteration for all m
         # subspaces: the per-subspace argmin codes ride along as an

@@ -183,17 +183,25 @@ def _cell_expr(
 ) -> Column:
     """Nearest-centroid argmax as a pure column expression (no join).
 
-    Cosine to each centroid is rounded BEFORE the argmax and ties break
-    to the LOWEST cell id (strict > keeps the earlier centroid), so the
-    assignment is bit-stable across engines."""
-    v = F.col(vec_col)
-    vn = norm_col(v)
+    The comparison key is dot(v, c) / |c| — NOT the full cosine: |v| is
+    a positive constant across centroids, so dropping it changes no
+    argmax result and removes the per-centroid interpreted self-dot.
+    The dot itself is UNROLLED into element_at multiply-adds (the HOF
+    aggregate is interpreted per row; literals make it whole-stage
+    codegen). Keys are rounded BEFORE the argmax and ties break to the
+    LOWEST cell id (strict > keeps the earlier centroid); the oracle
+    rounds the identical key, so the assignment is bit-stable across
+    engines."""
+    v = F.col(vec_col).cast("array<double>")
     best_s: Column | None = None
     best_j: Column | None = None
     for j, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        score = F.round(dot_col(v, carr) / (vn * F.lit(cn)), round_dp)
+        dot: Column | None = None
+        for i, x in enumerate(c):
+            term = F.element_at(v, i + 1) * F.lit(float(x))
+            dot = term if dot is None else dot + term
+        score = F.round((dot if dot is not None else F.lit(0.0)) / F.lit(cn), round_dp)
         if best_s is None:
             best_s, best_j = score, F.lit(0)
         else:
@@ -249,6 +257,9 @@ def kmeans_fit(
         for r in corpus.select(vec_col, id_col).orderBy(id_col).take(k)
     ]
     centroids = [_unit(c) for c in first]
+    # a single-file corpus scans as ONE partition; the per-iteration
+    # explode+aggregate is CPU-bound and must parallelize
+    corpus = _ensure_parallel(corpus)
     for _ in range(iters):
         sums = (
             corpus.select(

@@ -1205,11 +1205,13 @@ def _ivf_build_oracle(k: int = 4, iters: int = 2) -> str:
             f"(CASE WHEN sqrt({ip}(c.c, c.c)) = 0 THEN 1.0 "
             f"ELSE sqrt({ip}(c.c, c.c)) END)"
         )
+        # key = dot / |c| only: |v| is constant per vec and dropped on
+        # BOTH engines (see similarity._cell_expr)
         return f"""{out} AS (
       SELECT vec_id, cell FROM (
         SELECT t.vec_id, c.cell, row_number() OVER (
           PARTITION BY t.vec_id ORDER BY
-            round({ip}(t.v, c.c) / (sqrt({ip}(t.v, t.v)) * {cn}), 6) DESC,
+            round({ip}(t.v, c.c) / {cn}, 6) DESC,
             c.cell ASC) AS rn
         FROM v t CROSS JOIN {cent} c
       ) WHERE rn = 1
@@ -1897,6 +1899,11 @@ def _pq_oracle(
         # (a.a + b.b) - 2*a.b — the association order pq.py uses
         return f"(({ip}({a}, {a}) + {ip}({b}, {b})) - 2*{ip}({a}, {b}))"
 
+    def argmin_key(a: str, b: str) -> str:
+        # the argmin comparison key pq._code_expr uses: the a.a term is
+        # constant across codes and dropped on BOTH engines
+        return f"({ip}({b}, {b}) - 2*{ip}({a}, {b}))"
+
     ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
     for j in range(m):
         a, b = j * sub + 1, (j + 1) * sub
@@ -1913,7 +1920,7 @@ def _pq_oracle(
       SELECT vec_id, code FROM (
         SELECT t.vec_id, c.code, row_number() OVER (
           PARTITION BY t.vec_id
-          ORDER BY round({l2(f't.{sv}', 'c.c')}, 6) ASC, c.code ASC) AS rn
+          ORDER BY round({argmin_key(f't.{sv}', 'c.c')}, 6) ASC, c.code ASC) AS rn
         FROM v t CROSS JOIN {prev} c
       ) WHERE rn = 1)"""
             )
@@ -1938,7 +1945,7 @@ def _pq_oracle(
       SELECT vec_id, code AS code_{j} FROM (
         SELECT t.vec_id, c.code, row_number() OVER (
           PARTITION BY t.vec_id
-          ORDER BY round({l2(f't.{sv}', 'c.c')}, 6) ASC, c.code ASC) AS rn
+          ORDER BY round({argmin_key(f't.{sv}', 'c.c')}, 6) ASC, c.code ASC) AS rn
         FROM v t CROSS JOIN {final} c
       ) WHERE rn = 1)"""
         )
