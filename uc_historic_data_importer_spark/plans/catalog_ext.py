@@ -2353,3 +2353,20 @@ def curriculum_order_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "difficulty_bin",
         F.row_number().over(pos_w).cast("long").alias("curriculum_pos"),
     )
+
+
+@register(
+    "dedup_components_star",
+    _components_oracle(),
+    doc="the SAME cluster canonicalization through the O(log n)-round "
+    "large-star/small-star contraction (Kiveris et al. SOCC'14) instead "
+    "of O(diameter) min-label propagation — the variant that survives "
+    "chain-shaped near-dup graphs at corpus scale. Identical oracle "
+    "(recursive-CTE transitive closure): both algorithms must produce "
+    "the same (doc_id, component) assignment.",
+)
+def dedup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), num_perms=_NUM_PERMS, bands=_BANDS
+    )
+    return dedup.connected_components_star(pairs)
