@@ -328,3 +328,45 @@ def rolling_window_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d_revenue"),
         F.count(F.lit(1)).over(w).alias("n_orders_7d"),
     )
+
+
+@register(
+    "stat_aggregates_events",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             date_diff('day', DATE '2024-01-01', ts)::DOUBLE AS x
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(value), 4) AS mean_value,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(corr(value, x), 4) AS corr_value_time,
+           round(covar_samp(value, x), 4) AS covar_value_time,
+           round(regr_slope(value, x), 4) AS slope,
+           round(regr_intercept(value, x), 4) AS intercept
+    FROM e
+    GROUP BY event_type
+    """,
+    doc="statistical aggregate surface: stddev / correlation / "
+    "covariance / least-squares regression per group, all single-pass "
+    "mergeable moment aggregates (sum, sum of squares, cross products) "
+    "— one map-side-combined shuffle regardless of group sizes. "
+    "Results rounded before hashing: moment accumulation order differs "
+    "across engines at the last bits.",
+)
+def stat_aggregates_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # small integer day offsets, not epoch seconds: large-magnitude x
+    # turns the co-moment cancellation into engine-visible noise
+    x = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.corr(F.col("value"), x), 4).alias("corr_value_time"),
+        F.round(F.covar_samp(F.col("value"), x), 4).alias("covar_value_time"),
+        F.round(F.regr_slope(F.col("value"), x), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+    )
