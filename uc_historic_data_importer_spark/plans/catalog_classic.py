@@ -370,3 +370,46 @@ def stat_aggregates_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.col("value"), x), 4).alias("slope"),
         F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
     )
+
+
+@register(
+    "null_safe_join_events",
+    """
+    WITH l AS (
+      SELECT nullif(CAST(json_extract_string(props, '$.k') AS INT) % 7, 3)
+               AS grp,
+             count(*) AS n_all
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT nullif(CAST(json_extract_string(props, '$.k') AS INT) % 7, 3)
+               AS grp,
+             count(*) AS n_high
+      FROM events WHERE value > 50 GROUP BY 1
+    )
+    SELECT l.grp, l.n_all, r.n_high
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    """,
+    doc="null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL "
+    "bucket on both sides joins to itself instead of silently dropping "
+    "— the semantics plain equality loses exactly when dirty keys "
+    "matter most. Still a hash-partitionable equi-join (NULL is one "
+    "more key value), not a filter-after-outer-join workaround.",
+)
+def null_safe_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    grp = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 7, F.lit(3)
+    ).alias("grp")
+    l = ev.select(grp).groupBy("grp").agg(F.count(F.lit(1)).alias("n_all"))
+    r = (
+        ev.filter(F.col("value") > 50)
+        .select(grp)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+    return (
+        l.alias("l")
+        .join(r.alias("r"), F.col("l.grp").eqNullSafe(F.col("r.grp")))
+        .select(F.col("l.grp").alias("grp"), "n_all", "n_high")
+    )
