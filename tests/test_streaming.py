@@ -284,3 +284,19 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 3
+
+
+def test_snapshot_version_pruning(spark, tmp_path):
+    import os
+
+    base = tmp_path / "snap"
+    for v in (0, 1, 2, 3, 4):
+        d = base / f"v={v}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+    pruned = sp.prune_snapshot_versions(str(base), keep_n=2)
+    assert pruned == [0, 1, 2]
+    assert sorted(os.listdir(base)) == ["v=3", "v=4"]
+    assert sp.latest_snapshot_version(spark, str(base)) == 4
+    # never deletes the newest even with keep_n=1 on a single version
+    assert sp.prune_snapshot_versions(str(base), keep_n=5) == []

@@ -349,3 +349,31 @@ def interval_join_stream(
         )
     )
     return lw.alias("l").join(rw.alias("r"), cond, "inner")
+
+
+def prune_snapshot_versions(
+    snapshot_base: str, keep_n: int = 3
+) -> list[int]:
+    """Retention for the CDC merge sink's version history: delete all
+    but the newest ``keep_n`` ``v=N`` snapshot directories, returning
+    the pruned version numbers. Never touches the newest version, so
+    concurrent readers of `latest_snapshot_version` are safe; driver-
+    side directory operations only (O(versions), no data read)."""
+    import os
+    import shutil
+
+    if keep_n < 1:
+        raise ValueError("keep_n must be >= 1")
+    try:
+        entries = os.listdir(snapshot_base)
+    except FileNotFoundError:
+        return []
+    versions = sorted(
+        int(e.split("=", 1)[1])
+        for e in entries
+        if e.startswith("v=") and e.split("=", 1)[1].isdigit()
+    )
+    doomed = versions[:-keep_n] if len(versions) > keep_n else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(snapshot_base, f"v={v}"))
+    return doomed
