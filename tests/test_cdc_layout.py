@@ -243,3 +243,33 @@ class TestMergeChangelogProperty:
             got.setdefault(r["log_id"], {})[r["id"]] = r["score"]
         for log_id, want in expected.items():
             assert got.get(log_id, {}) == want, log_id
+
+
+class TestZorder3Col:
+    def test_three_column_interleave_parity(self, spark):
+        import duckdb
+
+        from uc_historic_data_importer_spark.operators import layout
+
+        vals = [(i * 37 % 1024, i * 101 % 1024, i * 211 % 1024)
+                for i in range(100)]
+        df = spark.createDataFrame(vals, "a long, b long, c long")
+        got = {
+            (r["a"], r["b"], r["c"]): r["z"]
+            for r in df.select(
+                "a", "b", "c",
+                layout.zorder_key(
+                    [F.col("a"), F.col("b"), F.col("c")], bits=10
+                ).alias("z"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        zsql = layout.zorder_key_sql(["a", "b", "c"], bits=10)
+        for (a, b, c), z in got.items():
+            (zd,) = con.execute(
+                f"SELECT {zsql} FROM (SELECT {a}::BIGINT a, {b}::BIGINT b, "
+                f"{c}::BIGINT c)"
+            ).fetchone()
+            assert zd == z
+        # interleave is a bijection on the masked domain
+        assert len(set(got.values())) == len(got)
