@@ -300,3 +300,27 @@ def test_snapshot_version_pruning(spark, tmp_path):
     assert sp.latest_snapshot_version(spark, str(base)) == 4
     # never deletes the newest even with keep_n=1 on a single version
     assert sp.prune_snapshot_versions(str(base), keep_n=5) == []
+
+
+def test_changelog_batch_replay_is_idempotent(spark, tmp_path):
+    """A batch replayed after a crash-between-write-and-commit must
+    re-read the same input version and overwrite its own output —
+    byte-identical final state, no double-application."""
+    base = str(tmp_path / "snap")
+    schema = "id BIGINT, seq BIGINT, op STRING, score DOUBLE"
+    b0 = spark.createDataFrame([(1, 1, "P", 10.0), (2, 1, "P", 20.0)], schema)
+    b1 = spark.createDataFrame([(1, 2, "P", 11.0), (2, 2, "D", None)], schema)
+
+    sp.apply_changelog_batch(b0, 0, base, ("id",))
+    sp.apply_changelog_batch(b1, 1, base, ("id",))
+    first = sorted(
+        (r["id"], r["score"])
+        for r in spark.read.parquet(f"{base}/v=1").collect()
+    )
+    # replay batch 1 (same id): must read v=0 again, not v=1
+    sp.apply_changelog_batch(b1, 1, base, ("id",))
+    second = sorted(
+        (r["id"], r["score"])
+        for r in spark.read.parquet(f"{base}/v=1").collect()
+    )
+    assert first == second == [(1, 11.0)]

@@ -259,20 +259,12 @@ def run_changelog_merge_sink(
     lives in parquet, not executor memory; a day's changelog against a
     10^11-key snapshot is one merge job, not 10^11 stateful keys.
     """
-    from uc_historic_data_importer_spark.operators import cdc
-
     keys = list(key_cols)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = latest_snapshot_version(spark, snapshot_base, below=batch_id)
-        payload = [c for c in batch_df.columns if c not in (seq_col, op_col)]
-        if prev is None:
-            snap = spark.createDataFrame([], batch_df.select(*payload).schema)
-        else:
-            snap = spark.read.parquet(f"{snapshot_base}/v={prev}")
-        merged = cdc.merge_changelog(snap, batch_df, keys, seq_col, op_col)
-        merged.write.mode("overwrite").parquet(f"{snapshot_base}/v={batch_id}")
+        apply_changelog_batch(
+            batch_df, batch_id, snapshot_base, keys, seq_col, op_col
+        )
 
     writer = (
         changes.writeStream.foreachBatch(apply_batch)
@@ -377,3 +369,32 @@ def prune_snapshot_versions(
     for v in doomed:
         shutil.rmtree(os.path.join(snapshot_base, f"v={v}"))
     return doomed
+
+
+def apply_changelog_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_base: str,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> None:
+    """One CDC fold: read the newest ``v < batch_id`` snapshot, merge
+    this batch's changes, (over)write ``v=batch_id``. IDEMPOTENT under
+    replay by construction — a re-run of the same batch id re-reads the
+    same input version and overwrites its own output (pinned in
+    tests/test_streaming.py::test_changelog_batch_replay_is_idempotent).
+    Exposed separately from the stream writer so batch backfills can
+    drive the same fold."""
+    from uc_historic_data_importer_spark.operators import cdc
+
+    spark = batch_df.sparkSession
+    keys = list(key_cols)
+    prev = latest_snapshot_version(spark, snapshot_base, below=batch_id)
+    payload = [c for c in batch_df.columns if c not in (seq_col, op_col)]
+    if prev is None:
+        snap = spark.createDataFrame([], batch_df.select(*payload).schema)
+    else:
+        snap = spark.read.parquet(f"{snapshot_base}/v={prev}")
+    merged = cdc.merge_changelog(snap, batch_df, keys, seq_col, op_col)
+    merged.write.mode("overwrite").parquet(f"{snapshot_base}/v={batch_id}")
