@@ -324,3 +324,35 @@ def test_changelog_batch_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(f"{base}/v=1").collect()
     )
     assert first == second == [(1, 11.0)]
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static
+    dimension (broadcast — no stateful join, no watermark needed)."""
+    from pyspark.sql import functions as F2
+
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "region_id long, value double"
+    ).coalesce(1).write.parquet(str(src))
+    dim = F2.broadcast(
+        spark.createDataFrame(
+            [(1, "emea"), (2, "amer")], "region_id long, region string"
+        )
+    )
+    stream = spark.readStream.schema("region_id BIGINT, value DOUBLE").parquet(
+        str(src)
+    )
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        stream.join(dim, "region_id", "left")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    rows = {r["region_id"]: r["region"]
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {1: "emea", 2: "amer", 3: None}
