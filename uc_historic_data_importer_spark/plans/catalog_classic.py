@@ -413,3 +413,35 @@ def null_safe_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r.alias("r"), F.col("l.grp").eqNullSafe(F.col("r.grp")))
         .select(F.col("l.grp").alias("grp"), "n_all", "n_high")
     )
+
+
+@register(
+    "histogram_prices",
+    """
+    SELECT CAST(floor(o_totalprice / 20000) AS INT) AS bucket,
+           CAST(floor(o_totalprice / 20000) AS INT) * 20000 AS bucket_lo,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    doc="equi-width histogram (the profiling complement of the "
+    "log-histogram sketch): bucket = floor(price / width) — integer "
+    "arithmetic both engines compute identically, one map-side-combined "
+    "groupBy on a small bucket domain. The sketch family replaces this "
+    "when the domain is unbounded; equi-width wins when the x-axis must "
+    "be linear (dashboards, SLO bands).",
+)
+def histogram_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 20000).cast("int")
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            (F.col("bucket") * 20000).alias("bucket_lo"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
