@@ -188,3 +188,20 @@ def test_zorder_key_is_map_only(spark):
     the scan stage."""
     plan = plan_of(spark, "zorder_stats_lineitem")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_session_scale_confs_pinned(spark):
+    """The scale posture lives in the session factory; losing any of
+    these silently changes every plan in the catalog."""
+    want = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    for k, v in want.items():
+        assert spark.conf.get(k) == v, k
