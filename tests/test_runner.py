@@ -80,3 +80,31 @@ def test_runner_compact_mode(spark, tmp_path, capsys):
         spark.read.parquet(kv).select("table", "key_hex").distinct().count()
     )
     assert report["kept_cells"] == distinct_keys
+
+
+def test_apply_changelog_mode(spark, tmp_path):
+    from uc_historic_data_importer_spark import run as runner
+
+    log1 = tmp_path / "log1"
+    spark.createDataFrame(
+        [(1, 1, "P", 10.0), (2, 1, "P", 20.0)],
+        "id BIGINT, seq BIGINT, op STRING, score DOUBLE",
+    ).write.parquet(str(log1))
+    log2 = tmp_path / "log2"
+    spark.createDataFrame(
+        [(2, 2, "D", None), (3, 2, "P", 30.0)],
+        "id BIGINT, seq BIGINT, op STRING, score DOUBLE",
+    ).write.parquet(str(log2))
+    base = str(tmp_path / "snap")
+
+    assert runner.main([
+        "--apply-changelog", str(log1), "--snapshot-base", base,
+        "--merge-keys", "id", "--master", "local[2]",
+    ]) == 0
+    assert runner.main([
+        "--apply-changelog", str(log2), "--snapshot-base", base,
+        "--merge-keys", "id", "--master", "local[2]",
+    ]) == 0
+    final = {r["id"]: r["score"]
+             for r in spark.read.parquet(f"{base}/v=1").collect()}
+    assert final == {1: 10.0, 3: 30.0}

@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compact this KV path instead of importing")
     p.add_argument("--compact-out", default=None)
     p.add_argument("--keep-versions", type=int, default=1)
+    # maintenance: CDC changelog apply (incremental sibling of import)
+    p.add_argument("--apply-changelog", default=None,
+                   help="fold this changelog parquet (op P/D + seq) into "
+                        "--snapshot-base instead of importing")
+    p.add_argument("--snapshot-base", default=None)
+    p.add_argument("--merge-keys", default="id",
+                   help="comma-separated primary-key columns")
     return p
 
 
@@ -103,6 +110,31 @@ def main(argv: list[str] | None = None) -> int:
             "mode": "compact",
             "kept_cells": out.count(),
             "keep_versions": args.keep_versions,
+        }))
+        return 0
+
+    if args.apply_changelog:
+        if not args.snapshot_base:
+            print("--snapshot-base is required with --apply-changelog",
+                  file=sys.stderr)
+            return 2
+        from uc_historic_data_importer_spark.streaming.stream_pipeline import (
+            apply_changelog_batch,
+            latest_snapshot_version,
+        )
+
+        changes = spark.read.parquet(args.apply_changelog)
+        prev = latest_snapshot_version(spark, args.snapshot_base)
+        batch_id = 0 if prev is None else prev + 1
+        apply_changelog_batch(
+            changes, batch_id, args.snapshot_base,
+            [k.strip() for k in args.merge_keys.split(",") if k.strip()],
+        )
+        out = spark.read.parquet(f"{args.snapshot_base}/v={batch_id}")
+        print(json.dumps({
+            "mode": "apply_changelog",
+            "snapshot_version": batch_id,
+            "rows": out.count(),
         }))
         return 0
 
