@@ -2370,3 +2370,43 @@ def dedup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), num_perms=_NUM_PERMS, bands=_BANDS
     )
     return dedup.connected_components_star(pairs)
+
+
+def _dedup_apply_oracle() -> str:
+    """Kept corpus after near-dup collapse: non-clustered docs plus each
+    cluster's min-id representative."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.component IS NULL OR c.component = d.doc_id
+    """
+
+
+@register(
+    "dedup_apply",
+    _dedup_apply_oracle(),
+    doc="the ACTIONABLE end of the dedup chain: materialize the kept "
+    "corpus — every unclustered document plus the min-id representative "
+    "of each near-dup cluster (pairs -> components -> left-anti the "
+    "losers). One extra anti-join over dedup_components; the survivors "
+    "table is what downstream tokenization/packing actually consumes.",
+)
+def dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_perms=_NUM_PERMS, bands=_BANDS)
+    comp = dedup.connected_components(pairs)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
