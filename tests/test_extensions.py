@@ -1312,3 +1312,34 @@ class TestIncrementalLsh:
         }
         want = {(a, b) for a, b in full if (a % 2) != (b % 2)}
         assert got == want and got
+
+
+class TestTokenBudgetSample:
+    def test_prefix_never_overshoots_and_is_stable(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        rows = [(i, "a", 40) for i in range(10)] + [(100, "b", 500)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        out = sampling.token_budget_sample(
+            df, budget_tokens=100, n_tokens_col="n_tokens"
+        )
+        got = {(r["source"], r["doc_id"]) for r in out.collect()}
+        a_rows = [d for s, d in got if s == "a"]
+        # 40-token docs: exactly 2 fit under 100
+        assert len(a_rows) == 2
+        # source b's single 500-token doc busts the budget -> empty group
+        assert not [d for s, d in got if s == "b"]
+        # partition-invariant
+        got2 = {(r["source"], r["doc_id"]) for r in sampling.token_budget_sample(
+            df.repartition(5), budget_tokens=100, n_tokens_col="n_tokens"
+        ).collect()}
+        assert got == got2
+
+    def test_budget_floor(self, spark):
+        import pytest as _pytest
+
+        from uc_historic_data_importer_spark.operators import sampling
+
+        df = spark.createDataFrame([(1, "a", 5)], "doc_id long, source string, n_tokens long")
+        with _pytest.raises(ValueError):
+            sampling.token_budget_sample(df, 0, "n_tokens")

@@ -249,3 +249,33 @@ def weighted_key_sql(id_expr: str, weight_expr: str, key_dp: int = 8) -> str:
         f"round(ln((({h} % {DENOM}) + 1)::DOUBLE / {DENOM}) / "
         f"({weight_expr})::DOUBLE, {key_dp})"
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    n_tokens_col: str,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group token quota: walk each group's documents
+    in hash order and keep the prefix whose cumulative token count stays
+    within ``budget_tokens`` — the 'take N tokens per domain' primitive
+    of training-mix construction, with no RNG (rerun- and cluster-size-
+    stable order, same property as the other samplers here).
+
+    Prefix semantics: a document that would cross the budget is dropped
+    along with everything after it in hash order, so the sample can
+    undershoot but never overshoots. One shuffle: the per-group running
+    sum rides a single hash exchange on the group key."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(md5_i64(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum_tokens", F.sum(n_tokens_col).over(w))
+        .filter(F.col("_cum_tokens") <= budget_tokens)
+    )

@@ -2410,3 +2410,44 @@ def dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+@register(
+    "token_budget_sample_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {md5_i64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 900
+    """,
+    doc="per-domain token quota (operators/sampling.py::"
+    "token_budget_sample): keep each source's hash-ordered document "
+    "prefix up to 900 tokens — the 'take N tokens per domain' primitive "
+    "of training-mix construction. Deterministic (no RNG), never "
+    "overshoots the budget, one running-sum exchange on the group key.",
+)
+def token_budget_sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    out = sampling.token_budget_sample(
+        docs, budget_tokens=900, n_tokens_col="n_tokens"
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("_cum_tokens").cast("long").alias("cum_tokens"),
+    )
