@@ -299,3 +299,46 @@ class TestCodecFuzzHardening:
                     fn(b)
                 except err:
                     pass  # the ONLY acceptable failure type
+
+
+class TestPerceptualHash:
+    def _png(self, fill_rows_bright: int):
+        # 16x16 gray: top `fill_rows_bright` rows bright, rest dark
+        px = bytes(
+            [230 if y < fill_rows_bright else 20 for y in range(16) for _ in range(16)]
+        )
+        return ic.encode_png(16, 16, 1, px)
+
+    def test_reencoding_invariance_and_discrimination(self):
+        a = self._png(8)
+        # same image, different scanline filter = different bytes
+        px = bytes([230 if y < 8 else 20 for y in range(16) for _ in range(16)])
+        b = ic.encode_png(16, 16, 1, px, filter_type=2)
+        assert a != b
+        ha = ic.ahash(*ic.decode_png(a))
+        hb = ic.ahash(*ic.decode_png(b))
+        assert ha == hb  # perceptually identical despite byte difference
+        hc = ic.ahash(*ic.decode_png(self._png(2)))
+        assert ha != hc
+
+    def test_small_noise_keeps_hash(self):
+        px = bytearray(
+            [230 if y < 8 else 20 for y in range(16) for _ in range(16)]
+        )
+        base = ic.ahash(16, 16, 1, bytes(px))
+        px[0] = 226  # tiny brightness change, same side of the mean
+        assert ic.ahash(16, 16, 1, bytes(px)) == base
+
+    def test_spark_stage_and_sentinels(self, spark):
+        from uc_historic_data_importer_spark.operators import multimodal
+
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(self._png(8))),
+             (2, "image", bytearray(self._png(8))),
+             (3, "image", bytearray(b"junk"))],
+            "media_id long, kind string, payload binary",
+        )
+        rows = {r["media_id"]: r["ahash"]
+                for r in multimodal.perceptual_keys(media).collect()}
+        assert rows[1] == rows[2] != -1
+        assert rows[3] == -1

@@ -276,3 +276,39 @@ def resize_nearest(
             o = orow + x * channels
             out[o : o + channels] = pixels[s : s + channels]
     return bytes(out)
+
+
+def ahash(width: int, height: int, channels: int, pixels: bytes) -> int:
+    """64-bit average hash (aHash) of decoded pixels — the classic
+    perceptual near-dup key (public technique: shrink to 8x8 luminance,
+    bit i = pixel i brighter than the mean). Robust to re-encoding and
+    small noise, cheap enough for corpus-wide exact groupBy; hamming
+    bands layer on top the same way SimHash bands do.
+
+    Mean comparison uses exact integer arithmetic (sum vs 64*value), so
+    the hash is bit-stable across platforms."""
+    small = resize_nearest(width, height, channels, pixels, 8, 8)
+    if channels == 1:
+        lum = list(small)
+    else:
+        lum = []
+        for i in range(64):
+            base = i * channels
+            if channels >= 3:
+                # integer BT.601-ish weights, denominator 1000
+                lum.append(
+                    (
+                        299 * small[base]
+                        + 587 * small[base + 1]
+                        + 114 * small[base + 2]
+                    )
+                    // 1000
+                )
+            else:  # gray + alpha
+                lum.append(small[base])
+    total = sum(lum)
+    h = 0
+    for i, v in enumerate(lum):
+        if v * 64 > total:
+            h |= 1 << i
+    return h

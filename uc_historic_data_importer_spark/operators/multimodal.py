@@ -370,3 +370,36 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_extract, schema=VIDEO_META_SCHEMA)
+
+
+PERCEPTUAL_KEY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def perceptual_keys(media: DataFrame) -> DataFrame:
+    """64-bit average-hash per image payload via mapInPandas — the
+    perceptual near-dup key that survives re-encoding (byte-level md5
+    keys in media_dedup_keys catch only exact copies). Undecodable
+    payloads yield -1; grouping on the hash (or on hamming bands of it,
+    as with SimHash) clusters visually-identical media without any
+    pairwise comparison."""
+    from uc_historic_data_importer_spark.functions import imagecodec
+
+    def _keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                try:
+                    w, h, ch, px = imagecodec.decode_png(payload)
+                    key = imagecodec.ahash(w, h, ch, px)
+                except (imagecodec.UnsupportedImageError, ValueError):
+                    key = -1
+                out.append({"media_id": row.media_id, "ahash": key})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_keys, schema=PERCEPTUAL_KEY_SCHEMA)
