@@ -2451,3 +2451,44 @@ def token_budget_sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("_cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+@register(
+    "media_perceptual_keys",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN ((doc_id % 9) + 1) // 2 = 0 THEN 0
+                ELSE (1::BIGINT << (8 * (((doc_id % 9) + 1) // 2))) - 1
+           END AS ahash
+    FROM documents
+    """,
+    doc="perceptual dedup keys under the full value-hash oracle: each "
+    "doc_id becomes a 16x16 gray PNG with its top (doc_id % 9) rows "
+    "bright, and the pipeline must recover the exact 64-bit average "
+    "hash by genuinely decoding pixels, nearest-resizing to 8x8 and "
+    "thresholding against the integer mean — the oracle derives the "
+    "same hash in closed form (c = ceil(k/2) bright grid rows -> low "
+    "8c bits set). A single mis-scaled pixel flips the hash.",
+)
+def media_perceptual_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import multimodal
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_png(ids: pd.Series) -> pd.Series:
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+        def build(i: int) -> bytes:
+            k = i % 9
+            px = bytes(
+                [230 if y < k else 20 for y in range(16) for _ in range(16)]
+            )
+            return ic.encode_png(16, 16, 1, px, filter_type=i % 5)
+
+        return ids.map(build)
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_png(F.col("doc_id")).alias("payload"),
+    )
+    return multimodal.perceptual_keys(media)
