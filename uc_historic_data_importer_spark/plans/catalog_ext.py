@@ -2492,3 +2492,96 @@ def media_perceptual_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mk_png(F.col("doc_id")).alias("payload"),
     )
     return multimodal.perceptual_keys(media)
+
+
+@register(
+    "curation_funnel_report",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS w FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, len(w) AS n_tokens,
+             len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+               / greatest(len(w), 1) AS stop_ratio,
+             md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+      FROM tok
+    ),
+    quality AS (
+      SELECT * FROM feat WHERE n_tokens >= 5 AND stop_ratio <= 0.5
+    ),
+    uniq AS (
+      SELECT * FROM (
+        SELECT quality.*, row_number() OVER (
+          PARTITION BY fp ORDER BY doc_id) AS rk FROM quality
+      ) WHERE rk = 1
+    ),
+    budgeted AS (
+      SELECT * FROM (
+        SELECT uniq.*, sum(n_tokens) OVER (
+          PARTITION BY source
+          ORDER BY {md5_i64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM uniq
+      ) WHERE cum <= 900
+    )
+    SELECT f.source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE q.doc_id IS NOT NULL) AS n_quality,
+           count(*) FILTER (WHERE u.doc_id IS NOT NULL) AS n_unique,
+           count(*) FILTER (WHERE b.doc_id IS NOT NULL) AS n_in_budget,
+           CAST(coalesce(sum(b.n_tokens), 0) AS BIGINT) AS budget_tokens
+    FROM feat f
+    LEFT JOIN quality q USING (doc_id)
+    LEFT JOIN uniq u ON u.doc_id = f.doc_id
+    LEFT JOIN budgeted b ON b.doc_id = f.doc_id
+    GROUP BY f.source
+    """,
+    doc="the curation funnel as a per-source report: raw docs -> "
+    "quality gate -> fingerprint dedup -> per-source token budget, with "
+    "survivor counts at every stage and the budgeted token total — the "
+    "observability view a corpus build publishes after every run "
+    "(reference F5 counters generalized from records to curation "
+    "stages). One scan derives all features; stage flags come from "
+    "joins on the doc key, not re-scans.",
+)
+def curation_funnel_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    d = text.with_tokens(docs)
+    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    n_stop = F.size(F.filter("tokens", lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = n_stop / F.greatest(F.col("n_tokens"), F.lit(1))
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tokens")))))
+    feat = d.select(
+        "doc_id", "source", "n_tokens",
+        stop_ratio.alias("stop_ratio"), fp.alias("fp"),
+    )
+    quality = feat.filter((F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    uniq = (
+        quality.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    budgeted = sampling.token_budget_sample(
+        uniq, budget_tokens=900, n_tokens_col="n_tokens"
+    )
+    q_ids = quality.select("doc_id", F.lit(1).alias("_q"))
+    u_ids = uniq.select("doc_id", F.lit(1).alias("_u"))
+    b_ids = budgeted.select(
+        "doc_id", F.lit(1).alias("_b"), F.col("n_tokens").alias("_btok")
+    )
+    j = (
+        feat.join(q_ids, "doc_id", "left")
+        .join(u_ids, "doc_id", "left")
+        .join(b_ids, "doc_id", "left")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("_q").alias("n_quality"),
+        F.count("_u").alias("n_unique"),
+        F.count("_b").alias("n_in_budget"),
+        F.coalesce(F.sum("_btok"), F.lit(0)).cast("long").alias("budget_tokens"),
+    )
