@@ -194,18 +194,25 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extras": extras,
-                "sf": float(sf),
-            }
-        )
+    # Truncation-proof record: the driver may keep only the head or only
+    # the tail of stdout, so the spec-compliant headline line (short: no
+    # extras) is printed FIRST and repeated LAST, with the extras detail
+    # on its own line in between. Either surviving half parses.
+    headline = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    print(headline, flush=True)
+    print(
+        json.dumps({"metric": "extras_detail", "extras": extras}),
+        flush=True,
+    )
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":

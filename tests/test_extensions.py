@@ -1074,8 +1074,10 @@ class TestBpeTokens:
             "source string, text string",
         )
         rows = {r["source"]: r for r in bpe_token_stats(df).collect()}
-        # empty doc contributes no ratio (no div-by-zero under ANSI)
-        assert rows["a"]["avg_fertility"] == 1.0
+        # empty doc contributes no ratio (no div-by-zero under ANSI);
+        # fertility is integer-scaled (mean * 1e4) for engine-portable
+        # rendering
+        assert rows["a"]["avg_fertility_e4"] == 10000
         assert rows["a"]["total_ws_tokens"] == 2
         assert rows["b"]["total_bpe_tokens"] == 1
 

@@ -329,6 +329,27 @@ class TestPerceptualHash:
         px[0] = 226  # tiny brightness change, same side of the mean
         assert ic.ahash(16, 16, 1, bytes(px)) == base
 
+    def test_bit63_folds_to_signed_long(self, spark):
+        # Bottom rows bright -> thumbnail pixel 63 (bottom-right) above
+        # the mean -> bit 63 set. Unfolded that is >= 2^63, which
+        # overflows LongType (Arrow uint64->int64 cast raises and kills
+        # the mapInPandas job). ahash must fold into signed-64 range.
+        from uc_historic_data_importer_spark.operators import multimodal
+
+        px = bytes(
+            [230 if y >= 8 else 20 for y in range(16) for _ in range(16)]
+        )
+        h = ic.ahash(16, 16, 1, px)
+        assert -(1 << 63) <= h < (1 << 63)
+        assert h < 0  # bit 63 set -> negative after the fold
+        # round-trips the Spark stage without Arrow overflow
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(ic.encode_png(16, 16, 1, px)))],
+            "media_id long, kind string, payload binary",
+        )
+        rows = multimodal.perceptual_keys(media).collect()
+        assert rows[0]["ahash"] == h
+
     def test_spark_stage_and_sentinels(self, spark):
         from uc_historic_data_importer_spark.operators import multimodal
 

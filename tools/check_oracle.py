@@ -82,10 +82,23 @@ def main():
         t0 = time.time()
         cur = con.execute(oracles[name])
         ocols = [d[0] for d in cur.description]
+        otypes = [str(d[1]) for d in cur.description]
         orows = cur.fetchall()
         duck_s = time.time() - t0
 
         problems = []
+        # DuckDB renders integer sum() as HUGEINT/int128; pandas-based
+        # harnesses (like the driver) coerce HUGEINT to float64, so
+        # "3" becomes "3.0" and the value hash breaks even though the
+        # math is right. fetchall() hides this (HUGEINT -> Python int),
+        # so detect the type directly: any HUGEINT output column must be
+        # CAST(... AS BIGINT) in the oracle SQL.
+        for c, ty in zip(ocols, otypes):
+            if "HUGEINT" in ty.upper() or "INT128" in ty.upper():
+                problems.append(
+                    f"oracle col {c} is {ty}: cast to BIGINT "
+                    "(pandas renders HUGEINT as float)"
+                )
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):

@@ -286,7 +286,12 @@ def ahash(width: int, height: int, channels: int, pixels: bytes) -> int:
     bands layer on top the same way SimHash bands do.
 
     Mean comparison uses exact integer arithmetic (sum vs 64*value), so
-    the hash is bit-stable across platforms."""
+    the hash is bit-stable across platforms.
+
+    The result is folded into SIGNED 64-bit range: bit 63 is set
+    whenever the bottom-right thumbnail pixel is brighter than the
+    mean, and an unfolded value >= 2^63 does not fit Spark's LongType
+    (Arrow's uint64->int64 cast raises and kills the whole job)."""
     small = resize_nearest(width, height, channels, pixels, 8, 8)
     if channels == 1:
         lum = list(small)
@@ -311,4 +316,4 @@ def ahash(width: int, height: int, channels: int, pixels: bytes) -> int:
     for i, v in enumerate(lum):
         if v * 64 > total:
             h |= 1 << i
-    return h
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -271,13 +271,19 @@ def bpe_token_stats(
     return base.groupBy(by).agg(
         F.sum("n_bpe").alias("total_bpe_tokens"),
         F.sum("n_ws").alias("total_ws_tokens"),
+        # Fertility is reported as an integer-scaled value (mean * 1e4,
+        # rounded) rather than a rounded DOUBLE: BIGINT renders
+        # identically across engines, while a rounded double's last ulp
+        # can differ between Spark and an external oracle.
         F.round(
             F.avg(
                 F.when(
                     F.col("n_ws") > 0,
                     F.col("n_bpe").cast("double") / F.col("n_ws"),
                 )
-            ),
-            4,
-        ).alias("avg_fertility"),
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("avg_fertility_e4"),
     )
