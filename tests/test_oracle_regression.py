@@ -1,0 +1,47 @@
+"""Every-round oracle regression over the FULL query catalog.
+
+The driver's correctness gate samples 50 queries per round, so a query
+recorded green in an earlier round could silently regress without any
+red row appearing in the next record. This test closes that gap: it
+runs every ``queries()`` entry against its ``oracle_sql()`` in DuckDB
+at sf0.001 (the smallest driver-generated scale) using the exact same
+comparison code as tools/check_oracle.py — row count, sorted column
+names, order-insensitive value hash, and the HUGEINT rendering lint.
+
+sf0.001 keeps per-query cost low (sub-second plans); the whole sweep is
+one Spark session + one DuckDB connection. Queries are exercised at
+driver parity, not approximated.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_REGRESSION_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"{SF_DIR} not present"
+)
+
+
+def test_all_catalog_queries_match_oracles(spark):
+    import __spark_entry__ as entry_mod
+    from check_oracle import check_queries, connect_oracle
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    # The streaming query builds its own file fixture and measures
+    # convergence; its batch-equivalence is pinned separately in
+    # tests/test_streaming.py.
+    queries = {
+        k: v for k, v in queries.items() if k != "streaming_latest_per_key"
+    }
+    con = connect_oracle(SF_DIR)
+    failures = check_queries(
+        spark, con, SF_DIR, queries, oracles, quiet=True
+    )
+    assert not failures, f"oracle regressions: {failures}"

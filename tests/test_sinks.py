@@ -303,3 +303,135 @@ class TestSchemaEvolution:
         ).collect()
         assert len(latest) == 1
         assert latest[0]["body"] == "body-v2" and latest[0]["region"] == "eu-west-1"
+
+
+class _CountingUploader:
+    """Fake S3 client: records every put, can fail the first N calls."""
+
+    def __init__(self, fail_first: int = 0):
+        self.fail_first = fail_first
+        self.calls = 0
+        self.objects: dict[tuple[str, str], tuple[bytes, str, dict]] = {}
+
+    def put_object(self, bucket, key, data, content_type, metadata):
+        self.calls += 1
+        if self.calls <= self.fail_first:
+            raise OSError("transient put failure")
+        self.objects[(bucket, key)] = (data, content_type, metadata)
+
+
+class TestManifestUpload:
+    """W6 parity with StreamingManifestWriter.kt:14-49: retry x10,
+    zero-byte skip, text/plain content-type + title metadata, local
+    delete only after success, give-up (not raise) on exhaustion."""
+
+    def _manifest(self, tmp_path, content=b"a|b|c\n"):
+        p = tmp_path / "db.mydb.coll-000001.csv"
+        p.write_bytes(content)
+        return str(p)
+
+    def test_upload_retries_then_succeeds_and_deletes(self, tmp_path):
+        from uc_historic_data_importer_spark import sinks
+
+        path = self._manifest(tmp_path)
+        up = _CountingUploader(fail_first=3)
+        ok = sinks.send_manifest(up, path, "bkt", "manifests")
+        assert ok and up.calls == 4  # 3 failures + 1 success
+        key = ("bkt", "manifests/db.mydb.coll-000001.csv")
+        data, ctype, meta = up.objects[key]
+        assert data == b"a|b|c\n"
+        assert ctype == "text/plain"
+        assert meta["x-amz-meta-title"] == "db.mydb.coll-000001.csv"
+        assert not os.path.exists(path)  # deleted only after success
+
+    def test_zero_byte_manifest_skipped_not_deleted(self, tmp_path):
+        from uc_historic_data_importer_spark import sinks
+
+        path = self._manifest(tmp_path, content=b"")
+        up = _CountingUploader()
+        ok = sinks.send_manifest(up, path, "bkt", "manifests")
+        assert ok and up.calls == 0  # never uploaded
+        assert os.path.exists(path)  # and never deleted
+
+    def test_gives_up_after_max_attempts_without_raising(self, tmp_path):
+        from uc_historic_data_importer_spark import sinks
+
+        path = self._manifest(tmp_path)
+        up = _CountingUploader(fail_first=10_000)
+        ok = sinks.send_manifest(up, path, "bkt", "m", max_attempts=10)
+        assert not ok and up.calls == 10  # exactly the reference's x10
+        assert os.path.exists(path)  # file kept for a manual re-run
+
+    def test_upload_manifests_batch(self, tmp_path):
+        from uc_historic_data_importer_spark import sinks
+
+        good = self._manifest(tmp_path)
+        empty = str(tmp_path / "db.mydb.coll-000002.csv")
+        open(empty, "wb").close()
+        up = _CountingUploader()
+        out = sinks.upload_manifests([good, empty], up, "bkt", "m")
+        assert out == {good: True, empty: True}
+        assert len(up.objects) == 1
+
+
+class TestHbaseBulkload:
+    """W2 bulk-load path (HbaseClient.kt:25-41 done the 100 TB way):
+    the HFile layout contract — total order on (rowkey, family,
+    qualifier, version DESC) with range-partitioned key boundaries —
+    is produced and verified without any HBase dependency."""
+
+    def _kv(self, spark):
+        import random
+
+        random.seed(7)
+        rows = [
+            (
+                "t1",
+                bytearray(random.randbytes(8)),
+                f"{i:02x}",
+                v,
+                f"body-{i}-{v}",
+            )
+            for i in range(50)
+            for v in (1, 2)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+
+    def test_layout_is_region_sorted(self, spark):
+        from uc_historic_data_importer_spark import sinks
+
+        layout = sinks.hbase_bulkload_layout(self._kv(spark), n_regions=4)
+        assert layout.rdd.getNumPartitions() == 4
+
+        def _partition_keys(it):
+            yield [(bytes(r["key"]), -r["version"]) for r in it]
+
+        per_part = layout.rdd.mapPartitions(_partition_keys).collect()
+        # within each prospective HFile: sorted by (rowkey, ts DESC)
+        for keys in per_part:
+            assert keys == sorted(keys)
+        # across partitions: contiguous, disjoint key ranges
+        # (region alignment), i.e. concatenation is globally sorted
+        flat = [k for keys in per_part for k in keys]
+        assert flat == sorted(flat)
+
+    def test_write_hfiles_skipped_without_hbase_jars(self, spark):
+        from uc_historic_data_importer_spark import sinks
+
+        layout = sinks.hbase_bulkload_layout(self._kv(spark), n_regions=2)
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.hadoop.hbase.mapreduce.HFileOutputFormat2"
+            )
+            has_hbase = True
+        except Exception:
+            has_hbase = False
+        if not has_hbase:
+            with pytest.raises(RuntimeError, match="hbase-mapreduce"):
+                sinks.write_hfiles(layout, "/tmp/unused")
+        else:  # pragma: no cover - not reachable in this container
+            pytest.skip("HBase jars present; wire the real writer")

@@ -294,12 +294,12 @@ def test_snapshot_version_pruning(spark, tmp_path):
         d = base / f"v={v}"
         d.mkdir(parents=True)
         (d / "part-0.parquet").write_bytes(b"x")
-    pruned = sp.prune_snapshot_versions(str(base), keep_n=2)
+    pruned = sp.prune_snapshot_versions(spark, str(base), keep_n=2)
     assert pruned == [0, 1, 2]
     assert sorted(os.listdir(base)) == ["v=3", "v=4"]
     assert sp.latest_snapshot_version(spark, str(base)) == 4
     # never deletes the newest even with keep_n=1 on a single version
-    assert sp.prune_snapshot_versions(str(base), keep_n=5) == []
+    assert sp.prune_snapshot_versions(spark, str(base), keep_n=5) == []
 
 
 def test_changelog_batch_replay_is_idempotent(spark, tmp_path):

@@ -47,25 +47,23 @@ def value_hash(rows, colnames):
     return h.hexdigest()
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import __spark_entry__ as entry_mod
-
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-
-    from uc_historic_data_importer_spark.session import get_spark
-
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
-
+def connect_oracle(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
     con = duckdb.connect()
     for tbl in TABLES:
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
         )
+    return con
 
+
+def check_queries(spark, con, sf_dir, queries, oracles, only=(), quiet=False):
+    """Compare each query against its oracle; returns failing names.
+
+    Shared by the CLI below and the per-round regression pytest
+    (tests/test_oracle_regression.py), so 'passes locally' and 'passes
+    in CI' are the same check."""
+    only = set(only)
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -77,7 +75,8 @@ def main():
         spark_s = time.time() - t0
 
         if name not in oracles:
-            print(f"{name:28s} rows-only: {len(srows)} rows ({spark_s:.1f}s)")
+            if not quiet:
+                print(f"{name:28s} rows-only: {len(srows)} rows ({spark_s:.1f}s)")
             continue
         t0 = time.time()
         cur = con.execute(oracles[name])
@@ -119,14 +118,31 @@ def main():
                     problems.append(f"  spark: {a[:160]}")
                     problems.append(f"  duck : {b[:160]}")
         status = "OK " if not problems else "FAIL"
-        print(
-            f"{name:28s} {status} {len(srows)} rows (spark {spark_s:.1f}s, duck {duck_s:.2f}s)"
-        )
-        for p in problems:
-            print(f"    {p}")
+        if not quiet or problems:
+            print(
+                f"{name:28s} {status} {len(srows)} rows "
+                f"(spark {spark_s:.1f}s, duck {duck_s:.2f}s)"
+            )
+            for p in problems:
+                print(f"    {p}")
         if problems:
             failures.append(name)
+    return failures
 
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+
+    import __spark_entry__ as entry_mod
+
+    from uc_historic_data_importer_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    con = connect_oracle(sf_dir)
+    failures = check_queries(
+        spark, con, sf_dir, entry_mod.queries(), entry_mod.oracle_sql(), only=only
+    )
     print()
     if failures:
         print(f"FAILURES: {failures}")

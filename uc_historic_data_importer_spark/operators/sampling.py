@@ -257,6 +257,7 @@ def token_budget_sample(
     n_tokens_col: str,
     by: str = "source",
     id_col: str = "doc_id",
+    cum_tokens_col: str = "cum_tokens",
 ) -> DataFrame:
     """Deterministic per-group token quota: walk each group's documents
     in hash order and keep the prefix whose cumulative token count stays
@@ -267,7 +268,12 @@ def token_budget_sample(
     Prefix semantics: a document that would cross the budget is dropped
     along with everything after it in hash order, so the sample can
     undershoot but never overshoots. One shuffle: the per-group running
-    sum rides a single hash exchange on the group key."""
+    sum rides a single hash exchange on the group key.
+
+    The running total is part of the sampler's contract (callers report
+    'how many tokens did each domain actually get'), so it is exposed
+    under the documented ``cum_tokens_col`` name — unlike the sibling
+    samplers' `_wkey`/`_rk`, which are internal ranks and are dropped."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     w = (
@@ -276,6 +282,6 @@ def token_budget_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("_cum_tokens", F.sum(n_tokens_col).over(w))
-        .filter(F.col("_cum_tokens") <= budget_tokens)
+        df.withColumn(cum_tokens_col, F.sum(n_tokens_col).over(w))
+        .filter(F.col(cum_tokens_col) <= budget_tokens)
     )

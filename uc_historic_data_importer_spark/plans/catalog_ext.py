@@ -1383,10 +1383,10 @@ def _streaming_oracle_sql() -> str:
 )
 def streaming_latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
+    import hashlib
     import os
     import shutil
     import tempfile
-    import uuid
 
     from uc_historic_data_importer_spark.streaming.stream_pipeline import (
         latest_per_key_stream,
@@ -1417,7 +1417,14 @@ def streaming_latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, part in enumerate(sorted(glob.glob(os.path.join(raw_dir, "part-*"))), 1):
             os.rename(part, os.path.join(in_dir, f"events-db.stream.{i:04d}.json"))
 
-        qn = "latest_stream_" + uuid.uuid4().hex[:12]
+        # deterministic per sf_dir so repeat calls reuse (and replace)
+        # one temp view instead of leaking uuid-named views
+        qn = (
+            "latest_stream_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        )
+        if any(v.name == qn for v in spark.catalog.listTables()):
+            spark.catalog.dropTempView(qn)
         stream = latest_per_key_stream(
             normalized_stream(read_jsonl_stream(spark, in_dir))
         )
@@ -1431,18 +1438,20 @@ def streaming_latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(600)
         q.stop()
-        # update mode re-emits a key whenever it advances; the converged
-        # state is the max version each key reached
-        final = (
-            spark.table(qn)
-            .groupBy("table", "key_hex")
-            .agg(F.max("version").alias("version"))
-        )
-        rows = [(r["table"], r["key_hex"], r["version"]) for r in final.collect()]
-        spark.catalog.dropTempView(qn)
     finally:
+        # the memory sink holds its batches independent of the
+        # checkpoint/input dirs, so the fixture tree can go now
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, "table string, key_hex string, version long")
+    # update mode re-emits a key whenever it advances; the converged
+    # state is the max version each key reached. Returned as a PLAN
+    # over the sink table — no collect()/createDataFrame round-trip
+    # through the driver, so the same expression works against a real
+    # (table/Kafka) sink at scale.
+    return (
+        spark.table(qn)
+        .groupBy("table", "key_hex")
+        .agg(F.max("version").alias("version"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2478,7 +2487,7 @@ def token_budget_sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select(
         "doc_id", "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("_cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
 
 

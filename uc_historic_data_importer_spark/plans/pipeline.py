@@ -105,11 +105,22 @@ def run(
     kv_path: str | None = None,
     manifest_dir: str | None = None,
     existing: DataFrame | None = None,
+    manifest_uploader=None,
+    manifest_bucket: str = "",
+    manifest_prefix: str = "",
 ) -> PipelineResult:
-    """Materialize the sinks according to the run mode (W7)."""
+    """Materialize the sinks according to the run mode (W7).
+
+    When ``manifest_uploader`` is given, each written manifest is also
+    uploaded with the reference's W6 policy (retry x10, zero-byte skip,
+    text/plain — sinks.send_manifest, StreamingManifestWriter.kt:14-49)."""
     result = process_lines(lines, cfg, existing=existing)
     if cfg.run_mode != "manifest" and kv_path:
         sinks.kv_sink(result.putable, kv_path)
     if cfg.run_mode != "import" and manifest_dir:
-        sinks.manifest_sink(result.manifest, manifest_dir)
+        written = sinks.manifest_sink(result.manifest, manifest_dir)
+        if manifest_uploader is not None:
+            sinks.upload_manifests(
+                written, manifest_uploader, manifest_bucket, manifest_prefix
+            )
     return result

@@ -276,23 +276,36 @@ def run_changelog_merge_sink(
     return writer.start()
 
 
+def _snapshot_fs(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path) for ``path_str`` — the snapshot store
+    lists/deletes through the Hadoop FS API so a snapshot_base on HDFS,
+    S3A, or any Spark-supported filesystem works exactly like a local
+    path (os.listdir/shutil.rmtree would silently see nothing there)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _snapshot_versions(spark: SparkSession, snapshot_base: str) -> list[int]:
+    fs, jpath = _snapshot_fs(spark, snapshot_base)
+    if not fs.exists(jpath):
+        return []
+    versions = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name.split("=", 1)[1].isdigit():
+            versions.append(int(name.split("=", 1)[1]))
+    return versions
+
+
 def latest_snapshot_version(
     spark: SparkSession, snapshot_base: str, below: int | None = None
 ) -> int | None:
     """Newest complete ``v=N`` under ``snapshot_base`` (N < ``below`` if
     given); None when no snapshot exists yet. Driver-side listing is
-    O(versions) — directory names only, never data."""
-    import os
-
-    try:
-        entries = os.listdir(snapshot_base)
-    except FileNotFoundError:
-        return None
-    versions = [
-        int(e.split("=", 1)[1])
-        for e in entries
-        if e.startswith("v=") and e.split("=", 1)[1].isdigit()
-    ]
+    O(versions) — directory names only, never data — via the Hadoop FS
+    API, so any Spark-supported filesystem URI works."""
+    versions = _snapshot_versions(spark, snapshot_base)
     if below is not None:
         versions = [v for v in versions if v < below]
     return max(versions, default=None)
@@ -344,30 +357,23 @@ def interval_join_stream(
 
 
 def prune_snapshot_versions(
-    snapshot_base: str, keep_n: int = 3
+    spark: SparkSession, snapshot_base: str, keep_n: int = 3
 ) -> list[int]:
     """Retention for the CDC merge sink's version history: delete all
     but the newest ``keep_n`` ``v=N`` snapshot directories, returning
     the pruned version numbers. Never touches the newest version, so
     concurrent readers of `latest_snapshot_version` are safe; driver-
-    side directory operations only (O(versions), no data read)."""
-    import os
-    import shutil
-
+    side directory operations only (O(versions), no data read) — via
+    the Hadoop FS API, so the store works on HDFS/S3A URIs too."""
     if keep_n < 1:
         raise ValueError("keep_n must be >= 1")
-    try:
-        entries = os.listdir(snapshot_base)
-    except FileNotFoundError:
-        return []
-    versions = sorted(
-        int(e.split("=", 1)[1])
-        for e in entries
-        if e.startswith("v=") and e.split("=", 1)[1].isdigit()
-    )
+    versions = sorted(_snapshot_versions(spark, snapshot_base))
     doomed = versions[:-keep_n] if len(versions) > keep_n else []
-    for v in doomed:
-        shutil.rmtree(os.path.join(snapshot_base, f"v={v}"))
+    if doomed:
+        fs, _ = _snapshot_fs(spark, snapshot_base)
+        jpath_cls = spark._jvm.org.apache.hadoop.fs.Path
+        for v in doomed:
+            fs.delete(jpath_cls(f"{snapshot_base}/v={v}"), True)
     return doomed
 
 
