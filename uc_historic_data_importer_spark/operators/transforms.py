@@ -32,6 +32,16 @@ try:  # optional fast path; environment may lack it
 except ImportError:  # pragma: no cover
     orjson = None  # type: ignore[assignment]
 
+# Import-time env gate (NOT a runtime flag): the normalize UDF runs in
+# Python worker processes that re-import this module, so a driver-side
+# monkeypatch would never reach them — an env var inherited at worker
+# fork is the only switch that applies everywhere. Used by
+# tools/bench_normalize.py to measure the stdlib-vs-orjson gap.
+import os as _os
+
+if _os.environ.get("SPARK_HDI_DISABLE_ORJSON"):
+    orjson = None  # type: ignore[assignment]
+
 
 def _reject_nonfinite(name: str) -> float:
     raise ValueError(f"non-finite JSON literal: {name}")
