@@ -106,14 +106,51 @@ _R01_RECORDED = frozenset(
 )
 
 
+# Round-2's driver record (== the 50-element prefix of round-2's
+# ordering). Round-3 ordering: never-driver-recorded queries first (the
+# round-3 additions — so they get a driver row immediately), then the
+# r2-recorded block in registration order (keeps the three r2-red,
+# now-fixed queries bpe_token_stats / audit_orders_constraints /
+# profile_orders_columns inside the re-recorded first-50 window), then
+# the r1-recorded block. Every query pushed past index 50 already has a
+# green driver row from r01/r02 and is re-verified each round by
+# tests/test_oracle_regression.py.
+_R02_RECORDED = frozenset(
+    {
+        "media_png_decode", "media_frame_plan", "dedup_components",
+        "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build",
+        "embedding_cosine_neardup", "binary_media_keys",
+        "streaming_latest_per_key", "pack_sequences", "pii_redaction",
+        "text_repetition_scores", "embedding_quantize_int8",
+        "embedding_lsh_buckets", "ngram_decontamination",
+        "mixture_sample_documents", "chunk_spans_documents",
+        "cdc_merge_orders", "zorder_stats_lineitem", "bpe_token_stats",
+        "ann_pq_topk", "weighted_sample_documents", "ann_ivfpq_topk",
+        "audit_orders_constraints", "profile_orders_columns",
+        "k_anonymity_customers", "dedup_incremental_lsh", "media_wav_decode",
+        "media_mp4_meta", "curriculum_order_documents",
+        "dedup_components_star", "dedup_apply",
+        "token_budget_sample_documents", "media_perceptual_keys",
+        "curation_funnel_report", "brand_revenue", "semi_join_discounted",
+        "set_ops_customers", "rollup_pricing", "scalar_string_functions",
+        "salted_agg_counts", "salted_distinct_users",
+        "window_running_totals", "percentile_prices", "pivot_order_status",
+        "rolling_window_revenue", "stat_aggregates_events",
+        "null_safe_join_events", "histogram_prices",
+    }
+)
+
+
 def _ordered_queries():
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    fresh = [n for n in QUERIES if n not in _R01_RECORDED]
-    seen = [n for n in QUERIES if n in _R01_RECORDED]
-    return [(n, QUERIES[n]) for n in fresh + seen]
+    recorded = _R01_RECORDED | _R02_RECORDED
+    fresh = [n for n in QUERIES if n not in recorded]
+    seen_r2 = [n for n in QUERIES if n in _R02_RECORDED]
+    seen_r1 = [n for n in QUERIES if n in _R01_RECORDED]
+    return [(n, QUERIES[n]) for n in fresh + seen_r2 + seen_r1]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1345,3 +1345,36 @@ class TestTokenBudgetSample:
         df = spark.createDataFrame([(1, "a", 5)], "doc_id long, source string, n_tokens long")
         with _pytest.raises(ValueError):
             sampling.token_budget_sample(df, 0, "n_tokens")
+
+
+class TestSourceOverlap:
+    def test_identical_sources_estimate_full_overlap(self, spark):
+        from uc_historic_data_importer_spark.operators.dedup import (
+            source_minhash_overlap,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [("a", 1, text), ("b", 2, text), ("c", 3, "totally different words here now")],
+            "source string, doc_id long, text string",
+        )
+        rows = {
+            (r["source_a"], r["source_b"]): r
+            for r in source_minhash_overlap(df, num_perms=16).collect()
+        }
+        # identical shingle sets -> every perm agrees -> estimate 1.0
+        full = rows[("a", "b")]
+        assert full["agreeing_perms"] == 16
+        assert full["jaccard_e4"] == 10000
+        # disjoint shingle sets -> zero agreements -> pair omitted
+        assert ("a", "c") not in rows and ("b", "c") not in rows
+
+    def test_rejects_non_divisible_perms(self, spark):
+        from uc_historic_data_importer_spark.operators.dedup import (
+            source_minhash_overlap,
+        )
+
+        df = spark.createDataFrame([("a", 1, "x y z")],
+                                   "source string, doc_id long, text string")
+        with pytest.raises(ValueError, match="divide"):
+            source_minhash_overlap(df, num_perms=7)

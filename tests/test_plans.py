@@ -123,7 +123,14 @@ def test_no_query_plans_scale_antipatterns(spark):
         # pruned scale path)
         if (
             "BroadcastNestedLoopJoin" in plan
-            and name not in ("text_tfidf_top_terms", "ann_cosine_topk")
+            and name
+            not in (
+                "text_tfidf_top_terms",
+                "ann_cosine_topk",
+                # recall audit composes the brute-force baseline (its
+                # ground-truth side) — same broadcast-query-set shape
+                "ann_recall_audit",
+            )
         ):
             bad.append("BroadcastNestedLoopJoin")
         if bad:

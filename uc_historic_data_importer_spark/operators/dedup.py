@@ -534,3 +534,77 @@ def ngram_contamination(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    num_perms: int = 16,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source overlap matrix: estimated shingle-set Jaccard
+    between every pair of sources, from per-source MinHash signatures.
+
+    The governance query behind mixture design ("how much of source A
+    is already in source B?") and cross-source contamination audits —
+    the corpus-level generalization of the per-document MinHash dedup
+    above, using the same engine-portable perm constants.
+
+    Scale shape: ONE scan of the corpus feeding a (source x perm)
+    aggregation whose state is num_perms longs per source — min() is
+    duplicate-insensitive, so no DISTINCT materialization of the
+    shingle sets is needed. Pair expansion then runs over the LONG
+    signature layout (source, perm, min-hash) as an equi-join keyed on
+    (perm, min-hash): only agreeing perms ever join (never an
+    all-pairs product over sources), and the estimate is
+    agreements/num_perms. Pairs agreeing on zero perms are omitted —
+    their estimate is 0.
+
+    Returns (source_a, source_b, agreeing_perms, jaccard_e4) with
+    source_a < source_b; jaccard_e4 is the integer-scaled estimate
+    (exact when num_perms divides 10000, as 16 does)."""
+    if 10000 % num_perms:
+        raise ValueError("num_perms must divide 10000 for exact jaccard_e4")
+    sh = _ensure_parallel(df).select(
+        F.col(group_col).alias("grp"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    ).select("grp", md5_i64(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(perm_constants(num_perms))
+    ]
+    sig = sh.groupBy("grp").agg(*aggs)
+    lng = sig.select(
+        "grp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"mh{j}").alias("mh")
+                    )
+                    for j in range(num_perms)
+                ]
+            )
+        ).alias("p"),
+    ).select("grp", "p.j", "p.mh")
+    a = lng.select(
+        F.col("grp").alias("source_a"), F.col("j"), F.col("mh")
+    )
+    b = lng.select(
+        F.col("grp").alias("source_b"), F.col("j"), F.col("mh")
+    )
+    return (
+        a.join(b, ["j", "mh"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("agreeing_perms"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("agreeing_perms").cast("long").alias("agreeing_perms"),
+            (F.col("agreeing_perms") * F.lit(10000 // num_perms))
+            .cast("long")
+            .alias("jaccard_e4"),
+        )
+    )

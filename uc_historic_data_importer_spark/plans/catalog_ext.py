@@ -2623,3 +2623,133 @@ def curation_funnel_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_b").alias("n_in_budget"),
         F.coalesce(F.sum("_btok"), F.lit(0)).cast("long").alias("budget_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 widening: cross-source overlap matrix + ANN recall audit
+# ---------------------------------------------------------------------------
+
+
+def _source_overlap_oracle(num_perms: int = 16) -> str:
+    """Per-source MinHash signatures -> pairwise agreement counts, with
+    the exact perm constants operators/dedup.py uses."""
+    consts = perm_constants(num_perms)
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MERSENNE_61}) AS mh{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    lng = "\n      UNION ALL ".join(
+        f"SELECT source, {j} AS j, mh{j} AS mh FROM sig"
+        for j in range(num_perms)
+    )
+    scale = 10000 // num_perms
+    return f"""
+    WITH tok AS (SELECT source, {_TOKENS_SQL} AS w FROM documents),
+    sh AS (
+      SELECT source, {md5_i64_sql('s')} AS h
+      FROM (
+        SELECT source,
+               unnest([array_to_string(w[i:i+2], ' ')
+                       for i in range(1, len(w) - 1)]) AS s
+        FROM tok
+      )
+    ),
+    sig AS (
+      SELECT source,
+             {mins}
+      FROM sh GROUP BY source
+    ),
+    lng AS (
+      {lng}
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS agreeing_perms,
+           CAST(count(*) * {scale} AS BIGINT) AS jaccard_e4
+    FROM lng a JOIN lng b ON a.j = b.j AND a.mh = b.mh
+                         AND a.source < b.source
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "source_overlap_matrix",
+    _source_overlap_oracle(_NUM_PERMS),
+    doc="cross-source overlap matrix (operators/dedup.py::"
+    "source_minhash_overlap): estimated shingle-set Jaccard between "
+    "every source pair from per-source MinHash signatures — the "
+    "mixture-design / cross-source contamination governance query. "
+    "One corpus scan into a (source x perm) min-aggregation (state = "
+    "num_perms longs per source; min is duplicate-insensitive so the "
+    "shingle sets are never materialized), then pair expansion as an "
+    "equi-join on (perm, min-hash) — only agreeing perms join, never "
+    "an all-pairs product. The corpus-level sibling of the per-doc "
+    "MinHash dedup, sharing its engine-portable perm constants.",
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.source_minhash_overlap(
+        t(spark, sf_dir, "documents"), num_perms=_NUM_PERMS
+    )
+
+
+def _recall_audit_oracle() -> str:
+    pq_sql = _pq_oracle(m=4, k=4, iters=1, dim=64, query_id=0, topk=10)
+    return f"""
+    WITH bf AS (
+      SELECT b.vec_id AS neighbor_id
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id = 0) q
+      CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id != 0) b
+      ORDER BY round(list_inner_product(q.v, b.v) /
+                 (sqrt(list_inner_product(q.v, q.v)) *
+                  sqrt(list_inner_product(b.v, b.v))), 6) DESC,
+               b.vec_id ASC
+      LIMIT 10
+    ),
+    pq AS (SELECT neighbor_id FROM ({pq_sql}))
+    SELECT 10 AS k, CAST(count(*) AS BIGINT) AS hits,
+           CAST(count(*) * 100 AS BIGINT) AS recall_e3
+    FROM pq JOIN bf USING (neighbor_id)
+    """
+
+
+@register(
+    "ann_recall_audit",
+    _recall_audit_oracle(),
+    doc="ANN index quality audit: recall@10 of the PQ ADC search "
+    "against the exact brute-force cosine ground truth for a probe "
+    "query — 'measure, don't guess' applied to the index itself (the "
+    "number FAISS users read off nprobe/code-size sweeps). Composes "
+    "two already-oracle-proven operators (similarity.cosine_topk, "
+    "pq.pq_topk on memoized codebooks) and intersects their top-k "
+    "sets; both engines replay the full fit+encode+search chain, so "
+    "the recall number itself is value-hash-checked. recall_e3 is "
+    "integer-scaled (hits/k * 1000).",
+)
+def ann_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = _memo(
+        ("pq_fit", sf_dir, 4, 4, 1), lambda: pq.pq_fit(emb, m=4, k=4, iters=1)
+    )
+    q_row = _memo(
+        ("qrow", sf_dir, 0),
+        lambda: emb.filter(F.col("vec_id") == 0).first(),
+    )
+    qv = [float(x) for x in q_row["embedding"]]
+    approx = pq.pq_topk(emb, books, qv, k=10, exclude_id=0).select(
+        "neighbor_id"
+    )
+    exact = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10
+    ).select("neighbor_id")
+    return (
+        approx.join(exact, "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.lit(10).alias("k"),
+            F.col("hits").cast("long").alias("hits"),
+            (F.col("hits") * 100).cast("long").alias("recall_e3"),
+        )
+    )
