@@ -1378,3 +1378,90 @@ class TestSourceOverlap:
                                    "source string, doc_id long, text string")
         with pytest.raises(ValueError, match="divide"):
             source_minhash_overlap(df, num_perms=7)
+
+
+class TestSegmentDedup:
+    @pytest.fixture(scope="class")
+    def seg_docs(self, spark):
+        shared = "alpha beta gamma delta epsilon"  # one full k=5 segment
+        rows = [
+            (1, shared + " zeta eta theta iota kappa", "en", "s1"),
+            (2, shared + " lambda mu nu xi omicron", "en", "s1"),
+            (3, shared + " pi rho sigma tau upsilon", "en", "s2"),
+            (4, "phi chi psi omega one two three four five ten", "en", "s2"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    def test_word_segments_shapes(self, seg_docs):
+        segs = text.word_segments(seg_docs, k=5).collect()
+        by_doc = {}
+        for r in segs:
+            by_doc.setdefault(r["doc_id"], []).append((r["seg_no"], r["segment"]))
+        # 10 tokens / k=5 -> exactly 2 segments per doc, positions 0 and 1
+        assert all(sorted(p for p, _ in v) == [0, 1] for v in by_doc.values())
+        assert by_doc[1][0][1] == "alpha beta gamma delta epsilon"
+
+    def test_trailing_short_segment_kept(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g", "en", "s1")],
+            ["doc_id", "text", "lang", "source"],
+        )
+        segs = {r["seg_no"]: r["segment"] for r in text.word_segments(df, k=5).collect()}
+        assert segs == {0: "a b c d e", 1: "f g"}
+
+    def test_segment_dup_stats(self, seg_docs):
+        stats = {r["doc_id"]: r for r in text.segment_dup_stats(seg_docs, k=5).collect()}
+        # docs 1-3 share their first segment; second segments are unique
+        for d in (1, 2, 3):
+            assert stats[d]["n_segments"] == 2
+            assert stats[d]["dup_segments"] == 1
+            assert stats[d]["dup_ratio_bp"] == 5000
+        assert stats[4]["dup_segments"] == 0 and stats[4]["dup_ratio_bp"] == 0
+
+    def test_boilerplate_threshold(self, seg_docs):
+        bp = text.boilerplate_segments(seg_docs, k=5, min_docs=3).collect()
+        assert len(bp) == 1
+        assert bp[0]["segment"] == "alpha beta gamma delta epsilon"
+        assert bp[0]["n_docs"] == 3 and bp[0]["n_occurrences"] == 3
+        # raising the bar excludes it
+        assert text.boilerplate_segments(seg_docs, k=5, min_docs=4).count() == 0
+
+
+class TestBestRepresentative:
+    def test_keeps_longest_then_smallest_id(self, spark):
+        rows = [
+            # cluster: same token SET, different lengths/order
+            (1, "quick brown fox", 15),
+            (2, "brown fox quick quick", 21),   # longest -> representative
+            (3, "fox quick brown", 15),
+            # singleton — must not appear
+            (4, "totally different words", 23),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+        reps = dedup.best_representative(df).collect()
+        assert len(reps) == 1
+        r = reps[0]
+        assert r["rep_doc_id"] == 2
+        assert r["cluster_size"] == 3
+        assert r["rep_quality"] == 21
+
+    def test_tie_breaks_to_smallest_id(self, spark):
+        rows = [(7, "x y z", 5), (3, "z y x", 5)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+        reps = dedup.best_representative(df).collect()
+        assert len(reps) == 1 and reps[0]["rep_doc_id"] == 3
+
+
+class TestRelativeQualityFilter:
+    def test_drops_bottom_quartile_per_source(self, spark):
+        rows = []
+        # source A: 4 docs with 1..4 tokens -> percent_rank 0, 1/3, 2/3, 1
+        for i, n in enumerate((1, 2, 3, 4)):
+            rows.append((i, " ".join(["w"] * n), "en", "A"))
+        # source B: 2 docs -> ranks 0 and 1; only the bottom one drops
+        rows.append((10, "w", "en", "B"))
+        rows.append((11, "w w", "en", "B"))
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+        out = {r["source"]: r for r in text.relative_quality_filter(df, drop_frac=0.25).collect()}
+        assert out["A"]["n_docs"] == 4 and out["A"]["n_dropped"] == 1
+        assert out["B"]["n_docs"] == 2 and out["B"]["n_dropped"] == 1

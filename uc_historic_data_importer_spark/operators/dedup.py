@@ -608,3 +608,47 @@ def source_minhash_overlap(
             .alias("jaccard_e4"),
         )
     )
+
+
+def best_representative(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware canonical-document selection: group documents by
+    canonical fingerprint (sorted distinct token set) and, for every
+    cluster with >1 member, pick the highest-quality member (max
+    quality_col, ties to the smallest id) as the keeper. Production
+    dedup keeps the BEST duplicate, not an arbitrary one — min-id
+    selection (dedup_apply) discards longer/cleaner variants.
+
+    Shape: map-side fingerprint -> one shuffle on the fingerprint key
+    -> per-cluster row_number window on the same partitioning (no
+    second exchange). Cluster keys are content-hash-uniform, so no
+    skew; scales linearly."""
+    from pyspark.sql import Window
+
+    from uc_historic_data_importer_spark.operators.text import tokens_col
+
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(tokens_col(F.col(text_col))))
+        )
+    )
+    d = df.withColumn("fingerprint", fp)
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("cluster_size") > 1))
+        .select(
+            "fingerprint",
+            F.col(id_col).alias("rep_doc_id"),
+            "cluster_size",
+            F.col(quality_col).alias("rep_quality"),
+        )
+    )

@@ -287,3 +287,120 @@ def bpe_token_stats(
         .cast("long")
         .alias("avg_fertility_e4"),
     )
+
+
+def word_segments(
+    df: DataFrame, k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, seg_no, segment): consecutive non-overlapping k-token windows
+    of the normalized token stream — the corpus's "line" analogue for
+    line/paragraph-level dedup (RefinedWeb/CCNet-style) when documents
+    carry no newline structure. The trailing short window is kept.
+
+    Pure codegen segmentation (sequence + transform + slice) followed by
+    one posexplode; output rows ≈ tokens/k, so the blow-up is bounded
+    and linear in corpus size."""
+    toks = with_tokens(df, text_col)
+    nseg = F.ceil(F.col("n_tokens") / F.lit(float(k))).cast("int")
+    # guard: sequence(0, -1) DESCENDS in Spark rather than returning
+    # empty, so zero-token documents must bypass the window build
+    segs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i * k + 1, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        id_col, F.posexplode(segs).alias("seg_no", "segment")
+    )
+
+
+def segment_dup_stats(
+    df: DataFrame, k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-document segment duplication: n_segments,
+    dup_segments (positions whose k-token segment also appears in at
+    least one OTHER document), and dup_ratio in basis points (floor of
+    10000*dup/n — integer-rendered, engine-portable).
+
+    Plan shape at scale: explode -> partial-agg groupBy(segment) for
+    distinct-doc counts -> shuffle join back on the uniform segment key
+    -> groupBy(id). Every key is content-hash-uniform; nothing is
+    all-pairs. This is the standard two-pass line-dedup shape used on
+    web-scale corpora."""
+    segs = word_segments(df, k=k, text_col=text_col, id_col=id_col)
+    per_seg = segs.groupBy("segment").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    joined = segs.join(per_seg, "segment")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+            "dup_segments"
+        ),
+    ).select(
+        id_col,
+        "n_segments",
+        "dup_segments",
+        F.floor(
+            F.lit(10000) * F.col("dup_segments") / F.col("n_segments")
+        ).alias("dup_ratio_bp"),
+    )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    k: int = 10,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate mining: k-token segments appearing in >= min_docs
+    distinct documents (headers/footers/nav chrome in a real corpus),
+    with distinct-doc and total-occurrence counts. The output is the
+    removal list a cleaning pass anti-joins against — tiny relative to
+    the corpus, so the apply side is a broadcast anti-join.
+
+    Single groupBy on the content-uniform segment key; no joins."""
+    segs = word_segments(df, k=k, text_col=text_col, id_col=id_col)
+    return (
+        segs.groupBy("segment")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def relative_quality_filter(
+    df: DataFrame,
+    drop_frac: float = 0.25,
+    by: str = "source",
+    score_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source RELATIVE quality gate (Gopher-style): within each
+    source, drop the bottom drop_frac of documents by score (default:
+    token count), reporting kept/dropped counts per source. Absolute
+    thresholds misfire when sources have different length profiles;
+    ranking within the source is the standard fix.
+
+    percent_rank over (source; score, id) — deterministic tiebreak by
+    id so the cut is reproducible across engines. One shuffle on the
+    low-cardinality source key; rank is computed per partition group.
+    At 100 TB the same shape works because the window key is the
+    source shard, not the document."""
+    from pyspark.sql import Window
+
+    d = with_tokens(df, text_col)
+    w = Window.partitionBy(by).orderBy(F.col(score_col), F.col(id_col))
+    ranked = d.withColumn("pr", F.percent_rank().over(w))
+    kept = F.when(F.col("pr") >= drop_frac, 1).otherwise(0)
+    return ranked.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(kept)).alias("n_dropped"),
+    )

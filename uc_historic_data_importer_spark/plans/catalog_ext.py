@@ -2753,3 +2753,124 @@ def ann_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits") * 100).cast("long").alias("recall_e3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (line/paragraph) dedup + relative quality gates (round 3)
+# ---------------------------------------------------------------------------
+
+_SEG_K = 10
+
+_SEG_CTE = f"""
+tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+seg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(CAST(ceil(len(w)/{_SEG_K}.0) AS BIGINT)),
+                i -> array_to_string(w[i*{_SEG_K}+1:(i+1)*{_SEG_K}], ' ')))
+           AS segment
+  FROM tok
+)
+"""
+
+
+@register(
+    "segment_dup_ratio",
+    f"""
+    WITH {_SEG_CTE},
+    per_seg AS (
+      SELECT segment, count(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY segment
+    )
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_segments,
+           CAST(floor(10000 * sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) AS dup_ratio_bp
+    FROM seg s JOIN per_seg p USING (segment)
+    GROUP BY s.doc_id
+    """,
+    doc="per-doc cross-document k-token-segment duplication ratio — the "
+    "line/paragraph-level dedup signal (RefinedWeb-style) for corpora "
+    "without newline structure.",
+)
+def segment_dup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.segment_dup_stats(t(spark, sf_dir, "documents"), k=_SEG_K)
+
+
+@register(
+    "boilerplate_segments",
+    f"""
+    WITH {_SEG_CTE}
+    SELECT segment,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM seg GROUP BY segment
+    HAVING count(DISTINCT doc_id) >= 3
+    """,
+    doc="boilerplate mining: k-token segments shared by >=3 distinct "
+    "documents — the removal list a cleaning pass broadcast-anti-joins "
+    "against.",
+)
+def boilerplate_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.boilerplate_segments(
+        t(spark, sf_dir, "documents"), k=_SEG_K, min_docs=3
+    )
+
+
+@register(
+    "dedup_best_representative",
+    f"""
+    WITH tok AS (SELECT doc_id, n_chars, {_TOKENS_SQL} AS w FROM documents),
+    fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(w)), ' '))
+               AS fingerprint
+      FROM tok
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+      FROM fp
+    )
+    SELECT fingerprint, doc_id AS rep_doc_id, cluster_size,
+           n_chars AS rep_quality
+    FROM rk WHERE rn = 1 AND cluster_size > 1
+    """,
+    doc="quality-aware canonical-doc selection: per fingerprint cluster "
+    "keep the longest member (ties to smallest id) — production dedup "
+    "keeps the BEST duplicate, not the min-id one.",
+)
+def dedup_best_representative_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.best_representative(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "relative_quality_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens FROM documents
+    ),
+    rk AS (
+      SELECT source,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_tokens, doc_id) AS pr
+      FROM tok
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN pr >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) - sum(CASE WHEN pr >= 0.25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM rk GROUP BY source
+    """,
+    doc="per-source RELATIVE quality gate (drop bottom quartile by token "
+    "count within each source) — absolute thresholds misfire across "
+    "heterogeneous sources.",
+)
+def relative_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.relative_quality_filter(
+        t(spark, sf_dir, "documents"), drop_frac=0.25
+    )
