@@ -1465,3 +1465,18 @@ class TestRelativeQualityFilter:
         out = {r["source"]: r for r in text.relative_quality_filter(df, drop_frac=0.25).collect()}
         assert out["A"]["n_docs"] == 4 and out["A"]["n_dropped"] == 1
         assert out["B"]["n_docs"] == 2 and out["B"]["n_dropped"] == 1
+
+
+class TestCurationPipelineV2:
+    def test_funnel_monotone_and_exhaustive(self, spark):
+        import uc_historic_data_importer_spark.plans.catalog_ext as ext
+
+        out = {r["source"]: r for r in ext.curation_pipeline_v2_q(
+            spark, "/root/testdata/sf0.001").collect()}
+        assert len(out) > 0
+        for src, r in out.items():
+            # funnel stages can only shrink
+            assert r["n_input"] >= r["n_after_segment"] >= r["n_after_quality"] >= r["n_kept"]
+            assert r["n_kept"] >= 0 and r["kept_tokens"] >= 0
+            # quality gate drops at most ~the bottom quartile of the source
+            assert r["n_after_quality"] >= r["n_after_segment"] - (r["n_input"] // 4 + 1)

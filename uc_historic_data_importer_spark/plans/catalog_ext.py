@@ -2874,3 +2874,106 @@ def relative_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.relative_quality_filter(
         t(spark, sf_dir, "documents"), drop_frac=0.25
     )
+
+
+@register(
+    "curation_pipeline_v2",
+    f"""
+    WITH {_SEG_CTE},
+    per_seg AS (
+      SELECT segment, count(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY segment
+    ),
+    segstat AS (
+      SELECT s.doc_id,
+             CAST(floor(10000 * sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END)
+                        / count(*)) AS BIGINT) AS dup_ratio_bp
+      FROM seg s JOIN per_seg p USING (segment)
+      GROUP BY s.doc_id
+    ),
+    base AS (
+      SELECT doc_id, source, n_chars, len(w) AS n_tokens,
+             md5(array_to_string(list_sort(list_distinct(w)), ' '))
+               AS fingerprint
+      FROM (SELECT doc_id, source, n_chars, {_TOKENS_SQL} AS w
+            FROM documents)
+    ),
+    flags AS (
+      SELECT b.doc_id, b.source, b.n_tokens,
+             coalesce(ss.dup_ratio_bp, 0) < 5000 AS seg_ok,
+             percent_rank() OVER (PARTITION BY b.source
+                                  ORDER BY b.n_tokens, b.doc_id) >= 0.25
+               AS q_ok,
+             row_number() OVER (PARTITION BY b.fingerprint
+                                ORDER BY b.n_chars DESC, b.doc_id) = 1
+               AS rep_ok
+      FROM base b LEFT JOIN segstat ss USING (doc_id)
+    )
+    SELECT source,
+           count(*) AS n_input,
+           CAST(sum(CASE WHEN seg_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_segment,
+           CAST(sum(CASE WHEN seg_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_quality,
+           CAST(sum(CASE WHEN seg_ok AND q_ok AND rep_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN seg_ok AND q_ok AND rep_ok THEN n_tokens
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM flags GROUP BY source
+    """,
+    doc="composed curation funnel v2: segment-dup gate (< 50% duplicated "
+    "k-token segments) -> per-source relative quality gate (bottom "
+    "quartile dropped) -> quality-aware fingerprint dedup (cluster "
+    "keeper only) — per-source survivor counts at each stage plus kept "
+    "token mass. One corpus scan feeds all three signals; joins are on "
+    "doc_id/fingerprint (uniform); windows partition by source/cluster.",
+)
+def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uc_historic_data_importer_spark.functions.hashes import (  # noqa: F401
+        md5_i64,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    segstat = text.segment_dup_stats(docs, k=_SEG_K).select(
+        "doc_id", "dup_ratio_bp"
+    )
+    base = text.with_tokens(docs).withColumn(
+        "fingerprint",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tokens"))))
+        ),
+    )
+    w_q = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    w_fp = Window.partitionBy("fingerprint").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    flags = (
+        base.withColumn("pr", F.percent_rank().over(w_q))
+        .withColumn("rn", F.row_number().over(w_fp))
+        .join(segstat, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            (F.coalesce(F.col("dup_ratio_bp"), F.lit(0)) < 5000).alias(
+                "seg_ok"
+            ),
+            (F.col("pr") >= 0.25).alias("q_ok"),
+            (F.col("rn") == 1).alias("rep_ok"),
+        )
+    )
+    all_ok = F.col("seg_ok") & F.col("q_ok") & F.col("rep_ok")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("seg_ok"), 1).otherwise(0)).alias(
+            "n_after_segment"
+        ),
+        F.sum(F.when(F.col("seg_ok") & F.col("q_ok"), 1).otherwise(0)).alias(
+            "n_after_quality"
+        ),
+        F.sum(F.when(all_ok, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(all_ok, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
