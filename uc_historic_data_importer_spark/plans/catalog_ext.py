@@ -2925,8 +2925,9 @@ def relative_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k-token segments) -> per-source relative quality gate (bottom "
     "quartile dropped) -> quality-aware fingerprint dedup (cluster "
     "keeper only) — per-source survivor counts at each stage plus kept "
-    "token mass. One corpus scan feeds all three signals; joins are on "
-    "doc_id/fingerprint (uniform); windows partition by source/cluster.",
+    "token mass. The corpus is scanned column-pruned per signal (segment "
+    "explode vs doc-level features); joins are on doc_id/fingerprint "
+    "(uniform); windows partition by source/cluster — never global.",
 )
 def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
