@@ -1480,3 +1480,40 @@ class TestCurationPipelineV2:
             assert r["n_kept"] >= 0 and r["kept_tokens"] >= 0
             # quality gate drops at most ~the bottom quartile of the source
             assert r["n_after_quality"] >= r["n_after_segment"] - (r["n_input"] // 4 + 1)
+
+
+class TestSegmentPythonReference:
+    """Cross-check the codegen segmentation against an independent pure-
+    Python reference over a corpus of edge shapes (empty, punct-only,
+    exact-multiple-of-k, k±1, repeated tokens, unicode)."""
+
+    CORPUS = [
+        (1, ""),
+        (2, "!!! ... ---"),                       # tokenizes to nothing
+        (3, "a b c d e"),                         # exactly k
+        (4, "a b c d e f"),                       # k + 1
+        (5, "a b c d"),                           # k - 1
+        (6, "x " * 25),                           # repeated token, 5 segments
+        (7, "Héllo wörld foo BAR baz qux"),       # case/diacritics
+        (8, "a  b\tc   d e f g"),                 # whitespace runs
+    ]
+    K = 5
+
+    @staticmethod
+    def _py_segments(text, k):
+        import re
+
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {
+            (i // k, " ".join(toks[i : i + k]))
+            for i in range(0, len(toks), k)
+        }
+
+    def test_matches_python_reference(self, spark):
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        got = {}
+        for r in text.word_segments(df, k=self.K).collect():
+            got.setdefault(r["doc_id"], set()).add((r["seg_no"], r["segment"]))
+        for doc_id, txt in self.CORPUS:
+            expected = self._py_segments(txt, self.K)
+            assert got.get(doc_id, set()) == expected, doc_id

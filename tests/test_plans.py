@@ -212,3 +212,35 @@ def test_session_scale_confs_pinned(spark):
     }
     for k, v in want.items():
         assert spark.conf.get(k) == v, k
+
+
+def test_segment_dedup_no_cartesian_and_pruned_scan(spark):
+    plan = plan_of(spark, "segment_dup_ratio")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the segment explode needs only (doc_id, text) — lang/source/n_chars
+    # must be pruned from the scan
+    assert "ReadSchema" in plan
+    assert "n_chars" not in plan and "lang" not in plan
+
+
+def test_boilerplate_is_aggregation_only_no_join(spark):
+    plan = plan_of(spark, "boilerplate_segments")
+    assert "Join" not in plan
+    # count(distinct doc_id) plans as the standard two-phase distinct
+    # aggregation: (segment, doc_id) dedup exchange + segment rollup
+    # exchange — and nothing else (no extra shuffle, no join)
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_relative_quality_window_is_partitioned(spark):
+    # a global (unpartitioned) window would serialize the corpus onto one
+    # task at 100 TB; the rank must partition by source
+    plan = plan_of(spark, "relative_quality_filter")
+    assert "percent_rank" in plan
+    assert "partitionBy=[source" in plan.replace(" ", "") or "hashpartitioning(source" in plan
+
+
+def test_best_representative_windows_share_cluster_shuffle(spark):
+    # both window functions partition on fingerprint — one exchange, not two
+    plan = plan_of(spark, "dedup_best_representative")
+    assert plan.count("Exchange hashpartitioning") == 1
