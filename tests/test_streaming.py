@@ -356,3 +356,51 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     rows = {r["region_id"]: r["region"]
             for r in spark.read.parquet(out_dir).collect()}
     assert rows == {1: "emea", 2: "amer", 3: None}
+
+
+def test_segment_clean_is_stream_safe(spark, tmp_path):
+    """The boilerplate cleaning pass is map-only (literal removal list),
+    so the SAME operator must produce identical output as a streaming
+    query over the same files — no state, no watermark, no re-shuffle."""
+    from uc_historic_data_importer_spark.operators.text import (
+        segment_clean_docs,
+    )
+
+    src = tmp_path / "docs"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra words here"),
+        (2, "alpha beta gamma delta epsilon unique tail of second doc"),
+        (3, "entirely different content with no shared segments at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src))
+    bp = ["alpha beta gamma delta epsilon"]
+
+    batch = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["cleaned_text"])
+        for r in segment_clean_docs(
+            spark.read.parquet(str(src)), bp, k=5
+        ).collect()
+    }
+    assert batch[1][1] == 1 and batch[2][1] == 1 and batch[3][1] == 0
+    assert not batch[1][2].startswith("alpha")
+
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+        str(src)
+    )
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        segment_clean_docs(stream, bp, k=5)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    streamed = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["cleaned_text"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch

@@ -404,3 +404,42 @@ def relative_quality_filter(
         F.sum(kept).alias("n_kept"),
         (F.count(F.lit(1)) - F.sum(kept)).alias("n_dropped"),
     )
+
+
+def segment_clean_docs(
+    df: DataFrame,
+    boilerplate: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove boilerplate k-token segments from each document and
+    reassemble the cleaned text — MAP-ONLY, so it runs unchanged under
+    Structured Streaming (no stateful agg, no watermark: the removal
+    list is a build-time artifact like a Bloom filter or PQ codebook,
+    inlined as a literal array the same way the 8 KB Bloom words are).
+
+    For removal lists too large to inline (>~10^5 segments at 100 TB),
+    the batch shape is explode -> broadcast anti-join -> re-agg; the
+    streaming shape swaps the literal for a Bloom filter of the list.
+    Adds n_segments / n_removed / cleaned_text; empty cleaned docs get
+    ''."""
+    toks = with_tokens(df, text_col)
+    nseg = F.ceil(F.col("n_tokens") / F.lit(float(k))).cast("int")
+    segs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i * k + 1, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bp = F.array(*[F.lit(s) for s in sorted(set(boilerplate))])
+    d = toks.withColumn("_segs", segs).withColumn(
+        "_kept", F.filter("_segs", lambda s: ~F.array_contains(bp, s))
+    )
+    return d.select(
+        *df.columns,
+        F.size("_segs").alias("n_segments"),
+        (F.size("_segs") - F.size("_kept")).alias("n_removed"),
+        F.concat_ws(" ", F.col("_kept")).alias("cleaned_text"),
+    )

@@ -2978,3 +2978,109 @@ def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+def _dedup_apply_best_oracle() -> str:
+    """Kept corpus where each near-dup cluster keeps its HIGHEST-QUALITY
+    member (max n_chars, ties to min id) instead of the min-id one."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             coalesce(c.component, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY comp
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+      FROM lab
+    )
+    SELECT doc_id, source, n_chars FROM rk WHERE rn = 1
+    """
+
+
+@register(
+    "dedup_apply_best",
+    _dedup_apply_best_oracle(),
+    doc="quality-aware apply: like dedup_apply (pairs -> components -> "
+    "keep set) but each near-dup cluster keeps its longest member (ties "
+    "to min id) rather than the min-id one — the keeper policy real "
+    "curation uses. Window partitions by component label (singletons are "
+    "their own partition), so no extra shuffle beyond the component join.",
+)
+def dedup_apply_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_perms=_NUM_PERMS, bands=_BANDS)
+    comp = dedup.connected_components(pairs)
+    lab = docs.join(comp, "doc_id", "left").withColumn(
+        "comp", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register(
+    "segment_cleaned_corpus",
+    f"""
+    WITH {_SEG_CTE},
+    bp AS (
+      SELECT segment FROM seg GROUP BY segment
+      HAVING count(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+      SELECT s.doc_id, s.segment,
+             s.segment IN (SELECT segment FROM bp) AS is_bp
+      FROM seg s
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(coalesce(sum(CASE WHEN NOT is_bp THEN length(segment) END), 0)
+                + greatest(sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) - 1, 0)
+                AS BIGINT) AS cleaned_len
+    FROM marked GROUP BY doc_id
+    """,
+    doc="boilerplate removal APPLIED: clean every document against the "
+    "mined removal list and report per-doc segment/removal counts and "
+    "cleaned length. The list is a bounded build artifact collected once "
+    "per (sf_dir, params) — same pattern as the in-plan Bloom words — so "
+    "the cleaning pass itself is map-only and runs unchanged under "
+    "Structured Streaming.",
+)
+def segment_cleaned_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bp = _memo(
+        ("boilerplate", sf_dir, _SEG_K, 3),
+        lambda: [
+            r["segment"]
+            for r in text.boilerplate_segments(
+                docs, k=_SEG_K, min_docs=3
+            ).collect()
+        ],
+    )
+    cleaned = text.segment_clean_docs(docs, bp, k=_SEG_K)
+    return cleaned.select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.length("cleaned_text").cast("long").alias("cleaned_len"),
+    )
