@@ -1517,3 +1517,32 @@ class TestSegmentPythonReference:
         for doc_id, txt in self.CORPUS:
             expected = self._py_segments(txt, self.K)
             assert got.get(doc_id, set()) == expected, doc_id
+
+
+class TestProfileDrift:
+    def test_detects_null_spike_and_range_shift(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None), (9, "z")], ["k", "v"]
+        )
+        out = {r["column"]: r for r in audit.profile_drift(old, new, ["k", "v"]).collect()}
+        assert out["v"]["null_rate_delta_bp"] == 5000          # 0% -> 50%
+        assert out["v"]["distinct_delta"] == -2                # 4 -> 2
+        assert out["k"]["range_changed"] == 1                  # max 4 -> 9
+        assert out["k"]["row_delta"] == 0
+
+    def test_empty_old_side_reports_not_nulls(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+
+        old = spark.createDataFrame([], "k long, v string")
+        new = spark.createDataFrame([(1, "a"), (2, None)], ["k", "v"])
+        out = {r["column"]: r for r in audit.profile_drift(old, new, ["v"]).collect()}
+        r = out["v"]
+        assert r["row_delta"] == 2
+        assert r["null_rate_delta_bp"] == 5000
+        assert r["distinct_delta"] == 1
+        assert r["range_changed"] == 1  # NULL -> 'a' is a range shift

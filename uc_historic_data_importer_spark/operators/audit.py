@@ -104,3 +104,60 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Column-profile drift between two snapshots of the same table —
+    the monitoring primitive that catches silent upstream changes
+    (null-rate spikes, cardinality collapse, range shifts) before they
+    poison a training run.
+
+    Both sides are single-scan column_profile aggregates (a handful of
+    rows each), joined on the column name: the join is trivially
+    broadcast and the whole report costs two scans regardless of table
+    size. Deltas are integer-rendered (basis points / counts) for
+    engine-portable comparison."""
+    po = column_profile(old, cols).select(
+        F.col("column"),
+        F.col("row_count").alias("old_rows"),
+        F.col("n_nulls").alias("old_nulls"),
+        F.col("n_distinct").alias("old_distinct"),
+        F.col("min_str").alias("old_min"),
+        F.col("max_str").alias("old_max"),
+    )
+    pn = column_profile(new, cols).select(
+        F.col("column"),
+        F.col("row_count").alias("new_rows"),
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.col("min_str").alias("new_min"),
+        F.col("max_str").alias("new_max"),
+    )
+    # an EMPTY snapshot side must still report (sum() over zero rows is
+    # NULL in every engine; min/max are NULL): zero-fill the counts and
+    # compare ranges null-safely so a vanished partition reads as drift,
+    # not as a NULL row
+    null_bp = lambda n, r: F.floor(  # noqa: E731
+        F.lit(10000)
+        * F.coalesce(F.col(n), F.lit(0))
+        / F.greatest(F.col(r), F.lit(1))
+    )
+    return po.join(pn, "column").select(
+        "column",
+        (F.col("new_rows") - F.col("old_rows")).alias("row_delta"),
+        (null_bp("new_nulls", "new_rows") - null_bp("old_nulls", "old_rows"))
+        .cast("long")
+        .alias("null_rate_delta_bp"),
+        (
+            F.coalesce(F.col("new_distinct"), F.lit(0))
+            - F.coalesce(F.col("old_distinct"), F.lit(0))
+        ).alias("distinct_delta"),
+        (
+            ~F.col("new_min").eqNullSafe(F.col("old_min"))
+            | ~F.col("new_max").eqNullSafe(F.col("old_max"))
+        )
+        .cast("int")
+        .alias("range_changed"),
+    )

@@ -3084,3 +3084,56 @@ def segment_cleaned_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").cast("long").alias("n_removed"),
         F.length("cleaned_text").cast("long").alias("cleaned_len"),
     )
+
+
+def _profile_drift_oracle() -> str:
+    cols = ["o_orderstatus", "o_custkey", "o_totalprice"]
+    sides = {"o": "o_orderdate < TIMESTAMP '1998-01-01'",
+             "n": "o_orderdate >= TIMESTAMP '1998-01-01'"}
+    ctes = []
+    for tag, pred in sides.items():
+        stats = [f"count(*) AS row_count"]
+        for i, c in enumerate(cols):
+            stats += [
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_{i}",
+                f"count(DISTINCT {c}) AS distinct_{i}",
+                f"CAST(min({c}) AS VARCHAR) AS min_{i}",
+                f"CAST(max({c}) AS VARCHAR) AS max_{i}",
+            ]
+        ctes.append(f"{tag} AS (SELECT {', '.join(stats)} FROM orders WHERE {pred})")
+    rows = []
+    for i, c in enumerate(cols):
+        rows.append(f"""
+        SELECT '{c}' AS "column",
+               n.row_count - o.row_count AS row_delta,
+               CAST(floor(10000 * coalesce(n.nulls_{i}, 0) / greatest(n.row_count, 1))
+                    - floor(10000 * coalesce(o.nulls_{i}, 0) / greatest(o.row_count, 1))
+                    AS BIGINT) AS null_rate_delta_bp,
+               coalesce(n.distinct_{i}, 0) - coalesce(o.distinct_{i}, 0)
+                 AS distinct_delta,
+               CAST(CASE WHEN n.min_{i} IS DISTINCT FROM o.min_{i}
+                           OR n.max_{i} IS DISTINCT FROM o.max_{i}
+                         THEN 1 ELSE 0 END AS INT) AS range_changed
+        FROM o, n""")
+    return "WITH " + ", ".join(ctes) + (" UNION ALL ".join(rows))
+
+
+@register(
+    "profile_drift_orders",
+    _profile_drift_oracle(),
+    doc="snapshot-to-snapshot column-profile drift (audit.profile_drift): "
+    "row/null-rate/cardinality deltas and range-shift flags between the "
+    "pre- and post-1998 halves of orders — the monitor that catches "
+    "silent upstream changes before they poison a training run. Two "
+    "single-scan aggregates joined on column name (broadcast, tiny).",
+)
+def profile_drift_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import audit
+
+    orders = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return audit.profile_drift(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        ["o_orderstatus", "o_custkey", "o_totalprice"],
+    )
