@@ -1546,3 +1546,91 @@ class TestProfileDrift:
         assert r["null_rate_delta_bp"] == 5000
         assert r["distinct_delta"] == 1
         assert r["range_changed"] == 1  # NULL -> 'a' is a range shift
+
+
+class TestSubstringDedup:
+    @pytest.fixture(scope="class")
+    def sub_docs(self, spark):
+        # a shared 10-token run embedded at different offsets, plus an
+        # in-document repeat and a clean doc
+        run = "one two three four five six seven eight nine ten"
+        rows = [
+            (1, "intro words here " + run + " tail a b c", "en", "s1"),
+            (2, run + " completely different ending here now", "en", "s1"),
+            (3, "x1 x2 x3 " + run + " y1 " + run, "en", "s2"),
+            (4, "totally unique text with no repeated runs at all kept", "en", "s2"),
+            (5, "tiny doc", "en", "s2"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    def test_spans_cover_shared_run(self, sub_docs):
+        spans = text.duplicate_spans(sub_docs, k=8).collect()
+        by_doc = {}
+        for r in spans:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        # doc 1: run occupies token positions 3..13
+        assert by_doc[1] == [(3, 13)]
+        # doc 2: run at 0..10
+        assert by_doc[2] == [(0, 10)]
+        # doc 4 and the sub-k doc 5 have no duplicated windows
+        assert 4 not in by_doc and 5 not in by_doc
+        # every span is at least k tokens long
+        assert all(e - s >= 8 for v in by_doc.values() for (s, e) in v)
+
+    def test_spans_disjoint_and_merged(self, sub_docs):
+        spans = text.duplicate_spans(sub_docs, k=8).collect()
+        by_doc = {}
+        for r in spans:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for v in by_doc.values():
+            v.sort()
+            # maximal merge: consecutive spans separated by > k
+            for (s1, e1), (s2, e2) in zip(v, v[1:]):
+                assert s2 > e1, "overlapping spans must be merged"
+
+    def test_in_document_repeat_detected(self, sub_docs):
+        # doc 3 contains the run twice: both occurrences must be covered
+        spans = sorted(
+            (r["span_start"], r["span_end"])
+            for r in text.duplicate_spans(sub_docs, k=8)
+            .filter("doc_id = 3")
+            .collect()
+        )
+        covered = sum(e - s for s, e in spans)
+        assert covered >= 20  # two 10-token occurrences
+
+    def test_apply_invariants(self, sub_docs):
+        out = {r["doc_id"]: r for r in
+               text.remove_duplicate_spans(sub_docs, k=8).collect()}
+        assert set(out) == {1, 2, 3, 4, 5}
+        for r in out.values():
+            assert r["kept_tokens"] == r["n_tokens"] - r["dup_tokens"]
+            assert len(r["kept_text"].split()) == r["kept_tokens"] or (
+                r["kept_tokens"] == 0 and r["kept_text"] == ""
+            )
+        # clean docs come back verbatim (tokenized form)
+        assert out[4]["dup_tokens"] == 0
+        assert out[4]["kept_text"].startswith("totally unique")
+        assert out[5]["kept_text"] == "tiny doc"
+        # doc 1 keeps its intro and tail around the cut run
+        assert out[1]["kept_text"] == "intro words here tail a b c"
+
+    def test_min_occurrences_threshold(self, sub_docs):
+        # the shared run occurs 4 times corpus-wide (docs 1, 2, 3x2);
+        # raising min_occurrences above that removes every span
+        assert text.duplicate_spans(sub_docs, k=8, min_occurrences=5).count() == 0
+        assert text.duplicate_spans(sub_docs, k=8, min_occurrences=4).count() > 0
+
+    def test_zero_token_doc(self, spark):
+        df = spark.createDataFrame(
+            [(1, "...", "en", "s1"), (2, "", "en", "s1")],
+            ["doc_id", "text", "lang", "source"],
+        )
+        out = {r["doc_id"]: r for r in
+               text.remove_duplicate_spans(df, k=8).collect()}
+        assert out[1]["n_tokens"] == 0 and out[1]["kept_text"] == ""
+        assert out[2]["n_tokens"] == 0 and out[2]["kept_text"] == ""

@@ -244,3 +244,21 @@ def test_best_representative_windows_share_cluster_shuffle(spark):
     # both window functions partition on fingerprint — one exchange, not two
     plan = plan_of(spark, "dedup_best_representative")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_substring_spans_no_cartesian_partitioned_window(spark):
+    plan = plan_of(spark, "substring_dup_spans")
+    # pair discovery is an equi-join on the gram key — never all-pairs
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the island window must partition by doc_id (a global window would
+    # serialize the corpus onto one task at 100 TB)
+    squished = plan.replace(" ", "")
+    assert "partitionBy=[doc_id" in squished or "hashpartitioning(doc_id" in squished
+    # the window explode needs only (doc_id, text)
+    assert "n_chars" not in plan and "lang" not in plan
+
+
+def test_substring_apply_no_cartesian_pruned(spark):
+    plan = plan_of(spark, "substring_dedup_apply")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "n_chars" not in plan and "lang" not in plan

@@ -443,3 +443,144 @@ def segment_clean_docs(
         (F.size("_segs") - F.size("_kept")).alias("n_removed"),
         F.concat_ws(" ", F.col("_kept")).alias("cleaned_text"),
     )
+
+
+def sliding_windows(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, gram): every stride-1 k-token sliding window of the
+    normalized token stream (pos = 0-based start token index). The
+    substring-dedup analogue of `word_segments` (which strides by k):
+    stride 1 is what makes duplicate detection EXACT at k-token
+    granularity rather than alignment-dependent.
+
+    Output rows ~= n_tokens per document (linear blow-up); each gram is
+    k joined tokens. At 100 TB the gram string would be replaced by a
+    64-bit hash to bound shuffle bytes (same plan shape, collision rate
+    ~ n^2/2^64); the string form is kept here so external oracles can
+    replay the exact semantics."""
+    toks = with_tokens(df, text_col)
+    nwin = F.col("n_tokens") - F.lit(k) + 1
+    # guard: sequence(0, -1) DESCENDS in Spark rather than returning
+    # empty, so short documents must bypass the window build
+    wins = F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(id_col, F.posexplode(wins).alias("pos", "gram"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level duplicate spans (the ExactSubstr dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every MAXIMAL token run whose stride-1 k-token windows
+    each occur >= min_occurrences times corpus-wide (counting all
+    occurrences, including within the same document). Returns one row
+    per maximal span: (id, span_start, span_end, span_len) with
+    span_end exclusive; overlapping duplicated windows are merged by a
+    gaps-and-islands pass, so spans never overlap and a duplicated run
+    of any length >= k is reported once.
+
+    Plan shape at scale: linear explode -> partial-agg groupBy(gram)
+    occurrence count -> equi-join back on the content-uniform gram key
+    -> one window + groupBy per (doc, island), both on the doc_id
+    partitioning (single exchange). Nothing is all-pairs: join fan-out
+    equals the true occurrence count of each duplicated gram. This is
+    the suffix-array dedup's distributed approximation — at k-token
+    window resolution the detected spans are exactly the suffix-array
+    duplicates of length >= k."""
+    from pyspark.sql import Window
+
+    wins = sliding_windows(df, k=k, text_col=text_col, id_col=id_col)
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+    )
+    dwin = wins.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # stride-1 windows sorted by pos: the covered prefix ends at
+    # lag(pos)+k, so a new span starts exactly when pos > lag(pos)+k
+    # (NULL lag -> otherwise(0): the first window opens island 0)
+    isl = F.sum(
+        F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
+    ).over(w)
+    return (
+        dwin.withColumn("_island", isl)
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply side of exact substring dedup: cut every duplicated span
+    (from `duplicate_spans`) out of every document and reassemble the
+    kept text. Policy: ALL occurrences are removed (conservative
+    over-removal — the standard choice when the cut material is
+    boilerplate/contamination; keeping one canonical occurrence would
+    need a global first-occurrence rank per gram, which the span merge
+    makes ill-defined across partially-overlapping runs).
+
+    Per doc: n_tokens, dup_tokens (sum of span lengths — spans are
+    disjoint by construction, so this is exact), kept_tokens, and the
+    reassembled kept_text. The span list per document is tiny (bounded
+    by n_tokens/k), so the reconstruction is an array-HOF filter over
+    token positions — pure codegen, no Python, no extra shuffle beyond
+    the span aggregation's doc_id exchange (reused by the join)."""
+    spans = duplicate_spans(
+        df, k=k, min_occurrences=min_occurrences, text_col=text_col, id_col=id_col
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_len").alias("_dup"),
+    )
+    toks = with_tokens(df, text_col)
+    j = toks.join(agg, id_col, "left")
+    idx = F.when(
+        F.col("n_tokens") > 0,
+        F.sequence(F.lit(0), F.col("n_tokens") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.when(F.col("_spans").isNull(), idx).otherwise(
+        F.filter(
+            idx,
+            lambda i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+            ),
+        )
+    )
+    d = j.withColumn("_kept_idx", kept_idx)
+    return d.select(
+        id_col,
+        F.col("n_tokens"),
+        F.coalesce(F.col("_dup"), F.lit(0)).alias("dup_tokens"),
+        F.size("_kept_idx").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform("_kept_idx", lambda i: F.element_at("tokens", i + 1)),
+        ).alias("kept_text"),
+    )

@@ -3137,3 +3137,100 @@ def profile_drift_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate") >= cut),
         ["o_orderstatus", "o_custkey", "o_totalprice"],
     )
+
+
+# --- exact substring-level dedup (Lee et al. ExactSubstr) -------------------
+
+_SUBSTR_K = 8
+
+_SUBSTR_SPAN_CTE = f"""
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+wins AS (
+  SELECT doc_id, gs - 1 AS pos,
+         array_to_string(t[gs : gs + {_SUBSTR_K - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {_SUBSTR_K - 1}, 0)))
+       AS g(gs)
+),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+lagd AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM dw
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos > prev + {_SUBSTR_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagd
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) + {_SUBSTR_K} AS span_end
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+    WITH {_SUBSTR_SPAN_CTE}
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start AS span_len
+    FROM spans
+    """,
+    doc="exact substring-level duplicate spans (text.duplicate_spans; "
+    "Lee et al. 'Deduplicating Training Data Makes Language Models "
+    "Better' ExactSubstr): maximal token runs whose stride-1 "
+    f"{_SUBSTR_K}-token windows each occur >=2 times corpus-wide, "
+    "merged by a gaps-and-islands pass so spans never overlap. Linear "
+    "explode -> groupBy(gram) -> join-back on the content-uniform gram "
+    "key -> one doc_id window+agg; at 100 TB the gram string becomes a "
+    "64-bit hash (same plan, bounded shuffle bytes). The distributed "
+    "approximation of suffix-array dedup at k-token resolution.",
+)
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.duplicate_spans(t(spark, sf_dir, "documents"), k=_SUBSTR_K)
+
+
+@register(
+    "substring_dedup_apply",
+    f"""
+    WITH {_SUBSTR_SPAN_CTE},
+    dsum AS (
+      SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT doc_id, gs - 1 AS p, t[gs] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS g(gs)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.p, p.tok FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id AND p.p >= s.span_start
+          AND p.p < s.span_end)
+    ),
+    ka AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY p) AS kept_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.t) AS n_tokens,
+           coalesce(d.dup_tokens, 0) AS dup_tokens,
+           coalesce(k.kept_tokens, 0) AS kept_tokens,
+           coalesce(k.kept_text, '') AS kept_text
+    FROM toks t
+    LEFT JOIN dsum d USING (doc_id) LEFT JOIN ka k USING (doc_id)
+    """,
+    doc="apply side of exact substring dedup (text.remove_duplicate_"
+    "spans): cut every duplicated span out of every document and "
+    "reassemble kept_text (policy: all occurrences removed — the "
+    "conservative boilerplate/contamination cut). Reconstruction is an "
+    "array-HOF filter over token positions (pure codegen, no Python); "
+    "spans are disjoint by construction so dup_tokens is exact and "
+    "kept_tokens == n_tokens - dup_tokens, pinned in pytest.",
+)
+def substring_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.remove_duplicate_spans(t(spark, sf_dir, "documents"), k=_SUBSTR_K)
