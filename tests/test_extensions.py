@@ -1634,3 +1634,52 @@ class TestSubstringDedup:
                text.remove_duplicate_spans(df, k=8).collect()}
         assert out[1]["n_tokens"] == 0 and out[1]["kept_text"] == ""
         assert out[2]["n_tokens"] == 0 and out[2]["kept_text"] == ""
+
+
+class TestShardAssign:
+    @pytest.fixture(scope="class")
+    def assigned(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        docs = text.with_tokens(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ).select("doc_id", "n_tokens")
+        return (
+            packing.shard_assign_by_tokens(docs, target_tokens=500, n_buckets=16)
+            .orderBy("global_start")
+            .collect(),
+            500,
+        )
+
+    def test_layout_is_contiguous_prefix(self, assigned):
+        rows, _ = assigned
+        assert rows[0]["global_start"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["global_start"] == a["global_start"] + a["n_tokens"]
+
+    def test_shard_id_formula_and_monotone(self, assigned):
+        rows, target = assigned
+        for r in rows:
+            assert r["shard_id"] == r["global_start"] // target
+        sids = [r["shard_id"] for r in rows]
+        assert sids == sorted(sids)
+        # no empty shards in the middle
+        assert set(sids) == set(range(min(sids), max(sids) + 1))
+
+    def test_nonlast_shards_reach_boundary(self, assigned):
+        rows, target = assigned
+        last = max(r["shard_id"] for r in rows)
+        ends: dict[int, int] = {}
+        for r in rows:
+            ends[r["shard_id"]] = r["global_start"] + r["n_tokens"]
+        for sid, end in ends.items():
+            if sid != last:
+                # the shard's final document must cross its right boundary
+                assert end >= (sid + 1) * target
+
+    def test_rejects_bad_target(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
+        with pytest.raises(ValueError):
+            packing.shard_assign_by_tokens(df, target_tokens=0)

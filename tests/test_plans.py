@@ -262,3 +262,12 @@ def test_substring_apply_no_cartesian_pruned(spark):
     plan = plan_of(spark, "substring_dedup_apply")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "n_chars" not in plan and "lang" not in plan
+
+
+def test_shard_assign_two_level_prefix_sum(spark):
+    plan = plan_of(spark, "shard_assign_tokens")
+    # the data-scale running sum must ride the bucket partitioning; the
+    # offsets side joins back as a broadcast (no data-scale sort-merge)
+    assert "hashpartitioning(_bucket" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -172,3 +172,62 @@ def chunk_sql(tokens_sql: str, size: int, stride: int) -> str:
              AS chunk_text
     FROM c
     """
+
+
+def shard_assign_by_tokens(
+    df: DataFrame,
+    target_tokens: int,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Token-balanced GLOBAL shard assignment: lay all documents on one
+    deterministic line (ordered by (hash-bucket, hash, id)) and cut it
+    every ``target_tokens`` tokens — the "write N-token training shards"
+    primitive. A document is assigned to the shard where it STARTS, so a
+    shard can overshoot by at most one document (the standard shard-
+    writer closing rule).
+
+    The spec is a global running sum — but a single unbounded window
+    would serialize the corpus through one reducer. The scalable plan is
+    the classic two-level distributed prefix sum:
+
+      1. per-bucket token totals (one partial-agg groupBy on the
+         hash-uniform bucket key — n_buckets rows),
+      2. exclusive bucket offsets (a window over those n_buckets rows —
+         bounded artifact, like a codebook: NOT a data-scale window),
+      3. broadcast offsets back, then an inclusive running sum WITHIN
+         each bucket (one window partitioned by bucket).
+
+    Global position = bucket offset + within-bucket cumsum; identical to
+    the single-ordering spec (the oracle replays it as one flat ORDER BY
+    cumsum), while every data-scale stage stays hash-partitioned. At
+    100 TB, size n_buckets ~ executor count.
+    """
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    d = df.withColumn(
+        "_hkey", md5_i64(F.col(id_col).cast("string"))
+    ).withColumn("_bucket", F.pmod(F.col("_hkey"), F.lit(n_buckets)))
+    totals = d.groupBy("_bucket").agg(F.sum(n_tokens_col).alias("_btot"))
+    wb = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_btot").over(wb), F.lit(0))
+    ).select("_bucket", "_boff")
+    wi = (
+        Window.partitionBy("_bucket")
+        .orderBy("_hkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = d.join(F.broadcast(offsets), "_bucket")
+    out = j.withColumn(
+        "_cum", F.sum(n_tokens_col).over(wi) + F.col("_boff")
+    ).withColumn("global_start", F.col("_cum") - F.col(n_tokens_col))
+    return out.select(
+        id_col,
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        "global_start",
+        F.expr(f"global_start div {target_tokens}").alias("shard_id"),
+    )

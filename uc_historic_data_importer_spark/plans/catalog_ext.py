@@ -3234,3 +3234,47 @@ def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def substring_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.remove_duplicate_spans(t(spark, sf_dir, "documents"), k=_SUBSTR_K)
+
+
+_SHARD_TARGET = 2000
+_SHARD_BUCKETS = 256
+
+
+@register(
+    "shard_assign_tokens",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens,
+             {md5_i64_sql("doc_id::VARCHAR")} AS hkey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY hkey % {_SHARD_BUCKETS}, hkey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM d
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           cum - n_tokens AS global_start,
+           (cum - n_tokens) // {_SHARD_TARGET} AS shard_id
+    FROM c
+    """,
+    doc="token-balanced global shard assignment (packing.shard_assign_"
+    "by_tokens): cut the deterministic (bucket, hash, id) document line "
+    f"every {_SHARD_TARGET} tokens — the 'write N-token training "
+    "shards' primitive. Spark runs the two-level distributed prefix sum "
+    "(bucket totals -> bounded offsets window -> broadcast -> within-"
+    "bucket running sum); the oracle replays the flat single-ordering "
+    "spec, proving the hierarchical plan computes the same line.",
+)
+def shard_assign_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import packing
+
+    docs = text.with_tokens(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    return packing.shard_assign_by_tokens(
+        docs, target_tokens=_SHARD_TARGET, n_buckets=_SHARD_BUCKETS
+    )
