@@ -1683,3 +1683,36 @@ class TestShardAssign:
         df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
         with pytest.raises(ValueError):
             packing.shard_assign_by_tokens(df, target_tokens=0)
+
+
+class TestSemanticDecontamination:
+    def test_flags_planted_near_dup(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        base = [1.0, 0.0, 0.0, 0.0]
+        near = [0.99, 0.14, 0.0, 0.0]   # cos ~ 0.990 vs base
+        far = [0.0, 0.0, 1.0, 0.0]
+        train = spark.createDataFrame(
+            [(10, near), (11, far)], ["vec_id", "embedding"]
+        )
+        test = spark.createDataFrame([(1, base)], ["vec_id", "embedding"])
+        out = {r["vec_id"]: r for r in similarity.semantic_decontamination(
+            train, test, threshold=0.9).collect()}
+        assert out[10]["contaminated"] == 1
+        assert out[11]["contaminated"] == 0
+        assert out[11]["max_test_sim"] == 0.0
+        # every train row is reported, audit-style
+        assert set(out) == {10, 11}
+
+    def test_max_over_multiple_test_vectors(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        train = spark.createDataFrame(
+            [(1, [1.0, 0.0])], ["vec_id", "embedding"]
+        )
+        test = spark.createDataFrame(
+            [(100, [0.0, 1.0]), (101, [1.0, 0.0])], ["vec_id", "embedding"]
+        )
+        row = similarity.semantic_decontamination(
+            train, test, threshold=0.99).collect()[0]
+        assert row["max_test_sim"] == 1.0 and row["contaminated"] == 1

@@ -356,3 +356,57 @@ def quantize_int8(
         q_val.alias("q_val"),
         F.round(F.col("scale"), 6).alias("scale_r"),
     )
+
+
+def semantic_decontamination(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every train vector whose
+    cosine similarity to ANY held-out/eval vector reaches `threshold` —
+    the semantic complement of n-gram decontamination (paraphrased or
+    re-tokenized benchmark leakage that exact n-grams miss).
+
+    Returns (id, max_test_sim, contaminated 0/1) for EVERY train row,
+    so the caller chooses filter vs audit. The eval set is broadcast
+    (it is benchmark-sized by definition — thousands, not billions);
+    the train side is scanned once, never shuffled: crossJoin against
+    the broadcast side then a partial-agg max per train id. Similarity
+    is rounded before max/threshold so engines agree at the boundary.
+    At 100 TB the same plan holds — cost is one linear scan x |eval|
+    dot products; for very large eval sets, pre-bucket both sides with
+    hyperplane_lsh_buckets and equi-join on the bucket instead."""
+    q = F.broadcast(
+        test.select(
+            F.col(vec_col).alias("t_vec"),
+            norm_col(F.col(vec_col)).alias("t_norm"),
+        )
+    )
+    c = _ensure_parallel(train).select(
+        F.col(id_col),
+        F.col(vec_col).alias("c_vec"),
+        norm_col(F.col(vec_col)).alias("c_norm"),
+    )
+    sims = c.crossJoin(q).select(
+        id_col,
+        F.round(
+            dot_col(F.col("c_vec"), F.col("t_vec"))
+            / (F.col("c_norm") * F.col("t_norm")),
+            round_dp,
+        ).alias("sim"),
+    )
+    return (
+        sims.groupBy(id_col)
+        .agg(F.max("sim").alias("max_test_sim"))
+        .select(
+            id_col,
+            "max_test_sim",
+            (F.col("max_test_sim") >= threshold).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -3278,3 +3278,35 @@ def shard_assign_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.shard_assign_by_tokens(
         docs, target_tokens=_SHARD_TARGET, n_buckets=_SHARD_BUCKETS
     )
+
+
+@register(
+    "semantic_decontamination",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tst AS (SELECT v FROM e WHERE vec_id % 20 = 0),
+    trn AS (SELECT vec_id, v FROM e WHERE vec_id % 20 != 0),
+    sims AS (
+      SELECT trn.vec_id,
+             round(list_inner_product(trn.v, tst.v) /
+               (sqrt(list_inner_product(trn.v, trn.v)) *
+                sqrt(list_inner_product(tst.v, tst.v))), 6) AS sim
+      FROM trn, tst
+    )
+    SELECT vec_id, max(sim) AS max_test_sim,
+           CAST(max(sim) >= 0.5 AS INT) AS contaminated
+    FROM sims GROUP BY vec_id
+    """,
+    doc="embedding-space decontamination (similarity.semantic_"
+    "decontamination): max cosine of every train vector against the "
+    "broadcast held-out set (vec_id % 20 = 0 plays the benchmark), "
+    "contaminated at >= 0.5 on this corpus (0.9+ for real data) — the "
+    "semantic complement of ngram_decontamination for paraphrased "
+    "leakage. Train side scanned once, never shuffled; eval side "
+    "broadcast by definition of benchmark size.",
+)
+def semantic_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return similarity.semantic_decontamination(train, test, threshold=0.5)
