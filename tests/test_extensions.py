@@ -1716,3 +1716,48 @@ class TestSemanticDecontamination:
         row = similarity.semantic_decontamination(
             train, test, threshold=0.99).collect()[0]
         assert row["max_test_sim"] == 1.0 and row["contaminated"] == 1
+
+
+class TestBm25:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "spark spark spark engine", "en", "s"),
+            (2, "spark engine", "en", "s"),
+            (3, "engine only here words pad pad pad pad", "en", "s"),
+            (4, "nothing relevant at all in this one", "en", "s"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    def test_ranking_and_exclusion(self, corpus):
+        out = text.bm25_topk(corpus, ["spark"], topk=10).collect()
+        ids = [r["doc_id"] for r in out]
+        # only docs containing the term score > 0
+        assert set(ids) == {1, 2}
+        # higher tf (with comparable length) ranks first
+        assert ids[0] == 1
+        assert all(r["bm25"] > 0 for r in out)
+
+    def test_multi_term_additivity(self, corpus):
+        single = {r["doc_id"]: r["bm25"]
+                  for r in text.bm25_topk(corpus, ["engine"], topk=10).collect()}
+        multi = {r["doc_id"]: r["bm25"]
+                 for r in text.bm25_topk(corpus, ["spark", "engine"], topk=10).collect()}
+        # doc 3 matches only 'engine'; its score must carry over
+        assert 3 in single and 3 in multi
+        # doc 2 matches both terms: strictly higher than either alone
+        assert multi[2] > single[2]
+
+    def test_rare_term_outscores_common(self, spark):
+        rows = [(i, "common filler words here", "en", "s") for i in range(1, 9)]
+        rows.append((9, "common rare filler words", "en", "s"))
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+        out = {r["doc_id"]: r["bm25"]
+               for r in text.bm25_topk(df, ["rare", "common"], topk=20).collect()}
+        # the idf of 'rare' (df=1) dominates 'common' (df=9)
+        assert out[9] == max(out.values())
+
+    def test_topk_and_empty_query(self, corpus):
+        assert len(text.bm25_topk(corpus, ["engine"], topk=1).collect()) == 1
+        with pytest.raises(ValueError):
+            text.bm25_topk(corpus, [])

@@ -271,3 +271,12 @@ def test_shard_assign_two_level_prefix_sum(spark):
     assert "hashpartitioning(_bucket" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_stats_broadcast_no_explode(spark):
+    plan = plan_of(spark, "bm25_retrieval")
+    # corpus stats join back as a broadcast 1-row frame; the per-doc tf
+    # is array-HOF work — no explode/generate and no data-scale shuffle
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -584,3 +584,63 @@ def remove_duplicate_spans(
             F.transform("_kept_idx", lambda i: F.element_at("tokens", i + 1)),
         ).alias("kept_text"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked keyword retrieval (Robertson/Sparck Jones; the Lucene
+    scoring shape): score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*((1-b)
+    + b*dl/avgdl)), idf = ln((N - df + 0.5)/(df + 0.5) + 1). Returns the
+    top-k (id, bm25) with score rounded to 6 dp BEFORE ranking (ties
+    break on id) so libm ln() ulp noise cannot flip ranks cross-engine.
+
+    Plan shape: corpus statistics (N, avgdl, per-term df) are ONE
+    aggregate over one scan, broadcast back as a 1-row frame — never a
+    driver collect; per-document tf is an array-HOF count (map-only, no
+    explode, no shuffle); the final top-k is TakeOrderedAndProject. Two
+    scans total regardless of query length; at 100 TB the stats frame
+    is the per-query bounded artifact (|terms|+2 numbers), the same
+    pattern as the Bloom words and PQ codebooks."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = with_tokens(df, text_col)
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_N"),
+        F.avg("n_tokens").alias("_avgdl"),
+    ]
+    for i, term in enumerate(terms):
+        aggs.append(
+            F.sum(F.array_contains("tokens", term).cast("int"))
+            .cast("double")
+            .alias(f"_df_{i}")
+        )
+    stats = toks.agg(*aggs)
+    j = toks.crossJoin(F.broadcast(stats))
+    score = None
+    for i, term in enumerate(terms):
+        tf = F.size(
+            F.filter("tokens", lambda x: x == F.lit(term))
+        ).cast("double")
+        dfi = F.col(f"_df_{i}")
+        idf = F.log(
+            (F.col("_N") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + (F.lit(b) * F.col("n_tokens")) / F.col("_avgdl")
+        )
+        s = idf * tf * F.lit(k1 + 1.0) / denom
+        score = s if score is None else score + s
+    out = j.select(id_col, F.round(score, 6).alias("bm25"))
+    return (
+        out.filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(topk)
+    )

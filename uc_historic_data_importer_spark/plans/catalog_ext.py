@@ -3310,3 +3310,63 @@ def semantic_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = emb.filter(F.col("vec_id") % 20 == 0)
     train = emb.filter(F.col("vec_id") % 20 != 0)
     return similarity.semantic_decontamination(train, test, threshold=0.5)
+
+
+_BM25_TERMS = ("customer", "vector", "merge")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+
+
+def _bm25_oracle() -> str:
+    """BM25 replay with constants emitted via repr() so both engines
+    parse bit-identical doubles; arithmetic association mirrors
+    text.bm25_topk exactly (idf*tf*(k1+1)/denom, left-assoc sum)."""
+    k1, b = _BM25_K1, _BM25_B
+    terms = list(dict.fromkeys(_BM25_TERMS))
+    df_aggs = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(t, '{x}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i, x in enumerate(terms)
+    )
+    parts = []
+    for i, x in enumerate(terms):
+        tf = f"CAST(len(list_filter(t, v -> v = '{x}')) AS DOUBLE)"
+        idf = f"ln((N - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        denom = f"({tf} + {k1!r} * ({1.0 - b!r} + ({b!r} * n_tokens) / avgdl))"
+        parts.append(f"{idf} * {tf} * {k1 + 1.0!r} / {denom}")
+    score = " + ".join(parts)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t,
+             len({_TOKENS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS N, avg(n_tokens) AS avgdl,
+             {df_aggs}
+      FROM toks
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, round({score}, 6) AS bm25 FROM toks, stats
+    ) WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@register(
+    "bm25_retrieval",
+    _bm25_oracle(),
+    doc="BM25 ranked keyword retrieval (text.bm25_topk; Robertson/"
+    "Sparck Jones, the Lucene scoring shape) for the query "
+    f"{' '.join(_BM25_TERMS)!r}: corpus stats (N, avgdl, per-term df) "
+    "as ONE broadcast 1-row aggregate, per-doc tf as map-only array "
+    "HOFs (no explode, no shuffle), TakeOrdered top-k. Score rounded "
+    "to 6 dp before ranking so libm ln() ulp noise cannot flip ranks "
+    "cross-engine. Two scans total regardless of query length.",
+)
+def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(
+        t(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        k1=_BM25_K1,
+        b=_BM25_B,
+        topk=_BM25_TOPK,
+    )
