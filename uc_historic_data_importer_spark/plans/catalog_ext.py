@@ -1351,7 +1351,65 @@ def binary_media_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# streaming contract query -------------------------------------------------
+# streaming contract queries ------------------------------------------------
+
+def _stream_dump_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the events-derived dump-file fixture the streaming contract
+    queries read: one JSONL line per sampled event, split across 4 files
+    so trigger(availableNow) processes real micro-batches. Returns
+    (work_dir, input_dir); the caller owns cleanup."""
+    import glob
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 < 4)
+    lines = ev.select(
+        F.concat(
+            F.lit('{"_id":"u-'),
+            F.col("user_id"),
+            F.lit("-"),
+            F.col("event_id") % 1000,
+            F.lit('","_lastModifiedDateTime":{"$date":"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.lit('"}}'),
+        ).alias("value")
+    )
+    work = tempfile.mkdtemp(prefix="hdi_stream_q_")
+    raw_dir = os.path.join(work, "raw")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    lines.coalesce(4).write.mode("overwrite").text(raw_dir)
+    for i, part in enumerate(sorted(glob.glob(os.path.join(raw_dir, "part-*"))), 1):
+        os.rename(part, os.path.join(in_dir, f"events-db.stream.{i:04d}.json"))
+    return work, in_dir
+
+
+def _run_stream_to_memory(
+    spark: SparkSession, stream, view_prefix: str, sf_dir: str,
+    work: str, output_mode: str
+) -> str:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the sink view name. Deterministic per sf_dir so
+    repeat calls reuse (and replace) one temp view instead of leaking
+    uuid-named views."""
+    import hashlib
+    import os
+
+    qn = view_prefix + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    if any(v.name == qn for v in spark.catalog.listTables()):
+        spark.catalog.dropTempView(qn)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    return qn
+
 
 def _streaming_oracle_sql() -> str:
     from uc_historic_data_importer_spark.plans.catalog import _CRC32_SQL
@@ -1382,11 +1440,7 @@ def _streaming_oracle_sql() -> str:
     "convergence IS the correctness statement for the stateful operator.",
 )
 def streaming_latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
     from uc_historic_data_importer_spark.streaming.stream_pipeline import (
         latest_per_key_stream,
@@ -1394,50 +1448,14 @@ def streaming_latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_jsonl_stream,
     )
 
-    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 < 4)
-    lines = ev.select(
-        F.concat(
-            F.lit('{"_id":"u-'),
-            F.col("user_id"),
-            F.lit("-"),
-            F.col("event_id") % 1000,
-            F.lit('","_lastModifiedDateTime":{"$date":"'),
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-            F.lit('"}}'),
-        ).alias("value")
-    )
-
-    work = tempfile.mkdtemp(prefix="hdi_stream_q_")
+    work, in_dir = _stream_dump_fixture(spark, sf_dir)
     try:
-        raw_dir = os.path.join(work, "raw")
-        in_dir = os.path.join(work, "in")
-        os.makedirs(in_dir)
-        # several dump files so availableNow processes real micro-batches
-        lines.coalesce(4).write.mode("overwrite").text(raw_dir)
-        for i, part in enumerate(sorted(glob.glob(os.path.join(raw_dir, "part-*"))), 1):
-            os.rename(part, os.path.join(in_dir, f"events-db.stream.{i:04d}.json"))
-
-        # deterministic per sf_dir so repeat calls reuse (and replace)
-        # one temp view instead of leaking uuid-named views
-        qn = (
-            "latest_stream_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        )
-        if any(v.name == qn for v in spark.catalog.listTables()):
-            spark.catalog.dropTempView(qn)
         stream = latest_per_key_stream(
             normalized_stream(read_jsonl_stream(spark, in_dir))
         )
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(qn)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(work, "chk"))
-            .trigger(availableNow=True)
-            .start()
+        qn = _run_stream_to_memory(
+            spark, stream, "latest_stream_", sf_dir, work, "update"
         )
-        q.awaitTermination(600)
-        q.stop()
     finally:
         # the memory sink holds its batches independent of the
         # checkpoint/input dirs, so the fixture tree can go now
@@ -3369,4 +3387,51 @@ def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
         topk=_BM25_TOPK,
+    )
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+    SELECT 'events_db:stream' AS "table",
+           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n
+    FROM events WHERE event_id % 20 < 4
+    GROUP BY 2
+    """,
+    doc="Structured Streaming watermarked tumbling-window counts "
+    "(streaming/stream_pipeline.py::windowed_counts — the streaming F5 "
+    "put-count report) run to completion with trigger(availableNow) "
+    "over the same dump-file fixture as streaming_latest_per_key; the "
+    "converged window table is value-hash-compared against the batch "
+    "tumbling aggregate DuckDB computes directly from events. Complete "
+    "output mode so trailing windows above the watermark are visible "
+    "to the convergence check.",
+)
+def streaming_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from uc_historic_data_importer_spark.streaming.stream_pipeline import (
+        normalized_stream,
+        read_jsonl_stream,
+        windowed_counts,
+    )
+
+    work, in_dir = _stream_dump_fixture(spark, sf_dir)
+    try:
+        stream = windowed_counts(
+            normalized_stream(read_jsonl_stream(spark, in_dir))
+        )
+        qn = _run_stream_to_memory(
+            spark, stream, "wincount_stream_", sf_dir, work, "complete"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # complete mode re-emits the whole window table each batch; the
+    # sink's converged content is the final emission — dedupe by
+    # (table, window) keeping the max count, as a PLAN over the sink
+    return (
+        spark.table(qn)
+        .groupBy("table", "window_start")
+        .agg(F.max("n").alias("n"))
     )
