@@ -112,7 +112,7 @@ def main() -> None:
     t(spark, SF_DIR, "lineitem").count()
     warm_dir = "/root/testdata/sf0.001"
     for name in QUERIES:
-        if name == "streaming_latest_per_key":
+        if name.startswith("streaming_"):
             continue
         try:
             force(QUERIES[name].fn(spark, warm_dir))
@@ -192,11 +192,12 @@ def main() -> None:
 
     # Non-headline queries are timed too (single try) and reported under
     # "extras" — visibility for operators added after the round-1 freeze
-    # WITHOUT moving the frozen headline total. The streaming query is
-    # excluded: it builds its own file fixture and measures convergence,
-    # not throughput.
+    # WITHOUT moving the frozen headline total. The streaming queries are
+    # excluded: they build their own file fixtures and measure
+    # convergence, not throughput.
+    streaming = {"streaming_latest_per_key", "streaming_windowed_counts"}
     extras: dict[str, float] = {}
-    for name in sorted(set(QUERIES) - set(HEADLINE) - {"streaming_latest_per_key"}):
+    for name in sorted(set(QUERIES) - set(HEADLINE) - streaming):
         t0 = time.time()
         try:
             force(QUERIES[name].fn(spark, SF_DIR))
