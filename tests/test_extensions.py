@@ -1761,3 +1761,46 @@ class TestBm25:
         assert len(text.bm25_topk(corpus, ["engine"], topk=1).collect()) == 1
         with pytest.raises(ValueError):
             text.bm25_topk(corpus, [])
+
+
+class TestHllIntersection:
+    def test_inclusion_exclusion_tracks_truth(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        # two sets of 300 with a known overlap of 100
+        rows = [("a", f"u{i}") for i in range(300)]
+        rows += [("b", f"u{i}") for i in range(200, 500)]
+        df = spark.createDataFrame(rows, ["grp", "uid"])
+        out = sketches.hll_pairwise_intersection(df, "uid", "grp").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["type_a"], r["type_b"]) == ("a", "b")
+        # HLL at p=8 has ~6.5% standard error; 3 sigma on each term
+        assert abs(r["est_a"] - 300) < 60 and abs(r["est_b"] - 300) < 60
+        assert abs(r["est_union"] - 500) < 100
+        assert abs(r["est_intersection"] - 100) < 90
+        # union never exceeds the sum, intersection never negative
+        assert r["est_union"] <= r["est_a"] + r["est_b"]
+        assert r["est_intersection"] >= 0
+
+    def test_disjoint_sets_near_zero(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        rows = [("a", f"x{i}") for i in range(200)]
+        rows += [("b", f"y{i}") for i in range(200)]
+        df = spark.createDataFrame(rows, ["grp", "uid"])
+        r = sketches.hll_pairwise_intersection(df, "uid", "grp").collect()[0]
+        # disjoint: intersection estimate within sketch noise of zero
+        assert r["est_intersection"] < 60
+
+    def test_pair_symmetry_one_row_per_pair(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        rows = [(g, f"u{i}") for g in ("a", "b", "c") for i in range(50)]
+        df = spark.createDataFrame(rows, ["grp", "uid"])
+        out = sketches.hll_pairwise_intersection(df, "uid", "grp").collect()
+        pairs = sorted((r["type_a"], r["type_b"]) for r in out)
+        assert pairs == [("a", "b"), ("a", "c"), ("b", "c")]
+        # identical sets: intersection ~= each single estimate
+        for r in out:
+            assert abs(r["est_intersection"] - r["est_a"]) < 1e-6

@@ -398,3 +398,159 @@ def hist_quantiles_sql(
     agg AS (SELECT {gsel}{picks} FROM cum {gby_clause})
     SELECT {gsel}{outs} FROM agg
     """
+
+
+def hll_pairwise_intersection(
+    df: DataFrame,
+    value_col: str,
+    set_col: str,
+    p: int = 8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Sketch-algebra distinct intersection: for every pair of sets
+    (set_col values a < b), estimate |A ∩ B| by inclusion–exclusion
+    over HLL registers — est(A) + est(B) − est(A ∪ B), where the union
+    estimate comes from MAX-MERGING the two sets' register tables
+    (registers are mergeable; intersections are not, so this is THE way
+    to get them from sketches). Clamped at 0 since inclusion–exclusion
+    on estimates can go slightly negative.
+
+    Output: (type_a, type_b, est_a, est_b, est_union,
+    est_intersection), one row per unordered pair.
+
+    Scale shape: raw data is scanned ONCE (the register build); all
+    pair algebra runs on register tables of 2^p rows per set — bounded
+    artifacts. The pair fan-out is |sets|² × 2^p rows, fine for the
+    low-cardinality set keys this targets (event types, sources,
+    days); the per-set estimate sides broadcast. At 100 TB the same
+    register tables answer membership-overlap questions all quarter —
+    persist them, re-merge at will."""
+    regs = hll_registers(df, value_col, (set_col,), p)
+    others = F.broadcast(
+        df.select(F.col(set_col).alias("_other")).distinct()
+    )
+    pair_regs = (
+        regs.join(others, F.col(set_col) != F.col("_other"))
+        .select(
+            F.least(F.col(set_col), F.col("_other")).alias("type_a"),
+            F.greatest(F.col(set_col), F.col("_other")).alias("type_b"),
+            "bucket",
+            "max_rho",
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est_union = hll_estimate(
+        pair_regs, ("type_a", "type_b"), p, round_dp
+    ).withColumnRenamed("hll_distinct", "est_union")
+    singles = hll_estimate(regs, (set_col,), p, round_dp)
+    a = F.broadcast(
+        singles.select(
+            F.col(set_col).alias("type_a"),
+            F.col("hll_distinct").alias("est_a"),
+        )
+    )
+    b = F.broadcast(
+        singles.select(
+            F.col(set_col).alias("type_b"),
+            F.col("hll_distinct").alias("est_b"),
+        )
+    )
+    return (
+        est_union.join(a, "type_a")
+        .join(b, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                round_dp,
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def hll_intersection_sql(
+    value_expr: str,
+    table: str,
+    set_col: str,
+    p: int = 8,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB SQL reproducing hll_pairwise_intersection exactly (same
+    register build as hll_sql, same inclusion–exclusion double
+    arithmetic, rounded at the same points)."""
+    m = 1 << p
+    rem_bits = HASH_BITS - p
+    mask = (1 << rem_bits) - 1
+    cases = " ".join(
+        f"WHEN w >= {1 << (rem_bits - r)} THEN {r}"
+        for r in range(1, rem_bits + 1)
+    )
+
+    def est(prefix: str) -> str:
+        raw = (
+            f"{_alpha(m)!r}::DOUBLE * {float(m * m)!r}::DOUBLE / "
+            f"({prefix}present_pow + ({m} - {prefix}nonempty))"
+        )
+        return (
+            f"round(CASE WHEN {raw} <= {2.5 * m!r}::DOUBLE "
+            f"AND ({m} - {prefix}nonempty) > 0 "
+            f"THEN {float(m)!r}::DOUBLE * "
+            f"ln({float(m)!r}::DOUBLE / ({m} - {prefix}nonempty)) "
+            f"ELSE {raw} END, {round_dp})"
+        )
+
+    return f"""
+    WITH hashed AS (
+      SELECT {set_col}, {md5_i64_sql(value_expr)} AS full_h FROM {table}
+    ),
+    h AS (
+      SELECT {set_col}, (full_h >> {rem_bits}) AS bucket,
+             CASE {cases} ELSE {rem_bits + 1} END AS rho
+      FROM (SELECT {set_col}, full_h, (full_h & {mask}) AS w FROM hashed)
+    ),
+    regs AS (
+      SELECT {set_col}, bucket, max(rho) AS max_rho
+      FROM h GROUP BY {set_col}, bucket
+    ),
+    types AS (SELECT DISTINCT {set_col} FROM {table}),
+    pair_regs AS (
+      SELECT least(r.{set_col}, t.{set_col}) AS type_a,
+             greatest(r.{set_col}, t.{set_col}) AS type_b,
+             r.bucket, max(r.max_rho) AS max_rho
+      FROM regs r JOIN types t ON t.{set_col} != r.{set_col}
+      GROUP BY 1, 2, r.bucket
+    ),
+    pair_agg AS (
+      SELECT type_a, type_b,
+             sum(power(2.0, -max_rho)) AS present_pow,
+             count(*) AS nonempty
+      FROM pair_regs GROUP BY type_a, type_b
+    ),
+    single_agg AS (
+      SELECT {set_col},
+             sum(power(2.0, -max_rho)) AS present_pow,
+             count(*) AS nonempty
+      FROM regs GROUP BY {set_col}
+    ),
+    singles AS (
+      SELECT {set_col}, {est("")} AS hll_distinct FROM single_agg
+    ),
+    unions AS (
+      SELECT type_a, type_b, {est("")} AS est_union FROM pair_agg
+    )
+    SELECT u.type_a, u.type_b, a.hll_distinct AS est_a,
+           b.hll_distinct AS est_b, u.est_union,
+           round(greatest(a.hll_distinct + b.hll_distinct - u.est_union,
+                          0.0), {round_dp}) AS est_intersection
+    FROM unions u
+    JOIN singles a ON a.{set_col} = u.type_a
+    JOIN singles b ON b.{set_col} = u.type_b
+    """

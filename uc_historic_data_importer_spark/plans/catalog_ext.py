@@ -3435,3 +3435,22 @@ def streaming_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("table", "window_start")
         .agg(F.max("n").alias("n"))
     )
+
+
+@register(
+    "hll_intersection_users",
+    sketches.hll_intersection_sql(
+        "CAST(user_id AS VARCHAR)", "events", "event_type"
+    ),
+    doc="sketch-algebra distinct intersection (sketches.hll_pairwise_"
+    "intersection): per event-type pair, |A∩B| distinct users via "
+    "inclusion–exclusion over deterministic HLL registers — union "
+    "estimated by MAX-merging the two register tables (registers "
+    "merge; intersections don't — this is THE sketch route to them). "
+    "Raw data scanned once; all pair algebra on 2^p-row register "
+    "artifacts; per-set estimates broadcast.",
+)
+def hll_intersection_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.hll_pairwise_intersection(
+        t(spark, sf_dir, "events"), "user_id", "event_type"
+    )
