@@ -130,6 +130,16 @@ def test_no_query_plans_scale_antipatterns(spark):
                 # recall audit composes the brute-force baseline (its
                 # ground-truth side) — same broadcast-query-set shape
                 "ann_recall_audit",
+                # broadcasts a 1-row corpus-stats aggregate (tfidf shape)
+                "bm25_retrieval",
+                # broadcasts the benchmark-sized eval set against the
+                # train scan (ann_cosine_topk shape; LSH-bucket route
+                # documented for oversized eval sets)
+                "semantic_decontamination",
+                # broadcasts the distinct set-key frame (|event types|
+                # rows) against the 2^p-row register artifact under a
+                # != predicate — both sides bounded by construction
+                "hll_intersection_users",
             )
         ):
             bad.append("BroadcastNestedLoopJoin")
