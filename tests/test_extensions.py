@@ -1804,3 +1804,51 @@ class TestHllIntersection:
         # identical sets: intersection ~= each single estimate
         for r in out:
             assert abs(r["est_intersection"] - r["est_a"]) < 1e-6
+
+
+class TestInDocSegmentDedup:
+    def test_repeats_removed_first_kept(self, spark):
+        # k=3 segments: [a b c] [a b c] [x y z] [a b c] -> keep seg 0 and 2
+        txt = "a b c a b c x y z a b c"
+        df = spark.createDataFrame([(1, txt, "en", "s")],
+                                   ["doc_id", "text", "lang", "source"])
+        r = text.dedup_segments_within_doc(df, k=3).collect()[0]
+        assert r["n_segments"] == 4 and r["n_removed"] == 2
+        assert r["cleaned_text"] == "a b c x y z"
+
+    def test_no_repeats_is_identity(self, spark):
+        txt = "one two three four five six"
+        df = spark.createDataFrame([(1, txt, "en", "s")],
+                                   ["doc_id", "text", "lang", "source"])
+        r = text.dedup_segments_within_doc(df, k=3).collect()[0]
+        assert r["n_removed"] == 0
+        assert r["cleaned_text"] == txt
+
+    def test_empty_doc(self, spark):
+        df = spark.createDataFrame([(1, "...", "en", "s")],
+                                   ["doc_id", "text", "lang", "source"])
+        r = text.dedup_segments_within_doc(df, k=3).collect()[0]
+        assert r["n_segments"] == 0 and r["cleaned_text"] == ""
+
+    def test_streaming_convergence(self, spark, tmp_path):
+        import os
+
+        docs = [(i, "dup seg here dup seg here tail %d" % i, "en", "s")
+                for i in range(6)]
+        bdf = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+        src = str(tmp_path / "in")
+        bdf.coalesce(2).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(bdf.schema).parquet(src)
+        out = text.dedup_segments_within_doc(stream, k=3)
+        qn = "indoc_stream_test"
+        q = (out.writeStream.format("memory").queryName(qn)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "chk"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        got = {r["doc_id"]: r["cleaned_text"]
+               for r in spark.table(qn).collect()}
+        want = {r["doc_id"]: r["cleaned_text"]
+                for r in text.dedup_segments_within_doc(bdf, k=3).collect()}
+        assert got == want

@@ -644,3 +644,46 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(topk)
     )
+
+
+def dedup_segments_within_doc(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal (the CCNet/RefinedWeb
+    in-doc cleaning step — scraped pages repeat nav blocks and list
+    items inside one document): keep the FIRST occurrence of each
+    k-token segment, drop later repeats, reassemble the cleaned text.
+
+    Entirely map-only — segmentation, first-occurrence filter
+    (array_position == own index), and reassembly are array HOFs on the
+    row itself, so there is NO shuffle and the operator runs unchanged
+    under Structured Streaming (same property as segment_clean_docs,
+    whose removal list is corpus-mined instead of intra-doc). The
+    cross-document complement is segment_dup_stats / boilerplate.
+    Per-doc cost is O(n_segments²) comparisons inside codegen — bounded
+    by (tokens/k)², negligible against the scan."""
+    toks = with_tokens(df, text_col)
+    nseg = F.ceil(F.col("n_tokens") / F.lit(float(k))).cast("int")
+    segs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i * k + 1, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = toks.withColumn("_segs", segs).withColumn(
+        "_kept",
+        F.filter(
+            "_segs",
+            lambda s, i: F.array_position(F.col("_segs"), s) == i + 1,
+        ),
+    )
+    return d.select(
+        id_col,
+        F.size("_segs").alias("n_segments"),
+        (F.size("_segs") - F.size("_kept")).alias("n_removed"),
+        F.concat_ws(" ", F.col("_kept")).alias("cleaned_text"),
+    )

@@ -3454,3 +3454,37 @@ def hll_intersection_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_pairwise_intersection(
         t(spark, sf_dir, "events"), "user_id", "event_type"
     )
+
+
+@register(
+    "indoc_segment_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    segd AS (
+      SELECT doc_id,
+             list_transform(range(CAST(ceil(len(w)/{_SEG_K}.0) AS BIGINT)),
+                i -> array_to_string(w[i*{_SEG_K}+1:(i+1)*{_SEG_K}], ' '))
+               AS segs
+      FROM toks
+    ),
+    kept AS (
+      SELECT doc_id, segs,
+             list_filter(segs, (s, i) -> list_position(segs, s) = i) AS ks
+      FROM segd
+    )
+    SELECT doc_id, len(segs) AS n_segments,
+           len(segs) - len(ks) AS n_removed,
+           array_to_string(ks, ' ') AS cleaned_text
+    FROM kept
+    """,
+    doc="within-document repeated-segment removal (text.dedup_segments_"
+    "within_doc; the CCNet/RefinedWeb in-doc cleaning step): keep the "
+    "first occurrence of each k-token segment, drop later repeats, "
+    "reassemble — entirely map-only array HOFs (no shuffle), so the "
+    "operator runs unchanged under Structured Streaming. The cross-"
+    "document complement is segment_dup_stats/boilerplate_segments.",
+)
+def indoc_segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dedup_segments_within_doc(
+        t(spark, sf_dir, "documents"), k=_SEG_K
+    )
