@@ -1852,3 +1852,69 @@ class TestInDocSegmentDedup:
         want = {r["doc_id"]: r["cleaned_text"]
                 for r in text.dedup_segments_within_doc(bdf, k=3).collect()}
         assert got == want
+
+
+class TestContentDefinedChunks:
+    def _chunks(self, spark, texts):
+        from uc_historic_data_importer_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, t, "en", "s") for i, t in enumerate(texts)],
+            ["doc_id", "text", "lang", "source"],
+        )
+        out = {}
+        for r in packing.content_defined_chunks(df, k=3, divisor=4).collect():
+            out.setdefault(r["doc_id"], []).append(r)
+        for v in out.values():
+            v.sort(key=lambda r: r["chunk_no"])
+        return out
+
+    def test_spans_partition_document(self, spark):
+        text = " ".join(f"tok{i}" for i in range(60))
+        chunks = self._chunks(spark, [text])[0]
+        assert chunks[0]["start_tok"] == 0
+        assert chunks[-1]["end_tok"] == 60
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] == a["end_tok"]
+        assert all(c["chunk_len"] == c["end_tok"] - c["start_tok"]
+                   for c in chunks)
+
+    def test_edit_resynchronization(self, spark):
+        base = " ".join(f"tok{i}" for i in range(60))
+        edited = "inserted words here " + base
+        out = self._chunks(spark, [base, edited])
+        h0 = [c["chunk_hash"] for c in out[0]]
+        h1 = [c["chunk_hash"] for c in out[1]]
+        # a front insertion must NOT rewrite every chunk: boundaries
+        # resynchronize and a common suffix of chunk hashes survives
+        common = 0
+        while (common < min(len(h0), len(h1))
+               and h0[-1 - common] == h1[-1 - common]):
+            common += 1
+        assert common >= 2, (h0, h1)
+
+    def test_fixed_stride_has_no_such_property(self, spark):
+        # sanity contrast: the same edit shifts EVERY fixed-stride chunk
+        from uc_historic_data_importer_spark.operators import packing
+
+        base = " ".join(f"tok{i}" for i in range(60))
+        edited = "inserted words here " + base
+        df = spark.createDataFrame(
+            [(0, base, "en", "s"), (1, edited, "en", "s")],
+            ["doc_id", "text", "lang", "source"],
+        )
+        rows = packing.chunk_spans(df, size=8, stride=8).collect()
+        texts = {}
+        for r in rows:
+            texts.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_text"])
+            )
+        t0 = [t for _, t in sorted(texts[0])]
+        t1 = [t for _, t in sorted(texts[1])]
+        assert t0[-1] != t1[-1]  # even the last chunk differs
+
+    def test_short_and_empty_docs(self, spark):
+        out = self._chunks(spark, ["one two", "..."])
+        assert len(out.get(0, [])) == 1          # single chunk, no cuts
+        assert out[0][0]["chunk_len"] == 2
+        assert 1 not in out                      # empty doc -> no rows

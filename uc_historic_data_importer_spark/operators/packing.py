@@ -231,3 +231,85 @@ def shard_assign_by_tokens(
         "global_start",
         F.expr(f"global_start div {target_tokens}").alias("shard_id"),
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync boundary rule applied to
+    token streams): cut BEFORE token position i whenever the hash of the
+    k-token gram starting at i satisfies h % divisor == 0. Unlike
+    fixed-stride `chunk_spans`, boundaries depend only on LOCAL content,
+    so inserting or deleting text resynchronizes after one boundary and
+    every later chunk hashes identically — the property that makes
+    chunk-hash dedup robust to edits (pinned in tests). Mean chunk
+    length ~ divisor tokens.
+
+    One row per (doc, chunk): offsets, length, and the chunk's md5_i64
+    content hash — groupBy(chunk_hash) downstream is chunk-level exact
+    dedup. Entirely map-only (gram hashing, boundary filter, and span
+    assembly are array HOFs on the row; the fan-out is the posexplode
+    of per-doc spans), so no shuffle and it runs unchanged under
+    Structured Streaming."""
+    if k <= 0 or divisor <= 0:
+        raise ValueError("k and divisor must be positive")
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+    def gram_hash(i):
+        return md5_i64(
+            F.array_join(F.slice(F.col("_toks"), i + 1, F.lit(k)), " ")
+        )
+
+    # candidate cut positions 1..n-k (a cut at 0 is implicit; grams must
+    # be full-width so the rule is stable under trailing edits)
+    cuts = F.when(
+        F.col("n_tokens") >= F.lit(k + 1),
+        F.filter(
+            F.sequence(F.lit(1), F.col("n_tokens") - F.lit(k)),
+            lambda i: gram_hash(i) % F.lit(divisor) == 0,
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    bounds = F.when(
+        F.col("n_tokens") > 0,
+        F.concat(
+            F.array(F.lit(0)), cuts, F.array(F.col("n_tokens"))
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    b = base.withColumn("_b", bounds)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size("_b") - 2),
+        lambda j: F.struct(
+            F.element_at("_b", j + 1).alias("start_tok"),
+            F.element_at("_b", j + 2).alias("end_tok"),
+        ),
+    )
+    ex = b.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "_toks",
+        F.posexplode(spans).alias("chunk_no", "_s"),
+    )
+    chunk_str = F.array_join(
+        F.slice(
+            F.col("_toks"),
+            F.col("_s.start_tok") + 1,
+            F.col("_s.end_tok") - F.col("_s.start_tok"),
+        ),
+        " ",
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_no",
+        F.col("_s.start_tok").alias("start_tok"),
+        F.col("_s.end_tok").alias("end_tok"),
+        (F.col("_s.end_tok") - F.col("_s.start_tok")).alias("chunk_len"),
+        md5_i64(chunk_str).alias("chunk_hash"),
+    )

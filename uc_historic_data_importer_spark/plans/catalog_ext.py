@@ -3488,3 +3488,49 @@ def indoc_segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dedup_segments_within_doc(
         t(spark, sf_dir, "documents"), k=_SEG_K
     )
+
+
+_CDC_K, _CDC_DIV = 3, 8
+
+
+@register(
+    "content_defined_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS w, len({_TOKENS_SQL}) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, n,
+             list_concat(
+               list_concat([0], list_filter(
+                 range(1, greatest(n - {_CDC_K} + 1, 1)),
+                 i -> {md5_i64_sql(f"array_to_string(w[i+1:i+{_CDC_K}], ' ')")}
+                        % {_CDC_DIV} = 0)),
+               [n]) AS bounds
+      FROM toks WHERE n > 0
+    ),
+    spans AS (
+      SELECT doc_id, w, j - 1 AS chunk_no,
+             bounds[j] AS start_tok, bounds[j + 1] AS end_tok
+      FROM b, unnest(range(1, len(bounds))) AS u(j)
+    )
+    SELECT doc_id, chunk_no, start_tok, end_tok,
+           end_tok - start_tok AS chunk_len,
+           {md5_i64_sql("array_to_string(w[start_tok+1:end_tok], ' ')")}
+             AS chunk_hash
+    FROM spans
+    """,
+    doc="content-defined chunking (packing.content_defined_chunks; the "
+    "LBFS/rsync boundary rule on token streams): cut where the k-gram "
+    "hash % divisor == 0, so boundaries depend only on local content "
+    "and chunk hashes resynchronize after edits — the edit-robust "
+    "complement of fixed-stride chunk_spans, and the chunk-level exact-"
+    "dedup key producer. Entirely map-only array HOFs; no shuffle.",
+)
+def content_defined_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import packing
+
+    return packing.content_defined_chunks(
+        t(spark, sf_dir, "documents"), k=_CDC_K, divisor=_CDC_DIV
+    )
