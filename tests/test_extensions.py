@@ -1918,3 +1918,47 @@ class TestContentDefinedChunks:
         assert len(out.get(0, [])) == 1          # single chunk, no cuts
         assert out[0][0]["chunk_len"] == 2
         assert 1 not in out                      # empty doc -> no rows
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        # two docs sharing a run of >= w + k - 1 = 8 tokens MUST share
+        # at least one fingerprint (the winnowing guarantee)
+        run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        df = spark.createDataFrame(
+            [
+                (1, "start pad words " + run + " one tail", "en", "s"),
+                (2, run + " other completely different suffix", "en", "s"),
+                (3, "no shared content in this document at all", "en", "s"),
+            ],
+            ["doc_id", "text", "lang", "source"],
+        )
+        out = text.winnowing_fingerprints(df, k=4, w=5).collect()
+        fps = {}
+        for r in out:
+            fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+        assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    def test_density_bound(self, spark):
+        # selected fingerprints per doc <= gram count, and positions valid
+        toks = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame([(1, toks, "en", "s")],
+                                   ["doc_id", "text", "lang", "source"])
+        rows = text.winnowing_fingerprints(df, k=4, w=5).collect()
+        m = 100 - 4 + 1
+        assert 0 < len(rows) <= m
+        assert all(0 <= r["pos"] < m for r in rows)
+        # distinct (pos, fp) pairs only
+        assert len({(r["pos"], r["fingerprint"]) for r in rows}) == len(rows)
+
+    def test_short_doc_one_window(self, spark):
+        # 5 tokens, k=4 -> 2 grams < w: exactly one window, one fingerprint
+        df = spark.createDataFrame([(1, "a b c d e", "en", "s")],
+                                   ["doc_id", "text", "lang", "source"])
+        rows = text.winnowing_fingerprints(df, k=4, w=5).collect()
+        assert len(rows) == 1
+        # sub-k docs emit nothing
+        df2 = spark.createDataFrame([(1, "a b", "en", "s")],
+                                    ["doc_id", "text", "lang", "source"])
+        assert text.winnowing_fingerprints(df2, k=4, w=5).count() == 0

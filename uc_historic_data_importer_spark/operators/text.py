@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from uc_historic_data_importer_spark.functions.hashes import md5_i64
+
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 # small deterministic stopword list shared with oracles
@@ -686,4 +688,67 @@ def dedup_segments_within_doc(
         F.size("_segs").alias("n_segments"),
         (F.size("_segs") - F.size("_kept")).alias("n_removed"),
         F.concat_ws(" ", F.col("_kept")).alias("cleaned_text"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    w-hash window, select each window's minimum hash (leftmost position
+    on ties — a fixed rule so engines agree), and emit the DISTINCT
+    (position, fingerprint) pairs per document. Guarantee: any match of
+    length >= w + k - 1 tokens between two documents shares at least
+    one fingerprint — the bounded-density local sampling that beats
+    both full-gram sets (too big) and modulo sampling (no guarantee).
+
+    Documents shorter than one window still fingerprint (one window
+    over all their grams); empty/sub-k documents emit nothing.
+
+    Entirely map-only: gram hashing, the window-min selection, and
+    dedup are array HOFs on the row; the only fan-out is the final
+    posexplode (<= one row per gram, typically ~2/w of that). Downstream
+    groupBy(fingerprint) is the plagiarism/overlap join key."""
+    if k <= 0 or w <= 0:
+        raise ValueError("k and w must be positive")
+    toks = with_tokens(df, text_col)
+    m = F.col("n_tokens") - F.lit(k) + 1  # gram count
+    grams = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: md5_i64(
+                F.array_join(F.slice("tokens", i + 1, F.lit(k)), " ")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    g = toks.withColumn("_h", grams).filter(F.size("_h") > 0)
+    # window starts 0..max(m-w, 0); slice truncates on short documents,
+    # so a sub-window doc yields exactly one window over all its grams
+    sel = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_h") - w, F.lit(0))),
+        lambda j: F.struct(
+            (
+                j
+                + F.array_position(
+                    F.slice("_h", j + 1, F.lit(w)),
+                    F.array_min(F.slice("_h", j + 1, F.lit(w))),
+                )
+                - 1
+            ).cast("int").alias("pos"),
+            F.array_min(F.slice("_h", j + 1, F.lit(w))).alias("fp"),
+        ),
+    )
+    ex = g.select(
+        id_col, F.explode(F.array_distinct(sel)).alias("_s")
+    )
+    return ex.select(
+        id_col,
+        F.col("_s.pos").alias("pos"),
+        F.col("_s.fp").alias("fingerprint"),
     )

@@ -3534,3 +3534,48 @@ def content_defined_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.content_defined_chunks(
         t(spark, sf_dir, "documents"), k=_CDC_K, divisor=_CDC_DIV
     )
+
+
+_WIN_K, _WIN_W = 4, 5
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t,
+             len({_TOKENS_SQL}) - {_WIN_K} + 1 AS m
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(m),
+               i -> {md5_i64_sql(f"array_to_string(t[i+1:i+{_WIN_K}], ' ')")})
+               AS h
+      FROM toks WHERE m > 0
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_transform(
+               range(greatest(len(h) - {_WIN_W}, 0) + 1),
+               j -> {{'pos': j + list_position(h[j+1:j+{_WIN_W}],
+                                    list_min(h[j+1:j+{_WIN_W}])) - 1,
+                      'fp': list_min(h[j+1:j+{_WIN_W}])}}) AS fps
+      FROM g
+    )
+    SELECT DISTINCT doc_id, CAST(u.f['pos'] AS INT) AS pos,
+           u.f['fp'] AS fingerprint
+    FROM sel, unnest(fps) AS u(f)
+    """,
+    doc="winnowing fingerprints (text.winnowing_fingerprints; Schleimer/"
+    "Wilkerson/Aiken SIGMOD'03, the MOSS algorithm): window-min gram-"
+    "hash sampling with the guarantee that any shared run of >= w+k-1 "
+    "tokens shares a fingerprint — bounded-density local sampling, the "
+    "principled alternative to modulo-sampled fingerprints. Map-only "
+    "array HOFs; groupBy(fingerprint) downstream is the overlap join "
+    "key.",
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnowing_fingerprints(
+        t(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
+    )
