@@ -290,3 +290,18 @@ def test_bm25_stats_broadcast_no_explode(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_maponly_text_ops_have_no_shuffle(spark):
+    """indoc segment dedup, content-defined chunking, and winnowing are
+    pure per-row array-HOF work + a local explode: their plans must
+    contain NO exchange of any kind — the property that makes them
+    streaming-safe and free at 100 TB."""
+    for name in (
+        "indoc_segment_dedup",
+        "content_defined_chunks",
+        "winnowing_fingerprints",
+    ):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
