@@ -727,22 +727,31 @@ def winnowing_fingerprints(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-    g = toks.withColumn("_h", grams).filter(F.size("_h") > 0)
+    # (hash, position) structs: struct ordering is lexicographic, so
+    # array_min over a window slice IS the leftmost-min selection rule —
+    # one slice + one min per window instead of three slices + two mins
+    idx = F.when(
+        m > 0, F.sequence(F.lit(0), m - 1)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    g = (
+        toks.withColumn("_h", grams)
+        .filter(F.size("_h") > 0)
+        .withColumn(
+            "_hp",
+            F.zip_with(
+                "_h",
+                idx,
+                lambda h, i: F.struct(
+                    h.alias("fp"), i.cast("int").alias("pos")
+                ),
+            ),
+        )
+    )
     # window starts 0..max(m-w, 0); slice truncates on short documents,
     # so a sub-window doc yields exactly one window over all its grams
     sel = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("_h") - w, F.lit(0))),
-        lambda j: F.struct(
-            (
-                j
-                + F.array_position(
-                    F.slice("_h", j + 1, F.lit(w)),
-                    F.array_min(F.slice("_h", j + 1, F.lit(w))),
-                )
-                - 1
-            ).cast("int").alias("pos"),
-            F.array_min(F.slice("_h", j + 1, F.lit(w))).alias("fp"),
-        ),
+        F.sequence(F.lit(0), F.greatest(F.size("_hp") - w, F.lit(0))),
+        lambda j: F.array_min(F.slice("_hp", j + 1, F.lit(w))),
     )
     ex = g.select(
         id_col, F.explode(F.array_distinct(sel)).alias("_s")

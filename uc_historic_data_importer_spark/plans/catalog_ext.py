@@ -3550,17 +3550,16 @@ _WIN_K, _WIN_W = 4, 5
     g AS (
       SELECT doc_id,
              list_transform(range(m),
-               i -> {md5_i64_sql(f"array_to_string(t[i+1:i+{_WIN_K}], ' ')")})
-               AS h
+               i -> {{'fp': {md5_i64_sql(f"array_to_string(t[i+1:i+{_WIN_K}], ' ')")},
+                      'pos': i}})
+               AS hp
       FROM toks WHERE m > 0
     ),
     sel AS (
       SELECT doc_id,
              list_transform(
-               range(greatest(len(h) - {_WIN_W}, 0) + 1),
-               j -> {{'pos': j + list_position(h[j+1:j+{_WIN_W}],
-                                    list_min(h[j+1:j+{_WIN_W}])) - 1,
-                      'fp': list_min(h[j+1:j+{_WIN_W}])}}) AS fps
+               range(greatest(len(hp) - {_WIN_W}, 0) + 1),
+               j -> list_min(hp[j+1:j+{_WIN_W}])) AS fps
       FROM g
     )
     SELECT DISTINCT doc_id, CAST(u.f['pos'] AS INT) AS pos,
