@@ -1962,3 +1962,129 @@ class TestWinnowing:
         df2 = spark.createDataFrame([(1, "a b", "en", "s")],
                                     ["doc_id", "text", "lang", "source"])
         assert text.winnowing_fingerprints(df2, k=4, w=5).count() == 0
+
+
+class TestWindowedOpsPythonReference:
+    """Cross-check the three windowed map-only ops (duplicate spans,
+    content-defined chunks, winnowing) against independent pure-Python
+    references over edge shapes: empty, punct-only, sub-k, exact-k,
+    repeated-token, and unicode documents."""
+
+    CORPUS = [
+        (1, ""),
+        (2, "!!! ... ---"),
+        (3, "a b c"),                                  # == k for k=3
+        (4, "a b"),                                    # < k
+        (5, "x " * 30),                                # one repeated token
+        (6, "Héllo wörld foo BAR baz qux one two three four"),
+        (7, "p q r s t u v w p q r s t u v w tail end"),  # repeated run
+        (8, "lone"),
+    ]
+
+    @staticmethod
+    def _toks(s):
+        import re
+
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    @staticmethod
+    def _md5_i64(s):
+        import hashlib
+
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def test_duplicate_spans_reference(self, spark):
+        k = 3
+        df = spark.createDataFrame(
+            [(i, t, "en", "s") for i, t in self.CORPUS],
+            ["doc_id", "text", "lang", "source"],
+        )
+        got = {}
+        for r in text.duplicate_spans(df, k=k).collect():
+            got.setdefault(r["doc_id"], set()).add(
+                (r["span_start"], r["span_end"])
+            )
+        # python reference: count gram occurrences corpus-wide, merge
+        from collections import Counter
+
+        grams = {}
+        cnt = Counter()
+        for i, t in self.CORPUS:
+            toks = self._toks(t)
+            g = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+            grams[i] = g
+            cnt.update(g)
+        want = {}
+        for i, _ in self.CORPUS:
+            dup = [j for j, g in enumerate(grams[i]) if cnt[g] >= 2]
+            spans = set()
+            while dup:
+                start = dup[0]
+                end = start + k
+                rest = dup[1:]
+                while rest and rest[0] <= end:
+                    end = rest[0] + k
+                    rest = rest[1:]
+                spans.add((start, end))
+                dup = rest
+            if spans:
+                want[i] = spans
+        assert got == want
+
+    def test_content_defined_chunks_reference(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        k, d = 3, 4
+        df = spark.createDataFrame(
+            [(i, t, "en", "s") for i, t in self.CORPUS],
+            ["doc_id", "text", "lang", "source"],
+        )
+        got = {}
+        for r in packing.content_defined_chunks(df, k=k, divisor=d).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_no"], r["start_tok"], r["end_tok"], r["chunk_hash"])
+            )
+        for v in got.values():
+            v.sort()
+        want = {}
+        for i, t in self.CORPUS:
+            toks = self._toks(t)
+            n = len(toks)
+            if n == 0:
+                continue
+            cuts = [0] + [
+                j for j in range(1, n - k + 1)
+                if self._md5_i64(" ".join(toks[j:j + k])) % d == 0
+            ] + [n]
+            want[i] = [
+                (j, cuts[j], cuts[j + 1],
+                 self._md5_i64(" ".join(toks[cuts[j]:cuts[j + 1]])))
+                for j in range(len(cuts) - 1)
+            ]
+        assert got == want
+
+    def test_winnowing_reference(self, spark):
+        k, w = 3, 4
+        df = spark.createDataFrame(
+            [(i, t, "en", "s") for i, t in self.CORPUS],
+            ["doc_id", "text", "lang", "source"],
+        )
+        got = {}
+        for r in text.winnowing_fingerprints(df, k=k, w=w).collect():
+            got.setdefault(r["doc_id"], set()).add(
+                (r["pos"], r["fingerprint"])
+            )
+        want = {}
+        for i, t in self.CORPUS:
+            toks = self._toks(t)
+            h = [self._md5_i64(" ".join(toks[j:j + k]))
+                 for j in range(len(toks) - k + 1)]
+            if not h:
+                continue
+            sel = set()
+            for j in range(max(len(h) - w, 0) + 1):
+                win = h[j:j + w]
+                mn = min(win)
+                sel.add((j + win.index(mn), mn))  # leftmost tie
+            want[i] = sel
+        assert got == want
