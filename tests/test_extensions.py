@@ -2088,3 +2088,28 @@ class TestWindowedOpsPythonReference:
                 sel.add((j + win.index(mn), mn))  # leftmost tie
             want[i] = sel
         assert got == want
+
+
+class TestChunkDupRatio:
+    def test_shifted_copy_still_collides(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        body = " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [
+                (1, body, "en", "s"),
+                (2, "inserted prefix tokens " + body, "en", "s"),  # shifted copy
+                (3, "completely different content with nothing shared here at all everything unique", "en", "s"),
+            ],
+            ["doc_id", "text", "lang", "source"],
+        )
+        out = {r["doc_id"]: r for r in
+               packing.chunk_dup_stats(df, k=3, divisor=4).collect()}
+        # the shifted copy shares interior chunks with the original
+        # (fixed-stride segmentation would miss ALL of them)
+        assert out[1]["dup_chunks"] > 0
+        assert out[2]["dup_chunks"] > 0
+        assert out[3]["dup_chunks"] == 0 and out[3]["dup_ratio_bp"] == 0
+        for r in out.values():
+            assert 0 <= r["dup_ratio_bp"] <= 10000
+            assert r["dup_chunks"] <= r["n_chunks"]

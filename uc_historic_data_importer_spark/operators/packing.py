@@ -313,3 +313,48 @@ def content_defined_chunks(
         (F.col("_s.end_tok") - F.col("_s.start_tok")).alias("chunk_len"),
         md5_i64(chunk_str).alias("chunk_hash"),
     )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Cross-document duplication at content-defined chunk granularity:
+    per document, how many of its chunks (by content hash) also appear
+    in at least one OTHER document — the edit-robust complement of
+    segment-level dup ratio (fixed-stride segments miss duplicates that
+    shifted by an insertion; content-defined boundaries resynchronize,
+    so shifted copies still collide). dup_ratio_bp is floor(10000 *
+    dup/n) — integer, engine-portable.
+
+    Same two-pass shape as segment_dup_stats: chunk explode ->
+    distinct-doc counts on the content-uniform chunk_hash key -> join
+    back -> per-doc rollup. Every key is a content hash; nothing is
+    all-pairs."""
+    chunks = content_defined_chunks(
+        df, id_col=id_col, text_col=text_col, k=k, divisor=divisor
+    )
+    per_chunk = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    joined = chunks.join(per_chunk, "chunk_hash")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.floor(
+                F.lit(10000) * F.col("dup_chunks") / F.col("n_chunks")
+            ).alias("dup_ratio_bp"),
+        )
+    )

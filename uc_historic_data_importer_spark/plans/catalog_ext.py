@@ -3578,3 +3578,54 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnowing_fingerprints(
         t(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
     )
+
+
+@register(
+    "chunk_dup_ratio",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS w, len({_TOKENS_SQL}) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, n,
+             list_concat(
+               list_concat([0], list_filter(
+                 range(1, greatest(n - {_CDC_K} + 1, 1)),
+                 i -> {md5_i64_sql(f"array_to_string(w[i+1:i+{_CDC_K}], ' ')")}
+                        % {_CDC_DIV} = 0)),
+               [n]) AS bounds
+      FROM toks WHERE n > 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             {md5_i64_sql("array_to_string(w[bounds[j]+1:bounds[j+1]], ' ')")}
+               AS chunk_hash
+      FROM b, unnest(range(1, len(bounds))) AS u(j)
+    ),
+    per_chunk AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT c.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(floor(10000.0 * sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) AS dup_ratio_bp
+    FROM chunks c JOIN per_chunk p USING (chunk_hash)
+    GROUP BY c.doc_id
+    """,
+    doc="cross-document duplication at content-defined chunk granularity "
+    "(packing.chunk_dup_stats): per doc, chunks whose content hash also "
+    "appears in another document — the edit-robust complement of "
+    "segment_dup_ratio (shifted copies still collide because boundaries "
+    "resynchronize). Two-pass: explode -> distinct-doc counts on the "
+    "content-uniform chunk_hash -> join back -> per-doc rollup; nothing "
+    "all-pairs.",
+)
+def chunk_dup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import packing
+
+    return packing.chunk_dup_stats(
+        t(spark, sf_dir, "documents"), k=_CDC_K, divisor=_CDC_DIV
+    )
