@@ -141,6 +141,16 @@ _R02_RECORDED = frozenset(
 )
 
 
+# Round-4 handoff: the driver records the first 50 of the CURRENT
+# ordering as CORRECTNESS_r03 — i.e. the 21 round-3 additions
+# (source_overlap_matrix .. chunk_dup_ratio) followed by the first 29
+# of the r2 block (through profile_orders_columns at index ~46,
+# re-greening the three r2-red rows). Round 4 should lift that exact
+# recorded set into an _R03_RECORDED frozenset and front-load any new
+# queries before it, same pattern as below. Do NOT reorder before the
+# driver has recorded r03.
+
+
 def _ordered_queries():
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
