@@ -141,26 +141,67 @@ _R02_RECORDED = frozenset(
 )
 
 
-# Round-4 handoff: the driver records the first 50 of the CURRENT
-# ordering as CORRECTNESS_r03 — i.e. the 21 round-3 additions
-# (source_overlap_matrix .. chunk_dup_ratio) followed by the first 29
-# of the r2 block (through profile_orders_columns at index ~46,
-# re-greening the three r2-red rows). Round 4 should lift that exact
-# recorded set into an _R03_RECORDED frozenset and front-load any new
-# queries before it, same pattern as below. Do NOT reorder before the
-# driver has recorded r03.
+# Round-3's driver record, verified == CORRECTNESS_r03.json key set:
+# the 21 round-3 additions followed by the first 29 of the r2 block
+# (through profile_orders_columns), exactly as the r3 handoff predicted.
+_R03_RECORDED = frozenset(
+    {
+        "source_overlap_matrix", "ann_recall_audit", "segment_dup_ratio",
+        "boilerplate_segments", "dedup_best_representative",
+        "relative_quality_filter", "curation_pipeline_v2", "dedup_apply_best",
+        "segment_cleaned_corpus", "profile_drift_orders",
+        "substring_dup_spans", "substring_dedup_apply", "shard_assign_tokens",
+        "semantic_decontamination", "bm25_retrieval",
+        "streaming_windowed_counts", "hll_intersection_users",
+        "indoc_segment_dedup", "content_defined_chunks",
+        "winnowing_fingerprints", "chunk_dup_ratio", "media_png_decode",
+        "media_frame_plan", "dedup_components", "dedup_simhash",
+        "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build",
+        "embedding_cosine_neardup", "binary_media_keys",
+        "streaming_latest_per_key", "pack_sequences", "pii_redaction",
+        "text_repetition_scores", "embedding_quantize_int8",
+        "embedding_lsh_buckets", "ngram_decontamination",
+        "mixture_sample_documents", "chunk_spans_documents",
+        "cdc_merge_orders", "zorder_stats_lineitem", "bpe_token_stats",
+        "ann_pq_topk", "weighted_sample_documents", "ann_ivfpq_topk",
+        "audit_orders_constraints", "profile_orders_columns",
+        "k_anonymity_customers", "dedup_incremental_lsh", "media_wav_decode",
+    }
+)
+
+
+# Round-5 handoff: the driver records the first 50 of the CURRENT
+# ordering as CORRECTNESS_r04 — i.e. the round-4 additions first,
+# then the stalest-recorded queries (last driver row in r01, in
+# registration order) until the 50-slot window fills. Round 5 should
+# lift that exact recorded set into an _R04_RECORDED frozenset,
+# front-load its own new queries, and keep the stalest-first rotation
+# below. Do NOT reorder before the driver has recorded r04.
 
 
 def _ordered_queries():
+    """Round-4 ordering: never-recorded queries first (registration
+    order — each new round-4 query gets a driver row immediately),
+    then previously recorded queries stalest-first (those whose most
+    recent driver row is r01, then r02, then r03). Every query pushed
+    past index 50 already has a green driver row in the r01∪r02∪r03
+    union and is re-verified each round by
+    tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    recorded = _R01_RECORDED | _R02_RECORDED
-    fresh = [n for n in QUERIES if n not in recorded]
-    seen_r2 = [n for n in QUERIES if n in _R02_RECORDED]
-    seen_r1 = [n for n in QUERIES if n in _R01_RECORDED]
-    return [(n, QUERIES[n]) for n in fresh + seen_r2 + seen_r1]
+    def last_recorded(name):
+        if name in _R03_RECORDED:
+            return 3
+        if name in _R02_RECORDED:
+            return 2
+        if name in _R01_RECORDED:
+            return 1
+        return 0  # fresh — front of the line
+
+    order = sorted(QUERIES, key=lambda n: (last_recorded(n), list(QUERIES).index(n)))
+    return [(n, QUERIES[n]) for n in order]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
