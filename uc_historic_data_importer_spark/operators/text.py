@@ -727,35 +727,65 @@ def winnowing_fingerprints(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-    # (hash, position) structs: struct ordering is lexicographic, so
-    # array_min over a window slice IS the leftmost-min selection rule —
-    # one slice + one min per window instead of three slices + two mins
-    idx = F.when(
-        m > 0, F.sequence(F.lit(0), m - 1)
-    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-    g = (
-        toks.withColumn("_h", grams)
-        .filter(F.size("_h") > 0)
-        .withColumn(
-            "_hp",
+    # Filter on the CHEAP token count, not size(_h) — a size(_h) > 0
+    # predicate would re-evaluate the entire md5 gram array once for
+    # the filter and once for the projection (profiled 6x slower;
+    # filter predicates don't share subexpressions with project HOFs).
+    # n_tokens >= k <=> m > 0 <=> size(_h) > 0.
+    g = toks.filter(F.col("n_tokens") >= k).withColumn("_h", grams)
+    # Sliding-window min over the PRIMITIVE hash array — array<bigint>
+    # stays Tungsten-specialized (UnsafeArrayData), which profiling
+    # showed is the whole game: the previous array<struct<fp,pos>>
+    # formulation spent ~4.4 of 4.9 s just materializing boxed struct
+    # arrays. Sparse-table doubling gives O(m log w) instead of the
+    # naive O(m*w): after P passes _st[i] = min(_h[i .. i+2^P-1])
+    # (truncated at the array end), each pass one O(m) zip_with against
+    # the array shifted by 2^(P-1); a w-window is then the min of two
+    # overlapping power-of-2 ranges. F.least skips the null padding
+    # zip_with introduces past the shifted end.
+    st = g.withColumn("_st", F.col("_h"))
+    shift = 1
+    while shift * 2 <= w:
+        st = st.withColumn(
+            "_st",
             F.zip_with(
-                "_h",
-                idx,
-                lambda h, i: F.struct(
-                    h.alias("fp"), i.cast("int").alias("pos")
-                ),
+                "_st",
+                F.slice("_st", shift + 1, F.size("_st")),
+                lambda a, b: F.least(a, b),
             ),
         )
-    )
-    # window starts 0..max(m-w, 0); slice truncates on short documents,
-    # so a sub-window doc yields exactly one window over all its grams
+        shift *= 2
+    comb = w - shift  # second-range offset; 0 when w is a power of 2
+
+    def win_pos(j):
+        v = F.least(
+            F.element_at(F.col("_st"), j + 1),
+            F.element_at(
+                F.col("_st"), F.least(j + 1 + F.lit(comb), F.size("_st"))
+            ),
+        )
+        # leftmost position of the window min — first match in the
+        # window slice IS the tie rule (slice truncates on short docs,
+        # so a sub-window doc yields one window over all its grams)
+        return (j + F.array_position(F.slice("_h", j + 1, F.lit(w)), v) - 1).cast(
+            "int"
+        )
+
+    # window starts 0..max(m-w, 0); distinct POSITIONS are distinct
+    # (pos, fingerprint) pairs since fp is a function of pos, so dedup
+    # happens on a primitive int array and structs are only built for
+    # the ~2m/w survivors.
     sel = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("_hp") - w, F.lit(0))),
-        lambda j: F.array_min(F.slice("_hp", j + 1, F.lit(w))),
+        F.sequence(F.lit(0), F.greatest(F.size("_h") - w, F.lit(0))),
+        win_pos,
     )
-    ex = g.select(
-        id_col, F.explode(F.array_distinct(sel)).alias("_s")
+    fps = F.transform(
+        F.array_distinct(sel),
+        lambda p: F.struct(
+            p.alias("pos"), F.element_at("_h", p + 1).alias("fp")
+        ),
     )
+    ex = st.select(id_col, F.explode(fps).alias("_s"))
     return ex.select(
         id_col,
         F.col("_s.pos").alias("pos"),
