@@ -380,6 +380,17 @@ def semantic_decontamination(
     At 100 TB the same plan holds — cost is one linear scan x |eval|
     dot products; for very large eval sets, pre-bucket both sides with
     hyperplane_lsh_buckets and equi-join on the bucket instead."""
+    if test.isEmpty():
+        # An empty eval set means nothing can be contaminated; without
+        # this guard the crossJoin below returns an EMPTY frame and a
+        # caller keeping contaminated == 0 rows would silently drop the
+        # whole corpus. (Cheap: isEmpty is a limit-1 probe on the
+        # benchmark-sized eval side, not the train scan.)
+        return _ensure_parallel(train).select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("max_test_sim"),
+            F.lit(0).alias("contaminated"),
+        )
     q = F.broadcast(
         test.select(
             F.col(vec_col).alias("t_vec"),
@@ -391,12 +402,18 @@ def semantic_decontamination(
         F.col(vec_col).alias("c_vec"),
         norm_col(F.col(vec_col)).alias("c_norm"),
     )
+    # coalesce: a zero-norm vector on either side yields a null cosine
+    # (0/0); treat it as similarity 0 so the per-id max — and therefore
+    # the contaminated flag — is never null.
     sims = c.crossJoin(q).select(
         id_col,
-        F.round(
-            dot_col(F.col("c_vec"), F.col("t_vec"))
-            / (F.col("c_norm") * F.col("t_norm")),
-            round_dp,
+        F.coalesce(
+            F.round(
+                dot_col(F.col("c_vec"), F.col("t_vec"))
+                / (F.col("c_norm") * F.col("t_norm")),
+                round_dp,
+            ),
+            F.lit(0.0),
         ).alias("sim"),
     )
     return (

@@ -426,8 +426,13 @@ def hll_pairwise_intersection(
     register tables answer membership-overlap questions all quarter —
     persist them, re-merge at will."""
     regs = hll_registers(df, value_col, (set_col,), p)
+    # Distinct set keys come from the REGISTER table (2^p rows per set),
+    # not from df — a df.select(set_col).distinct() here would be a
+    # second full scan of the raw input. Deriving from regs keeps the
+    # one-scan claim true: this branch shares the regs aggregate's
+    # exchange (ReusedExchange) with the pair/singles branches.
     others = F.broadcast(
-        df.select(F.col(set_col).alias("_other")).distinct()
+        regs.select(F.col(set_col).alias("_other")).distinct()
     )
     pair_regs = (
         regs.join(others, F.col(set_col) != F.col("_other"))

@@ -9,6 +9,8 @@ oracles reproduce results exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -613,6 +615,14 @@ def bm25_topk(
     terms = list(dict.fromkeys(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
+    # Terms must already be in token form (the tokenizer emits lowercase
+    # alphanumerics): an uppercase/punctuated term can never match a
+    # token and would silently score 0 everywhere.
+    bad = [x for x in terms if not re.fullmatch(r"[a-z0-9]+", x)]
+    if bad:
+        raise ValueError(
+            f"query terms must match [a-z0-9]+ (tokenizer output form): {bad}"
+        )
     toks = with_tokens(df, text_col)
     aggs = [
         F.count(F.lit(1)).cast("double").alias("_N"),

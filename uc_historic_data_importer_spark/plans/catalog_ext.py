@@ -9,6 +9,8 @@ arithmetic with pre-rank rounding.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -3340,6 +3342,12 @@ def _bm25_oracle() -> str:
     text.bm25_topk exactly (idf*tf*(k1+1)/denom, left-assoc sum)."""
     k1, b = _BM25_K1, _BM25_B
     terms = list(dict.fromkeys(_BM25_TERMS))
+    # Same validation as text.bm25_topk: terms are interpolated into SQL
+    # string literals below, so restrict to tokenizer-form [a-z0-9]+ —
+    # rejects both quote-breaking terms and terms that could never match.
+    bad = [x for x in terms if not re.fullmatch(r"[a-z0-9]+", x)]
+    if bad:
+        raise ValueError(f"BM25 oracle terms must match [a-z0-9]+: {bad}")
     df_aggs = ", ".join(
         f"CAST(sum(CASE WHEN list_contains(t, '{x}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
         for i, x in enumerate(terms)
