@@ -427,3 +427,112 @@ def semantic_decontamination(
             ),
         )
     )
+
+
+def lsh_plane_coeffs(
+    n_planes: int, dim: int, seed: int
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane coefficients for one LSH
+    table: coeff(p, i) = ((md5 of "seed:p:i") % 1000)/1000 - 0.5, values
+    in [-0.5, 0.5). Engine-portable (no RNG state): the DuckDB oracle
+    interpolates the SAME floats as literals, so both engines compute
+    identical buckets. Seed separates independent tables."""
+    import hashlib
+
+    def coeff(p: int, i: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:15], 16)
+        return (h % 1000) / 1000.0 - 0.5
+
+    return [[coeff(p, i) for i in range(dim)] for p in range(n_planes)]
+
+
+def _lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id from literal plane coefficients: bit p set iff
+    dot(v, plane_p) > 0."""
+    b = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot_col(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(*[F.lit(c) for c in plane]),
+        )
+        b = b + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return b
+
+
+def semantic_decontamination_lsh(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """LSH-bucketed semantic decontamination — the LARGE-eval-set route
+    promised by semantic_decontamination's docstring: when the eval set
+    is too big to broadcast as raw vectors, candidate pairs come from an
+    EQUI-JOIN on (table, sign-LSH bucket) instead of a crossJoin, and
+    exact cosine runs only on candidates.
+
+    Returns (id, max_cand_sim, contaminated) for EVERY train row:
+    max_cand_sim is the max exact similarity over LSH candidates (a
+    lower bound of the true max — NULL when a row had no candidate in
+    any table) and contaminated flags max_cand_sim >= threshold. No
+    false positives relative to the exact path (candidate sims ARE
+    exact); recall is the standard sign-LSH tradeoff, boosted by
+    n_tables independent tables (miss prob per pair = prod over tables
+    of 1 - p^n_planes, p = 1 - angle/pi).
+
+    Scale shape: each side is scanned once — norms computed per row,
+    then a map-only x n_tables posexplode of bucket ids; the candidate
+    join is a plain equi-join on (table, bucket) that AQE broadcasts
+    when the eval side happens to be small and shuffles (hash-partition
+    on near-uniform sign buckets) when it is not — the whole point of
+    this route. Duplicate candidate pairs across tables are NOT deduped:
+    the per-train-id max absorbs them, saving a shuffle. The final
+    left-join restores never-candidate train rows."""
+    dim = int(train.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    tables = [lsh_plane_coeffs(n_planes, dim, l) for l in range(n_tables)]
+    buckets = F.array(*[_lsh_bucket_expr(vec_col, pl) for pl in tables])
+
+    def side(df, prefix):
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            norm_col(F.col(vec_col)).alias(f"{prefix}_norm"),
+            F.posexplode(buckets).alias("tbl", "bucket"),
+        )
+
+    c = side(_ensure_parallel(train), "c")
+    q = side(test, "t").withColumnsRenamed(
+        {"tbl": "t_tbl", "bucket": "t_bucket"}
+    )
+    sims = c.join(
+        q,
+        (F.col("tbl") == F.col("t_tbl")) & (F.col("bucket") == F.col("t_bucket")),
+    ).select(
+        F.col("c_id").alias(id_col),
+        F.coalesce(
+            F.round(
+                dot_col(F.col("c_vec"), F.col("t_vec"))
+                / (F.col("c_norm") * F.col("t_norm")),
+                round_dp,
+            ),
+            F.lit(0.0),
+        ).alias("sim"),
+    )
+    agg = sims.groupBy(id_col).agg(F.max("sim").alias("max_cand_sim"))
+    return (
+        train.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "max_cand_sim",
+            (
+                F.coalesce(F.col("max_cand_sim"), F.lit(-1.0)) >= threshold
+            ).cast("int").alias("contaminated"),
+        )
+    )

@@ -3637,3 +3637,85 @@ def chunk_dup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_dup_stats(
         t(spark, sf_dir, "documents"), k=_CDC_K, divisor=_CDC_DIV
     )
+
+
+_SDL_THRESHOLD, _SDL_PLANES, _SDL_TABLES, _SDL_DIM = 0.3, 4, 4, 64
+
+
+def _semantic_decontamination_lsh_oracle() -> str:
+    """Replays the Spark LSH route with the SAME deterministic plane
+    coefficients interpolated as literals: per-table sign buckets via
+    list_inner_product against each plane, candidate pairs by (table,
+    bucket) equi-join, exact cosine on candidates, per-train max with a
+    left join restoring never-candidate rows."""
+    from uc_historic_data_importer_spark.operators.similarity import (
+        lsh_plane_coeffs,
+    )
+
+    def bucket_sql(planes: list[list[float]]) -> str:
+        bits = []
+        for p, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(c) for c in plane) + "]"
+            bits.append(
+                f"CASE WHEN list_inner_product(v, {arr}) > 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        return " + ".join(bits)
+
+    sides = []
+    for name, src in (("trn_b", "trn"), ("tst_b", "tst")):
+        parts = [
+            f"SELECT vec_id, v, {l} AS tbl, "
+            f"({bucket_sql(lsh_plane_coeffs(_SDL_PLANES, _SDL_DIM, l))}) "
+            f"AS bucket FROM {src}"
+            for l in range(_SDL_TABLES)
+        ]
+        sides.append(f"{name} AS (" + " UNION ALL ".join(parts) + ")")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tst AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+    trn AS (SELECT vec_id, v FROM e WHERE vec_id % 20 != 0),
+    {sides[0]},
+    {sides[1]},
+    sims AS (
+      SELECT tb.vec_id,
+             coalesce(round(list_inner_product(tb.v, qb.v) /
+               (sqrt(list_inner_product(tb.v, tb.v)) *
+                sqrt(list_inner_product(qb.v, qb.v))), 6), 0.0) AS sim
+      FROM trn_b tb JOIN tst_b qb
+        ON tb.tbl = qb.tbl AND tb.bucket = qb.bucket
+    )
+    SELECT trn.vec_id, max(s.sim) AS max_cand_sim,
+           CAST(coalesce(max(s.sim), -1) >= {_SDL_THRESHOLD!r} AS INT)
+             AS contaminated
+    FROM trn LEFT JOIN sims s ON trn.vec_id = s.vec_id
+    GROUP BY trn.vec_id
+    """
+
+
+@register(
+    "semantic_decontamination_lsh",
+    _semantic_decontamination_lsh_oracle(),
+    doc="LSH-bucketed semantic decontamination (similarity.semantic_"
+    "decontamination_lsh) — the tested fallback for eval sets too large "
+    "to broadcast: candidate pairs from a (table, sign-LSH bucket) "
+    f"equi-join ({_SDL_TABLES} tables x {_SDL_PLANES} planes, "
+    "deterministic md5-derived coefficients both engines replay as "
+    "literals), exact cosine only on candidates, per-train-id max "
+    "absorbing cross-table duplicate pairs without a dedup shuffle, "
+    "left join restoring never-candidate rows. No false positives vs "
+    "the exact path (pair-parity pinned in tests/test_similarity_lsh).",
+)
+def semantic_decontamination_lsh_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return similarity.semantic_decontamination_lsh(
+        train,
+        test,
+        threshold=_SDL_THRESHOLD,
+        n_planes=_SDL_PLANES,
+        n_tables=_SDL_TABLES,
+    )
