@@ -1,4 +1,4 @@
-"""Pure-Python PNG codec + header parsers (functions/imagecodec.py).
+"""Pure-Python PNG codec + header parsers (functions/ic.py).
 
 encode_png can emit any scanline filter type, so decode_png's
 unfiltering branches (None/Sub/Up/Average/Paeth) are each checked as
@@ -363,3 +363,101 @@ class TestPerceptualHash:
                 for r in multimodal.perceptual_keys(media).collect()}
         assert rows[1] == rows[2] != -1
         assert rows[3] == -1
+
+
+class TestJpegCodec:
+    """Baseline-JPEG encode/decode: the encoder's bit writer / Huffman /
+    FDCT and the decoder's bit reader / Huffman / IDCT are independent
+    implementations, so a roundtrip within DCT tolerance is a real
+    cross-check of both."""
+
+    def test_uniform_roundtrip_matches_dc_formula(self):
+        import math
+
+        for v in (0, 1, 77, 128, 159, 254, 255):
+            p = ic.encode_jpeg_gray(16, 9, bytes([v]) * 144)
+            w, h, ch, px = ic.decode_jpeg(p)
+            assert (w, h, ch) == (16, 9, 1)
+            q = math.floor(8.0 * (v - 128) / 16 + 0.5)
+            exp = max(0, min(255, math.floor(16 * q / 8.0 + 0.5) + 128))
+            assert set(px) == {exp}, v
+
+    def test_gradient_roundtrip_small_error(self):
+        w, h = 24, 17
+        img = bytes((x * 3 + y * 5) % 256 for y in range(h) for x in range(w))
+        p = ic.encode_jpeg_gray(w, h, img)
+        W, H, ch, px = ic.decode_jpeg(p)
+        assert (W, H, ch) == (w, h, 1)
+        err = max(abs(a - b) for a, b in zip(img, px))
+        assert err <= 8, err  # standard quant table, smooth-ish content
+
+    def test_noise_unit_quant_near_lossless(self):
+        import random
+
+        rng = random.Random(11)
+        w, h = 16, 8
+        img = bytes(rng.randrange(256) for _ in range(w * h))
+        p = ic.encode_jpeg_gray(w, h, img, qt=tuple([1] * 64))
+        _, _, _, px = ic.decode_jpeg(p)
+        # quantization error <= 0.5 per coefficient; IDCT concentrates
+        # it to ~1 lsb for unit tables
+        assert max(abs(a - b) for a, b in zip(img, px)) <= 2
+
+    def test_rgb_color_path(self):
+        w, h = 16, 16
+        img = bytes([120, 60, 200] * (w * h))
+        p = ic.encode_jpeg_rgb(w, h, img)
+        W, H, ch, px = ic.decode_jpeg(p)
+        assert (W, H, ch) == (w, h, 3)
+        for c in range(3):
+            errs = [abs(px[3 * i + c] - img[3 * i + c]) for i in range(w * h)]
+            assert max(errs) <= 2, c  # YCbCr forward+inverse roundoff
+
+    def test_idct_matches_numpy_reference(self):
+        import numpy as np
+        import random
+
+        from uc_historic_data_importer_spark.functions.imagecodec import (
+            _idct,
+        )
+
+        rng = random.Random(3)
+        coef = [rng.uniform(-500, 500) for _ in range(64)]
+        mine = _idct(coef)
+        # independent numpy reference: s(x,y) = sum C(u)C(v)/4 S cos cos
+        C = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+        S = np.array(coef).reshape(8, 8)
+        ref = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        acc += (
+                            C[u] * C[v] / 4 * S[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                ref[x, y] = acc
+        assert np.allclose(np.array(mine).reshape(8, 8), ref, atol=1e-6)
+
+    def test_progressive_rejected(self):
+        # minimal SOF2 (progressive) stream: decoder must refuse, and
+        # the multimodal dispatcher then falls back to header dims
+        import struct as st
+
+        sof2 = (
+            b"\xff\xd8"
+            + b"\xff\xc2" + st.pack(">H", 11) + st.pack(">BHHB", 8, 4, 6, 1)
+            + bytes((1, 0x11, 0))
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ic.UnsupportedImageError):
+            ic.decode_jpeg(sof2)
+        # header dims still readable
+        assert ic.jpeg_dims(sof2) == (6, 4)
+
+    def test_truncated_entropy_rejected(self):
+        p = ic.encode_jpeg_gray(16, 16, bytes(256))
+        with pytest.raises(ic.UnsupportedImageError):
+            ic.decode_jpeg(p[: len(p) // 2])

@@ -317,3 +317,576 @@ def ahash(width: int, height: int, channels: int, pixels: bytes) -> int:
         if v * 64 > total:
             h |= 1 << i
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1), pure stdlib.
+#
+# Decoder scope: baseline + extended sequential Huffman (SOF0/SOF1),
+# 8-bit samples, 1 or 3 components with NO chroma subsampling (4:4:4),
+# optional restart intervals. Progressive (SOF2), arithmetic coding,
+# 12-bit, and subsampled scans raise UnsupportedImageError so callers
+# fall back to header-only dims + the stub feature path.
+#
+# The encoder exists for tests and fixtures (grayscale, one scan). It
+# writes its OWN valid canonical Huffman tables in the DHT segments —
+# the decoder reads whatever tables the stream declares, so fixture
+# streams remain fully standard baseline JPEGs decodable by any reader.
+# All rounding is floor(x + 0.5), mirrored literally by the SQL oracles.
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K.1 luminance quantization table (natural order)
+STD_LUM_QT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+import math as _math
+
+_COS = [
+    [_math.cos((2 * x + 1) * u * _math.pi / 16.0) for u in range(8)]
+    for x in range(8)
+]
+_C = [1.0 / _math.sqrt(2.0)] + [1.0] * 7
+# C(u)*C(v) product table with the DC entry pinned to EXACTLY 0.5:
+# (1/sqrt2)**2 in floats is 0.5000000000000001, which pushes a uniform
+# block's S00 off the exact .5 quantization boundary (floor(x+0.5)
+# then rounds DOWN where exact arithmetic — and the SQL oracle — rounds
+# up). With the exact 0.5, the whole DC path is power-of-two arithmetic
+# and bit-exact for integer pixel sums.
+_CC = [[_C[u] * _C[v] for v in range(8)] for u in range(8)]
+_CC[0][0] = 0.5
+
+
+def _fdct(block: list[float]) -> list[float]:
+    """Forward 8x8 DCT-II (T.81 A.3.3), direct form."""
+    out = [0.0] * 64
+    for u in range(8):
+        ccu = _CC[u]
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                cxu = _COS[x][u]
+                for y in range(8):
+                    s += block[x * 8 + y] * cxu * _COS[y][v]
+            out[u * 8 + v] = 0.25 * ccu[v] * s
+    return out
+
+
+def _idct(coef: list[float]) -> list[float]:
+    """Inverse 8x8 DCT (T.81 A.3.3), direct form."""
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cxu = _COS[x][u]
+                ccu = _CC[u]
+                for v in range(8):
+                    s += ccu[v] * coef[u * 8 + v] * cxu * _COS[y][v]
+            out[x * 8 + y] = 0.25 * s
+    return out
+
+
+def _round_half_up(x: float) -> int:
+    return int(_math.floor(x + 0.5))
+
+
+# encoder Huffman tables: canonical codes, declared in the DHT segment.
+# DC: the 12 size categories, all 4-bit codes (Kraft 12/16 < 1).
+# AC: EOB, ZRL and every (run, size) r in 0..15, s in 1..10 — 162
+# symbols, all 9-bit codes (Kraft 162/512 < 1; all-ones code unused).
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 8 + [162] + [0] * 7
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 C.2 canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def encode_jpeg_gray(
+    width: int,
+    height: int,
+    pixels: bytes,
+    qt: tuple[int, ...] = STD_LUM_QT,
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a baseline JPEG (one scan, one
+    component, declared quant + Huffman tables, byte stuffing). Edge
+    blocks replicate the last row/column (a uniform image therefore
+    stays uniform per block, which the SQL oracle exploits)."""
+    if width <= 0 or height <= 0 or len(pixels) != width * height:
+        raise ValueError("bad grayscale buffer")
+    qt_zz = bytes(qt[_ZIGZAG[i]] for i in range(64))
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [0.0] * 64
+            for x in range(8):
+                sy = min(by + x, height - 1)
+                for y in range(8):
+                    sx = min(bx + y, width - 1)
+                    block[x * 8 + y] = pixels[sy * width + sx] - 128.0
+            coef = _fdct(block)
+            q = [_round_half_up(coef[i] / qt[i]) for i in range(64)]
+            # DC difference
+            diff = q[0] - pred
+            pred = q[0]
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            # AC run-length in zigzag order
+            run = 0
+            last_nz = 0
+            zz = [q[_ZIGZAG[i]] for i in range(64)]
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, b"\x00" + qt_zz)  # DQT, Pq=0 Tq=0
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)),
+    )  # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
+    out += _seg(
+        0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    )  # DHT DC class 0 id 0
+    out += _seg(
+        0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    )  # DHT AC class 1 id 0
+    out += _seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))  # SOS
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (exposed via `marker`)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise UnsupportedImageError("read past marker in entropy data")
+        if self.pos >= len(self.data):
+            raise UnsupportedImageError("truncated entropy data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                raise _MarkerInData()
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker at a restart point."""
+        self._acc = 0
+        self._n = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise UnsupportedImageError("missing restart marker")
+        m = self.data[self.pos + 1]
+        if m != 0xD0 + (n & 7):
+            raise UnsupportedImageError("unexpected restart marker")
+        self.pos += 2
+
+
+class _MarkerInData(Exception):
+    pass
+
+
+class _HuffTable:
+    def __init__(self, bits: bytes, vals: bytes) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise UnsupportedImageError("invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG -> (width, height, channels, raw pixels).
+
+    Real entropy decode: DQT/DHT from the stream, Huffman DC/AC, DPCM
+    DC prediction, dequantization, IDCT, level shift; YCbCr -> RGB for
+    3-component scans (JFIF full-range Rec.601). Raises
+    UnsupportedImageError for progressive/subsampled/12-bit streams."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise UnsupportedImageError("not a JPEG payload")
+    qts: dict[int, list[int]] = {}
+    huffs: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
+    width = height = 0
+    dri = 0
+    pos = 2
+    data = payload
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedImageError("marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise UnsupportedImageError("16-bit quant table")
+                zz = body[i + 1 : i + 65]
+                if len(zz) < 64:
+                    raise UnsupportedImageError("truncated quant table")
+                tab = [0] * 64
+                for j in range(64):
+                    tab[_ZIGZAG[j]] = zz[j]
+                qts[tq] = tab
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = body[i + 1 : i + 17]
+                if len(bits) < 16:
+                    raise UnsupportedImageError("truncated Huffman table")
+                n = sum(bits)
+                vals = body[i + 17 : i + 17 + n]
+                if len(vals) < n:
+                    raise UnsupportedImageError("truncated Huffman table")
+                huffs[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: sequential Huffman
+            prec = body[0]
+            if prec != 8:
+                raise UnsupportedImageError("non-8-bit precision")
+            height, width = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if nc not in (1, 3):
+                raise UnsupportedImageError(f"{nc}-component JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                h, v = hv >> 4, hv & 15
+                if (h, v) != (1, 1):
+                    raise UnsupportedImageError("subsampled JPEG")
+                comps.append((cid, h, v, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedImageError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if not comps or width == 0:
+                raise UnsupportedImageError("SOS before SOF")
+            ns = body[0]
+            scan: list[tuple[int, _HuffTable, _HuffTable, list[int]]] = []
+            for s in range(ns):
+                cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
+                td, ta = tdta >> 4, tdta & 15
+                comp = next(c for c in comps if c[0] == cs)
+                if (0, td) not in huffs or (1, ta) not in huffs:
+                    raise UnsupportedImageError("missing Huffman table")
+                if comp[3] not in qts:
+                    raise UnsupportedImageError("missing quant table")
+                scan.append((cs, huffs[(0, td)], huffs[(1, ta)], qts[comp[3]]))
+            if len(scan) != len(comps):
+                raise UnsupportedImageError("multi-scan JPEG")
+            return _decode_scan(data, pos, width, height, scan, dri)
+        # APPn / COM / others: skipped
+    raise UnsupportedImageError("no scan found")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    scan: list[tuple[int, "_HuffTable", "_HuffTable", list[int]]],
+    dri: int,
+) -> tuple[int, int, int, bytes]:
+    mcw = (width + 7) // 8
+    mch = (height + 7) // 8
+    nc = len(scan)
+    planes = [bytearray(mcw * 8 * mch * 8) for _ in range(nc)]
+    br = _BitReader(data, pos)
+    preds = [0] * nc
+    rst_n = 0
+    mcu = 0
+    for my in range(mch):
+        for mx in range(mcw):
+            if dri and mcu and mcu % dri == 0:
+                br.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * nc
+            for ci, (_cid, dc_t, ac_t, qt) in enumerate(scan):
+                coef = [0.0] * 64
+                try:
+                    cat = dc_t.decode(br)
+                    diff = _extend(br.bits(cat), cat) if cat else 0
+                    preds[ci] += diff
+                    coef[0] = preds[ci] * qt[0]
+                    k = 1
+                    while k <= 63:
+                        rs = ac_t.decode(br)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise UnsupportedImageError("AC index overflow")
+                        coef[_ZIGZAG[k]] = _extend(br.bits(s), s) * qt[_ZIGZAG[k]]
+                        k += 1
+                except _MarkerInData:
+                    raise UnsupportedImageError("marker inside MCU")
+                px = _idct(coef)
+                plane = planes[ci]
+                base_y, base_x = my * 8, mx * 8
+                row_w = mcw * 8
+                for x in range(8):
+                    off = (base_y + x) * row_w + base_x
+                    for y in range(8):
+                        v = _round_half_up(px[x * 8 + y] + 128.0)
+                        plane[off + y] = 0 if v < 0 else (255 if v > 255 else v)
+            mcu += 1
+    row_w = mcw * 8
+    if nc == 1:
+        out = bytearray(width * height)
+        for yy in range(height):
+            out[yy * width : (yy + 1) * width] = planes[0][
+                yy * row_w : yy * row_w + width
+            ]
+        return width, height, 1, bytes(out)
+    out = bytearray(width * height * 3)
+    py, pcb, pcr = planes
+    for yy in range(height):
+        srow = yy * row_w
+        orow = yy * width * 3
+        for xx in range(width):
+            Y = py[srow + xx]
+            cb = pcb[srow + xx] - 128
+            cr = pcr[srow + xx] - 128
+            r = _round_half_up(Y + 1.402 * cr)
+            g = _round_half_up(Y - 0.344136 * cb - 0.714136 * cr)
+            b = _round_half_up(Y + 1.772 * cb)
+            o = orow + xx * 3
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return width, height, 3, bytes(out)
+
+
+def encode_jpeg_rgb(
+    width: int,
+    height: int,
+    pixels: bytes,
+    qt: tuple[int, ...] = STD_LUM_QT,
+) -> bytes:
+    """Encode interleaved 8-bit RGB as a baseline 4:4:4 YCbCr JPEG (one
+    interleaved scan, shared quant/Huffman tables across components) —
+    exercises the decoder's multi-component MCU + color-convert path."""
+    if width <= 0 or height <= 0 or len(pixels) != width * height * 3:
+        raise ValueError("bad RGB buffer")
+    # full-range Rec.601 forward transform, floor(x+0.5) rounding
+    planes = [bytearray(width * height) for _ in range(3)]
+    for i in range(width * height):
+        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = _round_half_up(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = _round_half_up(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes[0][i] = min(255, max(0, y))
+        planes[1][i] = min(255, max(0, cb))
+        planes[2][i] = min(255, max(0, cr))
+    qt_zz = bytes(qt[_ZIGZAG[i]] for i in range(64))
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            for ci in range(3):
+                plane = planes[ci]
+                block = [0.0] * 64
+                for x in range(8):
+                    sy = min(by + x, height - 1)
+                    for y in range(8):
+                        sx = min(bx + y, width - 1)
+                        block[x * 8 + y] = plane[sy * width + sx] - 128.0
+                coef = _fdct(block)
+                q = [_round_half_up(coef[i] / qt[i]) for i in range(64)]
+                diff = q[0] - preds[ci]
+                preds[ci] = q[0]
+                cat = _category(diff)
+                code, ln = dc_codes[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(
+                        diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                    )
+                run = 0
+                zz = [q[_ZIGZAG[i]] for i in range(64)]
+                last_nz = 0
+                for i in range(63, 0, -1):
+                    if zz[i]:
+                        last_nz = i
+                        break
+                for i in range(1, last_nz + 1):
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    cat = _category(v)
+                    code, ln = ac_codes[(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]
+                    bw.write(code, ln)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + qt_zz)
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)),
+    )
+    out += _seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    out += _seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -71,10 +71,12 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Decode dispatcher: real PNG decode (dims + 8-bin luminance
-    histogram from actual pixels), header-real dims for JPEG/GIF (stub
-    features — entropy decode needs a real jpeg library), stub for
-    everything else."""
+    """Decode dispatcher: real PNG decode and real baseline-JPEG decode
+    (dims + 8-bin luminance histogram from actual pixels — JPEG via the
+    stdlib Huffman+IDCT codec in functions/imagecodec.py), header-real
+    dims for GIF and for JPEGs outside the baseline scope (progressive /
+    subsampled: stub features, explicit fallback), stub for everything
+    else."""
     if not payload:
         raise ValueError("empty media payload")
     container = imagecodec.sniff(payload)
@@ -83,8 +85,13 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
             w, h, ch, px = imagecodec.decode_png(payload)
             return w, h, imagecodec.luminance_histogram(ch, px, bins=8)
         if container == "jpeg":
-            w, h = imagecodec.jpeg_dims(payload)
-            return w, h, _decode_image_stub(payload)[2]
+            try:
+                w, h, ch, px = imagecodec.decode_jpeg(payload)
+                return w, h, imagecodec.luminance_histogram(ch, px, bins=8)
+            except imagecodec.UnsupportedImageError:
+                # outside baseline scope — keep header-real dims
+                w, h = imagecodec.jpeg_dims(payload)
+                return w, h, _decode_image_stub(payload)[2]
         if container == "gif":
             w, h = imagecodec.gif_dims(payload)
             return w, h, _decode_image_stub(payload)[2]
