@@ -26,8 +26,10 @@ RERUN = [
     "dedup_best_representative",
     "hll_intersection_users",
     "winnowing_fingerprints",
-    # rebuilds its dump-file fixture and re-runs availableNow each call
+    # rebuild their file fixture and re-run availableNow each call
     "streaming_latest_per_key",
+    "streaming_gap_sessions",
+    "streaming_interval_join",
 ]
 
 

@@ -3786,3 +3786,209 @@ def media_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("lum_bin"),
     )
+
+
+def _stream_events_fixture(
+    spark: SparkSession, sf_dir: str, event_types: tuple[str, ...] | None,
+    subdir: str, work: str | None = None,
+) -> tuple[str, str]:
+    """Write the sampled-events JSON fixture the streaming session/join
+    queries read: one {"user_id", "event_id", "ts"} line per sampled
+    event (event_id % 20 < 4, the same sample every streaming query
+    uses), split across 4 files for real availableNow micro-batches."""
+    import glob
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 < 4)
+    if event_types is not None:
+        ev = ev.filter(F.col("event_type").isin(*event_types))
+    lines = ev.select(
+        F.concat(
+            F.lit('{"user_id":'),
+            F.col("user_id"),
+            F.lit(',"event_id":'),
+            F.col("event_id"),
+            F.lit(',"ts":"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.lit('"}'),
+        ).alias("value")
+    )
+    work = work or tempfile.mkdtemp(prefix="hdi_stream_ev_")
+    raw_dir = os.path.join(work, f"raw_{subdir}")
+    in_dir = os.path.join(work, subdir)
+    os.makedirs(in_dir, exist_ok=True)
+    lines.coalesce(4).write.mode("overwrite").text(raw_dir)
+    for i, part in enumerate(
+        sorted(glob.glob(os.path.join(raw_dir, "part-*"))), 1
+    ):
+        os.rename(part, os.path.join(in_dir, f"{subdir}.{i:04d}.json"))
+    return work, in_dir
+
+
+_EV_STREAM_SCHEMA = "user_id BIGINT, event_id BIGINT, ts STRING"
+
+
+def _parsed_event_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """File-source stream of the fixture lines parsed to typed columns
+    with a proper event-time timestamp."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(in_dir)
+    )
+    p = raw.select(
+        F.from_json(F.col("value"), _EV_STREAM_SCHEMA).alias("j")
+    ).select(
+        F.col("j.user_id").alias("user_id"),
+        F.col("j.event_id").alias("event_id"),
+        F.to_timestamp(
+            F.col("j.ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+        ).alias("event_time"),
+    )
+    return p
+
+
+@register(
+    "streaming_gap_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_id % 20 < 4
+    ),
+    flags AS (
+      SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                       OR ts_ms - lag(ts_ms) OVER w >= 1800000
+                THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        AS session_idx
+      FROM flags
+    )
+    SELECT user_id, min(ts_ms) AS session_start_ms,
+           max(ts_ms) + 1800000 AS session_end_ms,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    doc="Structured Streaming gap sessions (streaming/stream_pipeline."
+    "py::session_counts_stream — native session_window, 30-min gap, "
+    "watermarked state eviction in production append mode) run to "
+    "completion with trigger(availableNow) over the sampled-events "
+    "fixture; the converged session table is value-hash-compared "
+    "against the lag-based batch sessionization DuckDB computes "
+    "directly. NOTE the boundary rule: session_window merges an event "
+    "iff its gap is STRICTLY below 30 min, so the oracle starts a new "
+    "session at diff >= 1800000 (the batch event_sessionization query "
+    "keeps the classic > convention; both are pinned).",
+)
+def streaming_gap_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from uc_historic_data_importer_spark.streaming.stream_pipeline import (
+        session_counts_stream,
+    )
+
+    work, in_dir = _stream_events_fixture(spark, sf_dir, None, "sessions")
+    try:
+        stream = session_counts_stream(
+            _parsed_event_stream(spark, in_dir),
+            gap="30 minutes",
+            key_col="user_id",
+            ts_col="event_time",
+        )
+        qn = _run_stream_to_memory(
+            spark, stream, "gapsess_stream_", sf_dir, work, "complete"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # complete mode truncates and rewrites the memory sink each batch,
+    # so the sink content IS the converged session table; the defensive
+    # per-(user, start) max absorbs a partially-merged stale row if a
+    # sink ever accumulates instead
+    return (
+        spark.table(qn)
+        .groupBy("user_id", F.unix_millis("session_start").alias("session_start_ms"))
+        .agg(
+            F.max(F.unix_millis("session_end")).alias("session_end_ms"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "streaming_interval_join",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_id % 20 < 4
+    )
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+           e.ts_ms - c.ts_ms AS lag_ms
+    FROM e c JOIN e e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts_ms >= c.ts_ms + 1 AND e.ts_ms <= c.ts_ms + 86400000
+    """,
+    doc="Structured Streaming stream-stream interval join (streaming/"
+    "stream_pipeline.py::interval_join_stream): errors within 24 h "
+    "after a click BY THE SAME USER (the per-user event stream is "
+    "sparse, so a seconds-band would be empty; the cross-user "
+    "60-s variant is range_join_error_after_click), two watermarked "
+    "joined with the time band in the join condition so the engine "
+    "evicts join state once no future match is possible (state bounded "
+    "by watermark + band, not stream length). Run to completion with "
+    "trigger(availableNow), append mode (the only stream-stream inner "
+    "join mode); the joined set is value-hash-compared against the "
+    "batch band join DuckDB computes directly — the streaming twin of "
+    "range_join_error_after_click with an equi key.",
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from uc_historic_data_importer_spark.streaming.stream_pipeline import (
+        interval_join_stream,
+    )
+
+    work, clicks_dir = _stream_events_fixture(
+        spark, sf_dir, ("click",), "clicks"
+    )
+    work, errors_dir = _stream_events_fixture(
+        spark, sf_dir, ("error",), "errors", work=work
+    )
+    try:
+        left = _parsed_event_stream(spark, clicks_dir).select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("l_ts"),
+        )
+        right = _parsed_event_stream(spark, errors_dir).select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("event_time").alias("r_ts"),
+        )
+        joined = interval_join_stream(
+            left,
+            right,
+            lower_ms=1,
+            upper_ms=86400000,
+            left_ts="l_ts",
+            right_ts="r_ts",
+            equi_keys=("user_id",),
+            watermark_delay="25 hours",  # must cover the band for state
+        )
+        out = joined.select(
+            F.col("l.user_id").alias("user_id"),
+            "click_id",
+            "error_id",
+            (F.unix_millis("r_ts") - F.unix_millis("l_ts")).alias("lag_ms"),
+        )
+        qn = _run_stream_to_memory(
+            spark, out, "intjoin_stream_", sf_dir, work, "append"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(qn)
