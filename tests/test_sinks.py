@@ -435,3 +435,119 @@ class TestHbaseBulkload:
                 sinks.write_hfiles(layout, "/tmp/unused")
         else:  # pragma: no cover - not reachable in this container
             pytest.skip("HBase jars present; wire the real writer")
+
+
+class TestKeyValueWireParity:
+    """Byte-level parity with the public HBase KeyValue layout — the
+    cells HFileOutputFormat2 writes for the reference's Put
+    (HbaseClient.kt:25-41: addColumn(family, qualifier,
+    version-as-timestamp, body))."""
+
+    def test_known_vector(self):
+        from uc_historic_data_importer_spark import sinks
+
+        kv = sinks.keyvalue_bytes(
+            b"r1", b"cf", b"record", 1577836800000, b"v"
+        )
+        # hand-assembled: keyLen=22, valueLen=1, rowLen=2 'r1',
+        # famLen=2 'cf', 'record', ts 0x0000016f5e66e800, type=Put(4)
+        expected = bytes.fromhex(
+            "00000016" "00000001"
+            "0002" "7231" "02" "6366" "7265636f7264"
+            "0000016f5e66e800" "04" "76"
+        )
+        assert kv == expected
+
+    def test_roundtrip_fields(self):
+        import struct as st
+
+        from uc_historic_data_importer_spark import sinks
+
+        kv = sinks.keyvalue_bytes(
+            b"rowkey", b"cf", b"record", 42, b"the-body"
+        )
+        klen, vlen = st.unpack_from(">ii", kv, 0)
+        assert vlen == 8 and kv[-vlen:] == b"the-body"
+        rlen = st.unpack_from(">H", kv, 8)[0]
+        assert kv[10 : 10 + rlen] == b"rowkey"
+        ts = st.unpack_from(">q", kv, 8 + klen - 9)[0]
+        assert ts == 42
+        assert kv[8 + klen - 1] == sinks.KEYVALUE_TYPE_PUT
+
+    def test_layout_order_is_cellcomparator_order(self, spark):
+        """The bulk-load layout's partition-local sort must equal
+        HBase's CellComparator order on the serialized cells — this is
+        the property HFileOutputFormat2 hard-fails on (and where a
+        signed/unsigned byte comparison mismatch would hide)."""
+        import random
+
+        from uc_historic_data_importer_spark import sinks
+
+        random.seed(13)
+        # include 0x00/0xFF-leading keys to exercise unsigned compare
+        rows = [
+            (
+                "t1",
+                bytearray(bytes([b]) + random.randbytes(4)),
+                f"{i:02x}",
+                v,
+                f"body-{i}-{v}",
+            )
+            for i, b in enumerate([0, 255, 127, 128, 1, 254] * 8)
+            for v in (1, 2)
+        ]
+        kv = spark.createDataFrame(
+            rows,
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        layout = sinks.hbase_bulkload_layout(kv, n_regions=3)
+
+        def _partition_cells(it):
+            yield [
+                (
+                    sinks.keyvalue_sort_key(
+                        bytes(r["key"]),
+                        r["family"].encode(),
+                        r["qualifier"].encode(),
+                        r["version"],
+                    ),
+                    bytes(r["key"]),
+                    r["version"],
+                )
+                for r in it
+            ]
+
+        per_part = layout.rdd.mapPartitions(_partition_cells).collect()
+        for cells in per_part:
+            assert [c[0] for c in cells] == sorted(c[0] for c in cells)
+        flat = [c[0] for cells in per_part for c in cells]
+        assert flat == sorted(flat)  # regions are contiguous + disjoint
+        # same row key at two versions: newest first
+        by_row = {}
+        for sk, key, ver in [c for cells in per_part for c in cells]:
+            by_row.setdefault(key, []).append(ver)
+        assert all(vs == sorted(vs, reverse=True) for vs in by_row.values())
+
+    def test_serialize_layout_cells_stream(self, spark):
+        from uc_historic_data_importer_spark import sinks
+
+        kv = spark.createDataFrame(
+            [
+                ("t1", bytearray(b"\x01k"), "01", 2, "b2"),
+                ("t1", bytearray(b"\x01k"), "01", 1, "b1"),
+                ("t1", bytearray(b"\x00k"), "00", 1, "b0"),
+            ],
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        layout = sinks.hbase_bulkload_layout(kv, n_regions=1)
+        cells = [
+            bytes(r["cell"])
+            for r in sinks.serialize_layout_cells(layout).collect()
+        ]
+        assert cells == [
+            sinks.keyvalue_bytes(b"\x00k", b"cf", b"record", 1, b"b0"),
+            sinks.keyvalue_bytes(b"\x01k", b"cf", b"record", 2, b"b2"),
+            sinks.keyvalue_bytes(b"\x01k", b"cf", b"record", 1, b"b1"),
+        ]

@@ -20,6 +20,7 @@ named `db.<db>.<uncoalesced-collection>-%06d.csv` (HBaseWriter.kt:124-127).
 from __future__ import annotations
 
 import os
+import struct
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -396,6 +397,83 @@ def hbase_bulkload_layout(
     return cells.repartitionByRange(n_regions, "key").sortWithinPartitions(
         "key", "family", "qualifier", F.desc("version")
     )
+
+
+# --- HBase KeyValue wire format (public Apache HBase cell layout) ---
+# These are the exact bytes HFileOutputFormat2 writes per cell for the
+# Put the reference performs in HbaseClient.kt:25-41 (addColumn(family,
+# qualifier, version-as-timestamp, body)). Serializing them here makes
+# the bulk-load write path testable to the byte without HBase jars:
+# an HFile's cell stream is these KeyValues in CellComparator order.
+KEYVALUE_TYPE_PUT = 4
+
+
+def keyvalue_bytes(
+    row: bytes,
+    family: bytes,
+    qualifier: bytes,
+    timestamp: int,
+    value: bytes,
+    key_type: int = KEYVALUE_TYPE_PUT,
+) -> bytes:
+    """Serialize one cell in the HBase KeyValue wire layout:
+    keyLen(i32) valueLen(i32) | rowLen(i16) row famLen(u8) family
+    qualifier ts(i64) type(u8) | value."""
+    key = (
+        struct.pack(">H", len(row))
+        + row
+        + struct.pack(">B", len(family))
+        + family
+        + qualifier
+        + struct.pack(">q", timestamp)
+        + struct.pack(">B", key_type)
+    )
+    return struct.pack(">ii", len(key), len(value)) + key + value
+
+
+def keyvalue_sort_key(
+    row: bytes,
+    family: bytes,
+    qualifier: bytes,
+    timestamp: int,
+    key_type: int = KEYVALUE_TYPE_PUT,
+) -> tuple:
+    """HBase CellComparator total order: row, family, qualifier all
+    ascending unsigned-byte-lexicographic (Python bytes compare IS
+    unsigned memcmp), then timestamp DESCENDING, then type DESCENDING
+    (so deletes sort before puts at the same timestamp)."""
+    return (row, family, qualifier, -timestamp, 0xFF - key_type)
+
+
+def serialize_layout_cells(layout: DataFrame) -> DataFrame:
+    """Executable slice of the HFile write: map each
+    ``hbase_bulkload_layout`` row to its KeyValue bytes, preserving the
+    layout's partition-local order — per partition, exactly the cell
+    stream an HFile for that region would contain. Pure projection, no
+    shuffle; a connector appends the HFile block/index framing."""
+    import pandas as pd
+
+    def _ser(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "table": pdf["table"],
+                    "cell": [
+                        keyvalue_bytes(
+                            bytes(r.key),
+                            r.family.encode(),
+                            r.qualifier.encode(),
+                            int(r.version),
+                            r.body.encode()
+                            if isinstance(r.body, str)
+                            else bytes(r.body),
+                        )
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    return layout.mapInPandas(_ser, schema="table string, cell binary")
 
 
 def write_hfiles(layout: DataFrame, out_dir: str) -> None:
