@@ -17,6 +17,7 @@ RERUN = [
     # memoized build artifacts: call 1 fits, call 2 reads the memo
     "ann_ivf_topk",
     "ann_pq_topk",
+    "semdedup_embeddings",
     # hash-derived samplers / deterministic shuffles / weighted keys
     "weighted_sample_documents",
     "curriculum_order_documents",

@@ -536,3 +536,78 @@ def semantic_decontamination_lsh(
             ).cast("int").alias("contaminated"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv 2303.09540 — public technique):
+    semantic near-duplicate PRUNING via clustering + within-cluster
+    pairwise cosine. Embeddings are assigned to their k-means cell
+    (map-only against literal centroids), pairwise similarity runs ONLY
+    inside a cell, and of any near-duplicate pair the LOWEST id is kept
+    — so a vector is dropped iff some same-cell vector with a smaller
+    id is >= threshold similar (deterministic keep-first rule; the
+    paper keeps one representative per duplicate group, rule choice is
+    an implementation detail).
+
+    Returns (vec_id, cell, kept 0/1) for every input row.
+
+    Scale shape — the whole point of the clustering: pairwise cost is
+    sum over cells of |cell|^2, not N^2; the cell equi-join shuffles on
+    the cell id. Balanced cells keep the quadratic term bounded (k
+    scales with corpus so |cell| stays ~constant); a skewed mega-cell
+    is the known failure mode — cap it by splitting on a secondary LSH
+    bucket if observed. Threshold is corpus-dependent: ~0.4 separates
+    this synthetic corpus; the paper uses 0.9+ on web data."""
+    cells = assign_cells(df, centroids, id_col, vec_col, round_dp)
+    v = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            norm_col(F.col(vec_col)).alias("nrm"),
+        )
+        .join(cells, "vec_id")
+    )
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+        "cell",
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("cell").alias("b_cell"),
+    )
+    sim = F.round(
+        dot_col(F.col("a_vec"), F.col("b_vec"))
+        / (F.col("a_nrm") * F.col("b_nrm")),
+        round_dp,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("b_cell"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(
+            dropped.withColumn("_drop", F.lit(1)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("_drop").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

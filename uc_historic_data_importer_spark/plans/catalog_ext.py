@@ -3992,3 +3992,54 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.table(qn)
+
+
+_SEMDEDUP_T = 0.4
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup replay: the unrolled k-means assignment from
+    _ivf_build_oracle plus the within-cell pair join and keep-first
+    rule."""
+    base = _ivf_build_oracle(k=4, iters=2)
+    tail = "\n    SELECT vec_id, CAST(cell AS INT) AS cell FROM af"
+    assert base.endswith(tail)
+    ip = "list_inner_product"
+    return base[: -len(tail)] + f""",
+    vv AS (
+      SELECT a.vec_id, CAST(a.cell AS INT) AS cell, t.v
+      FROM af a JOIN v t USING (vec_id)
+    ),
+    drp AS (
+      SELECT DISTINCT b.vec_id FROM vv a JOIN vv b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+       AND round({ip}(a.v, b.v) /
+           (sqrt({ip}(a.v, a.v)) * sqrt({ip}(b.v, b.v))), 6)
+           >= {_SEMDEDUP_T!r}
+    )
+    SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM (SELECT vec_id, CAST(cell AS INT) AS cell FROM af) c
+    LEFT JOIN drp d ON c.vec_id = d.vec_id
+    """
+
+
+@register(
+    "semdedup_embeddings",
+    _semdedup_oracle(),
+    doc="SemDeDup semantic pruning (similarity.semdedup; Abbas et al. "
+    "arXiv 2303.09540): k-means cell assignment (shared memoized fit "
+    "with ann_ivf_build) + within-cell pairwise cosine, drop every "
+    "vector with a >= 0.4-similar same-cell neighbor of smaller id "
+    "(deterministic keep-first representative). Pairwise cost is "
+    "sum(|cell|^2) not N^2 — the clustering IS the scale trick; the "
+    "oracle replays fit, assignment, pair join and keep rule in "
+    "unrolled SQL.",
+)
+def semdedup_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cents = _memo(
+        ("kmeans_fit", sf_dir, 4, 2),
+        lambda: similarity.kmeans_fit(emb, k=4, iters=2),
+    )
+    return similarity.semdedup(emb, cents, threshold=_SEMDEDUP_T)
