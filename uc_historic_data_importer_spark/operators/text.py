@@ -801,3 +801,101 @@ def winnowing_fingerprints(
         F.col("_s.pos").alias("pos"),
         F.col("_s.fp").alias("fingerprint"),
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 3,
+    q: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """String-similarity (fuzzy entity-matching) self-join: all id pairs
+    whose keys are within Levenshtein distance ``max_dist``, via q-gram
+    blocking — the classic ED-Join/PassJoin-family shape, composed from
+    DataFrame ops:
+
+    1. BLOCK: explode each key's distinct q-grams; candidate pairs must
+       share >= 1 gram (an edit can destroy at most q grams, so any
+       pair within max_dist shares grams whenever
+       len >= q + q*max_dist). Equi-join on the gram — never all-pairs.
+    2. COUNT FILTER: shared-gram count must reach
+       min_len - q + 1 - q*max_dist (pigeonhole bound; clamped at 1).
+       Computed from the SAME join's group-by, no extra scan.
+    3. VERIFY: exact levenshtein() (JVM-side, same classic DP both
+       engines) on the surviving candidates only.
+
+    ``max_gram_df`` drops grams occurring in more than that many keys
+    before the join — the df-cut that bounds hot-gram fan-out at scale
+    (same pattern as dedup_ngram_jaccard): candidate cost becomes
+    sum(df^2) over SURVIVING grams. Pairs whose every shared gram is
+    hot are missed — a documented approximation, mirrored exactly in
+    the oracle. Keys shorter than q block on the whole key.
+
+    Output: (id_a, id_b, dist), id_a < id_b, dist <= max_dist."""
+    if max_dist < 0 or q <= 0:
+        raise ValueError("max_dist must be >= 0 and q positive")
+    keys = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_k"),
+        F.length(key_col).alias("_len"),
+    )
+    n_grams = F.greatest(F.col("_len") - q + 1, F.lit(1))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.substring(F.col("_k"), i + 1, q),
+        )
+    )
+    g = keys.select("_id", "_k", "_len", F.explode(grams).alias("gram"))
+    if max_gram_df is not None:
+        from pyspark.sql.window import Window
+
+        gram_df = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        g = g.withColumn("_df", gram_df).filter(
+            F.col("_df") <= max_gram_df
+        ).drop("_df")
+    a = g.select(
+        F.col("_id").alias("id_a"),
+        F.col("_k").alias("k_a"),
+        F.col("_len").alias("len_a"),
+        "gram",
+    )
+    b = g.select(
+        F.col("_id").alias("id_b"),
+        F.col("_k").alias("k_b"),
+        F.col("_len").alias("len_b"),
+        F.col("gram").alias("gram_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("gram") == F.col("gram_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.col("len_a") - F.col("len_b")) <= max_dist
+            ),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("k_a").alias("k_a"),
+            F.first("k_b").alias("k_b"),
+            F.first("len_a").alias("len_a"),
+            F.first("len_b").alias("len_b"),
+            F.count(F.lit(1)).alias("shared"),
+        )
+        .filter(
+            F.col("shared")
+            >= F.greatest(
+                F.least(F.col("len_a"), F.col("len_b"))
+                - q + 1 - q * max_dist,
+                F.lit(1),
+            )
+        )
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("k_a", "k_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

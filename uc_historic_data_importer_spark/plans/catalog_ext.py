@@ -4043,3 +4043,66 @@ def semdedup_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: similarity.kmeans_fit(emb, k=4, iters=2),
     )
     return similarity.semdedup(emb, cents, threshold=_SEMDEDUP_T)
+
+
+_FUZZY_D, _FUZZY_Q, _FUZZY_DF, _FUZZY_HEAD = 3, 3, 200, 24
+
+
+@register(
+    "fuzzy_match_documents",
+    f"""
+    WITH k AS (
+      SELECT doc_id AS id, lower(substr(text, 1, {_FUZZY_HEAD})) AS s,
+             length(lower(substr(text, 1, {_FUZZY_HEAD}))) AS l
+      FROM documents
+    ),
+    g0 AS (
+      SELECT id, s, l,
+             unnest(list_distinct(list_transform(
+               range(greatest(l - {_FUZZY_Q} + 1, 1)),
+               i -> substr(s, i + 1, {_FUZZY_Q})))) AS gram
+      FROM k
+    ),
+    g AS (
+      SELECT id, s, l, gram FROM (
+        SELECT g0.*, count(*) OVER (PARTITION BY gram) AS df FROM g0
+      ) WHERE df <= {_FUZZY_DF}
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             any_value(a.s) AS ka, any_value(b.s) AS kb,
+             any_value(a.l) AS la, any_value(b.l) AS lb,
+             count(*) AS shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+         AND abs(a.l - b.l) <= {_FUZZY_D}
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
+    FROM cand
+    WHERE shared >= greatest(least(la, lb) - {_FUZZY_Q} + 1
+                             - {_FUZZY_Q} * {_FUZZY_D}, 1)
+      AND levenshtein(ka, kb) <= {_FUZZY_D}
+    """,
+    doc="fuzzy entity-matching self-join (text.fuzzy_match_pairs; "
+    "ED-Join/PassJoin-family q-gram blocking): all document pairs "
+    f"whose lowercased {_FUZZY_HEAD}-char text heads are within "
+    f"Levenshtein distance {_FUZZY_D}. Block on shared distinct "
+    f"{_FUZZY_Q}-grams (equi-join, never all-pairs) with a df-cut at "
+    f"{_FUZZY_DF} bounding hot-gram fan-out, prune by the pigeonhole "
+    "shared-gram count and the length band, verify survivors with "
+    "exact JVM-side levenshtein — identical classic DP in DuckDB, so "
+    "the verify distances value-hash-match.",
+)
+def fuzzy_match_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, _FUZZY_HEAD)).alias("head"),
+    )
+    return text.fuzzy_match_pairs(
+        keys,
+        key_col="head",
+        id_col="doc_id",
+        max_dist=_FUZZY_D,
+        q=_FUZZY_Q,
+        max_gram_df=_FUZZY_DF,
+    )
