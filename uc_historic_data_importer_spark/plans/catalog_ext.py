@@ -1302,10 +1302,19 @@ def ann_ivf_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(list_inner_product(b.v, b.v))) >= 0.4
     """,
     doc="embedding-cosine near-duplicate pairs within cells (threshold "
-    "0.4 on this corpus; 0.95+ for real near-dup data).",
+    "0.4 on this corpus; 0.95+ for real near-dup data). EXACT all-pairs "
+    "within the cell — the correctness baseline whose scale paths are "
+    "semdedup_embeddings / embedding_lsh_buckets; pair count is "
+    "quadratic in cell size by contract. The per-pair dot is computed "
+    "ONCE: norms are precomputed per side, and the similarity surfaces "
+    "through a single-element explode (Generate barrier) so predicate "
+    "pushdown cannot clone the expensive dot into the filter (the "
+    "alias-substitution double-evaluation trap).",
 )
 def embedding_cosine_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
+    # norms precomputed per SIDE; the division stays per-pair so the
+    # float sequence matches the oracle's dot/(na*nb) bit-for-bit
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label"),
@@ -1318,11 +1327,13 @@ def embedding_cosine_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"),
         similarity.norm_col(F.col("embedding")).alias("nb"),
     )
-    cos = similarity.dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = similarity.dot_col(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("_cos"))
+        .select("vec_a", "vec_b", F.explode(F.array(cos)).alias("_cos"))
         .filter(F.col("_cos") >= 0.4)
         .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cos_sim"))
     )
