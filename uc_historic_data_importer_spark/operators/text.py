@@ -359,6 +359,7 @@ def boilerplate_segments(
     min_docs: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    top_n: int | None = None,
 ) -> DataFrame:
     """Boilerplate mining: k-token segments appearing in >= min_docs
     distinct documents (headers/footers/nav chrome in a real corpus),
@@ -366,9 +367,17 @@ def boilerplate_segments(
     removal list a cleaning pass anti-joins against — tiny relative to
     the corpus, so the apply side is a broadcast anti-join.
 
+    ``top_n`` caps the list at the N most widespread segments
+    (n_docs DESC, n_occurrences DESC, segment ASC — deterministic), via
+    TakeOrdered, no global sort. Callers that COLLECT the list (to
+    inline it as a literal, Bloom-words style) must pass it: an
+    absolute min_docs threshold is unbounded on a high-duplication
+    corpus (a 90%-duplicate corpus makes nearly every segment
+    'boilerplate'), and the sf1 soak showed exactly that blow-up.
+
     Single groupBy on the content-uniform segment key; no joins."""
     segs = word_segments(df, k=k, text_col=text_col, id_col=id_col)
-    return (
+    out = (
         segs.groupBy("segment")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
@@ -376,6 +385,11 @@ def boilerplate_segments(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+    if top_n is not None:
+        out = out.orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("segment")
+        ).limit(top_n)
+    return out
 
 
 def relative_quality_filter(

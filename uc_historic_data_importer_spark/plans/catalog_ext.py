@@ -3073,8 +3073,14 @@ def dedup_apply_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SEG_CTE},
     bp AS (
-      SELECT segment FROM seg GROUP BY segment
-      HAVING count(DISTINCT doc_id) >= 3
+      SELECT segment FROM (
+        SELECT segment,
+               row_number() OVER (
+                 ORDER BY count(DISTINCT doc_id) DESC, count(*) DESC,
+                          segment ASC) AS rn
+        FROM seg GROUP BY segment
+        HAVING count(DISTINCT doc_id) >= 3
+      ) WHERE rn <= 5000
     ),
     marked AS (
       SELECT s.doc_id, s.segment,
@@ -3093,18 +3099,21 @@ def dedup_apply_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="boilerplate removal APPLIED: clean every document against the "
     "mined removal list and report per-doc segment/removal counts and "
     "cleaned length. The list is a bounded build artifact collected once "
-    "per (sf_dir, params) — same pattern as the in-plan Bloom words — so "
-    "the cleaning pass itself is map-only and runs unchanged under "
+    "per (sf_dir, params) — same pattern as the in-plan Bloom words — "
+    "and BOUNDED BY CONSTRUCTION via the top-5000 cap (n_docs DESC "
+    "deterministic order): an uncapped min_docs>=3 list is unbounded on "
+    "a high-duplication corpus (the sf1 soak's 98x blow-up). The "
+    "cleaning pass itself is map-only and runs unchanged under "
     "Structured Streaming.",
 )
 def segment_cleaned_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     bp = _memo(
-        ("boilerplate", sf_dir, _SEG_K, 3),
+        ("boilerplate", sf_dir, _SEG_K, 3, 5000),
         lambda: [
             r["segment"]
             for r in text.boilerplate_segments(
-                docs, k=_SEG_K, min_docs=3
+                docs, k=_SEG_K, min_docs=3, top_n=5000
             ).collect()
         ],
     )
