@@ -148,6 +148,25 @@ def test_no_query_plans_scale_antipatterns(spark):
     assert not offenders, offenders
 
 
+def test_cell_argmax_never_cloned_into_filters(spark):
+    """The k x dim nearest-centroid argmax must be evaluated exactly
+    once per row. A nullable cell column lets equi-joins inject an
+    isnotnull(cell) null-filter whose pushdown clones the whole argmax
+    tree into the Filter — doubling per-row cost and (at k=4, dim=64)
+    blowing the fused stage past Janino's 64 KB method limit into
+    silent interpreted fallback. assign_cells defends with a
+    non-nullable coalesce; this pins that no Filter ever contains the
+    argmax again."""
+    for name in ("semdedup_embeddings", "ann_ivf_build"):
+        plan = plan_of(spark, name)
+        offending = [
+            ln
+            for ln in plan.splitlines()
+            if "Filter" in ln and "array_position" in ln
+        ]
+        assert not offending, (name, offending[:1])
+
+
 def test_round2_text_vector_ops_are_map_only(spark):
     """PII scrub, repetition scores, int8 quantization, and LSH bucket
     assignment are pure per-row column expressions — any Exchange that

@@ -71,21 +71,21 @@ def _code_expr(sub: Column, codebook: list[list[float]], round_dp: int) -> Colum
     The key is (cent.cent - 2*sub.cent), NOT the full ||sub-cent||^2:
     sub.sub is constant across codes, so dropping it changes no argmin
     result and removes k interpreted self-dots per row. The oracle
-    rounds the identical key, so tie behavior stays engine-portable."""
-    best_s: Column | None = None
-    best_j: Column | None = None
-    for c, cent in enumerate(codebook):
+    rounds the identical key, so tie behavior stays engine-portable.
+
+    Argmin = array_position(keys, array_min(keys)) — first occurrence
+    of the min, i.e. ties to the lowest code — rather than a nested
+    when(d < best)-fold, whose duplicated accumulator tree grows
+    O(2^k) and can push the generated stage past Janino's method
+    limit into interpreted fallback (see similarity._cell_expr)."""
+    keys: list[Column] = []
+    for cent in codebook:
         cc = 0.0
         for x in cent:
             cc += float(x) * float(x)
-        d = F.round(F.lit(cc) - 2.0 * _dot_lit(sub, cent), round_dp)
-        if best_s is None:
-            best_s, best_j = d, F.lit(0)
-        else:
-            wins = d < best_s
-            best_j = F.when(wins, F.lit(c)).otherwise(best_j)
-            best_s = F.when(wins, d).otherwise(best_s)
-    return best_j.cast("int")
+        keys.append(F.round(F.lit(cc) - 2.0 * _dot_lit(sub, cent), round_dp))
+    arr = F.array(*keys)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
 def pq_fit(

@@ -189,26 +189,30 @@ def _cell_expr(
     The dot itself is UNROLLED into element_at multiply-adds (the HOF
     aggregate is interpreted per row; literals make it whole-stage
     codegen). Keys are rounded BEFORE the argmax and ties break to the
-    LOWEST cell id (strict > keeps the earlier centroid); the oracle
+    LOWEST cell id (array_position finds the FIRST max); the oracle
     rounds the identical key, so the assignment is bit-stable across
-    engines."""
+    engines.
+
+    The argmax is array_position(scores, array_max(scores)), NOT a
+    chain of nested when(score > best)-folds: the fold duplicates the
+    whole accumulated score tree at every step (O(2^k) expression
+    size), which pushes the generated Java past Janino's method limit
+    and silently drops the entire stage to interpreted mode. The array
+    form keeps each score expression exactly once, so k x dim stays
+    linear and the stage compiles."""
     v = F.col(vec_col).cast("array<double>")
-    best_s: Column | None = None
-    best_j: Column | None = None
-    for j, c in enumerate(centroids):
+    scores: list[Column] = []
+    for c in centroids:
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
         dot: Column | None = None
         for i, x in enumerate(c):
             term = F.element_at(v, i + 1) * F.lit(float(x))
             dot = term if dot is None else dot + term
-        score = F.round((dot if dot is not None else F.lit(0.0)) / F.lit(cn), round_dp)
-        if best_s is None:
-            best_s, best_j = score, F.lit(0)
-        else:
-            wins = score > best_s
-            best_j = F.when(wins, F.lit(j)).otherwise(best_j)
-            best_s = F.when(wins, score).otherwise(best_s)
-    return best_j.cast("int")
+        scores.append(
+            F.round((dot if dot is not None else F.lit(0.0)) / F.lit(cn), round_dp)
+        )
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
 def assign_cells(
@@ -224,10 +228,25 @@ def assign_cells(
     doubles), so assignment is a single narrow map over the corpus: no
     join, no shuffle, trivially parallel at any corpus size. At 100 TB
     this is the write-path `PARTITIONED BY (cell)` column that makes
-    `ivf_topk` partition-pruned."""
+    `ivf_topk` partition-pruned.
+
+    The cell is coalesce(argmax, -1), which matters for PLAN shape,
+    not values: a nullable cell makes every downstream equi-join
+    inject an isnotnull(cell) null-filter, and predicate pushdown
+    clones the whole k x dim argmax tree into that filter — doubling
+    the per-row cost and (at k=4, dim=64) pushing the fused
+    Project+Filter stage past Janino's 64 KB method limit into
+    interpreted fallback. The non-nullable coalesce means Catalyst
+    never generates the isnotnull at all, so the expression is
+    evaluated exactly once and the stage compiles. -1 can only appear
+    for a malformed (short/null) vector that the old path would have
+    silently dropped at the join; fixed-dim corpora never produce
+    it."""
     return corpus.select(
         F.col(id_col).alias("vec_id"),
-        _cell_expr(centroids, vec_col, round_dp).alias("cell"),
+        F.coalesce(
+            _cell_expr(centroids, vec_col, round_dp), F.lit(-1)
+        ).alias("cell"),
     )
 
 
