@@ -583,16 +583,24 @@ def semdedup(
     scales with corpus so |cell| stays ~constant); a skewed mega-cell
     is the known failure mode — cap it by splitting on a secondary LSH
     bucket if observed. Threshold is corpus-dependent: ~0.4 separates
-    this synthetic corpus; the paper uses 0.9+ on web data."""
-    cells = assign_cells(df, centroids, id_col, vec_col, round_dp)
-    v = (
-        df.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("vec"),
-            norm_col(F.col(vec_col)).alias("nrm"),
-        )
-        .join(cells, "vec_id")
+    this synthetic corpus; the paper uses 0.9+ on web data.
+
+    cell, vec, and norm come out of ONE projection over a single scan
+    — no self-join of the corpus with its own assignment (the obvious
+    assign-then-join-on-id composition shuffles the whole corpus once
+    for nothing). The cell column is the same non-nullable
+    coalesce(argmax, -1) as assign_cells, so the pair equi-join
+    never injects an isnotnull that would clone the argmax tree (see
+    assign_cells)."""
+    v = _ensure_parallel(df).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm_col(F.col(vec_col)).alias("nrm"),
+        F.coalesce(
+            _cell_expr(centroids, vec_col, round_dp), F.lit(-1)
+        ).alias("cell"),
     )
+    cells = v.select("vec_id", "cell")
     a = v.select(
         F.col("vec_id").alias("a_id"),
         F.col("vec").alias("a_vec"),
