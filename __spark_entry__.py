@@ -170,37 +170,111 @@ _R03_RECORDED = frozenset(
 )
 
 
-# Round-5 handoff: the driver records the first 50 of the CURRENT
-# ordering as CORRECTNESS_r04 — i.e. the round-4 additions first,
-# then the stalest-recorded queries (last driver row in r01, in
-# registration order) until the 50-slot window fills. Round 5 should
-# lift that exact recorded set into an _R04_RECORDED frozenset,
-# front-load its own new queries, and keep the stalest-first rotation
-# below. Do NOT reorder before the driver has recorded r04.
+# Round-4's driver record, verified == CORRECTNESS_r04.json key set:
+# the 6 round-4 additions followed by the 44 stalest (6 r01-recorded +
+# the first 38 of the r02 block), exactly as the r4 handoff predicted.
+_R04_RECORDED = frozenset(
+    {
+        "semantic_decontamination_lsh", "media_jpeg_decode",
+        "streaming_gap_sessions", "streaming_interval_join",
+        "semdedup_embeddings", "fuzzy_match_documents", "latest_per_key",
+        "dedup_key_version", "anti_join_existing", "time_range_filter",
+        "filter_status_counts", "version_selection", "kafka_date_format",
+        "json_extraction", "table_naming", "manifest_projection",
+        "rowkey_crc32", "normalize_pipeline", "pricing_summary",
+        "top_orders_by_revenue", "revenue_by_nation", "union_priorities",
+        "broadcast_dim_join", "tumbling_window_agg", "asof_join_last_event",
+        "event_sessionization", "range_join_error_after_click",
+        "text_token_counts", "text_quality_scores", "text_language_id",
+        "text_fingerprints", "dedup_exact", "dedup_fingerprint",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "hll_distinct_users",
+        "cms_heavy_hitters", "bloom_anti_join_lineitem",
+        "hash_sample_documents", "split_assign_documents",
+        "stratified_sample_documents", "text_tfidf_top_terms",
+        "hist_quantile_prices", "corpus_curation",
+        "funnel_view_click_purchase", "split_decontamination",
+        "salted_join_priority_revenue", "cube_pricing",
+        "embedding_label_centroids", "scd2_user_intervals",
+    }
+)
+
+
+# Queries whose SEMANTICS OR PLANS changed after their most recent driver
+# record (round-4 verdict finding: a stale green row on changed semantics
+# is the only way the multi-round green record can silently rot).  These
+# outrank plain staleness in the round-5 ordering so the driver re-records
+# them immediately:
+#   - segment_cleaned_corpus / boilerplate_segments: r4 top-5000 removal cap
+#     changed results; last driver row r03.
+#   - winnowing_fingerprints: r4 O(m) rewrite; last row r03.
+#   - ann_ivf_build / ann_pq_topk / ann_ivfpq_topk: r4 argmax codegen
+#     rewrite (+ r5 pq NULL-code coalesce); last rows r02/r03.
+#   - embedding_cosine_neardup: r4 Generate-barrier plan fix; last row r03.
+#   - fuzzy_match_documents: r5 pigeonhole-bound fix over positional grams
+#     (ADVICE high); last row r04.
+#   - dedup_ngram_jaccard: r5 bounded-bucket pair cap; last row r04.
+# Plus one freshness force: streaming_latest_per_key — its
+# applyInPandasWithState path keeps evolving (r4 verdict task 8), so it is
+# pinned inside the 50-slot window even though r03-recorded.
+_R05_MODIFIED_SINCE_RECORD = (
+    "segment_cleaned_corpus",
+    "boilerplate_segments",
+    "winnowing_fingerprints",
+    "ann_ivf_build",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "embedding_cosine_neardup",
+    "fuzzy_match_documents",
+    "dedup_ngram_jaccard",
+    "streaming_latest_per_key",
+)
+
+
+# Round-6 handoff: the driver records the first 50 of the CURRENT
+# ordering as CORRECTNESS_r05 — i.e. (a) the round-5 additions, (b) the
+# _R05_MODIFIED_SINCE_RECORD block, (c) stalest-first (6 r01- and 21
+# r02-recorded queries), exactly 50 in total. Round 6 should lift the
+# recorded set into an _R05_RECORDED frozenset, list any queries whose
+# semantics changed after their latest record in a new modified block,
+# front-load round-6 additions, and keep stalest-first for the rest.
 
 
 def _ordered_queries():
-    """Round-4 ordering: never-recorded queries first (registration
-    order — each new round-4 query gets a driver row immediately),
-    then previously recorded queries stalest-first (those whose most
-    recent driver row is r01, then r02, then r03). Every query pushed
-    past index 50 already has a green driver row in the r01∪r02∪r03
-    union and is re-verified each round by
-    tests/test_oracle_regression.py."""
+    """Round-5 ordering: (a) never-recorded queries first (registration
+    order — each new round-5 query gets a driver row immediately), (b)
+    queries modified since their most recent driver record
+    (_R05_MODIFIED_SINCE_RECORD — a stale green row on changed semantics
+    must be refreshed before plain staleness rotation), (c) previously
+    recorded queries stalest-first (most recent driver row r01, then r02,
+    then r03, then r04). Every query pushed past index 50 already has a
+    green driver row in the r01∪r02∪r03∪r04 union and is re-verified each
+    round by tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    def last_recorded(name):
-        if name in _R03_RECORDED:
-            return 3
-        if name in _R02_RECORDED:
-            return 2
-        if name in _R01_RECORDED:
-            return 1
-        return 0  # fresh — front of the line
+    modified_rank = {n: i for i, n in enumerate(_R05_MODIFIED_SINCE_RECORD)}
+    reg_index = {n: i for i, n in enumerate(QUERIES)}
 
-    order = sorted(QUERIES, key=lambda n: (last_recorded(n), list(QUERIES).index(n)))
+    def last_recorded(name):
+        for rnd, recorded in (
+            (4, _R04_RECORDED),
+            (3, _R03_RECORDED),
+            (2, _R02_RECORDED),
+            (1, _R01_RECORDED),
+        ):
+            if name in recorded:
+                return rnd
+        return None  # fresh — front of the line
+
+    def sort_key(name):
+        if last_recorded(name) is None:
+            return (0, 0, reg_index[name])
+        if name in modified_rank:
+            return (1, modified_rank[name], reg_index[name])
+        return (2, last_recorded(name), reg_index[name])
+
+    order = sorted(QUERIES, key=sort_key)
     return [(n, QUERIES[n]) for n in order]
 
 
