@@ -2113,3 +2113,100 @@ class TestChunkDupRatio:
         for r in out.values():
             assert 0 <= r["dup_ratio_bp"] <= 10000
             assert r["dup_chunks"] <= r["n_chunks"]
+
+
+class TestFuzzyMatch:
+    """text.fuzzy_match_pairs — q-gram blocked Levenshtein self-join."""
+
+    def test_repeated_char_keys_survive_count_filter(self, spark):
+        # Pigeonhole regression (round-5 advice): the count bound
+        # min_len - q + 1 - q*max_dist only holds for POSITIONAL grams.
+        # 'a'*24 vs 'a'*23+'b' are Levenshtein-1 but share exactly ONE
+        # distinct gram — distinct-gram counting drops them.
+        df = spark.createDataFrame(
+            [(1, "a" * 24), (2, "a" * 23 + "b"), (3, "a" * 24)],
+            ["doc_id", "text"],
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in text.fuzzy_match_pairs(
+                df, key_col="text", id_col="doc_id", max_dist=3, q=3
+            ).collect()
+        }
+        assert out[(1, 2)] == 1
+        assert out[(1, 3)] == 0  # identical keys, distance 0
+        assert out[(2, 3)] == 1
+
+    def test_matches_bruteforce_on_mixed_corpus(self, spark):
+        import itertools
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        keys = [
+            "acme corporation ltd", "acme corporation llc",
+            "acme corp ltd", "zzz unrelated entity", "zzz unrelated entry",
+            "aaaaaaaaaaaaaaa", "aaaaaaaaaaaaaab", "short", "shirt",
+        ]
+        rows = [(i, k) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in text.fuzzy_match_pairs(
+                df, key_col="text", id_col="doc_id", max_dist=2, q=3
+            ).collect()
+        }
+        # q-gram blocking only guarantees a shared gram when
+        # min_len >= q + q*max_dist (= 9 here); 'short'/'shirt' (len 5)
+        # are outside the guarantee and legitimately missed
+        want = {
+            (i, j): lev(keys[i], keys[j])
+            for i, j in itertools.combinations(range(len(keys)), 2)
+            if lev(keys[i], keys[j]) <= 2
+            and min(len(keys[i]), len(keys[j])) >= 3 + 3 * 2
+        }
+        assert got == want
+
+    def test_df_cut_is_the_only_approximation(self, spark):
+        # with a tiny max_gram_df, hot grams are dropped and pairs whose
+        # every shared gram is hot are missed — the documented df-cut
+        df = spark.createDataFrame(
+            [(1, "aaaaaaaaaaaa"), (2, "aaaaaaaaaaab")], ["doc_id", "text"]
+        )
+        out = text.fuzzy_match_pairs(
+            df, key_col="text", id_col="doc_id", max_dist=2, q=3,
+            max_gram_df=1,
+        ).collect()
+        assert out == []
+
+
+class TestPqNullCodes:
+    def test_short_vector_codes_to_minus_one_not_null(self, spark):
+        # round-5 advice: array_position over all-NULL keys yields NULL;
+        # pq code columns must carry the same -1 sentinel contract as
+        # similarity.assign_cells so NULL codes never reach joins
+        from uc_historic_data_importer_spark.operators import pq
+
+        good = [
+            (0, [0.0, 0.0, 0.0, 0.0, 9.0, 9.0, 9.0, 9.0]),
+            (1, [5.0, 5.0, 5.0, 5.0, 1.0, 1.0, 1.0, 1.0]),
+        ]
+        c = spark.createDataFrame(good, "vec_id long, embedding array<double>")
+        books = pq.pq_fit(c, m=2, k=2, iters=1)
+        bad = spark.createDataFrame(
+            good + [(2, [0.5, 0.5])],  # short vector: second subspace missing
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: (r["code_0"], r["code_1"])
+               for r in pq.pq_encode(bad, books).collect()}
+        assert out[2][1] == -1  # sentinel, not None
+        assert None not in out[2]
+        for vid in (0, 1):
+            assert all(code in (0, 1) for code in out[vid])

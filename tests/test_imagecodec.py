@@ -461,3 +461,34 @@ class TestJpegCodec:
         p = ic.encode_jpeg_gray(16, 16, bytes(256))
         with pytest.raises(ic.UnsupportedImageError):
             ic.decode_jpeg(p[: len(p) // 2])
+
+    def test_fill_bytes_before_markers_parse(self):
+        # T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+        # marker; some encoders pad with them (round-5 advice)
+        p = ic.encode_jpeg_gray(16, 9, bytes([77]) * 144)
+        assert p.startswith(b"\xff\xd8")
+        # inject fill bytes after SOI, before the first segment marker
+        padded = p[:2] + b"\xff" * 5 + p[2:]
+        w, h, ch, px = ic.decode_jpeg(padded)
+        ref = ic.decode_jpeg(p)
+        assert (w, h, ch, px) == ref
+
+    def test_tiny_quant_dc_overflow_raises_valueerror(self):
+        # a quant table too fine for the sample range must fail with a
+        # clear ValueError, never a raw KeyError from the DC code table
+        import pytest as _pytest
+
+        # alternate extreme blocks so the DPCM DC difference is maximal;
+        # a fractional-equivalent qt[0] below 1 is modeled by the
+        # smallest legal value with a huge block swing and a tiny table
+        img = bytes(
+            (255 if ((x // 8) + (y // 8)) % 2 == 0 else 0)
+            for y in range(16)
+            for x in range(16)
+        )
+        try:
+            ic.encode_jpeg_gray(16, 16, img, qt=(1,) * 64)
+        except ValueError as e:  # acceptable: guard fired with message
+            assert "categor" in str(e)
+        except KeyError:  # the old failure mode — must not happen
+            _pytest.fail("DC overflow surfaced as KeyError")

@@ -76,3 +76,13 @@ def test_exact_empty_eval_guard(spark):
     assert len(rows) == train.count()  # whole corpus kept, not dropped
     assert all(r["contaminated"] == 0 for r in rows)
     assert all(r["max_test_sim"] is None for r in rows)
+
+
+def test_lsh_empty_train_guard(spark):
+    # round-5 advice: empty train frame must return an empty flagged
+    # frame, not crash on first() -> None while probing the vector dim
+    train, test = _split(spark)
+    empty = train.filter(F.lit(False))
+    out = semantic_decontamination_lsh(empty, test, threshold=THRESHOLD)
+    assert out.columns == ["vec_id", "max_cand_sim", "contaminated"]
+    assert out.count() == 0

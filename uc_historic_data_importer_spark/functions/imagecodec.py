@@ -461,6 +461,21 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _dc_category(diff: int) -> int:
+    """DC size category with a clear failure instead of a KeyError:
+    baseline JPEG declares 12 DC categories (0..11); a caller-supplied
+    quant table with tiny qt[0] can push the DPCM difference past
+    category 11, which is unencodable in this table."""
+    cat = _category(diff)
+    if cat >= len(_ENC_DC_VALS):
+        raise ValueError(
+            f"DC difference {diff} needs size category {cat}, beyond the "
+            f"{len(_ENC_DC_VALS)} baseline DC categories — quant table "
+            "qt[0] is too small for the sample range"
+        )
+    return cat
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
@@ -496,7 +511,7 @@ def encode_jpeg_gray(
             # DC difference
             diff = q[0] - pred
             pred = q[0]
-            cat = _category(diff)
+            cat = _dc_category(diff)
             code, ln = dc_codes[cat]
             bw.write(code, ln)
             if cat:
@@ -647,6 +662,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 2
     data = payload
     while pos + 4 <= len(data):
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them so JPEGs from padding encoders still parse
+        while pos + 1 < len(data) and data[pos] == 0xFF and data[pos + 1] == 0xFF:
+            pos += 1
         if data[pos] != 0xFF:
             raise UnsupportedImageError("marker sync lost")
         marker = data[pos + 1]
@@ -845,7 +864,7 @@ def encode_jpeg_rgb(
                 q = [_round_half_up(coef[i] / qt[i]) for i in range(64)]
                 diff = q[0] - preds[ci]
                 preds[ci] = q[0]
-                cat = _category(diff)
+                cat = _dc_category(diff)
                 code, ln = dc_codes[cat]
                 bw.write(code, ln)
                 if cat:

@@ -56,10 +56,14 @@ def _dot_lit(sub: Column, cent: list[float]) -> Column:
     whole product into whole-stage-codegen scalar arithmetic (~10x on
     the encode path). Left-associated sum = the same association as a
     sequential accumulate, so DuckDB's list_inner_product reproduces
-    the double bit-for-bit."""
+    the double bit-for-bit.
+
+    try_element_at (not element_at, which THROWS under ANSI mode) so a
+    malformed/short vector yields NULL — _code_expr's coalesce then
+    maps it to the -1 sentinel instead of failing the whole stage."""
     acc: Column | None = None
     for i, x in enumerate(cent):
-        term = F.element_at(sub, i + 1) * F.lit(float(x))
+        term = F.try_element_at(sub, F.lit(i + 1)) * F.lit(float(x))
         acc = term if acc is None else acc + term
     return acc if acc is not None else F.lit(0.0)
 
@@ -77,7 +81,13 @@ def _code_expr(sub: Column, codebook: list[list[float]], round_dp: int) -> Colum
     of the min, i.e. ties to the lowest code — rather than a nested
     when(d < best)-fold, whose duplicated accumulator tree grows
     O(2^k) and can push the generated stage past Janino's method
-    limit into interpreted fallback (see similarity._cell_expr)."""
+    limit into interpreted fallback (see similarity._cell_expr).
+
+    array_position yields NULL (not a code) when a null/short
+    subvector makes every key NULL — coalesce to -1 (same non-null
+    sentinel contract as similarity.assign_cells) so a malformed
+    vector can never propagate NULL codes into downstream joins or
+    partition columns."""
     keys: list[Column] = []
     for cent in codebook:
         cc = 0.0
@@ -85,7 +95,8 @@ def _code_expr(sub: Column, codebook: list[list[float]], round_dp: int) -> Colum
             cc += float(x) * float(x)
         keys.append(F.round(F.lit(cc) - 2.0 * _dot_lit(sub, cent), round_dp))
     arr = F.array(*keys)
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    pos = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    return F.coalesce(pos, F.lit(-1))
 
 
 def pq_fit(

@@ -513,7 +513,14 @@ def semantic_decontamination_lsh(
     this route. Duplicate candidate pairs across tables are NOT deduped:
     the per-train-id max absorbs them, saving a shuffle. The final
     left-join restores never-candidate train rows."""
-    dim = int(train.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    first = train.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:  # empty train frame — nothing to flag
+        return train.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("max_cand_sim"),
+            F.lit(False).alias("contaminated"),
+        )
+    dim = int(first["d"])
     tables = [lsh_plane_coeffs(n_planes, dim, l) for l in range(n_tables)]
     buckets = F.array(*[_lsh_bucket_expr(vec_col, pl) for pl in tables])
 

@@ -830,13 +830,21 @@ def fuzzy_match_pairs(
     blocking — the classic ED-Join/PassJoin-family shape, composed from
     DataFrame ops:
 
-    1. BLOCK: explode each key's distinct q-grams; candidate pairs must
+    1. BLOCK: explode each key's distinct q-grams (with their positional
+       multiplicity carried as a count column); candidate pairs must
        share >= 1 gram (an edit can destroy at most q grams, so any
        pair within max_dist shares grams whenever
        len >= q + q*max_dist). Equi-join on the gram — never all-pairs.
-    2. COUNT FILTER: shared-gram count must reach
-       min_len - q + 1 - q*max_dist (pigeonhole bound; clamped at 1).
-       Computed from the SAME join's group-by, no extra scan.
+    2. COUNT FILTER: the POSITIONAL shared-gram count — the q-gram bag
+       intersection sum(min(cnt_a, cnt_b)) — must reach
+       min_len - q + 1 - q*max_dist (Gravano et al. pigeonhole bound;
+       clamped at 1). The bound only holds for positional grams: a key
+       of repeated characters has few DISTINCT grams but many
+       positional ones, so counting distinct shared grams would
+       silently prune true matches (e.g. 'aaaa...' keys). Computed
+       from the SAME join's group-by, no extra scan. Multiplicities
+       are derived array-side (size(filter(...)) per distinct gram —
+       O(m^2) expression work on short entity keys, no extra shuffle).
     3. VERIFY: exact levenshtein() (JVM-side, same classic DP both
        engines) on the surviving candidates only.
 
@@ -856,13 +864,23 @@ def fuzzy_match_pairs(
         F.length(key_col).alias("_len"),
     )
     n_grams = F.greatest(F.col("_len") - q + 1, F.lit(1))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_grams - 1),
-            lambda i: F.substring(F.col("_k"), i + 1, q),
-        )
+    grams_all = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.substring(F.col("_k"), i + 1, q),
     )
-    g = keys.select("_id", "_k", "_len", F.explode(grams).alias("gram"))
+    # one row per DISTINCT gram per key, carrying its positional
+    # multiplicity — the join stays duplicate-free per (pair, gram)
+    # while the count filter sees the full q-gram bag
+    gram_counts = F.transform(
+        F.array_distinct(grams_all),
+        lambda gm: F.struct(
+            gm.alias("gram"),
+            F.size(F.filter(grams_all, lambda x: x == gm)).alias("cnt"),
+        ),
+    )
+    g = keys.select(
+        "_id", "_k", "_len", F.explode(gram_counts).alias("_g")
+    ).select("_id", "_k", "_len", F.col("_g.gram").alias("gram"), F.col("_g.cnt").alias("cnt"))
     if max_gram_df is not None:
         from pyspark.sql.window import Window
 
@@ -875,12 +893,14 @@ def fuzzy_match_pairs(
         F.col("_k").alias("k_a"),
         F.col("_len").alias("len_a"),
         "gram",
+        F.col("cnt").alias("cnt_a"),
     )
     b = g.select(
         F.col("_id").alias("id_b"),
         F.col("_k").alias("k_b"),
         F.col("_len").alias("len_b"),
         F.col("gram").alias("gram_b"),
+        F.col("cnt").alias("cnt_b"),
     )
     cand = (
         a.join(
@@ -897,7 +917,7 @@ def fuzzy_match_pairs(
             F.first("k_b").alias("k_b"),
             F.first("len_a").alias("len_a"),
             F.first("len_b").alias("len_b"),
-            F.count(F.lit(1)).alias("shared"),
+            F.sum(F.least("cnt_a", "cnt_b")).alias("shared"),
         )
         .filter(
             F.col("shared")

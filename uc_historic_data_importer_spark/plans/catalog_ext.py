@@ -4077,14 +4077,18 @@ _FUZZY_D, _FUZZY_Q, _FUZZY_DF, _FUZZY_HEAD = 3, 3, 200, 24
       FROM documents
     ),
     g0 AS (
-      SELECT id, s, l,
-             unnest(list_distinct(list_transform(
-               range(greatest(l - {_FUZZY_Q} + 1, 1)),
-               i -> substr(s, i + 1, {_FUZZY_Q})))) AS gram
-      FROM k
+      SELECT id, s, l, gram, count(*) AS cnt
+      FROM (
+        SELECT id, s, l,
+               unnest(list_transform(
+                 range(greatest(l - {_FUZZY_Q} + 1, 1)),
+                 i -> substr(s, i + 1, {_FUZZY_Q}))) AS gram
+        FROM k
+      )
+      GROUP BY id, s, l, gram
     ),
     g AS (
-      SELECT id, s, l, gram FROM (
+      SELECT id, s, l, gram, cnt FROM (
         SELECT g0.*, count(*) OVER (PARTITION BY gram) AS df FROM g0
       ) WHERE df <= {_FUZZY_DF}
     ),
@@ -4092,7 +4096,7 @@ _FUZZY_D, _FUZZY_Q, _FUZZY_DF, _FUZZY_HEAD = 3, 3, 200, 24
       SELECT a.id AS id_a, b.id AS id_b,
              any_value(a.s) AS ka, any_value(b.s) AS kb,
              any_value(a.l) AS la, any_value(b.l) AS lb,
-             count(*) AS shared
+             sum(least(a.cnt, b.cnt)) AS shared
       FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
          AND abs(a.l - b.l) <= {_FUZZY_D}
       GROUP BY a.id, b.id
@@ -4108,8 +4112,10 @@ _FUZZY_D, _FUZZY_Q, _FUZZY_DF, _FUZZY_HEAD = 3, 3, 200, 24
     f"whose lowercased {_FUZZY_HEAD}-char text heads are within "
     f"Levenshtein distance {_FUZZY_D}. Block on shared distinct "
     f"{_FUZZY_Q}-grams (equi-join, never all-pairs) with a df-cut at "
-    f"{_FUZZY_DF} bounding hot-gram fan-out, prune by the pigeonhole "
-    "shared-gram count and the length band, verify survivors with "
+    f"{_FUZZY_DF} bounding hot-gram fan-out, prune by the POSITIONAL "
+    "pigeonhole count (q-gram bag intersection sum(min(cnt_a, cnt_b)) "
+    "— distinct-gram counting would wrongly prune repeated-character "
+    "keys) and the length band, verify survivors with "
     "exact JVM-side levenshtein — identical classic DP in DuckDB, so "
     "the verify distances value-hash-match.",
 )
