@@ -24,9 +24,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline set: every operator family — normalize UDF, window, anti-join,
 # multi-join agg, groupBy, dedup/similarity extensions.
-# FROZEN as of round 1 (BASELINE.md per-query table): membership must not
-# change, so round-over-round totals stay apples-to-apples. Bench new
-# operators separately until a deliberate baseline reset.
+# Membership FROZEN (unchanged since round 1) so round-over-round totals
+# stay apples-to-apples; the reference TABLE was re-frozen to BENCH_r04's
+# numbers in round 5 (BASELINE.md reset provision — the r1 table had
+# drifted 1.6x looser than reality). Bench new operators under "extras"
+# until the next deliberate reset.
 HEADLINE = [
     "latest_per_key",
     "anti_join_existing",

@@ -2210,3 +2210,40 @@ class TestPqNullCodes:
         assert None not in out[2]
         for vid in (0, 1):
             assert all(code in (0, 1) for code in out[vid])
+
+
+class TestJaccardBucketCap:
+    def test_pathological_identical_corpus_is_bounded(self, spark):
+        # every doc identical: uncapped = C(n,2) pairs per shingle;
+        # with the df-cut the buckets drop and the accounting frame
+        # reports exactly the avoided fan-out (no-silent-caps)
+        n_docs = 12
+        body = "all documents carry exactly this same text body here"
+        df = spark.createDataFrame(
+            [(i, body) for i in range(n_docs)], ["doc_id", "text"]
+        )
+        capped = dedup.jaccard_pairs(df, threshold=0.5, max_shingle_freq=8)
+        assert capped.count() == 0  # bounded: no bucket enumerates pairs
+        stats = dedup.jaccard_bucket_stats(df, max_shingle_freq=8).first()
+        assert stats["kept_buckets"] == 0
+        assert stats["dropped_buckets"] > 0
+        assert stats["max_bucket_docs"] == n_docs
+        per_bucket = n_docs * (n_docs - 1) // 2
+        assert stats["dropped_pair_fanout"] == stats["dropped_buckets"] * per_bucket
+        # sanity: without the cap the same corpus yields every pair
+        full = dedup.jaccard_pairs(df, threshold=0.5)
+        assert full.count() == n_docs * (n_docs - 1) // 2
+
+    def test_cap_preserves_exactness_on_kept_shingles(self, spark, docs):
+        # corpus with no hot shingles: cap high enough -> identical output
+        uncapped = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.jaccard_pairs(docs, threshold=0.3).collect()
+        )
+        capped = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.jaccard_pairs(
+                docs, threshold=0.3, max_shingle_freq=50
+            ).collect()
+        )
+        assert uncapped == capped

@@ -119,6 +119,33 @@ class TestMetadata:
         assert keymap == {("kek", "E"): "PLAIN"}
         assert calls == [("kek", "E")]
 
+    def test_sidecar_read_is_distributed(self, spark, tree):
+        # round-5: the sidecar parse must be a distributed FileScan, not
+        # a sequential driver loop (the only O(n_files) serial driver
+        # stage left after round 4) — pin the plan shape
+        for i in range(1, 4):
+            _write(os.path.join(tree, f"db.c.{i:04d}.json.gz.enc"), b"payload")
+            with open(
+                os.path.join(tree, f"db.c.{i:04d}.json.encryption.json"), "w"
+            ) as fh:
+                json.dump({
+                    "keyEncryptionKeyId": f"kek{i}",
+                    "encryptedEncryptionKey": f"E{i}",
+                    "initialisationVector": "IV",
+                }, fh)
+        out = M.parse_metadata(L.pair_files(L.list_local_objects(spark, tree)))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan text" in plan  # executor-side sidecar read
+        rows = {r["encrypted_encryption_key"] for r in out.collect()}
+        assert rows == {"E1", "E2", "E3"}
+
+    def test_malformed_sidecar_json_raises(self, spark, tree):
+        _write(os.path.join(tree, "db.c.0001.json.gz.enc"), b"payload")
+        with open(os.path.join(tree, "db.c.0001.json.encryption.json"), "w") as fh:
+            fh.write("NOT JSON {")
+        with pytest.raises(M.MetadataValidationError):
+            M.parse_metadata(L.pair_files(L.list_local_objects(spark, tree)))
+
 
 class FakePaginatedLister:
     """ListObjectsV2-shaped fake: fixed page size, continuation tokens,

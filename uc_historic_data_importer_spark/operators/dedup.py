@@ -200,6 +200,42 @@ def jaccard_pairs(
     )
 
 
+def jaccard_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """No-silent-caps accounting for `jaccard_pairs`'s df-cut: one row
+    (kept_buckets, dropped_buckets, dropped_pair_fanout, max_bucket_docs)
+    where dropped_pair_fanout = sum over dropped buckets of C(df, 2) —
+    the exact number of candidate pairs the cap avoided enumerating.
+
+    The cap is what bounds the audit path's worst case: a pathological
+    corpus where every doc is identical puts every shingle in one
+    n-doc bucket, so an uncapped run enumerates C(n_docs, 2) pairs per
+    shingle. With the cap those buckets are dropped (from numerator AND
+    denominator — surviving-shingle Jaccard stays exact) and this frame
+    makes the drop observable instead of silent."""
+    cap = F.lit(max_shingle_freq if max_shingle_freq is not None else (1 << 62))
+    bs = (
+        doc_shingle_hashes(df, text_col, id_col, n)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dropped = F.col("df") > cap
+    return bs.agg(
+        F.count_if(~dropped).alias("kept_buckets"),
+        F.count_if(dropped).alias("dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(dropped, F.col("df") * (F.col("df") - 1) / 2)),
+            F.lit(0.0),
+        ).cast("long").alias("dropped_pair_fanout"),
+        F.max("df").alias("max_bucket_docs"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perms: int = 16,

@@ -221,6 +221,7 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse-quantizer assignment: nearest centroid by cosine.
 
@@ -241,12 +242,17 @@ def assign_cells(
     evaluated exactly once and the stage compiles. -1 can only appear
     for a malformed (short/null) vector that the old path would have
     silently dropped at the join; fixed-dim corpora never produce
-    it."""
+    it.
+
+    ``keep_cols`` carries extra columns (e.g. the vector itself)
+    through the assignment so a downstream within-cell search does not
+    need a join back onto the corpus."""
     return corpus.select(
         F.col(id_col).alias("vec_id"),
         F.coalesce(
             _cell_expr(centroids, vec_col, round_dp), F.lit(-1)
         ).alias("cell"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

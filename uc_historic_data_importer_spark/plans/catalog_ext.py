@@ -183,14 +183,22 @@ def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_DF_CAP = 64
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shk AS (
+      SELECT * FROM (
+        SELECT sh.*, count(*) OVER (PARTITION BY h) AS _df FROM sh
+      ) WHERE _df <= {_JACCARD_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -200,10 +208,43 @@ def dedup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE common / (sa.n + sb.n - common) >= 0.5
     """,
-    doc="exact 3-gram Jaccard near-dup pairs via shingle equi-join.",
+    doc="exact 3-gram Jaccard near-dup pairs via shingle equi-join, "
+    f"df-cut at {_JACCARD_DF_CAP} docs/shingle so a pathological corpus "
+    "(every doc identical) cannot enumerate C(n,2) pairs per bucket — "
+    "the cut removes hot shingles from numerator AND denominator, so "
+    "surviving-shingle Jaccard stays exact; the companion "
+    "jaccard_dropped_shingles query makes the cap observable "
+    "(no-silent-caps).",
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_shingle_freq=_JACCARD_DF_CAP,
+    )
+
+
+@register(
+    "jaccard_dropped_shingles",
+    f"""
+    WITH {_SHINGLE_CTE},
+    bs AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+    SELECT count(*) FILTER (WHERE df <= {_JACCARD_DF_CAP}) AS kept_buckets,
+           count(*) FILTER (WHERE df > {_JACCARD_DF_CAP}) AS dropped_buckets,
+           CAST(coalesce(sum(df * (df - 1) / 2)
+                         FILTER (WHERE df > {_JACCARD_DF_CAP}), 0)
+                AS BIGINT) AS dropped_pair_fanout,
+           max(df) AS max_bucket_docs
+    FROM bs
+    """,
+    doc="no-silent-caps accounting for dedup_ngram_jaccard's df-cut: "
+    "how many shingle buckets the cap dropped and the C(df,2) pair "
+    "fan-out those buckets would have cost (dedup.jaccard_bucket_stats).",
+)
+def jaccard_dropped_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_bucket_stats(
+        t(spark, sf_dir, "documents"), max_shingle_freq=_JACCARD_DF_CAP
+    )
 
 
 _NUM_PERMS = 16
@@ -1177,32 +1218,41 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
-@register(
-    "ann_ivf_topk",
-    f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    sims AS (
-      SELECT a.vec_id AS query_id, a.label AS cell, b.vec_id AS neighbor_id,
-             round(list_inner_product(a.v, b.v) /
-               (sqrt(list_inner_product(a.v, a.v)) *
-                sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
-    )
-    SELECT query_id, cell, neighbor_id, cos_sim, rank FROM (
-      SELECT *, CAST(row_number() OVER (
-        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT)
-        AS rank
-      FROM sims
-    ) WHERE rank <= 1
-    """,
-    doc="IVF-style search: nearest neighbor within the quantizer cell "
-    "(label column as cell assignment; partition-pruned at scale).",
+# IVF quantizer sizing: cells scale with corpus size at a fixed target
+# occupancy (~_IVF_OCC vectors/cell), floored at 4. Near bench scale
+# this coincides with the classic k ~ sqrt(N) rule (N = 2500 is the
+# crossover); at soak scale the occupancy pin is what matters — the
+# bench self-searches ALL N vectors, so within-cell candidate cost is
+# N * occupancy: pinned occupancy => LINEAR growth, while a
+# scale-pinned k (the pre-round-5 label-as-cell fixture: 10 cells at
+# every sf) grows quadratically and a pure sqrt(N) k grows N^1.5.
+# Python and the DuckDB oracle compute k from the same expression
+# (ceil half-up on both engines), so the oracle stays sf-agnostic.
+_IVF_OCC = 50
+_IVF_K_SQL = (
+    f"(SELECT greatest(4, CAST(ceil(count(*) / {_IVF_OCC}.0) AS INT)) "
+    "FROM embeddings)"
 )
-def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk(t(spark, sf_dir, "embeddings"), k=1)
 
 
-def _ivf_build_oracle(k: int = 4, iters: int = 2) -> str:
+def _ivf_cells_for(n: int) -> int:
+    return max(4, -(-n // _IVF_OCC))
+
+
+def _ivf_fit(spark: SparkSession, sf_dir: str):
+    """Memoized scaled-k quantizer fit shared by ann_ivf_build and
+    ann_ivf_topk — at 100 TB the fit is a once-per-corpus build
+    artifact, so the pair must not refit per query."""
+    emb = t(spark, sf_dir, "embeddings")
+    k_cells = _ivf_cells_for(emb.count())
+    cents = _memo(
+        ("kmeans_fit", sf_dir, k_cells, 2),
+        lambda: similarity.kmeans_fit(emb, k=k_cells, iters=2),
+    )
+    return emb, cents
+
+
+def _ivf_build_oracle(k: int | str = 4, iters: int = 2) -> str:
     """Unrolled deterministic spherical k-means (init = k lowest ids,
     `iters` fixed rounds) as pure DuckDB SQL — the fit is iterative but
     its iteration count is a constant, so each round becomes one
@@ -1274,18 +1324,51 @@ def _ivf_build_oracle(k: int = 4, iters: int = 2) -> str:
 
 @register(
     "ann_ivf_build",
-    _ivf_build_oracle(k=4, iters=2),
-    doc="IVF index build: deterministic spherical k-means fit (k=4, 2 "
-    "rounds, init = lowest ids) + coarse-quantizer cell assignment — "
-    "the write-path producer of ivf_topk's partition column.",
+    _ivf_build_oracle(k=_IVF_K_SQL, iters=2),
+    doc="IVF index build: deterministic spherical k-means fit (k scaled "
+    f"to corpus size at ~{_IVF_OCC} vectors/cell, 2 rounds, init = "
+    "lowest ids) + coarse-quantizer cell assignment — the write-path "
+    "producer of ann_ivf_topk's partition column.",
 )
 def ann_ivf_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    cents = _memo(
-        ("kmeans_fit", sf_dir, 4, 2),
-        lambda: similarity.kmeans_fit(emb, k=4, iters=2),
-    )
+    emb, cents = _ivf_fit(spark, sf_dir)
     return similarity.assign_cells(emb, cents)
+
+
+@register(
+    "ann_ivf_topk",
+    _ivf_build_oracle(k=_IVF_K_SQL, iters=2).replace(
+        "\n    SELECT vec_id, CAST(cell AS INT) AS cell FROM af",
+        f""",
+    e AS (
+      SELECT af.vec_id, CAST(af.cell AS INT) AS cell, v.v
+      FROM af JOIN v USING (vec_id)
+    ),
+    sims AS (
+      SELECT a.vec_id AS query_id, a.cell AS cell, b.vec_id AS neighbor_id,
+             round(list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v)) *
+                sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, cell, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT)
+        AS rank
+      FROM sims
+    ) WHERE rank <= 1""",
+    ),
+    doc="IVF search: nearest neighbor within the fitted quantizer cell. "
+    "Round 5 made the fixture scale-honest: the cell column now comes "
+    "from the shared scaled-k k-means fit (occupancy pinned at "
+    f"~{_IVF_OCC}, so the all-N self-search soak grows LINEARLY) "
+    "instead of the 10-label column that quadratically exploded at "
+    "sf1. Partition-pruned at scale (corpus PARTITIONED BY cell).",
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cents = _ivf_fit(spark, sf_dir)
+    assigned = similarity.assign_cells(emb, cents, keep_cols=("embedding",))
+    return similarity.ivf_topk(assigned, k=1, cell_col="cell")
 
 
 @register(

@@ -19,7 +19,6 @@ retryable (HttpKeyService.kt:58-76).
 
 from __future__ import annotations
 
-import json
 from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,40 +62,87 @@ class DummyKeyService:
         return self._map[encrypted_key]
 
 
+_META_COLS = (
+    ("keyEncryptionKeyId", "key_encryption_key_id"),
+    ("encryptedEncryptionKey", "encrypted_encryption_key"),
+    ("initialisationVector", "initialisation_vector"),
+    ("plaintextDatakey", "plaintext_datakey"),
+)
+
+
 def parse_metadata(pairs: DataFrame) -> DataFrame:
-    """S6: read each sidecar file (driver-side — sidecars are tiny and one
-    per input file) and attach parsed fields to the pair rows."""
-    rows = pairs.collect()
-    enriched = []
-    for r in rows:
-        with open(r["meta_path"], "r", encoding="utf-8") as fh:
-            meta = json.load(fh)
-        for f in REQUIRED_FIELDS:
-            if not str(meta.get(f) or "").strip():
-                raise MetadataValidationError(
-                    f"Failed to parse encryption metadata: blank '{f}' in {r['meta_path']}"
-                )
-        enriched.append(
-            tuple(r)
-            + (
-                meta["keyEncryptionKeyId"],
-                meta["encryptedEncryptionKey"],
-                meta["initialisationVector"],
-                meta.get("plaintextDatakey"),
-            )
-        )
-    # explicit schema: optional fields (plaintextDatakey) may be None for
-    # every row, which defeats type inference
-    schema = T.StructType(
-        list(pairs.schema.fields)
-        + [
-            T.StructField("key_encryption_key_id", T.StringType()),
-            T.StructField("encrypted_encryption_key", T.StringType()),
-            T.StructField("initialisation_vector", T.StringType()),
-            T.StructField("plaintext_datakey", T.StringType()),
-        ]
+    """S6: parse every sidecar JSON in a DISTRIBUTED stage and attach the
+    fields to the pair rows.
+
+    The sidecar bodies are read with a whole-file text scan + from_json
+    (executor-side, one task per file split) instead of a sequential
+    driver loop: at 100 TB / 2.2 GB-max files that loop is ~50k+ serial
+    file opens — minutes of driver time the reference itself spends on
+    pool threads (EncryptionMetadataProcessor.kt:20-47), so Spark must
+    not be MORE serial than Spring Batch. Only the path list (already
+    driver-resident from the listing) and the bounded validation sample
+    stay on the driver.
+
+    Validation (blank/missing required field, malformed JSON -> null
+    struct) raises MetadataValidationError with up to 5 offending
+    sidecar paths — same bounded-error-collect contract as the pairing
+    stage (listing.py)."""
+    spark = pairs.sparkSession
+    meta_paths = [
+        r["meta_path"] for r in pairs.select("meta_path").distinct().collect()
+    ]
+    if not meta_paths:
+        out = pairs
+        for _, alias in _META_COLS:
+            out = out.withColumn(alias, F.lit(None).cast("string"))
+        return out
+    local_path = F.coalesce(
+        F.try_url_decode(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        ),
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
     )
-    return pairs.sparkSession.createDataFrame(enriched, schema)
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(meta_paths)
+        .select(
+            local_path.alias("meta_path"),
+            F.from_json(F.col("value"), METADATA_SCHEMA).alias("_m"),
+        )
+        .select(
+            "meta_path",
+            *[F.col(f"_m.{src}").alias(alias) for src, alias in _META_COLS],
+        )
+    )
+    enriched = pairs.join(raw, "meta_path", "left").select(
+        *pairs.columns, *[alias for _, alias in _META_COLS]
+    )
+    blank = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.trim(F.coalesce(F.col(alias), F.lit(""))) == "",
+                    F.lit(src),
+                )
+                for src, alias in _META_COLS
+                if src in REQUIRED_FIELDS
+            ]
+        )
+    )
+    bad = (
+        enriched.select("meta_path", blank.alias("_blank"))
+        .filter(F.size("_blank") > 0)
+        .take(5)
+    )
+    if bad:
+        detail = "; ".join(
+            f"blank {list(r['_blank'])} in {r['meta_path']}" for r in bad
+        )
+        raise MetadataValidationError(
+            f"Failed to parse encryption metadata: {detail}"
+        )
+    return enriched
 
 
 def resolve_data_keys(pairs_with_meta: DataFrame, key_service: KeyService) -> dict[tuple[str, str], str]:
