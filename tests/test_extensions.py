@@ -2247,3 +2247,63 @@ class TestJaccardBucketCap:
             ).collect()
         )
         assert uncapped == capped
+
+
+class TestDecoderSeam:
+    """extract_features' pluggable fast-decode seam (round-5): an
+    injected PIL/torchvision-style decoder swaps in with one argument
+    and must reproduce the default stdlib decode on real fixtures."""
+
+    def _fixture(self, spark):
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+        px = bytes((x * 17 + y * 31) % 256 for y in range(6) for x in range(8))
+        png = ic.encode_png(8, 6, 1, px)
+        jpg = ic.encode_jpeg_gray(16, 9, bytes([128]) * 144)
+        rows = [
+            (1, "image", bytearray(png), "image/png", {}),
+            (2, "image", bytearray(jpg), "image/jpeg", {}),
+            (3, "image", bytearray(b""), "image/png", {}),
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_injected_decoder_matches_default_on_png_jpeg(self, spark):
+        # the "fast" decoder here wraps the same stdlib codec behind the
+        # seam's (payload) -> (w, h, feature) contract — exactly how a
+        # PIL adapter would be wired — and must be plan-identical
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+        def injected(payload: bytes):
+            if not payload:
+                raise ValueError("empty media payload")
+            kind = ic.sniff(payload)
+            if kind == "png":
+                w, h, ch, px = ic.decode_png(payload)
+            elif kind == "jpeg":
+                w, h, ch, px = ic.decode_jpeg(payload)
+            else:
+                raise ValueError("not an image")
+            return w, h, ic.luminance_histogram(ch, px, bins=8)
+
+        media = self._fixture(spark)
+        default = sorted(
+            tuple(r) for r in multimodal.extract_features(media).collect()
+        )
+        swapped = sorted(
+            tuple(r)
+            for r in multimodal.extract_features(media, decoder=injected).collect()
+        )
+        assert default == swapped
+
+    def test_injected_decoder_is_actually_used(self, spark):
+        def marker(payload: bytes):
+            if not payload:
+                raise ValueError("empty")
+            return 7, 7, [1.0] * 8
+
+        media = self._fixture(spark)
+        out = {r["media_id"]: r
+               for r in multimodal.extract_features(media, decoder=marker).collect()}
+        assert out[1]["width"] == 7 and out[2]["width"] == 7
+        assert out[1]["feature"] == [1.0] * 8
+        assert out[3]["width"] == -1  # error contract preserved

@@ -100,12 +100,29 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     return _decode_image_stub(payload)
 
 
-def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    batch_size_hint: int = 1024,
+    decoder=None,
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow record batches).
 
     Partition count is preserved; payloads never cross back to the JVM —
     only the (tiny) feature vectors and metadata do, which is the whole
-    point at 100 TB of media."""
+    point at 100 TB of media.
+
+    ``decoder`` is the pluggable fast-decode seam (round-5): a callable
+    ``(payload: bytes) -> (width, height, feature: list[float])`` —
+    trivially adapted from PIL/torchvision (``Image.open`` + histogram)
+    — that replaces the default pure-stdlib dispatcher. The callable is
+    cloudpickled into the Arrow workers, so it must be importable or
+    self-contained. Contract: raise ValueError on an undecodable
+    payload (mapped to width=height=-1, feature NULL, same as the
+    default); everything else about the plan — schema, batching,
+    partitioning — is unchanged, which is exactly what makes the
+    production swap a one-argument change. The default stdlib path
+    stays the ORACLE decoder (deterministic, dependency-free)."""
+    decode = decoder if decoder is not None else _decode_image
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,7 +130,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
                 try:
-                    w, h, feat = _decode_image(payload)
+                    w, h, feat = decode(payload)
                 except ValueError:
                     w, h, feat = -1, -1, None
                 out.append(

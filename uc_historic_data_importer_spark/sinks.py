@@ -482,7 +482,16 @@ def write_hfiles(layout: DataFrame, out_dir: str) -> None:
     RDD). Requires the hbase-mapreduce jars on the Spark classpath —
     absent here, so this raises a clear error instead of half-working;
     the layout (the part Spark owns: total order + region alignment)
-    is produced and tested without HBase."""
+    is produced and tested without HBase.
+
+    Round-5 vendoring attempt: the sandbox has no network route to
+    Maven Central (curl: couldn't resolve host) and no hbase jars on
+    disk, so ``spark.jars.packages org.apache.hbase:hbase-mapreduce``
+    cannot resolve — the gate stands. The byte-level KeyValue wire
+    format + CellComparator ordering of the layout IS pinned
+    (tests/test_sinks.py::TestKeyValueWireParity vs
+    HbaseClient.kt:25-41), so wiring this call in a connected
+    deployment is classpath + this one call."""
     jvm = layout.sparkSession._jvm
     try:
         jvm.java.lang.Class.forName(
