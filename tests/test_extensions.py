@@ -2307,3 +2307,161 @@ class TestDecoderSeam:
         assert out[1]["width"] == 7 and out[2]["width"] == 7
         assert out[1]["feature"] == [1.0] * 8
         assert out[3]["width"] == -1  # error contract preserved
+
+
+class TestRound5Operators:
+    """Unit pins for the round-5 additions."""
+
+    def test_kmv_exact_when_not_full(self, spark):
+        df = spark.createDataFrame(
+            [(i % 7, "g") for i in range(100)], ["v", "g"]
+        )
+        row = sketches.kmv_distinct(df, "v", ("g",), k=64).first()
+        assert row["n_kept"] == 7 and row["kmv_estimate"] == 7
+
+    def test_kmv_estimate_within_error_when_full(self, spark):
+        n = 2000
+        df = spark.createDataFrame([(i, "g") for i in range(n)], ["v", "g"])
+        row = sketches.kmv_distinct(df, "v", ("g",), k=64).first()
+        assert row["n_kept"] == 64
+        # KMV relative error ~ 1/sqrt(k-1) ~ 12.6%; allow 3 sigma
+        assert abs(row["kmv_estimate"] - n) / n < 0.4
+
+    def test_temperature_mixture_tau_zero_is_uniform_by_domain(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = sampling.temperature_mixture_sample(df, target_total=200, tau=0.0)
+        got = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # tau=0: each domain gets mass 1/2 -> 100 docs each; the small
+        # domain (100 docs) saturates at rate 1.0 -> all 100 kept
+        assert got["small"] == 100
+        assert 70 <= got["big"] <= 130  # hash-thresholded ~100
+
+    def test_kfold_balanced_within_stratum(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        rows = [(i, "s" + str(i % 3)) for i in range(101)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = sampling.kfold_assign(df, n_folds=5)
+        counts = {}
+        for r in out.collect():
+            counts.setdefault(r["source"], [0] * 5)[r["fold"]] += 1
+        for src, folds in counts.items():
+            assert max(folds) - min(folds) <= 1, (src, folds)
+
+    def test_unigram_logprob_orders_common_above_rare(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the the the the the the the the"),
+                (2, "zyzzyva qwertyuiop asdfghjkl"),
+            ]
+            + [(10 + i, "the common words appear here") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["avg_logprob"]
+               for r in text.unigram_logprob_scores(df).collect()}
+        assert out[1] > out[2]  # common-token doc scores higher
+
+    def test_token_ngram_topk_counts_multiplicity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "a b only once c d")],
+            ["doc_id", "text"],
+        )
+        out = {r["gram"]: r["n_occurrences"]
+               for r in text.token_ngram_topk(df, n=2, topk=5).collect()}
+        assert out["a b"] == 4  # 3 in doc1 (multiplicity!) + 1 in doc2
+
+    def test_length_outliers_flags_planted_outlier(self, spark):
+        rows = [(i, "s", 100 + (i % 7)) for i in range(40)] + [(99, "s", 5000)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+        out = text.length_outliers(df, z_cut=3.0).collect()
+        assert [r["doc_id"] for r in out] == [99]
+        assert out[0]["robust_z"] > 3.0
+
+    def test_minhash_estimate_identical_docs_full_match(self, spark, docs):
+        est = {(r["doc_a"], r["doc_b"]): r
+               for r in dedup.minhash_jaccard_estimates(docs).collect()}
+        assert (1, 2) in est  # exact dups are LSH candidates
+        assert est[(1, 2)]["matches"] == 16
+        assert est[(1, 2)]["est_bp"] == 10000
+        for r in est.values():
+            assert 0 <= r["matches"] <= 16
+            assert r["est_bp"] == r["matches"] * 625
+
+    def test_audio_window_features_match_manual(self, spark):
+        import math
+
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+        from uc_historic_data_importer_spark.operators import multimodal
+
+        samples = [((j % 4) - 2) * 300 for j in range(200)]
+        wav = ac.encode_wav(8000, samples)
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(wav), "audio/wav", {})],
+            multimodal.MEDIA_SCHEMA,
+        )
+        out = sorted(
+            multimodal.audio_window_features(df, window=80).collect(),
+            key=lambda r: r["win_idx"],
+        )
+        assert len(out) == 2  # 200 // 80 full windows
+        for r in out:
+            seg = samples[r["win_idx"] * 80 : (r["win_idx"] + 1) * 80]
+            rms = math.sqrt(sum(s * s for s in seg) / 80)
+            zc = sum(
+                1 for i in range(1, 80)
+                if (seg[i - 1] < 0) != (seg[i] < 0)
+            )
+            assert abs(r["win_rms"] - rms) < 1e-9
+            assert r["zero_crossings"] == zc
+
+    def test_l_diversity_flags_homogeneous_group(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+
+        rows = [("a", 1, "x") for _ in range(10)] + [
+            ("b", 1, v) for v in "pqrstuvw"
+        ]
+        df = spark.createDataFrame(rows, ["quasi", "k2", "sensitive"])
+        out = audit.l_diversity_audit(df, ["quasi", "k2"], "sensitive", l=3)
+        got = {(r["quasi"], r["k2"]): r for r in out.collect()}
+        assert ("a", 1) in got and ("b", 1) not in got
+        assert got[("a", 1)]["distinct_sensitive"] == 1
+
+
+class TestCellDispatch:
+    def test_numpy_path_matches_expression_path(self, spark, vectors):
+        # force the Arrow matmul path by shrinking the dispatch budget;
+        # both paths must assign identical cells on real vectors
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        cents = sim.kmeans_fit(vectors, k=3, iters=2)
+        expr = {r["vec_id"]: r["cell"]
+                for r in sim.assign_cells(vectors, cents).collect()}
+        old = sim._CELL_EXPR_MAX_TERMS
+        sim._CELL_EXPR_MAX_TERMS = 0
+        try:
+            vec = {r["vec_id"]: r["cell"]
+                   for r in sim.assign_cells(vectors, cents).collect()}
+        finally:
+            sim._CELL_EXPR_MAX_TERMS = old
+        assert expr == vec
+
+    def test_numpy_path_sentinel_on_malformed(self, spark):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.5]), (2, None)],
+            "vec_id long, embedding array<double>",
+        )
+        old = sim._CELL_EXPR_MAX_TERMS
+        sim._CELL_EXPR_MAX_TERMS = 0
+        try:
+            out = {r["vec_id"]: r["cell"]
+                   for r in sim.assign_cells(
+                       df, [[1.0, 0.0], [0.0, 1.0]]).collect()}
+        finally:
+            sim._CELL_EXPR_MAX_TERMS = old
+        assert out[0] == 0 and out[1] == -1 and out[2] == -1

@@ -140,6 +140,14 @@ def test_no_query_plans_scale_antipatterns(spark):
                 # rows) against the 2^p-row register artifact under a
                 # != predicate — both sides bounded by construction
                 "hll_intersection_users",
+                # broadcasts the 1-row vocabulary-total aggregate onto
+                # the vocab frame (tfidf shape)
+                "unigram_logprob_quality",
+                # exact re-rank stage of search-then-rerank: broadcasts
+                # the single probe query against the candidate-
+                # restricted corpus (ann_cosine_topk shape, bounded by
+                # the PQ candidate budget)
+                "ann_pq_rerank",
             )
         ):
             bad.append("BroadcastNestedLoopJoin")

@@ -106,6 +106,42 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """Groups of quasi-identifier combinations whose SENSITIVE attribute
+    takes fewer than ``l`` distinct values — the homogeneity-attack
+    audit that k-anonymity misses (Machanavasjhala et al. 2007:
+    a group can be k-large yet reveal everyone's salary if all k share
+    it). Returns (quasi columns..., group_size, distinct_sensitive) for
+    every violating group.
+
+    One groupBy on the quasi columns with count + count(distinct
+    sensitive) — Spark plans the distinct via partial sets (expand +
+    two-phase agg), map-side combined; NULL sensitive values count as a
+    distinct value (a linkable fact like any other). Complements
+    k_anonymity_audit on the same governance gate."""
+    if l < 2:
+        raise ValueError("l must be >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.size(
+                F.collect_set(
+                    F.coalesce(
+                        F.col(sensitive_col).cast("string"), F.lit("\x00null")
+                    )
+                )
+            ).cast("long").alias("distinct_sensitive"),
+        )
+        .filter(F.col("distinct_sensitive") < l)
+    )
+
+
 def profile_drift(
     old: DataFrame, new: DataFrame, cols: list[str]
 ) -> DataFrame:

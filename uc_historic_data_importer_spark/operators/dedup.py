@@ -688,3 +688,51 @@ def best_representative(
             F.col(quality_col).alias("rep_quality"),
         )
     )
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    num_perms: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs WITH their MinHash Jaccard estimate —
+    matching signature components / num_perms (the Broder estimator,
+    what production LSH dedup thresholds on before any text re-read).
+
+    The signatures are computed ONCE and consumed twice (banded pair
+    generation + component comparison) via a self-join of the
+    signature frame on the candidate ids: signature rows are
+    num_perms longs per doc, so both joins stay narrow and the corpus
+    text is never re-shingled. est_bp is integer basis points —
+    exact integer arithmetic, no float hashing concerns.
+
+    Output: (doc_a, doc_b, matches, est_bp), a < b."""
+    sig = minhash_signatures(df, num_perms, text_col, id_col, n)
+    pairs = minhash_lsh_pairs(df, num_perms, bands, text_col, id_col, n)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_perms)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_perms)],
+    )
+    matches = None
+    for j in range(num_perms):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("int").alias("matches"),
+            # floor-div in BOTH engines: Spark's int cast truncates but
+            # DuckDB's rounds, so the floor must be explicit
+            F.floor(matches * 10000 / num_perms).cast("int").alias("est_bp"),
+        )
+    )

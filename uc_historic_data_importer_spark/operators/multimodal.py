@@ -356,6 +356,74 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("win_rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_window_features(media: DataFrame, window: int = 80) -> DataFrame:
+    """Windowed audio features from REAL PCM16 WAV decode: one row per
+    full ``window``-sample frame with its RMS energy and zero-crossing
+    count (the classic VAD/energy-gating front end). The trailing
+    partial frame is dropped (fixed-size frames keep the schema dense).
+
+    Same 100 TB shape as extract_audio_features: the payload is decoded
+    once inside the Arrow batch, only (media_id, win_idx, 2 scalars)
+    rows return to the JVM — a 10 ms frame at 8 kHz is 160 payload
+    bytes reduced to 16 output bytes. RMS accumulates in exact integer
+    arithmetic (PCM16 squares) with ONE final correctly-rounded
+    division + sqrt, so an external oracle reproduces the double
+    bit-for-bit; callers round with F.round (half-away, the engine-
+    portable convention) before hashing. Zero crossings are counted as
+    strict sign flips (negative <-> non-negative) within the frame."""
+    from uc_historic_data_importer_spark.functions import audiocodec
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                try:
+                    _rate, _ch, samples = audiocodec.decode_wav(payload)
+                except (audiocodec.UnsupportedAudioError, ValueError):
+                    continue
+                n_full = len(samples) // window
+                for w in range(n_full):
+                    seg = samples[w * window : (w + 1) * window]
+                    sq = 0
+                    zc = 0
+                    prev_neg = seg[0] < 0
+                    for s in seg:
+                        sq += s * s
+                        neg = s < 0
+                        if neg != prev_neg:
+                            zc += 1
+                        prev_neg = neg
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "win_idx": w,
+                            "win_rms": _math.sqrt(sq / window),
+                            "zero_crossings": zc,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "win_idx", "win_rms", "zero_crossings"
+                ],
+            )
+
+    return media.mapInPandas(_extract, schema=AUDIO_WINDOW_SCHEMA)
+
+
 VIDEO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -285,3 +285,108 @@ def token_budget_sample(
         df.withColumn(cum_tokens_col, F.sum(n_tokens_col).over(w))
         .filter(F.col(cum_tokens_col) <= budget_tokens)
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    target_total: int,
+    tau: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    rate_dp: int = 9,
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-LM sampling
+    rule, Conneau & Lample style): domain s gets probability mass
+    p_s = n_s^tau / sum(n^tau) — tau < 1 UP-samples the tail domains
+    relative to raw proportions, tau = 1 is proportional, tau = 0 is
+    uniform-by-domain. Per-row accept rate = min(1, target_total * p_s
+    / n_s), hash-thresholded like every sampler here (rerun-stable,
+    map-only after one tiny per-domain aggregate).
+
+    The rate is rounded to ``rate_dp`` before quantization to the
+    1/DENOM integer threshold so libm pow() ulp noise can never flip a
+    row across engines. The per-domain frame is bounded by the domain
+    count (broadcast side); the corpus is scanned once."""
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    denom = F.sum(F.pow(F.col("_n").cast("double"), F.lit(tau))).over(
+        Window.partitionBy()
+    )
+    rates = counts.select(
+        domain_col,
+        F.floor(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_total))
+                    * F.pow(F.col("_n").cast("double"), F.lit(tau))
+                    / denom
+                    / F.col("_n").cast("double"),
+                ),
+                rate_dp,
+            )
+            * DENOM
+        ).cast("long").alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(_bucket(id_col) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
+def temperature_mixture_sql(
+    target_total: int,
+    tau: float = 0.5,
+    domain_col: str = "source",
+    id_expr: str = "doc_id",
+    rate_dp: int = 9,
+    table: str = "documents",
+) -> str:
+    """DuckDB query reproducing temperature_mixture_sample over `table`."""
+    from uc_historic_data_importer_spark.functions.hashes import md5_i64_sql
+
+    h = md5_i64_sql(f"CAST({id_expr} AS VARCHAR)")
+    return f"""
+      WITH counts AS (
+        SELECT {domain_col}, count(*) AS n FROM {table} GROUP BY {domain_col}
+      ),
+      rates AS (
+        SELECT {domain_col},
+               CAST(floor(round(least(1.0,
+                 {float(target_total)} * pow(n::DOUBLE, {tau})
+                 / (sum(pow(n::DOUBLE, {tau})) OVER ())
+                 / n::DOUBLE), {rate_dp}) * {DENOM}) AS BIGINT) AS thresh
+        FROM counts
+      )
+      SELECT t.* FROM {table} t JOIN rates r USING ({domain_col})
+      WHERE ({h} % {DENOM}) < r.thresh
+    """
+
+
+def kfold_assign(
+    df: DataFrame,
+    n_folds: int = 5,
+    id_col: str = "doc_id",
+    stratum_col: str | None = "source",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Stratified k-fold cross-validation assignment: within each
+    stratum, rows are ranked by id hash (deterministic shuffle) and
+    dealt round-robin into folds — every stratum contributes to every
+    fold within +-1 row (exact balance, unlike independent hashing's
+    binomial wobble). One shuffle partitioned by stratum; the fold of a
+    row depends on the stratum's membership (by construction — balance
+    requires it), so use split_assign when growth-stability matters
+    more than balance."""
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    part = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(
+        md5_i64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return df.withColumn(
+        out_col,
+        ((F.row_number().over(w) - 1) % n_folds).cast("int"),
+    )

@@ -215,6 +215,73 @@ def _cell_expr(
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
+# above this many k x dim literal terms the unrolled argmax expression
+# stops compiling into one whole-stage-codegen method and falls to
+# interpreted evaluation (observed: k=40 x dim=64 = 2,560 terms ran the
+# 2k-row assignment in ~15 s interpreted vs ~1 s vectorized; k=400
+# OOMed the JVM on repeated giant codegen) — past the budget the
+# assignment switches to the Arrow-vectorized matmul path. 1,024 terms
+# keeps every driver-oracle scale (sf0.01: k=10 x 64 = 640) on the
+# bit-exact expression path while bench/soak scales take the fast one.
+_CELL_EXPR_MAX_TERMS = 1024
+
+
+def _cell_udf_column(
+    centroids: list[list[float]], vec_col: str, round_dp: int
+) -> Column:
+    """Nearest-centroid assignment as an Arrow-batched numpy matmul —
+    the LARGE-k scale path (FAISS's shape: scores = V @ C.T / |c|,
+    argmax per row). One broadcast k x dim float64 matrix rides the
+    cloudpickled UDF; per batch the whole assignment is one BLAS call,
+    so cost is linear in rows regardless of k.
+
+    Key rounding and first-max tie-break match _cell_expr, with one
+    documented difference: np.round ties half-EVEN where F.round ties
+    half-away — an exact .5 at round_dp on an irrational cosine key is
+    measure-zero, and the expression path remains the oracle path at
+    every driver-checked scale (the dispatch threshold keeps small-k
+    fits on it). Malformed (wrong-dim/null) vectors get the same -1
+    sentinel as assign_cells."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — pandas_udf batch type
+
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0
+    dim = C.shape[1]
+
+    @F.pandas_udf("int")
+    def assign(vecs):  # pd.Series of list[float]
+        out = np.full(len(vecs), -1, dtype=np.int32)
+        ok = [
+            i
+            for i, v in enumerate(vecs)
+            if v is not None and len(v) == dim
+        ]
+        if ok:
+            V = np.asarray([vecs.iloc[i] for i in ok], dtype=np.float64)
+            keys = np.round((V @ C.T) / norms, round_dp)
+            out[ok] = keys.argmax(axis=1)  # first max — same tie rule
+        return pd.Series(out)
+
+    return assign(F.col(vec_col).cast("array<double>"))
+
+
+def _cell_column(
+    centroids: list[list[float]], vec_col: str, round_dp: int
+) -> Column:
+    """Dispatch the cell assignment by expression size: unrolled
+    literal argmax (whole-stage codegen, oracle-exact) while k x dim
+    fits the codegen budget, Arrow matmul beyond it. Both are
+    non-nullable (-1 sentinel) so pushdown never clones the tree into
+    a Filter (see assign_cells)."""
+    if len(centroids) * len(centroids[0]) <= _CELL_EXPR_MAX_TERMS:
+        return F.coalesce(_cell_expr(centroids, vec_col, round_dp), F.lit(-1))
+    return F.coalesce(
+        _cell_udf_column(centroids, vec_col, round_dp), F.lit(-1)
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -249,9 +316,7 @@ def assign_cells(
     need a join back onto the corpus."""
     return corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.coalesce(
-            _cell_expr(centroids, vec_col, round_dp), F.lit(-1)
-        ).alias("cell"),
+        _cell_column(centroids, vec_col, round_dp).alias("cell"),
         *[F.col(c) for c in keep_cols],
     )
 
@@ -288,7 +353,7 @@ def kmeans_fit(
     for _ in range(iters):
         sums = (
             corpus.select(
-                _cell_expr(centroids, vec_col, round_dp).alias("cell"),
+                _cell_column(centroids, vec_col, round_dp).alias("cell"),
                 F.posexplode(F.col(vec_col)).alias("dim", "x"),
             )
             .groupBy("cell", "dim")
@@ -609,9 +674,7 @@ def semdedup(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         norm_col(F.col(vec_col)).alias("nrm"),
-        F.coalesce(
-            _cell_expr(centroids, vec_col, round_dp), F.lit(-1)
-        ).alias("cell"),
+        _cell_column(centroids, vec_col, round_dp).alias("cell"),
     )
     cells = v.select("vec_id", "cell")
     a = v.select(

@@ -559,3 +559,51 @@ def hll_intersection_sql(
     JOIN singles a ON a.{set_col} = u.type_a
     JOIN singles b ON b.{set_col} = u.type_b
     """
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k, the theta-sketch core) distinct
+    estimate per group: keep the k smallest distinct md5_i64 hashes; if
+    the sketch is not full the count IS exact, else estimate
+    (k-1) / R where R = kth_min / 2^60 (Bar-Yossef et al. 2002).
+
+    Why alongside HLL: bottom-k sketches are trivially mergeable by
+    union+re-trim AND support set operations (intersection via the
+    union sketch's theta) — at 100 TB this is the sketch families'
+    workhorse for 'distinct users in A AND B' style questions where
+    HLL needs inclusion-exclusion. One shuffle: distinct (group, h) is
+    map-side partial-agged into the per-group top-k via a rank window
+    over at most the distinct hash stream.
+
+    The estimate divides two exact integers inside one double division
+    + floor, so DuckDB replays it bit-for-bit. Output: group cols +
+    (n_kept, kth_min_hash, kmv_estimate)."""
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    hashed = df.select(
+        *g, md5_i64(F.col(value_col).cast("string")).alias("_h")
+    ).dropDuplicates(g + ["_h"])
+    w = Window.partitionBy(*g).orderBy("_h") if g else Window.orderBy("_h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = kept.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("kth_min_hash"),
+    )
+    full = F.col("n_kept") >= k
+    est = F.floor(
+        F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS)) / F.col("kth_min_hash")
+    ).cast("long")
+    return agg.select(
+        *g,
+        "n_kept",
+        "kth_min_hash",
+        F.when(full, est).otherwise(F.col("n_kept")).alias("kmv_estimate"),
+    )

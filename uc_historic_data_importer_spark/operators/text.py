@@ -933,3 +933,131 @@ def fuzzy_match_pairs(
         "id_b",
         F.levenshtein("k_a", "k_b").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus-unigram language-model quality score per document — the
+    classic perplexity-proxy filter (CCNet/Gopher style, with the
+    corpus itself as the LM): avg over the doc's tokens of
+    log10 P(token), P from corpus-wide token frequencies. Documents of
+    rare/garbage tokens score very negative; boilerplate scores high.
+
+    Two shuffles total: one token-count aggregate (the "LM fit", a
+    vocabulary-sized frame usable as a broadcast side) and one per-doc
+    aggregate over the exploded tokens joined to it. Per-token logs are
+    rounded before the sum so libm log10 ulp noise cannot leak through
+    the average into the rank/hash; the avg divides once at the end.
+
+    Output: (doc_id, n_tokens, avg_logprob)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.select(F.sum("_c").alias("_t"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log10(F.col("_c").cast("double") / F.col("_t").cast("double")),
+            round_dp + 3,
+        ).alias("_lp"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_lp") / F.count(F.lit(1)), round_dp).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def token_ngram_topk(
+    df: DataFrame,
+    n: int = 2,
+    topk: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams WITH multiplicity (unlike the
+    dedup shingles, which are distinct-per-doc): the exact
+    heavy-hitters answer the CMS sketch approximates, used for
+    boilerplate phrase mining and contamination probes. One explode +
+    one count aggregate + TakeOrdered; ties broken by gram asc so the
+    cut is total. Output: (gram, n_occurrences, rank)."""
+    toks = tokens_col(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    from pyspark.sql import Window
+
+    counted = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def length_outliers(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    z_cut: float = 3.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Robust (median/MAD) length-outlier detection per group — the
+    truncation/concatenation-artifact screen a pretraining corpus runs
+    before length-based filtering, immune to the outliers it hunts
+    (unlike mean/stddev z-scores). robust_z = (x - median) /
+    (1.4826 * MAD); rows beyond +-z_cut are flagged.
+
+    Two grouped exact-percentile aggregates (median, then MAD) over
+    the same partitioning — at 100 TB swap percentile() for the
+    log-histogram quantile sketch (operators/sketches.py) behind the
+    same output contract. Groups where MAD = 0 (over half the docs
+    share one length) only flag values different from the median, via
+    a NULL-safe guard. Output: flagged rows (id, group, value,
+    robust_z) — robust_z rounded, sign preserved."""
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(med, group_col).withColumn(
+        "_adev", F.abs(F.col(value_col).cast("double") - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("_adev"), F.lit(0.5)).alias("_mad")
+    )
+    scale = F.lit(1.4826) * F.col("_mad")
+    z = F.round(
+        (F.col(value_col).cast("double") - F.col("_med")) / scale, round_dp
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.col("_mad") > 0)
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > z_cut)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            "robust_z",
+        )
+    )

@@ -445,3 +445,80 @@ def histogram_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "grouping_sets_pricing",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS aggregate (the general form rollup/cube "
+    "specialize): per-returnflag, per-linestatus, and grand-total "
+    "revenue in ONE pass — Spark plans it as a single Expand + "
+    "aggregate (rows multiplied by the number of sets map-side, one "
+    "shuffle) instead of three scans + union. NULL dimension values "
+    "from the expansion are labeled 'ALL' portably (flags are "
+    "non-null in the data, so coalesce is unambiguous).",
+)
+def grouping_sets_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             strftime(date_trunc('week', ts), '%Y-%m-%d') AS activity_week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(activity_week) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_week, a.activity_week,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, a.activity_week
+    """,
+    doc="weekly retention-cohort matrix over the event stream (the "
+    "standard product-analytics triangle): cohort = first active ISO "
+    "week per user, one row per (cohort week, activity week) with "
+    "distinct active users. Two aggregates over one distinct "
+    "(user, week) frame — the cohort side is a per-user min that "
+    "broadcast-joins back; weeks rendered as ISO date strings so both "
+    "engines hash identically.",
+)
+def user_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+                "activity_week"
+            ),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(
+        F.min("activity_week").alias("cohort_week")
+    )
+    return (
+        act.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

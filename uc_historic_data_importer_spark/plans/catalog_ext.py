@@ -4215,3 +4215,364 @@ def fuzzy_match_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q=_FUZZY_Q,
         max_gram_df=_FUZZY_DF,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             {md5_i64_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h, row_number() OVER (
+          PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+      ) WHERE rn <= {_KMV_K}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           max(h) AS kth_min_hash,
+           CAST(CASE WHEN count(*) >= {_KMV_K}
+                THEN floor({float(_KMV_K - 1)} * {float(1 << 60)} / max(h))
+                ELSE count(*) END AS BIGINT) AS kmv_estimate
+    FROM kept GROUP BY event_type
+    """,
+    doc="KMV / bottom-k distinct sketch per event type "
+    "(sketches.kmv_distinct, Bar-Yossef et al. 2002 — the theta-sketch "
+    "core): keep the 64 smallest distinct md5_i64 hashes, estimate "
+    "(k-1)/R with R = kth_min / 2^60; exact when the sketch is not "
+    "full. Complements HLL with mergeable set-operation support; the "
+    "estimate is one exact-integer double division, so both engines "
+    "agree bit-for-bit.",
+)
+def kmv_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.kmv_distinct(
+        t(spark, sf_dir, "events"),
+        value_col="user_id",
+        group_cols=("event_type",),
+        k=_KMV_K,
+    )
+
+
+_TEMP_TARGET, _TEMP_TAU = 200, 0.5
+
+
+@register(
+    "temperature_mixture_sample",
+    f"""
+    SELECT doc_id, source FROM (
+      {sampling.temperature_mixture_sql(_TEMP_TARGET, _TEMP_TAU)}
+    )
+    """,
+    doc="temperature-scaled domain mixture sampling "
+    f"(sampling.temperature_mixture_sample, tau={_TEMP_TAU}, target "
+    f"{_TEMP_TARGET}): domain mass n^tau / sum(n^tau) — the "
+    "multilingual-LM rule that up-samples tail domains; accept rates "
+    "are hash-thresholded integers (rounded at 9 dp before "
+    "quantization so libm pow ulp noise cannot flip a row). One tiny "
+    "per-domain aggregate broadcast back over a single corpus scan.",
+)
+def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.temperature_mixture_sample(
+        t(spark, sf_dir, "documents"),
+        target_total=_TEMP_TARGET,
+        tau=_TEMP_TAU,
+    ).select("doc_id", "source")
+
+
+@register(
+    "unigram_logprob_quality",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    lp AS (
+      SELECT tok,
+             round(log10(c::DOUBLE /
+               CAST((SELECT sum(c) FROM vocab) AS DOUBLE)), 9) AS lp
+      FROM vocab
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lp) / count(*), 6) AS avg_logprob
+    FROM tok JOIN lp USING (tok) GROUP BY doc_id
+    """,
+    doc="corpus-unigram LM quality score per document "
+    "(text.unigram_logprob_scores, the CCNet/Gopher perplexity-proxy "
+    "filter with the corpus as its own LM): avg log10 P(token) from "
+    "corpus-wide frequencies. One vocabulary aggregate (broadcast "
+    "side) + one per-doc aggregate; per-token logs rounded before the "
+    "sum to keep the average engine-portable.",
+)
+def unigram_logprob_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logprob_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_ngram_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    grams AS (
+      SELECT unnest([array_to_string(w[i:i+1], ' ')
+                     for i in range(1, len(w))]) AS gram
+      FROM tok
+    ),
+    counted AS (SELECT gram, count(*) AS n FROM grams GROUP BY gram)
+    SELECT gram, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(row_number() OVER (ORDER BY n DESC, gram) AS INT) AS rank
+    FROM counted QUALIFY rank <= 20
+    """,
+    doc="corpus-wide top-20 word bigrams WITH multiplicity "
+    "(text.token_ngram_topk) — the exact heavy-hitters answer the CMS "
+    "sketch approximates; boilerplate-phrase mining / contamination "
+    "probe. One explode + one count aggregate + TakeOrdered, total "
+    "order by (count desc, gram).",
+)
+def token_ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_ngram_topk(t(spark, sf_dir, "documents"), n=2, topk=20)
+
+
+@register(
+    "doc_length_outliers",
+    """
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars::DOUBLE, 0.5) AS med
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med,
+             abs(d.n_chars::DOUBLE - m.med) AS adev
+      FROM documents d JOIN med m USING (source)
+    ),
+    mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source)
+    SELECT doc_id, source, n_chars,
+           round((n_chars::DOUBLE - med) / (1.4826 * mad), 4) AS robust_z
+    FROM dev JOIN mad USING (source)
+    WHERE mad > 0
+      AND abs(round((n_chars::DOUBLE - med) / (1.4826 * mad), 4)) > 1.5
+    """,
+    doc="robust median/MAD length-outlier screen per source "
+    "(text.length_outliers): robust_z = (x - median)/(1.4826 * MAD), "
+    "immune to the outliers it hunts unlike mean/sigma z-scores. Two "
+    "grouped exact-percentile aggregates; at 100 TB swap percentile() "
+    "for the log-histogram quantile sketch behind the same contract.",
+)
+def doc_length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.length_outliers(t(spark, sf_dir, "documents"), z_cut=1.5)
+
+
+@register(
+    "stratified_kfold_assign",
+    f"""
+    SELECT doc_id, source,
+           CAST((row_number() OVER (
+             PARTITION BY source
+             ORDER BY {md5_i64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) - 1) % 5 AS INT) AS fold
+    FROM documents
+    """,
+    doc="stratified 5-fold cross-validation assignment "
+    "(sampling.kfold_assign): per-source hash-rank round-robin — every "
+    "stratum contributes to every fold within +-1 row (exact balance, "
+    "vs independent hashing's binomial wobble). One shuffle "
+    "partitioned by stratum.",
+)
+def stratified_kfold_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.kfold_assign(
+        t(spark, sf_dir, "documents"), n_folds=5
+    ).select("doc_id", "source", "fold")
+
+
+@register(
+    "l_diversity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                AS BIGINT) AS distinct_sensitive
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 8
+    """,
+    doc="l-diversity audit over (nation, segment) quasi-identifiers "
+    "with the account-balance band as the sensitive attribute "
+    "(audit.l_diversity_audit, Machanavasjhala et al. 2007): flags "
+    "groups whose sensitive attribute takes < 8 distinct values — the "
+    "homogeneity attack k-anonymity misses. One groupBy with "
+    "count(distinct) via Spark's two-phase partial-set aggregation.",
+)
+def l_diversity_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import audit
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return audit.l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=8
+    )
+
+
+def _mh_matches_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(_NUM_PERMS)
+    )
+
+
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT doc_a, doc_b, CAST(matches AS INT) AS matches,
+           CAST(floor(matches * 10000.0 / {_NUM_PERMS}) AS INT) AS est_bp
+    FROM (
+      SELECT p.doc_a, p.doc_b, ({_mh_matches_sql()}) AS matches
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.doc_a
+      JOIN sig b ON b.doc_id = p.doc_b
+    )
+    """,
+    doc="MinHash Jaccard ESTIMATES on the LSH candidate pairs "
+    "(dedup.minhash_jaccard_estimates, the Broder estimator: matching "
+    "signature components / num_perms) — what production LSH dedup "
+    "thresholds on before any text re-read. Signatures computed once, "
+    "consumed by both the banded pair generation and the component "
+    "comparison via narrow joins on doc id; est_bp is exact integer "
+    "basis points.",
+)
+def minhash_jaccard_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_jaccard_estimates(
+        t(spark, sf_dir, "documents"), num_perms=_NUM_PERMS, bands=_BANDS
+    )
+
+
+_RERANK_CAND, _RERANK_K = 50, 10
+
+
+@register(
+    "ann_pq_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT neighbor_id FROM (
+        {_pq_oracle(m=4, k=4, iters=1, dim=64, query_id=0, topk=_RERANK_CAND)}
+      )
+    ),
+    exact AS (
+      SELECT c.neighbor_id,
+             round(list_inner_product(q.v, e.v) /
+               (sqrt(list_inner_product(q.v, q.v)) *
+                sqrt(list_inner_product(e.v, e.v))), 6) AS cos_sim
+      FROM cand c JOIN e ON e.vec_id = c.neighbor_id CROSS JOIN q
+    )
+    SELECT neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM exact
+    ) WHERE rank <= {_RERANK_K}
+    """,
+    doc="two-stage ANN refinement (the FAISS search-then-rerank recipe): "
+    f"PQ ADC retrieves {_RERANK_CAND} candidates reading only m-byte "
+    "codes, then EXACT cosine re-ranks just those candidates to the "
+    f"final top-{_RERANK_K} — full-precision vectors are touched for "
+    "0.1%-of-corpus candidates instead of every row. Composes the "
+    "memoized pq_topk with cosine_topk on the candidate-restricted "
+    "corpus; both stages replay in unrolled SQL.",
+)
+def ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = _memo(
+        ("pq_fit", sf_dir, 4, 4, 1), lambda: pq.pq_fit(emb, m=4, k=4, iters=1)
+    )
+    q_row = _memo(
+        ("qrow", sf_dir, 0),
+        lambda: emb.filter(F.col("vec_id") == 0).first(),
+    )
+    qv = [float(x) for x in q_row["embedding"]]
+    cand = pq.pq_topk(
+        emb, books, qv, k=_RERANK_CAND, exclude_id=0
+    ).select("neighbor_id")
+    restricted = emb.join(
+        cand.withColumnRenamed("neighbor_id", "vec_id"), "vec_id"
+    )
+    return similarity.cosine_topk(
+        restricted, emb.filter(F.col("vec_id") == 0), k=_RERANK_K
+    ).select("neighbor_id", "cos_sim", "rank")
+
+
+@register(
+    "media_wav_features",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             (2 + doc_id % 6) AS p,
+             (100 + (doc_id % 10) * 50) AS scale,
+             (50 + doc_id % 20) AS reps
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, p, scale, unnest(range((p * reps) // 80)) AS w
+      FROM params
+    ),
+    samp AS (
+      SELECT doc_id, w,
+             list_transform(range(80),
+               r -> (((80 * w + r) % p) - p // 2) * scale) AS s
+      FROM wins
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS win_idx,
+           round(sqrt(list_sum(list_transform(s, x -> x * x))::DOUBLE / 80), 6)
+             AS win_rms,
+           CAST(len(list_filter(range(1, 80),
+                i -> (s[i] < 0) != (s[i + 1] < 0))) AS INT) AS zero_crossings
+    FROM samp
+    """,
+    doc="windowed audio features from REAL PCM16 WAV decode "
+    "(multimodal.audio_window_features): per 80-sample (10 ms @ 8 kHz) "
+    "frame, RMS energy + zero-crossing count — the classic VAD/energy "
+    "front end. Same deterministic sawtooth fixtures as "
+    "media_wav_decode, so the oracle recomputes every frame in closed "
+    "form; RMS accumulates in exact integer arithmetic with one final "
+    "division + sqrt (bit-equal doubles). Frames reduce 160 payload "
+    "bytes to 16 feature bytes — the payload never returns to the JVM.",
+)
+def media_wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import multimodal
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_wav(ids: pd.Series) -> pd.Series:
+        from uc_historic_data_importer_spark.functions import audiocodec as ac
+
+        def build(i: int) -> bytes:
+            p = 2 + i % 6
+            scale = 100 + (i % 10) * 50
+            reps = 50 + i % 20
+            samples = [((j % p) - p // 2) * scale for j in range(p * reps)]
+            return ac.encode_wav(8000, samples)
+
+        return ids.map(build)
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        mk_wav(F.col("doc_id")).alias("payload"),
+    )
+    out = multimodal.audio_window_features(media, window=80)
+    return out.select(
+        "media_id", "win_idx",
+        F.round("win_rms", 6).alias("win_rms"),
+        "zero_crossings",
+    )
