@@ -128,8 +128,11 @@ def main() -> None:
     # The first call per memo key IS the cold build, so time it here and
     # report it as its own metric — the build cost stays visible in the
     # record instead of silently vanishing from the extras timings.
+    # semdedup_embeddings shares a separate k=4 fit memo since round 5
+    # (the IVF pair moved to scaled k), so its cold fit is timed here
+    # too — otherwise it hides in the extras number
     ann_builds: dict[str, float] = {}
-    for name in ("ann_ivf_build", "ann_pq_topk"):
+    for name in ("ann_ivf_build", "ann_pq_topk", "semdedup_embeddings"):
         t0 = time.time()
         try:
             force(QUERIES[name].fn(spark, SF_DIR))

@@ -14,6 +14,15 @@ Reference behavior (app/services/impl/HttpKeyService.kt:35-81,127-137):
   key per run.
 
 stdlib urllib only: the engine adds no HTTP dependencies.
+
+Deployment note (mutual TLS): the reference loads identity/trust
+keystores and speaks mTLS to DKS (SecureHttpClientProvider.kt:48,60).
+That is transport plumbing, not data semantics — wire it here by
+passing an ``ssl.SSLContext`` built with ``load_cert_chain`` (client
+identity) and ``load_verify_locations`` (trust) into
+``urllib.request.urlopen(..., context=ctx)``; retry/backoff/caching
+behavior above is unchanged. Not built in this environment (no DKS,
+no TLS material) — by design the only delta is the context argument.
 """
 
 from __future__ import annotations
