@@ -2465,3 +2465,27 @@ class TestCellDispatch:
         finally:
             sim._CELL_EXPR_MAX_TERMS = old
         assert out[0] == 0 and out[1] == -1 and out[2] == -1
+
+
+class TestNeardupDispatch:
+    def test_matmul_path_matches_exact_path(self, spark):
+        # the per-cell BLAS path must produce the same pair set and
+        # 6-dp similarities as the bit-exact Catalyst path
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in sim.cosine_neardup_pairs(
+                emb, threshold=0.4, exact_max_rows=10**9
+            ).collect()
+        }
+        fast = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in sim.cosine_neardup_pairs(
+                emb, threshold=0.4, exact_max_rows=0
+            ).collect()
+        }
+        assert set(exact) == set(fast)
+        for k in exact:
+            assert abs(exact[k] - fast[k]) <= 1e-6, k

@@ -714,3 +714,91 @@ def semdedup(
             F.when(F.col("_drop").isNull(), 1).otherwise(0).alias("kept"),
         )
     )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    round_dp: int = 6,
+    exact_max_rows: int = 1000,
+) -> DataFrame:
+    """Exact within-cell cosine near-duplicate pairs
+    (vec_a < vec_b, cos >= threshold) — the audit-path baseline whose
+    scale companions are semdedup / LSH buckets / MinHash.
+
+    Size-dispatched like _cell_column:
+
+    - corpus <= ``exact_max_rows``: the pure-Catalyst shape (norms per
+      side, per-pair HOF dot behind a single-element Generate barrier
+      so pushdown cannot clone the dot into the Filter). Bit-exact vs
+      the sequential-summation SQL oracle — the driver-checked path.
+    - larger: applyInPandas per cell — unit-normalize the cell's
+      matrix once, ONE numpy matmul (U @ U.T) produces every pairwise
+      cosine in the cell, upper-triangle mask + threshold, only
+      surviving pairs cross back over Arrow. The interpreted per-pair
+      HOF dot was the sf1 soak's worst constant (162 s for ~4M pairs);
+      the matmul computes the same pairs in one BLAS call per cell.
+      BLAS summation order differs from sequential in the last ulp;
+      outputs are rounded at ``round_dp`` like the exact path (an
+      exact half-boundary at 6 dp is measure-zero), and path parity is
+      pinned in tests. Cell size must fit one task (c x dim floats +
+      c x c scores) — the quantizer occupancy bounds it by design.
+    """
+    n = df.count()
+    if n <= exact_max_rows:
+        a = df.select(
+            F.col(id_col).alias("vec_a"),
+            F.col(cell_col).alias("_cell"),
+            F.col(vec_col).alias("va"),
+            norm_col(F.col(vec_col)).alias("na"),
+        )
+        b = df.select(
+            F.col(id_col).alias("vec_b"),
+            F.col(cell_col).alias("_cell"),
+            F.col(vec_col).alias("vb"),
+            norm_col(F.col(vec_col)).alias("nb"),
+        )
+        cos = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            a.join(b, "_cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", F.explode(F.array(cos)).alias("_cos"))
+            .filter(F.col("_cos") >= threshold)
+            .select(
+                "vec_a", "vec_b", F.round(F.col("_cos"), round_dp).alias("cos_sim")
+            )
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    dp = int(round_dp)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+        )
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        G = U @ U.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = G[iu, ju] >= thr
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cos_sim": np.round(G[iu, ju][keep], dp),
+            }
+        )
+
+    return df.select(id_col, cell_col, vec_col).groupBy(cell_col).applyInPandas(
+        per_cell, schema="vec_a long, vec_b long, cos_sim double"
+    )

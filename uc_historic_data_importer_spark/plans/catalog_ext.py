@@ -1395,30 +1395,12 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "alias-substitution double-evaluation trap).",
 )
 def embedding_cosine_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    # norms precomputed per SIDE; the division stays per-pair so the
-    # float sequence matches the oracle's dot/(na*nb) bit-for-bit
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label"),
-        F.col("embedding").alias("va"),
-        similarity.norm_col(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label"),
-        F.col("embedding").alias("vb"),
-        similarity.norm_col(F.col("embedding")).alias("nb"),
-    )
-    cos = similarity.dot_col(F.col("va"), F.col("vb")) / (
-        F.col("na") * F.col("nb")
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.explode(F.array(cos)).alias("_cos"))
-        .filter(F.col("_cos") >= 0.4)
-        .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cos_sim"))
+    # size-dispatched (similarity.cosine_neardup_pairs): bit-exact
+    # Catalyst HOF path at driver-oracle scales, per-cell numpy matmul
+    # past it — the sf1 soak's worst constant (162 s of interpreted
+    # per-pair dots) collapses to one BLAS call per cell
+    return similarity.cosine_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
