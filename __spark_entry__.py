@@ -213,6 +213,8 @@ _R04_RECORDED = frozenset(
 #   - fuzzy_match_documents: r5 pigeonhole-bound fix over positional grams
 #     (ADVICE high); last row r04.
 #   - dedup_ngram_jaccard: r5 bounded-bucket pair cap; last row r04.
+#   - semdedup_embeddings: r5 scaled-k cells (shared _ivf_fit) + matmul
+#     pair path; last row r04.
 # Plus one freshness force: streaming_latest_per_key — its
 # applyInPandasWithState path keeps evolving (r4 verdict task 8), so it is
 # pinned inside the 50-slot window even though r03-recorded.
@@ -226,17 +228,23 @@ _R05_MODIFIED_SINCE_RECORD = (
     "embedding_cosine_neardup",
     "fuzzy_match_documents",
     "dedup_ngram_jaccard",
+    "semdedup_embeddings",
     "streaming_latest_per_key",
 )
 
 
 # Round-6 handoff: the driver records the first 50 of the CURRENT
-# ordering as CORRECTNESS_r05 — i.e. (a) the round-5 additions, (b) the
-# _R05_MODIFIED_SINCE_RECORD block, (c) stalest-first (6 r01- and 21
-# r02-recorded queries), exactly 50 in total. Round 6 should lift the
-# recorded set into an _R05_RECORDED frozenset, list any queries whose
-# semantics changed after their latest record in a new modified block,
-# front-load round-6 additions, and keep stalest-first for the rest.
+# ordering as CORRECTNESS_r05 — i.e. (a) the 13 round-5 additions,
+# (b) the 11-query _R05_MODIFIED_SINCE_RECORD block, (c) stalest-first
+# (6 r01- and 21 r02-recorded queries) — 51 candidates for 50 slots, so
+# the LAST r02-stale query (histogram_prices, unchanged since r02)
+# stays stale until r06: modified-since-record outranks plain
+# staleness by design. Round 6 should lift the recorded set into an
+# _R05_RECORDED frozenset, list any queries whose semantics changed
+# after their latest record in a new modified block, front-load
+# round-6 additions, and keep stalest-first for the rest. NOTE: the 50
+# r03-recorded queries alone fill a whole window — round 6 should add
+# few or no new queries, or accept pushing r03-stale refreshes to r07.
 
 
 def _ordered_queries():

@@ -2489,3 +2489,18 @@ class TestNeardupDispatch:
         assert set(exact) == set(fast)
         for k in exact:
             assert abs(exact[k] - fast[k]) <= 1e-6, k
+
+
+class TestSemdedupDispatch:
+    def test_matmul_path_matches_exact_path(self, spark):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = sim.kmeans_fit(emb, k=10, iters=2)
+        exact = {r["vec_id"]: (r["cell"], r["kept"])
+                 for r in sim.semdedup(emb, cents, threshold=0.4,
+                                       exact_max_rows=10**9).collect()}
+        fast = {r["vec_id"]: (r["cell"], r["kept"])
+                for r in sim.semdedup(emb, cents, threshold=0.4,
+                                      exact_max_rows=0).collect()}
+        assert exact == fast

@@ -642,6 +642,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    exact_max_rows: int = 1000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv 2303.09540 — public technique):
     semantic near-duplicate PRUNING via clustering + within-cluster
@@ -669,7 +670,48 @@ def semdedup(
     for nothing). The cell column is the same non-nullable
     coalesce(argmax, -1) as assign_cells, so the pair equi-join
     never injects an isnotnull that would clone the argmax tree (see
-    assign_cells)."""
+    assign_cells).
+
+    Size-dispatched like cosine_neardup_pairs: corpora past
+    ``exact_max_rows`` run the within-cell pair scan as ONE numpy
+    matmul per cell (applyInPandas; same rounded-similarity >=
+    threshold rule, any-smaller-id reduction on the upper triangle) —
+    the interpreted per-pair HOF dot was 44 s at the sf1 soak. The
+    Catalyst path below stays the bit-exact oracle path at every
+    driver-checked scale."""
+    if df.count() > exact_max_rows:
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+        dp = int(round_dp)
+        vcc = vec_col  # assign_cells renames the id column to vec_id
+
+        def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vcc].iloc[order]]
+            )
+            norms = np.linalg.norm(V, axis=1)
+            norms[norms == 0.0] = 1.0
+            U = V / norms[:, None]
+            R = np.round(U @ U.T, dp)
+            dropped = np.triu(R >= thr, k=1).any(axis=0)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": pdf["cell"].iloc[0],
+                    "kept": (~dropped).astype(np.int32),
+                }
+            )
+
+        assigned = assign_cells(df, centroids, id_col, vec_col, round_dp,
+                                keep_cols=(vec_col,))
+        return assigned.groupBy("cell").applyInPandas(
+            per_cell, schema="vec_id long, cell int, kept int"
+        )
     v = _ensure_parallel(df).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),

@@ -4084,9 +4084,9 @@ _SEMDEDUP_T = 0.4
 
 def _semdedup_oracle() -> str:
     """SemDeDup replay: the unrolled k-means assignment from
-    _ivf_build_oracle plus the within-cell pair join and keep-first
-    rule."""
-    base = _ivf_build_oracle(k=4, iters=2)
+    _ivf_build_oracle (scaled k, shared with the IVF pair) plus the
+    within-cell pair join and keep-first rule."""
+    base = _ivf_build_oracle(k=_IVF_K_SQL, iters=2)
     tail = "\n    SELECT vec_id, CAST(cell AS INT) AS cell FROM af"
     assert base.endswith(tail)
     ip = "list_inner_product"
@@ -4117,16 +4117,14 @@ def _semdedup_oracle() -> str:
     "with ann_ivf_build) + within-cell pairwise cosine, drop every "
     "vector with a >= 0.4-similar same-cell neighbor of smaller id "
     "(deterministic keep-first representative). Pairwise cost is "
-    "sum(|cell|^2) not N^2 — the clustering IS the scale trick; the "
-    "oracle replays fit, assignment, pair join and keep rule in "
-    "unrolled SQL.",
+    "sum(|cell|^2) not N^2 — and since round 5 the cells SCALE with "
+    "the corpus (~50 vecs/cell, the shared _ivf_fit), so |cell| stays "
+    "~constant and the soak grows linearly; past the driver-oracle "
+    "scale the pair scan is one numpy matmul per cell. The oracle "
+    "replays fit, assignment, pair join and keep rule in unrolled SQL.",
 )
 def semdedup_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    cents = _memo(
-        ("kmeans_fit", sf_dir, 4, 2),
-        lambda: similarity.kmeans_fit(emb, k=4, iters=2),
-    )
+    emb, cents = _ivf_fit(spark, sf_dir)
     return similarity.semdedup(emb, cents, threshold=_SEMDEDUP_T)
 
 
