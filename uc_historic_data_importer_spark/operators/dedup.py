@@ -149,9 +149,21 @@ def jaccard_pairs(
     Spark's ReuseExchange runs the expensive scan+explode exactly once —
     the previous join-based form scanned the corpus 6x."""
     sh = doc_shingle_hashes(df, text_col, id_col, n)
-    buckets = sh.groupBy("h").agg(F.array_sort(F.collect_list("doc_id")).alias("_ids"))
     if max_shingle_freq is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_shingle_freq)
+        from pyspark.sql.window import Window
+
+        # df-cut BEFORE the list aggregation: a hot shingle's doc list
+        # must never materialize (a shingle shared by 10M docs would be
+        # a 10M-element aggregation buffer — the OOM the cap exists to
+        # prevent). The window and the groupBy share the hash partition
+        # on h, so this adds no extra Exchange.
+        gram_df = F.count(F.lit(1)).over(Window.partitionBy("h"))
+        sh = (
+            sh.withColumn("_df", gram_df)
+            .filter(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
+        )
+    buckets = sh.groupBy("h").agg(F.array_sort(F.collect_list("doc_id")).alias("_ids"))
     # post-cut per-doc shingle counts, computed from the bucket aggregate
     # (cheap: re-runs only the agg over the reused shuffle, not the scan)
     sizes = (
