@@ -2504,3 +2504,30 @@ class TestSemdedupDispatch:
                 for r in sim.semdedup(emb, cents, threshold=0.4,
                                       exact_max_rows=0).collect()}
         assert exact == fast
+
+
+class TestLshBucketCap:
+    def test_pathological_identical_corpus_bounded(self, spark):
+        body = "all documents carry exactly this same text body here"
+        df = spark.createDataFrame(
+            [(i, body) for i in range(12)], ["doc_id", "text"]
+        )
+        # uncapped: one band bucket holds everything -> all C(12,2) pairs
+        assert dedup.minhash_lsh_pairs(df).count() == 66
+        # capped: the over-cap buckets never materialize
+        assert dedup.minhash_lsh_pairs(df, max_bucket_docs=8).count() == 0
+        stats = dedup.lsh_bucket_stats(df, max_bucket_docs=8).first()
+        assert stats["dropped_buckets"] == 4  # one per band
+        assert stats["max_bucket_docs"] == 12
+        assert stats["dropped_pair_fanout"] == 4 * 66
+
+    def test_cap_no_op_on_normal_corpus(self, spark, docs):
+        base = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs).collect()
+        )
+        capped = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, max_bucket_docs=50).collect()
+        )
+        assert base == capped

@@ -94,11 +94,30 @@ def doc_shingle_hashes(
     ).select("doc_id", md5_i64(F.col("shingle")).alias("h"))
 
 
-def _bucket_pairs(df: DataFrame, *bucket_cols: str) -> DataFrame:
+def _bucket_pairs(
+    df: DataFrame, *bucket_cols: str, max_bucket_docs: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b) pairs of docs sharing a bucket, generated JVM-side:
     groupBy bucket -> sorted id array -> all (i < j) combinations via
     nested array transforms. One shuffle of the bucketed rows; fan-out is
-    bounded by bucket sizes (callers df-cut hot buckets)."""
+    bounded by bucket sizes (callers df-cut hot buckets).
+
+    ``max_bucket_docs`` is the pathological-corpus guard for bucketing
+    schemes whose bucket sizes are only probabilistically bounded (LSH
+    bands: every-doc-identical puts the whole corpus in ONE band
+    bucket — C(n,2) pairs AND an n-element aggregation buffer). Like
+    jaccard_pairs' df-cut it filters rows by a count window BEFORE the
+    list aggregation, so an over-cap bucket never materializes; use
+    lsh_bucket_stats to make the drop observable (no silent caps)."""
+    if max_bucket_docs is not None:
+        from pyspark.sql.window import Window
+
+        bdf = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+        df = (
+            df.withColumn("_bdf", bdf)
+            .filter(F.col("_bdf") <= max_bucket_docs)
+            .drop("_bdf")
+        )
     ids = F.array_sort(F.collect_list("doc_id"))
     pairs = F.filter(
         F.flatten(
@@ -274,16 +293,55 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (a < b): docs sharing at least one band.
 
     band signature = md5 of the band's rows joined — uniform join key.
     Self-join per (band_idx, band_sig) bucket; distinct pairs across
-    bands. Cost is linear in docs + bucket collisions, never all-pairs."""
+    bands. Cost is linear in docs + bucket collisions, never all-pairs
+    — PROBABILISTICALLY: a pathological corpus (mass-identical docs)
+    collapses a band bucket to the whole corpus. ``max_bucket_docs``
+    drops over-cap buckets before any array materializes (see
+    _bucket_pairs); pair it with lsh_bucket_stats so the drop is
+    observable. Default None preserves the exact candidate contract."""
     banded = minhash_band_signatures(df, num_perms, bands, text_col, id_col, n)
     # bucket-local pair expansion (one pass) instead of a banded self-join
     # (two passes over the signature computation + a shuffle join)
-    return _bucket_pairs(banded, "band_idx", "band_sig").distinct()
+    return _bucket_pairs(
+        banded, "band_idx", "band_sig", max_bucket_docs=max_bucket_docs
+    ).distinct()
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    num_perms: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """No-silent-caps accounting for minhash_lsh_pairs'
+    ``max_bucket_docs``: one row (kept_buckets, dropped_buckets,
+    dropped_pair_fanout, max_bucket_docs) — the LSH twin of
+    jaccard_bucket_stats."""
+    cap = F.lit(max_bucket_docs if max_bucket_docs is not None else (1 << 62))
+    bs = (
+        minhash_band_signatures(df, num_perms, bands, text_col, id_col, n)
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dropped = F.col("df") > cap
+    return bs.agg(
+        F.count_if(~dropped).alias("kept_buckets"),
+        F.count_if(dropped).alias("dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(dropped, F.col("df") * (F.col("df") - 1) / 2)),
+            F.lit(0.0),
+        ).cast("long").alias("dropped_pair_fanout"),
+        F.max("df").alias("max_bucket_docs"),
+    )
 
 
 def minhash_band_signatures(
