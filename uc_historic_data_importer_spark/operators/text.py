@@ -950,8 +950,11 @@ def unigram_logprob_scores(
     Two shuffles total: one token-count aggregate (the "LM fit", a
     vocabulary-sized frame usable as a broadcast side) and one per-doc
     aggregate over the exploded tokens joined to it. Per-token logs are
-    rounded before the sum so libm log10 ulp noise cannot leak through
-    the average into the rank/hash; the avg divides once at the end.
+    scaled to nano-log INTEGERS before the sum: integer summation is
+    exact and order-free, so Spark's nondeterministic partial-agg
+    ordering can never wobble the average's last bits into a
+    value-hash flip (a rounded-double sum is almost-always stable;
+    "almost" is not a contract). One double division at the end.
 
     Output: (doc_id, n_tokens, avg_logprob)."""
     toks = df.select(
@@ -963,18 +966,23 @@ def unigram_logprob_scores(
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
         F.round(
-            F.log10(F.col("_c").cast("double") / F.col("_t").cast("double")),
-            round_dp + 3,
-        ).alias("_lp"),
+            F.log10(F.col("_c").cast("double") / F.col("_t").cast("double"))
+            * F.lit(float(10 ** (round_dp + 3))),
+            0,
+        ).cast("long").alias("_lp_nano"),
     )
+    scale = float(10 ** (round_dp + 3))
     return (
         toks.join(F.broadcast(lp), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("_lp") / F.count(F.lit(1)), round_dp).alias(
-                "avg_logprob"
-            ),
+            F.round(
+                F.sum("_lp_nano").cast("double")
+                / F.lit(scale)
+                / F.count(F.lit(1)),
+                round_dp,
+            ).alias("avg_logprob"),
         )
     )
 

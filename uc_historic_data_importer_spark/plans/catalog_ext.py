@@ -4279,20 +4279,23 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
     lp AS (
       SELECT tok,
-             round(log10(c::DOUBLE /
-               CAST((SELECT sum(c) FROM vocab) AS DOUBLE)), 9) AS lp
+             CAST(round(log10(c::DOUBLE /
+               CAST((SELECT sum(c) FROM vocab) AS DOUBLE)) * 1e9, 0)
+               AS BIGINT) AS lp_nano
       FROM vocab
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(lp) / count(*), 6) AS avg_logprob
+           round(CAST(sum(lp_nano) AS DOUBLE) / 1e9 / count(*), 6)
+             AS avg_logprob
     FROM tok JOIN lp USING (tok) GROUP BY doc_id
     """,
     doc="corpus-unigram LM quality score per document "
     "(text.unigram_logprob_scores, the CCNet/Gopher perplexity-proxy "
     "filter with the corpus as its own LM): avg log10 P(token) from "
     "corpus-wide frequencies. One vocabulary aggregate (broadcast "
-    "side) + one per-doc aggregate; per-token logs rounded before the "
-    "sum to keep the average engine-portable.",
+    "side) + one per-doc aggregate; per-token logs are scaled to "
+    "nano-log integers before the sum, so the average is exact and "
+    "partial-agg-order-free in both engines.",
 )
 def unigram_logprob_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob_scores(t(spark, sf_dir, "documents"))
