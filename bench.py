@@ -128,11 +128,12 @@ def main() -> None:
     # The first call per memo key IS the cold build, so time it here and
     # report it as its own metric — the build cost stays visible in the
     # record instead of silently vanishing from the extras timings.
-    # semdedup_embeddings shares a separate k=4 fit memo since round 5
-    # (the IVF pair moved to scaled k), so its cold fit is timed here
-    # too — otherwise it hides in the extras number
+    # semdedup_embeddings consumes the SAME scaled-k fit memo as
+    # ann_ivf_build (shared _ivf_fit), so its build cost is already the
+    # ann_ivf_build entry — timing it here again would record a warm
+    # full-query run and double-count it with the extras number
     ann_builds: dict[str, float] = {}
-    for name in ("ann_ivf_build", "ann_pq_topk", "semdedup_embeddings"):
+    for name in ("ann_ivf_build", "ann_pq_topk"):
         t0 = time.time()
         try:
             force(QUERIES[name].fn(spark, SF_DIR))

@@ -2531,3 +2531,49 @@ class TestLshBucketCap:
             for r in dedup.minhash_lsh_pairs(docs, max_bucket_docs=50).collect()
         )
         assert base == capped
+
+
+class TestReviewFixes:
+    """Round-5 code-review regressions."""
+
+    def test_numpy_paths_tolerate_malformed_vectors(self, spark):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        rows = [
+            (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, None), (4, [0.5]),  # malformed: null + ragged
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        # force the matmul paths
+        sd = {r["vec_id"]: r["kept"]
+              for r in sim.semdedup(df, cents, threshold=0.9,
+                                    exact_max_rows=0).collect()}
+        assert sd[3] == 1 and sd[4] == 1  # malformed rows stay kept
+        assert sd[0] == 1 and sd[1] == 0  # real dup still dropped
+        nd = sim.cosine_neardup_pairs(
+            df, threshold=0.9, cell_col="embedding", exact_max_rows=0
+        )  # cell_col irrelevant here; group by embedding would be wrong
+        # use a constant cell instead
+        df2 = df.withColumn("cell", F.lit(0))
+        nd = {(r["vec_a"], r["vec_b"])
+              for r in sim.cosine_neardup_pairs(
+                  df2, threshold=0.9, cell_col="cell", exact_max_rows=0
+              ).collect()}
+        assert nd == {(0, 1)}  # malformed rows emit no pairs, no crash
+
+    def test_length_outliers_mad_zero_group_flags_off_median(self, spark):
+        # >50% of docs share one length -> MAD = 0; the off-median doc
+        # must still be flagged (NULL robust_z), not silently dropped
+        rows = [(i, "s", 100) for i in range(10)] + [(99, "s", 5000)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+        out = text.length_outliers(df, z_cut=3.0).collect()
+        assert [r["doc_id"] for r in out] == [99]
+        assert out[0]["robust_z"] is None
+
+    def test_jpeg_fill_bytes_then_truncation_is_unsupported(self):
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+        import pytest as _pytest
+
+        with _pytest.raises(ic.UnsupportedImageError):
+            ic.decode_jpeg(b"\xff\xd8" + b"\xff" * 5)

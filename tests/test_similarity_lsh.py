@@ -85,4 +85,8 @@ def test_lsh_empty_train_guard(spark):
     empty = train.filter(F.lit(False))
     out = semantic_decontamination_lsh(empty, test, threshold=THRESHOLD)
     assert out.columns == ["vec_id", "max_cand_sim", "contaminated"]
+    # dtypes must match the normal path (int flag, not boolean) so the
+    # two branches union/append cleanly
+    assert dict(out.dtypes)["contaminated"] == "int"
+    assert dict(out.dtypes)["max_cand_sim"] == "double"
     assert out.count() == 0

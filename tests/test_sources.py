@@ -139,6 +139,24 @@ class TestMetadata:
         rows = {r["encrypted_encryption_key"] for r in out.collect()}
         assert rows == {"E1", "E2", "E3"}
 
+    def test_plus_in_path_survives_uri_decode(self, spark, tree):
+        # review regression: url_decode form-decodes '+' to space; a
+        # literal '+' in the directory path must round-trip (the
+        # filename itself can't contain '+' per the pairing regex, but
+        # batch directories like "batch+1" can)
+        sub = os.path.join(tree, "batch+1")
+        os.makedirs(sub)
+        _write(os.path.join(sub, "db.c.0001.json.gz.enc"), b"payload")
+        with open(os.path.join(sub, "db.c.0001.json.encryption.json"), "w") as fh:
+            json.dump({
+                "keyEncryptionKeyId": "kek", "encryptedEncryptionKey": "E",
+                "initialisationVector": "IV",
+            }, fh)
+        out = M.parse_metadata(
+            L.pair_files(L.list_local_objects(spark, sub))
+        ).collect()
+        assert out[0]["encrypted_encryption_key"] == "E"
+
     def test_malformed_sidecar_json_raises(self, spark, tree):
         _write(os.path.join(tree, "db.c.0001.json.gz.enc"), b"payload")
         with open(os.path.join(tree, "db.c.0001.json.encryption.json"), "w") as fh:

@@ -666,6 +666,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         # marker — skip them so JPEGs from padding encoders still parse
         while pos + 1 < len(data) and data[pos] == 0xFF and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(data):
+            # the skip consumed the outer guard's headroom: a padded
+            # then truncated stream must fail as unsupported, not leak
+            # IndexError/struct.error past extract_features' ValueError
+            # contract
+            raise UnsupportedImageError("truncated after fill bytes")
         if data[pos] != 0xFF:
             raise UnsupportedImageError("marker sync lost")
         marker = data[pos + 1]

@@ -249,12 +249,20 @@ def jaccard_bucket_stats(
     shingle. With the cap those buckets are dropped (from numerator AND
     denominator — surviving-shingle Jaccard stays exact) and this frame
     makes the drop observable instead of silent."""
-    cap = F.lit(max_shingle_freq if max_shingle_freq is not None else (1 << 62))
     bs = (
         doc_shingle_hashes(df, text_col, id_col, n)
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    return _cap_stats(bs, max_shingle_freq)
+
+
+def _cap_stats(bs: DataFrame, cap_value: int | None) -> DataFrame:
+    """Shared no-silent-caps aggregate over a (bucket -> df) frame:
+    (kept_buckets, dropped_buckets, dropped_pair_fanout,
+    max_bucket_docs) — used by both the shingle and the LSH-band
+    accounting so the cap semantics cannot drift between them."""
+    cap = F.lit(cap_value if cap_value is not None else (1 << 62))
     dropped = F.col("df") > cap
     return bs.agg(
         F.count_if(~dropped).alias("kept_buckets"),
@@ -325,23 +333,13 @@ def lsh_bucket_stats(
     """No-silent-caps accounting for minhash_lsh_pairs'
     ``max_bucket_docs``: one row (kept_buckets, dropped_buckets,
     dropped_pair_fanout, max_bucket_docs) — the LSH twin of
-    jaccard_bucket_stats."""
-    cap = F.lit(max_bucket_docs if max_bucket_docs is not None else (1 << 62))
+    jaccard_bucket_stats (shared _cap_stats aggregate)."""
     bs = (
         minhash_band_signatures(df, num_perms, bands, text_col, id_col, n)
         .groupBy("band_idx", "band_sig")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    dropped = F.col("df") > cap
-    return bs.agg(
-        F.count_if(~dropped).alias("kept_buckets"),
-        F.count_if(dropped).alias("dropped_buckets"),
-        F.coalesce(
-            F.sum(F.when(dropped, F.col("df") * (F.col("df") - 1) / 2)),
-            F.lit(0.0),
-        ).cast("long").alias("dropped_pair_fanout"),
-        F.max("df").alias("max_bucket_docs"),
-    )
+    return _cap_stats(bs, max_bucket_docs)
 
 
 def minhash_band_signatures(

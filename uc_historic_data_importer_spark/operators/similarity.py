@@ -206,7 +206,11 @@ def _cell_expr(
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
         dot: Column | None = None
         for i, x in enumerate(c):
-            term = F.element_at(v, i + 1) * F.lit(float(x))
+            # try_element_at, not element_at: a short/null vector must
+            # yield NULL scores -> the -1 sentinel, not an ANSI-mode
+            # ArrayIndexOutOfBounds that kills the stage (same contract
+            # as pq._dot_lit)
+            term = F.try_element_at(v, F.lit(i + 1)) * F.lit(float(x))
             dot = term if dot is None else dot + term
         scores.append(
             F.round((dot if dot is not None else F.lit(0.0)) / F.lit(cn), round_dp)
@@ -224,6 +228,36 @@ def _cell_expr(
 # keeps every driver-oracle scale (sf0.01: k=10 x 64 = 640) on the
 # bit-exact expression path while bench/soak scales take the fast one.
 _CELL_EXPR_MAX_TERMS = 1024
+
+
+def _stack_valid(vals: list, dim: int | None = None):
+    """(ok_positions, V) from a sequence of vectors: rows that are None
+    or disagree with the corpus dim are EXCLUDED — the numpy twin of
+    the Catalyst paths' tolerance (where a malformed vector yields the
+    -1 cell sentinel / a null similarity instead of a crash). ``dim``
+    defaults to the first non-empty row's length. Returns ([], None)
+    when nothing is valid."""
+    import numpy as np
+
+    if dim is None:
+        for v in vals:
+            if v is not None and len(v) > 0:
+                dim = len(v)
+                break
+    ok = [i for i, v in enumerate(vals) if v is not None and len(v) == dim]
+    if not ok:
+        return [], None
+    V = np.asarray([np.asarray(vals[i], dtype=np.float64) for i in ok])
+    return ok, V
+
+
+def _unit_rows(V):
+    """Row-normalize with the shared zero-norm guard (|0| -> 1)."""
+    import numpy as np
+
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    return V / norms[:, None]
 
 
 def _cell_udf_column(
@@ -253,13 +287,8 @@ def _cell_udf_column(
     @F.pandas_udf("int")
     def assign(vecs):  # pd.Series of list[float]
         out = np.full(len(vecs), -1, dtype=np.int32)
-        ok = [
-            i
-            for i, v in enumerate(vecs)
-            if v is not None and len(v) == dim
-        ]
+        ok, V = _stack_valid(list(vecs), dim)
         if ok:
-            V = np.asarray([vecs.iloc[i] for i in ok], dtype=np.float64)
             keys = np.round((V @ C.T) / norms, round_dp)
             out[ok] = keys.argmax(axis=1)  # first max — same tie rule
         return pd.Series(out)
@@ -586,10 +615,12 @@ def semantic_decontamination_lsh(
     left-join restores never-candidate train rows."""
     first = train.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:  # empty train frame — nothing to flag
+        # same dtypes as the normal path (contaminated is INT 0/1, not
+        # boolean) so unions/appends across the two branches line up
         return train.select(
             F.col(id_col),
             F.lit(None).cast("double").alias("max_cand_sim"),
-            F.lit(False).alias("contaminated"),
+            F.lit(0).cast("int").alias("contaminated"),
         )
     dim = int(first["d"])
     tables = [lsh_plane_coeffs(n_planes, dim, l) for l in range(n_tables)]
@@ -691,19 +722,21 @@ def semdedup(
             ids = pdf["vec_id"].to_numpy()
             order = np.argsort(ids)
             ids = ids[order]
-            V = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vcc].iloc[order]]
-            )
-            norms = np.linalg.norm(V, axis=1)
-            norms[norms == 0.0] = 1.0
-            U = V / norms[:, None]
-            R = np.round(U @ U.T, dp)
-            dropped = np.triu(R >= thr, k=1).any(axis=0)
+            # malformed (null/ragged) vectors can't be near-duplicates:
+            # they stay kept=1, exactly like the Catalyst path where
+            # their similarity is null and never crosses the threshold
+            ok, V = _stack_valid(list(pdf[vcc].iloc[order]))
+            kept = np.ones(len(ids), dtype=np.int32)
+            if ok:
+                U = _unit_rows(V)
+                R = np.round(U @ U.T, dp)
+                dropped = np.triu(R >= thr, k=1).any(axis=0)
+                kept[np.asarray(ok)] = (~dropped).astype(np.int32)
             return pd.DataFrame(
                 {
                     "vec_id": ids,
                     "cell": pdf["cell"].iloc[0],
-                    "kept": (~dropped).astype(np.int32),
+                    "kept": kept,
                 }
             )
 
@@ -824,12 +857,15 @@ def cosine_neardup_pairs(
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        V = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
-        )
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0.0] = 1.0
-        U = V / norms[:, None]
+        # malformed vectors produce no pairs (Catalyst path: null sim
+        # never passes the threshold filter)
+        ok, V = _stack_valid(list(pdf[vec_col].iloc[order]))
+        if not ok:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+        ids = ids[np.asarray(ok)]
+        U = _unit_rows(V)
         G = U @ U.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = G[iu, ju] >= thr

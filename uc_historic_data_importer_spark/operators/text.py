@@ -1048,9 +1048,12 @@ def length_outliers(
     the same partitioning — at 100 TB swap percentile() for the
     log-histogram quantile sketch (operators/sketches.py) behind the
     same output contract. Groups where MAD = 0 (over half the docs
-    share one length) only flag values different from the median, via
-    a NULL-safe guard. Output: flagged rows (id, group, value,
-    robust_z) — robust_z rounded, sign preserved."""
+    share one length — fixed-width exports, caps) flag EVERY value
+    different from the median with a NULL robust_z: dropping such
+    groups would silently miss exactly the truncation artifacts the
+    screen exists for. Output: flagged rows (id, group, value,
+    robust_z) — robust_z rounded, sign preserved, NULL in degenerate
+    groups."""
     med = df.groupBy(group_col).agg(
         F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("_med")
     )
@@ -1061,14 +1064,19 @@ def length_outliers(
         F.percentile(F.col("_adev"), F.lit(0.5)).alias("_mad")
     )
     scale = F.lit(1.4826) * F.col("_mad")
-    z = F.round(
-        (F.col(value_col).cast("double") - F.col("_med")) / scale, round_dp
+    z = F.when(
+        F.col("_mad") > 0,
+        F.round(
+            (F.col(value_col).cast("double") - F.col("_med")) / scale, round_dp
+        ),
     )
+    flagged = F.when(
+        F.col("_mad") > 0, F.abs(F.col("robust_z")) > z_cut
+    ).otherwise(F.col(value_col).cast("double") != F.col("_med"))
     return (
         dev.join(F.broadcast(mad), group_col)
-        .filter(F.col("_mad") > 0)
         .withColumn("robust_z", z)
-        .filter(F.abs(F.col("robust_z")) > z_cut)
+        .filter(flagged)
         .select(
             F.col(id_col),
             F.col(group_col),

@@ -4339,14 +4339,20 @@ def token_ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source)
     SELECT doc_id, source, n_chars,
-           round((n_chars::DOUBLE - med) / (1.4826 * mad), 4) AS robust_z
+           CASE WHEN mad > 0
+                THEN round((n_chars::DOUBLE - med) / (1.4826 * mad), 4)
+           END AS robust_z
     FROM dev JOIN mad USING (source)
-    WHERE mad > 0
-      AND abs(round((n_chars::DOUBLE - med) / (1.4826 * mad), 4)) > 1.5
+    WHERE CASE WHEN mad > 0
+               THEN abs(round((n_chars::DOUBLE - med) / (1.4826 * mad), 4))
+                    > 1.5
+               ELSE n_chars::DOUBLE != med END
     """,
     doc="robust median/MAD length-outlier screen per source "
     "(text.length_outliers): robust_z = (x - median)/(1.4826 * MAD), "
-    "immune to the outliers it hunts unlike mean/sigma z-scores. Two "
+    "immune to the outliers it hunts unlike mean/sigma z-scores. "
+    "MAD=0 groups (majority-constant lengths) flag every off-median "
+    "value with NULL robust_z instead of being silently dropped. Two "
     "grouped exact-percentile aggregates; at 100 TB swap percentile() "
     "for the log-histogram quantile sketch behind the same contract.",
 )

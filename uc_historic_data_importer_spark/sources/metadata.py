@@ -96,12 +96,16 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
         for _, alias in _META_COLS:
             out = out.withColumn(alias, F.lit(None).cast("string"))
         return out
-    local_path = F.coalesce(
-        F.try_url_decode(
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-        ),
+    # input_file_name() is a URI: percent-escapes need decoding, but a
+    # LITERAL '+' in a filename is legal URI-path syntax and must NOT
+    # become a space (url_decode applies form-encoding rules) — protect
+    # it as %2B first so both '+' and pre-escaped %2B round-trip
+    uri_path = F.regexp_replace(
         F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        r"\+",
+        "%2B",
     )
+    local_path = F.coalesce(F.try_url_decode(uri_path), uri_path)
     raw = (
         spark.read.format("text")
         .option("wholetext", "true")
@@ -115,9 +119,10 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
             *[F.col(f"_m.{src}").alias(alias) for src, alias in _META_COLS],
         )
     )
-    enriched = pairs.join(raw, "meta_path", "left").select(
-        *pairs.columns, *[alias for _, alias in _META_COLS]
-    )
+    # validation runs on the sidecar frame ALONE (plus one small
+    # anti-join for sidecars that produced no row, e.g. empty files) —
+    # not on the joined result, so the pairs join is not recomputed
+    # just to probe for errors
     blank = F.array_compact(
         F.array(
             *[
@@ -131,7 +136,7 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
         )
     )
     bad = (
-        enriched.select("meta_path", blank.alias("_blank"))
+        raw.select("meta_path", blank.alias("_blank"))
         .filter(F.size("_blank") > 0)
         .take(5)
     )
@@ -142,7 +147,21 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
         raise MetadataValidationError(
             f"Failed to parse encryption metadata: {detail}"
         )
-    return enriched
+    missing = (
+        pairs.select("meta_path")
+        .distinct()
+        .join(raw.select("meta_path"), "meta_path", "left_anti")
+        .take(5)
+    )
+    if missing:
+        detail = "; ".join(r["meta_path"] for r in missing)
+        raise MetadataValidationError(
+            f"Failed to parse encryption metadata: no parseable sidecar "
+            f"content in {detail}"
+        )
+    return pairs.join(raw, "meta_path", "left").select(
+        *pairs.columns, *[alias for _, alias in _META_COLS]
+    )
 
 
 def resolve_data_keys(pairs_with_meta: DataFrame, key_service: KeyService) -> dict[tuple[str, str], str]:
