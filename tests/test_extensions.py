@@ -2551,10 +2551,6 @@ class TestReviewFixes:
                                     exact_max_rows=0).collect()}
         assert sd[3] == 1 and sd[4] == 1  # malformed rows stay kept
         assert sd[0] == 1 and sd[1] == 0  # real dup still dropped
-        nd = sim.cosine_neardup_pairs(
-            df, threshold=0.9, cell_col="embedding", exact_max_rows=0
-        )  # cell_col irrelevant here; group by embedding would be wrong
-        # use a constant cell instead
         df2 = df.withColumn("cell", F.lit(0))
         nd = {(r["vec_a"], r["vec_b"])
               for r in sim.cosine_neardup_pairs(
@@ -2577,3 +2573,71 @@ class TestReviewFixes:
 
         with _pytest.raises(ic.UnsupportedImageError):
             ic.decode_jpeg(b"\xff\xd8" + b"\xff" * 5)
+
+
+class TestReviewFixesRound2:
+    """Second-pass review regressions: dispatch-branch parity on
+    degenerate inputs."""
+
+    def test_ragged_smallest_id_does_not_poison_cell(self, spark):
+        # modal-dim inference: a short vector at the SMALLEST id must
+        # not disqualify the valid vectors in its cell
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        rows = [(0, [0.5]), (1, [1.0, 0.0]), (2, [1.0, 0.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).withColumn("cell", F.lit(0))
+        out = {(r["vec_a"], r["vec_b"])
+               for r in sim.cosine_neardup_pairs(
+                   df, threshold=0.9, cell_col="cell", exact_max_rows=0
+               ).collect()}
+        assert out == {(1, 2)}
+
+    def test_zero_norm_vector_never_pairs_on_either_branch(self, spark):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).withColumn("cell", F.lit(0))
+        for cap in (10**9, 0):  # exact path, then matmul path
+            got = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+                   for r in sim.cosine_neardup_pairs(
+                       df, threshold=0.4, cell_col="cell",
+                       exact_max_rows=cap).collect()}
+            # the zero vector's cos is 0 (guarded), never NaN >= thr
+            assert set(got) == {(1, 2)}, cap
+
+    def test_null_cell_rows_pair_with_nothing_on_either_branch(self, spark):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        rows = [(0, [1.0, 0.0], None), (1, [1.0, 0.0], None),
+                (2, [1.0, 0.0], 7), (3, [1.0, 0.0], 7)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, cell int"
+        )
+        for cap in (10**9, 0):
+            got = {(r["vec_a"], r["vec_b"])
+                   for r in sim.cosine_neardup_pairs(
+                       df, threshold=0.9, cell_col="cell",
+                       exact_max_rows=cap).collect()}
+            assert got == {(2, 3)}, cap
+
+    def test_semdedup_malformed_parity_across_branches(self, spark):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        rows = [(0, [1.0, 2.0, 3.0]), (1, [0.5]), (2, [0.5]),
+                (3, [1.0, 0.0]), (4, [1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        exact = {r["vec_id"]: r["kept"]
+                 for r in sim.semdedup(df, cents, threshold=0.9,
+                                       exact_max_rows=10**9).collect()}
+        fast = {r["vec_id"]: r["kept"]
+                for r in sim.semdedup(df, cents, threshold=0.9,
+                                      exact_max_rows=0).collect()}
+        assert exact == fast
+        # malformed (wrong-dim) rows all stay kept on both branches
+        assert exact[0] == exact[1] == exact[2] == 1
+        assert exact[3] == 1 and exact[4] == 0

@@ -39,6 +39,16 @@ def norm_col(a: Column) -> Column:
     return F.sqrt(dot_col(a, a))
 
 
+def safe_norm_col(a: Column) -> Column:
+    """norm with the |0| -> 1 guard (cos vs a zero vector = 0, never
+    0/0 = NaN — Spark orders NaN greatest, so an unguarded NaN
+    similarity would PASS any >= threshold filter). Matches
+    _unit_rows' guard and the oracles' CASE WHEN sqrt(..) = 0
+    convention."""
+    n = norm_col(a)
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
@@ -234,16 +244,18 @@ def _stack_valid(vals: list, dim: int | None = None):
     """(ok_positions, V) from a sequence of vectors: rows that are None
     or disagree with the corpus dim are EXCLUDED — the numpy twin of
     the Catalyst paths' tolerance (where a malformed vector yields the
-    -1 cell sentinel / a null similarity instead of a crash). ``dim``
-    defaults to the first non-empty row's length. Returns ([], None)
-    when nothing is valid."""
+    -1 cell sentinel / a null similarity instead of a crash). When
+    ``dim`` is not supplied it is inferred as the MODAL length of the
+    non-null rows — not the first row's length, which would let one
+    ragged vector at the smallest id silently disqualify every valid
+    vector in its batch. Returns ([], None) when nothing is valid."""
     import numpy as np
 
     if dim is None:
-        for v in vals:
-            if v is not None and len(v) > 0:
-                dim = len(v)
-                break
+        lengths = [len(v) for v in vals if v is not None and len(v) > 0]
+        if lengths:
+            uniq, counts = np.unique(np.asarray(lengths), return_counts=True)
+            dim = int(uniq[counts.argmax()])
     ok = [i for i, v in enumerate(vals) if v is not None and len(v) == dim]
     if not ok:
         return [], None
@@ -723,10 +735,14 @@ def semdedup(
             order = np.argsort(ids)
             ids = ids[order]
             # malformed (null/ragged) vectors can't be near-duplicates:
-            # they stay kept=1, exactly like the Catalyst path where
-            # their similarity is null and never crosses the threshold
-            ok, V = _stack_valid(list(pdf[vcc].iloc[order]))
+            # they stay kept=1, exactly like the Catalyst path (which
+            # excludes the -1 sentinel cell from pairing)
             kept = np.ones(len(ids), dtype=np.int32)
+            if pdf["cell"].iloc[0] == -1:
+                return pd.DataFrame(
+                    {"vec_id": ids, "cell": -1, "kept": kept}
+                )
+            ok, V = _stack_valid(list(pdf[vcc].iloc[order]), dim=len(centroids[0]))
             if ok:
                 U = _unit_rows(V)
                 R = np.round(U @ U.T, dp)
@@ -745,20 +761,32 @@ def semdedup(
         return assigned.groupBy("cell").applyInPandas(
             per_cell, schema="vec_id long, cell int, kept int"
         )
+    # cell surfaces through a single-element explode (Generate
+    # barrier): the -1-sentinel filter below is a real predicate on a
+    # computed column, and without the barrier predicate pushdown would
+    # clone the whole k x dim argmax tree into a Filter — the exact
+    # pathology test_cell_argmax_never_cloned_into_filters pins
     v = _ensure_parallel(df).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        norm_col(F.col(vec_col)).alias("nrm"),
-        _cell_column(centroids, vec_col, round_dp).alias("cell"),
+        safe_norm_col(F.col(vec_col)).alias("nrm"),
+        F.explode(
+            F.array(_cell_column(centroids, vec_col, round_dp))
+        ).alias("cell"),
     )
     cells = v.select("vec_id", "cell")
-    a = v.select(
+    # the -1 sentinel cell holds malformed vectors — they are never
+    # near-duplicates of anything, so they pair with nothing (both
+    # dispatch branches agree; without this the HOF path would compare
+    # equal-length malformed vectors among themselves)
+    pairable = v.filter(F.col("cell") != -1)
+    a = pairable.select(
         F.col("vec_id").alias("a_id"),
         F.col("vec").alias("a_vec"),
         F.col("nrm").alias("a_nrm"),
         "cell",
     )
-    b = v.select(
+    b = pairable.select(
         F.col("vec_id").alias("b_id"),
         F.col("vec").alias("b_vec"),
         F.col("nrm").alias("b_nrm"),
@@ -821,6 +849,12 @@ def cosine_neardup_pairs(
       exact half-boundary at 6 dp is measure-zero), and path parity is
       pinned in tests. Cell size must fit one task (c x dim floats +
       c x c scores) — the quantizer occupancy bounds it by design.
+
+    Degenerate inputs behave identically on BOTH branches: zero-norm
+    vectors divide by the |0| -> 1 guard (cos 0, never NaN — Spark
+    orders NaN greatest so an unguarded 0/0 would pass the threshold),
+    and NULL-cell rows pair with nothing (the fast path filters them
+    to mirror the equi-join's null semantics).
     """
     n = df.count()
     if n <= exact_max_rows:
@@ -828,13 +862,13 @@ def cosine_neardup_pairs(
             F.col(id_col).alias("vec_a"),
             F.col(cell_col).alias("_cell"),
             F.col(vec_col).alias("va"),
-            norm_col(F.col(vec_col)).alias("na"),
+            safe_norm_col(F.col(vec_col)).alias("na"),
         )
         b = df.select(
             F.col(id_col).alias("vec_b"),
             F.col(cell_col).alias("_cell"),
             F.col(vec_col).alias("vb"),
-            norm_col(F.col(vec_col)).alias("nb"),
+            safe_norm_col(F.col(vec_col)).alias("nb"),
         )
         cos = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         return (
@@ -877,6 +911,9 @@ def cosine_neardup_pairs(
             }
         )
 
-    return df.select(id_col, cell_col, vec_col).groupBy(cell_col).applyInPandas(
-        per_cell, schema="vec_a long, vec_b long, cos_sim double"
+    return (
+        df.select(id_col, cell_col, vec_col)
+        .filter(F.col(cell_col).isNotNull())  # equi-join null semantics
+        .groupBy(cell_col)
+        .applyInPandas(per_cell, schema="vec_a long, vec_b long, cos_sim double")
     )

@@ -1374,15 +1374,20 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_neardup",
     f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             (CASE WHEN sqrt(list_inner_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])) = 0
+                   THEN 1.0
+                   ELSE sqrt(list_inner_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])) END)
+               AS nrm
+      FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_inner_product(a.v, b.v) /
-             (sqrt(list_inner_product(a.v, a.v)) *
-              sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+           round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_inner_product(a.v, b.v) /
-          (sqrt(list_inner_product(a.v, a.v)) *
-           sqrt(list_inner_product(b.v, b.v))) >= 0.4
+    WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
     """,
     doc="embedding-cosine near-duplicate pairs within cells (threshold "
     "0.4 on this corpus; 0.95+ for real near-dup data). EXACT all-pairs "
@@ -4090,16 +4095,19 @@ def _semdedup_oracle() -> str:
     tail = "\n    SELECT vec_id, CAST(cell AS INT) AS cell FROM af"
     assert base.endswith(tail)
     ip = "list_inner_product"
+    nrm = (
+        f"(CASE WHEN sqrt({ip}(t.v, t.v)) = 0 THEN 1.0 "
+        f"ELSE sqrt({ip}(t.v, t.v)) END)"
+    )
     return base[: -len(tail)] + f""",
     vv AS (
-      SELECT a.vec_id, CAST(a.cell AS INT) AS cell, t.v
+      SELECT a.vec_id, CAST(a.cell AS INT) AS cell, t.v, {nrm} AS nrm
       FROM af a JOIN v t USING (vec_id)
     ),
     drp AS (
       SELECT DISTINCT b.vec_id FROM vv a JOIN vv b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-       AND round({ip}(a.v, b.v) /
-           (sqrt({ip}(a.v, a.v)) * sqrt({ip}(b.v, b.v))), 6)
+       AND round({ip}(a.v, b.v) / (a.nrm * b.nrm), 6)
            >= {_SEMDEDUP_T!r}
     )
     SELECT c.vec_id, CAST(c.cell AS INT) AS cell,

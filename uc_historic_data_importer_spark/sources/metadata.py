@@ -99,13 +99,15 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
     # input_file_name() is a URI: percent-escapes need decoding, but a
     # LITERAL '+' in a filename is legal URI-path syntax and must NOT
     # become a space (url_decode applies form-encoding rules) — protect
-    # it as %2B first so both '+' and pre-escaped %2B round-trip
-    uri_path = F.regexp_replace(
-        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-        r"\+",
-        "%2B",
+    # it as %2B first so both '+' and pre-escaped %2B round-trip. If
+    # decoding fails (malformed escape), fall back to the RAW stripped
+    # path — not the protected one, whose '+' -> '%2B' rewrite would
+    # never match the listing
+    stripped = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    local_path = F.coalesce(
+        F.try_url_decode(F.regexp_replace(stripped, r"\+", "%2B")),
+        stripped,
     )
-    local_path = F.coalesce(F.try_url_decode(uri_path), uri_path)
     raw = (
         spark.read.format("text")
         .option("wholetext", "true")
@@ -119,10 +121,12 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
             *[F.col(f"_m.{src}").alias(alias) for src, alias in _META_COLS],
         )
     )
-    # validation runs on the sidecar frame ALONE (plus one small
-    # anti-join for sidecars that produced no row, e.g. empty files) —
-    # not on the joined result, so the pairs join is not recomputed
-    # just to probe for errors
+    # validation is ONE job over the sidecar frame alone — the blank
+    # probe collects (path, blank fields) for every sidecar (bounded:
+    # one tiny row per file, the same order as the already-collected
+    # path list), and "sidecar produced no row" (empty file) falls out
+    # driver-side by set difference. The pairs join is never recomputed
+    # just to probe for errors.
     blank = F.array_compact(
         F.array(
             *[
@@ -135,11 +139,8 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
             ]
         )
     )
-    bad = (
-        raw.select("meta_path", blank.alias("_blank"))
-        .filter(F.size("_blank") > 0)
-        .take(5)
-    )
+    probe = raw.select("meta_path", blank.alias("_blank")).collect()
+    bad = [r for r in probe if r["_blank"]][:5]
     if bad:
         detail = "; ".join(
             f"blank {list(r['_blank'])} in {r['meta_path']}" for r in bad
@@ -147,17 +148,11 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
         raise MetadataValidationError(
             f"Failed to parse encryption metadata: {detail}"
         )
-    missing = (
-        pairs.select("meta_path")
-        .distinct()
-        .join(raw.select("meta_path"), "meta_path", "left_anti")
-        .take(5)
-    )
+    missing = sorted(set(meta_paths) - {r["meta_path"] for r in probe})[:5]
     if missing:
-        detail = "; ".join(r["meta_path"] for r in missing)
         raise MetadataValidationError(
-            f"Failed to parse encryption metadata: no parseable sidecar "
-            f"content in {detail}"
+            "Failed to parse encryption metadata: no parseable sidecar "
+            "content in " + "; ".join(missing)
         )
     return pairs.join(raw, "meta_path", "left").select(
         *pairs.columns, *[alias for _, alias in _META_COLS]
