@@ -294,12 +294,28 @@ def test_snapshot_version_pruning(spark, tmp_path):
         d = base / f"v={v}"
         d.mkdir(parents=True)
         (d / "part-0.parquet").write_bytes(b"x")
+        (d / "_SUCCESS").write_bytes(b"")  # committed marker
     pruned = sp.prune_snapshot_versions(spark, str(base), keep_n=2)
     assert pruned == [0, 1, 2]
     assert sorted(os.listdir(base)) == ["v=3", "v=4"]
     assert sp.latest_snapshot_version(spark, str(base)) == 4
     # never deletes the newest even with keep_n=1 on a single version
     assert sp.prune_snapshot_versions(spark, str(base), keep_n=5) == []
+
+
+def test_incomplete_snapshot_version_is_invisible(spark, tmp_path):
+    # a v=N directory without _SUCCESS is an in-flight (or crashed)
+    # write: readers must not pick it, pruning must not touch it
+    base = tmp_path / "snap"
+    for v, complete in ((0, True), (1, True), (2, False)):
+        d = base / f"v={v}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+        if complete:
+            (d / "_SUCCESS").write_bytes(b"")
+    assert sp.latest_snapshot_version(spark, str(base)) == 1
+    assert sp.prune_snapshot_versions(spark, str(base), keep_n=2) == []
+    assert (base / "v=2").exists()  # in-flight dir untouched
 
 
 def test_changelog_batch_replay_is_idempotent(spark, tmp_path):

@@ -145,15 +145,20 @@ def kv_put_sink(
             batch_bytes = 0
             for r in rows:
                 body = r["body"]
+                # UTF-8 bytes, not characters: multi-byte text (CJK,
+                # emoji) accounted at 1/char would let a flush exceed
+                # the byte budget ~4x — the reference's limit exists to
+                # keep put RPCs under the server's size cap
+                n_bytes = len(body.encode("utf-8"))
                 if batch and (
                     batch_table != r["table"]
-                    or batch_bytes + len(body) >= max_batch_bytes
+                    or batch_bytes + n_bytes >= max_batch_bytes
                 ):
                     putter.put_batch(batch_table, batch)
                     batch, batch_bytes = [], 0
                 batch_table = r["table"]
                 batch.append((bytes(r["key"]), int(r["version"]), body))
-                batch_bytes += len(body)
+                batch_bytes += n_bytes
             if batch:
                 putter.put_batch(batch_table, batch)
         finally:
@@ -215,16 +220,18 @@ class RetryingPutter:
                 self.store.put_batch(table, filtered)
                 return
             except Exception as ex:  # noqa: BLE001 - client errors vary
+                last = ex
+                attempts += 1
+                if attempts >= self.max_attempts:
+                    break  # terminal: raise immediately, don't sleep
                 delay = (
                     self.initial_backoff_s
-                    if attempts == 0
+                    if attempts == 1
                     else self.initial_backoff_s
-                    * attempts
+                    * (attempts - 1)
                     * self.backoff_multiplier
                 )
                 self.sleep(delay)
-                last = ex
-                attempts += 1
         assert last is not None
         raise last
 
@@ -325,7 +332,17 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
     At the reference's own scale (thousands of input files, each modest),
     a per-file single-writer is correct and parallel across files: we
     repartition by the file identity so each task writes its own manifest.
-    Returns written file paths."""
+    Returns written file paths.
+
+    Each file is opened with TRUNCATE on its first row in the task: the
+    repartition guarantees exactly one task ever writes a given file, so
+    truncating makes task retries and re-runs into an existing out_dir
+    idempotent (append mode would duplicate the failed attempt's partial
+    output). CONTRACT: out_dir must be a filesystem visible to both the
+    driver and the executors (local mode, NFS, or a fuse mount) — the
+    python open()/os.listdir pair does not speak Hadoop FS URIs; a
+    production S3 manifest store routes through df.write.csv instead
+    (see the module docstring's W6 note)."""
     os.makedirs(out_dir, exist_ok=True)
     rows = manifest_lines(df)
 
@@ -337,7 +354,9 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
                 path = os.path.join(out_dir, name)
                 fh = handles.get(path)
                 if fh is None:
-                    fh = open(path, "a", encoding="utf-8")
+                    # "w": this task is the file's only writer ever, so
+                    # truncation == retry idempotence
+                    fh = open(path, "w", encoding="utf-8")
                     handles[path] = fh
                 fh.write(r["line"] + "\n")
         finally:

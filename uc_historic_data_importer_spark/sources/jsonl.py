@@ -14,6 +14,13 @@ from pyspark.sql.window import Window
 
 from uc_historic_data_importer_spark.sources.listing import FILENAME_GROUPS
 
+# capture groups of a PLAIN dump filename `<db>.<collection>.<NNNN>.json`
+# (FILENAME_GROUPS in listing.py is the encrypted `.json.gz.enc` twin).
+# ONE definition shared by the batch source and the streaming source —
+# a format change updated in only one of them would silently break
+# batch/stream parity via regexp_extract's empty-string no-match.
+DUMP_FILENAME_RE = r"([\w-]+)\.([\w-]+)\.([0-9]+)\.json"
+
 
 def read_jsonl_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Read dump files as (db, collection, file_number, line_no, raw_json).
@@ -32,7 +39,7 @@ def read_jsonl_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
             ),
         )
     )
-    groups = r"([\w-]+)\.([\w-]+)\.([0-9]+)\.json"
+    groups = DUMP_FILENAME_RE
     fname = F.element_at(F.split(F.col("data_path"), "/"), -1)
     return df.select(
         F.regexp_extract(fname, groups, 1).alias("db"),

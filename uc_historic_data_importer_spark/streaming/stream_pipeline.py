@@ -51,7 +51,9 @@ def read_jsonl_stream(spark: SparkSession, input_dir: str) -> DataFrame:
         .load(input_dir)
         .withColumn("data_path", F.input_file_name())
     )
-    groups = r"([\w-]+)\.([\w-]+)\.([0-9]+)\.json"
+    from uc_historic_data_importer_spark.sources.jsonl import DUMP_FILENAME_RE
+
+    groups = DUMP_FILENAME_RE
     fname = F.element_at(F.split(F.col("data_path"), "/"), -1)
     return raw.select(
         F.regexp_extract(fname, groups, 1).alias("db"),
@@ -115,26 +117,39 @@ _LATEST_OUT_SCHEMA = T.StructType(
 def _latest_state_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    """Keep exactly one (version, body) per key; emit when it advances."""
+    """Keep exactly one (version, body) per key; emit ONLY when it
+    advances.
+
+    No-state is represented by the absence of state, never a -1
+    sentinel: versions are epoch millis, and pre-1970 timestamps are
+    legitimately NEGATIVE (the 1980-epoch fallback guards absent dates,
+    not early ones), so a -1 sentinel would silently swallow any key
+    whose records are all pre-1970. A batch that touches a key without
+    advancing it emits nothing — downstream update-mode consumers see
+    one emission per actual state change, not per touching batch."""
+    cur_version: int | None
     if state.exists:
         (cur_version, cur_body) = state.get
     else:
-        cur_version, cur_body = -1, None
+        cur_version, cur_body = None, None
+    advanced = False
     for pdf in pdfs:
         idx = pdf["version"].idxmax()
         v = int(pdf["version"][idx])
-        if v > cur_version:
+        if cur_version is None or v > cur_version:
             cur_version = v
             cur_body = pdf["record_json"][idx]
+            advanced = True
     state.update((cur_version, cur_body))
-    yield pd.DataFrame(
-        {
-            "table": [key[0]],
-            "key_hex": [key[1]],
-            "version": [cur_version],
-            "record_json": [cur_body],
-        }
-    )
+    if advanced:
+        yield pd.DataFrame(
+            {
+                "table": [key[0]],
+                "key_hex": [key[1]],
+                "version": [cur_version],
+                "record_json": [cur_body],
+            }
+        )
 
 
 def latest_per_key_stream(norm: DataFrame) -> DataFrame:
@@ -190,10 +205,10 @@ def normalized_stream_batch_keys(spark: SparkSession, input_dir: str) -> DataFra
     (table, key_hex, max version) set the state should converge to."""
     from uc_historic_data_importer_spark.sources.jsonl import read_jsonl_lines
 
-    lines = read_jsonl_lines(spark, input_dir)
-    norm = with_table_names(flatten_normalized(normalize_records(lines))).filter(
-        F.col("valid")
-    )
+    # the normalization chain IS normalized_stream's (the operators are
+    # streaming-agnostic) — one definition, so the ground truth cannot
+    # drift from the stream it checks
+    norm = normalized_stream(read_jsonl_lines(spark, input_dir))
     return norm.groupBy("table", "key_hex").agg(F.max("version").alias("version"))
 
 
@@ -201,7 +216,9 @@ def run_to_kv_sink(
     norm: DataFrame, kv_path: str, checkpoint_dir: str, available_now: bool = True
 ):
     """Materialize the stream into the same versioned-KV parquet layout as
-    the batch sink via foreachBatch (idempotent per batch id)."""
+    the batch sink via foreachBatch — idempotent per batch id because
+    each batch overwrites its own `batch_id=N` partition directory (a
+    plain append would duplicate every cell of a replayed batch)."""
     from uc_historic_data_importer_spark import sinks
     from uc_historic_data_importer_spark.operators.envelope import (
         RunContext,
@@ -215,7 +232,15 @@ def run_to_kv_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         enveloped = with_envelope(passthrough_body(batch_df), ctx)
-        sinks.kv_sink(enveloped, kv_path, mode="append")
+        # idempotence: each micro-batch owns its own partition
+        # directory and OVERWRITES it — a batch replayed after a crash
+        # between write and checkpoint commit rewrites its previous
+        # (possibly partial) output instead of appending duplicate
+        # cells. Readers see batch_id as one more partition column of
+        # the same KV layout.
+        sinks.kv_sink(
+            enveloped, f"{kv_path}/batch_id={batch_id}", mode="overwrite"
+        )
 
     writer = (
         norm.writeStream.foreachBatch(write_batch)
@@ -287,14 +312,21 @@ def _snapshot_fs(spark: SparkSession, path_str: str):
 
 
 def _snapshot_versions(spark: SparkSession, snapshot_base: str) -> list[int]:
+    """Only COMPLETE versions count: a v=N directory is visible the
+    moment Spark starts writing it, so the listing requires the
+    _SUCCESS marker the parquet committer drops at job commit —
+    without it, a reader racing an in-flight (or crashed) write would
+    pick a half-written snapshot."""
     fs, jpath = _snapshot_fs(spark, snapshot_base)
     if not fs.exists(jpath):
         return []
+    jpath_cls = spark._jvm.org.apache.hadoop.fs.Path
     versions = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
         if name.startswith("v=") and name.split("=", 1)[1].isdigit():
-            versions.append(int(name.split("=", 1)[1]))
+            if fs.exists(jpath_cls(st.getPath(), "_SUCCESS")):
+                versions.append(int(name.split("=", 1)[1]))
     return versions
 
 
