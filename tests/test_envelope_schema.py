@@ -177,3 +177,35 @@ class TestEnvelopeSchema:
         broken2["message"]["encryption"]["keyEncryptionKeyId"] = "not-hsm"
         with pytest.raises(jsonschema.ValidationError):
             jsonschema.validate(broken2, MESSAGE_SCHEMA)
+
+
+def test_garbage_last_modified_still_yields_parseable_envelope(spark):
+    # review regression: a plain-string _lastModifiedDateTime passes
+    # through unparsed; with quotes/newlines in it the raw splice
+    # produced invalid envelope JSON
+    import json as _json
+
+    from uc_historic_data_importer_spark.operators.envelope import (
+        RunContext, passthrough_body, with_envelope,
+    )
+    from uc_historic_data_importer_spark.operators.keying import flatten_normalized
+    from uc_historic_data_importer_spark.operators.naming import with_table_names
+    from uc_historic_data_importer_spark.operators.transforms import normalize_records
+
+    # delete path: version derives from _removedDateTime, so the
+    # garbage plain-string _lastModifiedDateTime survives to the splice
+    # (import-path records with unparseable LMDT skip as date_error)
+    raw = (
+        '{"_removed":{"_id":{"id":"r1"}},'
+        '"_lastModifiedDateTime":"x\\"y\\\\z",'
+        '"_removedDateTime":{"$date":"2020-01-01T00:00:00.000Z"}}'
+    )
+    lines = spark.createDataFrame(
+        [("db1", "c", 1, 1, raw)],
+        ["db", "collection", "file_number", "line_no", "raw_json"],
+    )
+    norm = with_table_names(flatten_normalized(normalize_records(lines)))
+    ctx = RunContext(unit_of_work_id="u", timestamp="t", trace_id="tr")
+    out = with_envelope(passthrough_body(norm.filter("valid")), ctx).first()
+    env = _json.loads(out["envelope"])  # must parse
+    assert env["message"]["_lastModifiedDateTime"] == 'x"y\\z'

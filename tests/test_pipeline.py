@@ -216,3 +216,48 @@ def test_latest_per_key(result):
         latest_w.select("table", "key_hex", "version")
     )
     assert joined.count() == 0
+
+
+def test_put_count_excludes_existing_and_reports_filtered_exists(spark):
+    # review regression: the reference's put counter only counts records
+    # actually written after the exists check (HBaseWriter.kt:309-314);
+    # previously put_count included F4-dropped rows and FilterExists was
+    # a dead constant
+    from uc_historic_data_importer_spark.plans import pipeline as P
+
+    lines = spark.createDataFrame(
+        [
+            ("db1", "c", 1, i,
+             '{"_id":{"id":"r-%d"},"_lastModifiedDateTime":'
+             '{"$date":"2020-01-0%dT00:00:00.000Z"}}' % (i, i))
+            for i in range(1, 6)
+        ],
+        ["db", "collection", "file_number", "line_no", "raw_json"],
+    )
+    cfg = P.PipelineConfig()
+    first = P.process_lines(lines, cfg)
+    snapshot = first.putable.select("table", "key_hex", "version")
+    rerun = P.process_lines(lines, cfg, existing=snapshot)
+    assert rerun.putable.count() == 0
+    row = rerun.counts.first()
+    assert row["put_count"] == 0
+    assert row["filtered_exists"] == 5
+    # and a partial snapshot splits the counts exactly
+    partial = snapshot.limit(2)
+    half = P.process_lines(lines, cfg, existing=partial)
+    c = half.counts.first()
+    assert c["put_count"] == 3 and c["filtered_exists"] == 2
+    assert half.putable.count() == 3
+
+
+def test_unparseable_filter_bound_raises(spark):
+    import pytest as _pytest
+
+    from uc_historic_data_importer_spark.operators import filters as Filt
+
+    assert Filt.parse_filter_bound(None) is None
+    assert Filt.parse_filter_bound("  ") is None
+    with _pytest.raises(ValueError):
+        Filt.parse_filter_bound("2020-01-01T00:00:00Z")  # no millis
+    with _pytest.raises(ValueError):
+        Filt.parse_filter_bound("not a timestamp")

@@ -49,6 +49,13 @@ def parse_hdi_timestamp_millis(value: str | None) -> int | None:
     normalization UDF, and strptime was ~50% of the whole record cost.
     Unlike lenient SimpleDateFormat we reject out-of-range fields
     (month 13 etc.) instead of rolling them over.
+
+    Fraction digits follow the reference's lenient 'SSS' semantics: the
+    digit run is an INTEGER millisecond count ('.5' = 5 ms, '.123456' =
+    123456 ms rolling over into seconds), NOT a decimal fraction —
+    SimpleDateFormat has no notion of sub-pattern decimal scaling, and
+    scaling here would silently shift versions/filter bounds against
+    the reference for any non-3-digit input.
     """
     if not value or not isinstance(value, str):
         return None
@@ -63,7 +70,7 @@ def parse_hdi_timestamp_millis(value: str | None) -> int | None:
     h, mi, s = int(h), int(mi), int(s)
     if h > 23 or mi > 59 or s > 59:
         return None
-    millis = int(frac.ljust(6, "0")) // 1000
+    millis = int(frac)
     offset_s = 0
     if tz != "Z":
         offset_s = (int(tz[1:3]) * 3600 + int(tz[3:5]) * 60) * (

@@ -46,6 +46,23 @@ def _b(col: Column) -> Column:
     return F.when(col, F.lit("true")).otherwise(F.lit("false"))
 
 
+def _json_escape(col: Column) -> Column:
+    """Escape a record-derived string for splicing inside a JSON string
+    literal (backslash first, then quote and the common control chars).
+    Literal F.replace, not regexp_replace — replacement-string '$'/'\\'
+    metacharacters are exactly the bug class this avoids. Valid
+    timestamps contain none of these characters, so the escape is
+    byte-invisible on well-formed data; on garbage input it keeps the
+    envelope parseable where a raw splice (the reference's Kotlin
+    string template does splice raw) would emit broken JSON."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    return out
+
+
 def envelope_col(
     ctx: RunContext,
     body_cipher: Column,
@@ -82,7 +99,12 @@ def envelope_col(
         _b((F.col("archived_datetime") != "") & F.col("archived_modified")), F.lit(","),
         F.lit('"historic_removed_record_altered_on_import":'), _b(F.col("is_removed")), F.lit(","),
         F.lit('"historic_archived_record_altered_on_import":'), _b(F.col("is_archived")), F.lit(","),
-        F.lit('"_lastModifiedDateTime":"'), F.col("last_modified"), F.lit('",'),
+        # last_modified is the one record-derived raw string here (a
+        # plain-string _lastModifiedDateTime or createdDateTime passes
+        # through unparsed on non-delete paths) — escape it; the string
+        # _id splice above stays reference-faithful raw
+        # (MessageProducer.kt:40)
+        F.lit('"_lastModifiedDateTime":"'), _json_escape(F.col("last_modified")), F.lit('",'),
         F.lit('"timestamp_created_from":"'), F.col("timestamp_source"), F.lit('",'),
         F.lit('"collection":"'), F.col("collection_out"), F.lit('",'),
         F.lit('"db":"'), F.col("db"), F.lit('",'),

@@ -29,13 +29,22 @@ def parse_filter_bound(value: str | None) -> int | None:
 
     The reference accepts the Z-suffixed format and a no-zone format
     interpreted in the JVM default zone (FilterServiceImpl.kt:44-70,82-83);
-    we pin UTC. Blank -> None (unbounded)."""
+    we pin UTC. Blank -> None (unbounded). A NON-BLANK value that does
+    not parse raises — the reference's ParseException equivalent: a
+    typo'd bound must fail the run, not silently disable the filter
+    and import everything."""
     if not value or not value.strip():
         return None
     v = value.strip()
     if not v.endswith("Z"):
         v = v + "Z"
-    return parse_hdi_timestamp_millis(v)
+    millis = parse_hdi_timestamp_millis(v)
+    if millis is None:
+        raise ValueError(
+            f"unparseable time-range filter bound: {value!r} "
+            "(expected yyyy-MM-dd'T'HH:mm:ss.SSS['Z'])"
+        )
+    return millis
 
 
 def filter_status_col(
@@ -46,8 +55,7 @@ def filter_status_col(
     """FilterServiceImpl.filterStatus (:24-37): strict bounds; the 1980
     epoch sentinel is exempt from the too-early filter (no-timestamp
     records may in fact be recent)."""
-    lo = earlier_than_millis if earlier_than_millis is not None else None
-    hi = later_than_millis if later_than_millis is not None else None
+    lo, hi = earlier_than_millis, later_than_millis
     status = F.lit(FILTER_NOT)
     if hi is not None:
         status = F.when(version > F.lit(hi), F.lit(FILTER_TOO_LATE)).otherwise(status)
@@ -87,8 +95,35 @@ def anti_join_existing(
     (HbaseClient.kt:43-52): a left_anti join on (table, key, version).
     Hash keys are uniformly distributed (CRC-prefixed), so the shuffle is
     skew-free; when the existing snapshot is small Catalyst broadcasts it.
+    No dedup of the snapshot side: left_anti output is identical whether
+    or not the right side has duplicates, and the aggregate would cost a
+    full extra shuffle of the snapshot at scale.
     """
-    return df.join(existing.select(*keys).dropDuplicates(list(keys)), list(keys), "left_anti")
+    return df.join(existing.select(*keys), list(keys), "left_anti")
+
+
+def mark_existing(
+    df: DataFrame,
+    existing: DataFrame,
+    keys: tuple[str, ...] = ("table", "key_hex", "version"),
+) -> DataFrame:
+    """F4 as a STATUS, not a drop: rows whose (table, key, version)
+    already exists in the sink snapshot get filter_status=FilterExists
+    (only where the time-range filter passed them — the reference's
+    exists check runs after the range gate, HBaseWriter.kt:549-552), so
+    the F5 accounting can report filtered_exists and put_count matches
+    the rows actually delivered to the sink. The snapshot side IS
+    deduplicated here: a plain left join against duplicate keys would
+    multiply the left rows."""
+    marker = (
+        existing.select(*keys).distinct().withColumn("_exists", F.lit(1))
+    )
+    out = df.join(marker, list(keys), "left")
+    status = F.when(
+        (F.col("filter_status") == FILTER_NOT) & F.col("_exists").isNotNull(),
+        F.lit(FILTER_EXISTS),
+    ).otherwise(F.col("filter_status"))
+    return out.withColumn("filter_status", status).drop("_exists")
 
 
 def valid_records(df: DataFrame) -> DataFrame:
@@ -115,6 +150,9 @@ def filter_counts(df: DataFrame, by: tuple[str, ...] = ("db", "collection", "fil
             ),
             F.count_if(F.col("filter_status") == FILTER_TOO_LATE).alias(
                 "filtered_too_late"
+            ),
+            F.count_if(F.col("filter_status") == FILTER_EXISTS).alias(
+                "filtered_exists"
             ),
         )
     )

@@ -48,18 +48,39 @@ def _reject_nonfinite(name: str) -> float:
 
 
 def _int_orjson_semantics(s: str) -> int | float:
-    # orjson parses integers inside [-2^63, 2^64) as int and demotes
-    # anything wider to float; mirror that exactly.
+    # orjson parses integers inside [-2^63, 2^64) as int, demotes wider
+    # ones to double, and REJECTS values that overflow the double
+    # ("number is infinity when parsed as double" — verified) — mirror
+    # all three, or the same record parses here and skips there.
     v = int(s)
-    return v if -(2**63) <= v < 2**64 else float(s)
+    if -(2**63) <= v < 2**64:
+        return v
+    f = float(s)
+    if f in (float("inf"), float("-inf")):
+        raise ValueError("number is infinity when parsed as double")
+    return f
+
+
+def _float_orjson_semantics(s: str) -> float:
+    # orjson rejects float literals that overflow a double (1e999);
+    # stdlib would silently return inf, which json.dumps then renders
+    # as the invalid-JSON token Infinity
+    f = float(s)
+    if f in (float("inf"), float("-inf")):
+        raise ValueError("number is infinity when parsed as double")
+    return f
 
 
 def _strict_loads(raw: str) -> Any:
     """stdlib parse pinned to orjson's number semantics: NaN/Infinity
     literals rejected (also avoids orjson.dumps silently re-serializing
-    non-finite floats as null), >64-bit integers demoted to float."""
+    non-finite floats as null), >64-bit integers demoted to double,
+    double-overflowing numbers rejected."""
     return json.loads(
-        raw, parse_constant=_reject_nonfinite, parse_int=_int_orjson_semantics
+        raw,
+        parse_constant=_reject_nonfinite,
+        parse_int=_int_orjson_semantics,
+        parse_float=_float_orjson_semantics,
     )
 
 
@@ -86,7 +107,12 @@ def _dumps_compact(obj: Any) -> str:
             return orjson.dumps(obj).decode("utf-8")
         except TypeError:
             pass
-    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+    # allow_nan=False: non-finite floats cannot enter via _strict_loads,
+    # but a direct caller must get a loud error, never the invalid-JSON
+    # Infinity/NaN tokens
+    return json.dumps(
+        obj, separators=(",", ":"), ensure_ascii=False, allow_nan=False
+    )
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -241,9 +267,16 @@ def _optional_datetime(parent: dict, name: str) -> tuple[str, bool]:
 
 
 def _last_modified(parent: dict, created: str) -> tuple[str, str]:
-    """T5 (HBaseWriter.kt:439-471). Returns (value, source_field)."""
-    fallback = created if created.strip() else EPOCH_KAFKA
-    fallback_field = EPOCH_FIELD if fallback == EPOCH_KAFKA else CREATED
+    """T5 (HBaseWriter.kt:439-471). Returns (value, source_field).
+
+    The fallback source label is decided by BRANCH, not value equality:
+    a createdDateTime that legitimately equals the 1980 epoch string
+    must still report timestamp_created_from=createdDateTime (the
+    reference labels by which field supplied the value)."""
+    if created.strip():
+        fallback, fallback_field = created, CREATED
+    else:
+        fallback, fallback_field = EPOCH_KAFKA, EPOCH_FIELD
     if LAST_MODIFIED not in parent:
         return fallback, fallback_field
     incoming = parent[LAST_MODIFIED]
@@ -274,7 +307,7 @@ def normalize_record(raw_json: str) -> dict:
         record, is_removed = _reformat_wrapper(record, "_removed", REMOVED_DT)
         record, is_archived = _reformat_wrapper(record, "_archived", ARCHIVED_DT)
 
-        original_id = record.get("_id") if "_id" in record else None
+        original_id = record.get("_id")
         rec_id, id_modification = _normalised_id(original_id)
         if not rec_id.strip() or rec_id == "null":
             out["skip_reason"] = "blank_id"

@@ -81,10 +81,13 @@ def process_lines(lines: DataFrame, cfg: PipelineConfig, existing: DataFrame | N
         encrypted_encryption_key=cfg.encrypted_encryption_key,
     )
     valid = Filt.with_filter_status(valid, cfg.skip_earlier_than, cfg.skip_later_than)
+    # F4 as a status (not a drop): put_count then counts exactly the
+    # rows delivered to the KV sink and filtered_exists is reported,
+    # matching the reference's accounting (HBaseWriter.kt:309-314)
+    if cfg.skip_existing and existing is not None:
+        valid = Filt.mark_existing(valid, existing)
 
     putable = valid.filter(F.col("filter_status") == Filt.FILTER_NOT)
-    if cfg.skip_existing and existing is not None:
-        putable = Filt.anti_join_existing(putable, existing)
 
     manifest = sinks.manifest_rows(valid)
 
