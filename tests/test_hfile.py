@@ -1,0 +1,216 @@
+"""HFile v3 container round-trip + structural pins (public Apache HBase
+format — block headers, CRC32 chunks, root index, PBUF FileInfo, fixed
+trailer). The parser in hfile.read_hfile opens files strictly the way
+HBase does (trailer -> load-on-open walk), independent of the writer's
+bookkeeping; golden byte pins below anchor the layout so writer and
+parser cannot drift together unnoticed."""
+
+import os
+import struct
+
+import pytest
+
+from uc_historic_data_importer_spark import hfile, sinks
+from uc_historic_data_importer_spark.hfile import (
+    DATA_MAGIC,
+    FILE_INFO_MAGIC,
+    ROOT_INDEX_MAGIC,
+    TRAILER_MAGIC,
+    TRAILER_SIZE,
+    HFileWriter,
+    cell_order_key,
+    read_hfile,
+)
+
+
+def _key(row: bytes, ts: int = 1, family=b"cf", qual=b"record") -> bytes:
+    kv = sinks.keyvalue_bytes(row, family, qual, ts, b"")
+    klen = struct.unpack_from(">i", kv, 0)[0]
+    return kv[8 : 8 + klen]
+
+
+def _write(path, cells, **kw):
+    with open(path, "wb") as fh:
+        w = HFileWriter(fh, **kw)
+        for k, v in cells:
+            w.append(k, v)
+        w.close()
+    return path
+
+
+class TestRoundTrip:
+    def test_cells_survive_and_trailer_fields(self, tmp_path):
+        cells = [
+            (_key(b"row-%03d" % i, ts=5), b"value-%03d" % i)
+            for i in range(100)
+        ]
+        p = _write(tmp_path / "a.hfile", cells)
+        parsed = read_hfile(p)
+        assert parsed.cells == cells
+        assert parsed.major_version == 3
+        assert parsed.minor_version == 3
+        assert parsed.entry_count == 100
+        assert parsed.compression_codec == 2  # NONE
+        assert parsed.comparator == "org.apache.hadoop.hbase.KeyValue$KVComparator"
+        assert parsed.file_info[b"hfile.LASTKEY"] == cells[-1][0]
+
+    def test_multi_block_index(self, tmp_path):
+        cells = [
+            (_key(b"k%05d" % i), b"x" * 100) for i in range(500)
+        ]
+        p = _write(tmp_path / "b.hfile", cells, block_size=4096)
+        parsed = read_hfile(p)
+        assert parsed.data_index_count > 5
+        assert parsed.cells == cells
+        # root index entries point at block starts in ascending offset
+        offsets = [o for o, _, _ in parsed.root_index]
+        assert offsets == sorted(offsets)
+        assert offsets[0] == 0  # first data block at file start
+        # and their firstKeys are ascending in CellComparator order
+        fks = [cell_order_key(k) for _, _, k in parsed.root_index]
+        assert fks == sorted(fks)
+
+    def test_vlong_long_keys(self, tmp_path):
+        # row > 127 bytes pushes the index firstKey length into the
+        # multi-byte Hadoop vint encoding
+        cells = [
+            (_key(bytes([65 + i]) * 200), b"v%d" % i) for i in range(5)
+        ]
+        p = _write(tmp_path / "c.hfile", cells, block_size=64)
+        parsed = read_hfile(p)
+        assert parsed.cells == cells
+        assert parsed.data_index_count == 5
+
+    def test_empty_file(self, tmp_path):
+        p = _write(tmp_path / "d.hfile", [])
+        parsed = read_hfile(p)
+        assert parsed.cells == [] and parsed.entry_count == 0
+
+
+class TestGoldenStructure:
+    """Byte-offset pins that an HBase reader relies on — these anchor
+    the format so the symmetric writer/parser pair cannot drift."""
+
+    def test_magics_and_version_word(self, tmp_path):
+        p = _write(tmp_path / "g.hfile", [(_key(b"r"), b"v")])
+        buf = open(p, "rb").read()
+        assert buf[:8] == DATA_MAGIC  # first data block at offset 0
+        trailer = buf[-TRAILER_SIZE:]
+        assert trailer[:8] == TRAILER_MAGIC
+        # FixedFileTrailer version word: major=3 | minor(3)<<24
+        assert buf[-4:] == bytes.fromhex("03000003")
+
+    def test_block_header_fields_and_checksum(self, tmp_path):
+        import zlib
+
+        p = _write(tmp_path / "h.hfile", [(_key(b"r"), b"val")])
+        buf = open(p, "rb").read()
+        on_disk_wo_header, uncompressed = struct.unpack_from(">ii", buf, 8)
+        prev_offset = struct.unpack_from(">q", buf, 16)[0]
+        assert prev_offset == -1  # first block of its type
+        assert buf[24] == 1  # ChecksumType.CRC32
+        bytes_per_cs, on_disk_data_with_header = struct.unpack_from(">ii", buf, 25)
+        assert bytes_per_cs == 16384
+        # one cell: keyLen(4)+valueLen(4)+key+value
+        key = _key(b"r")
+        assert uncompressed == 8 + len(key) + 3
+        assert on_disk_data_with_header == 33 + uncompressed
+        assert on_disk_wo_header == uncompressed + 4  # one CRC chunk
+        stored_crc = struct.unpack_from(">I", buf, on_disk_data_with_header)[0]
+        assert stored_crc == zlib.crc32(buf[:on_disk_data_with_header]) & 0xFFFFFFFF
+
+    def test_load_on_open_walk(self, tmp_path):
+        """Trailer offsets really land on the blocks HBase expects:
+        root index, then empty meta index, then PBUF FileInfo."""
+        p = _write(tmp_path / "i.hfile", [(_key(b"r"), b"v")])
+        buf = open(p, "rb").read()
+        trailer = buf[-TRAILER_SIZE:]
+        pb_len, pos = hfile._read_pb_varint(trailer, 8)
+        tf = hfile._parse_pb_fields(trailer[pos : pos + pb_len])
+        load_on_open, file_info_off = tf[2][0], tf[1][0]
+        assert buf[load_on_open : load_on_open + 8] == ROOT_INDEX_MAGIC
+        assert buf[file_info_off : file_info_off + 8] == FILE_INFO_MAGIC
+        info_payload, _ = hfile._parse_block(buf, file_info_off, FILE_INFO_MAGIC)
+        assert info_payload[:4] == b"PBUF"
+        assert tf[6][0] == 0  # meta_index_count
+        assert tf[8][0] == 1  # num_data_index_levels
+
+    def test_checksum_corruption_detected(self, tmp_path):
+        p = _write(tmp_path / "j.hfile", [(_key(b"r"), b"v")])
+        buf = bytearray(open(p, "rb").read())
+        buf[40] ^= 0xFF  # flip a data byte inside the first block
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="checksum"):
+            read_hfile(str(p))
+
+
+class TestOrderEnforcement:
+    def test_out_of_order_rows_raise(self, tmp_path):
+        with open(tmp_path / "x.hfile", "wb") as fh:
+            w = HFileWriter(fh)
+            w.append(_key(b"b"), b"v")
+            with pytest.raises(ValueError, match="CellComparator"):
+                w.append(_key(b"a"), b"v")
+
+    def test_same_row_timestamp_desc_accepted_asc_rejected(self, tmp_path):
+        """ts DESC within a row is the CellComparator rule; raw key
+        bytes sort ts ASC, so this is exactly where a memcmp-based
+        check would be wrong in both directions."""
+        with open(tmp_path / "y.hfile", "wb") as fh:
+            w = HFileWriter(fh)
+            w.append(_key(b"r", ts=9), b"new")
+            w.append(_key(b"r", ts=1), b"old")  # DESC: fine
+            with pytest.raises(ValueError, match="CellComparator"):
+                w.append(_key(b"r", ts=5), b"mid")  # ASC step: rejected
+
+
+class TestSparkWriteHFiles:
+    def test_bulkload_dir_end_to_end(self, spark, tmp_path):
+        import random
+
+        random.seed(7)
+        rows = [
+            (
+                "t1",
+                bytearray(bytes([b]) + random.randbytes(4)),
+                f"{i:02x}",
+                v,
+                f"body-{i}-{v}",
+            )
+            for i, b in enumerate([0, 255, 127, 128, 1, 254] * 8)
+            for v in (1, 2)
+        ]
+        kv = spark.createDataFrame(
+            rows,
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        layout = sinks.hbase_bulkload_layout(kv, n_regions=3)
+        out = str(tmp_path / "bulk")
+        paths = sinks.write_hfiles(layout, out)
+        # bulk-load directory shape: <out>/<family>/<file>
+        assert paths and all(
+            os.path.dirname(p) == os.path.join(out, "cf") for p in paths
+        )
+        all_cells = []
+        for p in paths:
+            parsed = read_hfile(p)
+            # every file independently verifies (checksums, index walk)
+            all_cells.extend(parsed.cells)
+        # union of cells == input cells, and the concatenation across
+        # region files is globally CellComparator-ordered (region
+        # ranges are contiguous and disjoint)
+        expected = sorted(
+            ((_key(bytes(r[1]), ts=r[3]), r[4].encode()) for r in rows),
+            key=lambda kv_: cell_order_key(kv_[0]),
+        )
+        got_keys = [cell_order_key(k) for k, _ in all_cells]
+        assert got_keys == sorted(got_keys)
+        assert sorted(all_cells) == sorted(expected)
+        # no temp turds left behind
+        assert not [
+            f
+            for _d, _s, files in os.walk(out)
+            for f in files
+            if ".tmp-" in f
+        ]

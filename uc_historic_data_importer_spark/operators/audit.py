@@ -122,18 +122,23 @@ def l_diversity_audit(
     One groupBy on the quasi columns with count + count(distinct
     sensitive) — Spark plans the distinct via partial sets (expand +
     two-phase agg), map-side combined; NULL sensitive values count as a
-    distinct value (a linkable fact like any other). Complements
-    k_anonymity_audit on the same governance gate."""
+    distinct value (a linkable fact like any other). The NULL is
+    carried as a (is_null, value) STRUCT inside the collect_set, not an
+    in-band string sentinel: struct(true, null) can never collide with
+    any legitimate value, and the paired oracle mirrors the rule as
+    count(DISTINCT x) + (1 if any NULL) — see l_diversity_customers.
+    Complements k_anonymity_audit on the same governance gate."""
     if l < 2:
         raise ValueError("l must be >= 2")
+    s = F.col(sensitive_col)
     return (
         df.groupBy(*quasi_cols)
         .agg(
             F.count(F.lit(1)).alias("group_size"),
             F.size(
                 F.collect_set(
-                    F.coalesce(
-                        F.col(sensitive_col).cast("string"), F.lit("\x00null")
+                    F.struct(
+                        s.isNull().alias("n"), s.cast("string").alias("v")
                     )
                 )
             ).cast("long").alias("distinct_sensitive"),

@@ -209,22 +209,37 @@ def _cell_expr(
     size), which pushes the generated Java past Janino's method limit
     and silently drops the entire stage to interpreted mode. The array
     form keeps each score expression exactly once, so k x dim stays
-    linear and the stage compiles."""
+    linear and the stage compiles.
+
+    A vector whose length differs from the centroid dim — in EITHER
+    direction — yields NULL (the -1 sentinel after assign_cells'
+    coalesce). Short vectors already did via try_element_at's NULL
+    terms; over-length vectors previously got a real cell from their
+    first `dim` elements while the numpy path (_stack_valid's
+    len == dim filter) rejected them. The guard is the ACCUMULATOR SEED
+    of each dot chain — `when(size(v) = dim, 0.0)` (NULL otherwise)
+    poisons every score, so array_max and array_position go NULL and
+    the sentinel falls out — NOT an outer CASE WHEN around the argmax:
+    codegen cannot split expressions inside a conditional branch, so
+    wrapping the whole k x dim tree in one CASE pushes the single
+    generated method past Janino's 64 KB limit and silently drops the
+    stage to interpreted mode (observed: ann_ivf_topk 1 s -> 12 s at
+    sf0.01 with the wrapper). The seed form adds k two-node whens and
+    keeps the flat Add chains splittable."""
     v = F.col(vec_col).cast("array<double>")
+    dim = len(centroids[0])
+    size_guard = F.when(F.size(v) == dim, F.lit(0.0))
     scores: list[Column] = []
     for c in centroids:
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        dot: Column | None = None
+        dot: Column = size_guard
         for i, x in enumerate(c):
             # try_element_at, not element_at: a short/null vector must
             # yield NULL scores -> the -1 sentinel, not an ANSI-mode
             # ArrayIndexOutOfBounds that kills the stage (same contract
             # as pq._dot_lit)
-            term = F.try_element_at(v, F.lit(i + 1)) * F.lit(float(x))
-            dot = term if dot is None else dot + term
-        scores.append(
-            F.round((dot if dot is not None else F.lit(0.0)) / F.lit(cn), round_dp)
-        )
+            dot = dot + F.try_element_at(v, F.lit(i + 1)) * F.lit(float(x))
+        scores.append(F.round(dot / F.lit(cn), round_dp))
     arr = F.array(*scores)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
@@ -686,6 +701,7 @@ def semdedup(
     vec_col: str = "embedding",
     round_dp: int = 6,
     exact_max_rows: int = 1000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv 2303.09540 — public technique):
     semantic near-duplicate PRUNING via clustering + within-cluster
@@ -721,8 +737,13 @@ def semdedup(
     threshold rule, any-smaller-id reduction on the upper triangle) —
     the interpreted per-pair HOF dot was 44 s at the sf1 soak. The
     Catalyst path below stays the bit-exact oracle path at every
-    driver-checked scale."""
-    if df.count() > exact_max_rows:
+    driver-checked scale.
+
+    ``n_rows`` short-circuits the dispatch count (same contract as
+    cosine_neardup_pairs): pass it when the input is an expensive
+    uncached pipeline so the upstream plan is not executed twice."""
+    n = df.count() if n_rows is None else int(n_rows)
+    if n > exact_max_rows:
         import numpy as np
         import pandas as pd
 
@@ -827,6 +848,7 @@ def cosine_neardup_pairs(
     cell_col: str = "label",
     round_dp: int = 6,
     exact_max_rows: int = 1000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact within-cell cosine near-duplicate pairs
     (vec_a < vec_b, cos >= threshold) — the audit-path baseline whose
@@ -853,10 +875,20 @@ def cosine_neardup_pairs(
     Degenerate inputs behave identically on BOTH branches: zero-norm
     vectors divide by the |0| -> 1 guard (cos 0, never NaN — Spark
     orders NaN greatest so an unguarded 0/0 would pass the threshold),
-    and NULL-cell rows pair with nothing (the fast path filters them
-    to mirror the equi-join's null semantics).
+    NULL-cell rows pair with nothing (the fast path filters them to
+    mirror the equi-join's null semantics), and RAGGED cells pair each
+    equal-length subgroup separately (zip_with pads the shorter vector
+    with NULL -> null dot -> the cross-length pair never passes the
+    Catalyst filter; the fast path runs one matmul per length group
+    instead of inferring a single modal dim, so off-modal equal-length
+    pairs survive on both sides of the dispatch boundary).
+
+    ``n_rows`` short-circuits the dispatch count: pass the known corpus
+    size when the input is an expensive uncached pipeline, otherwise
+    ``df.count()`` executes the whole upstream plan once just to pick a
+    branch and again for the result.
     """
-    n = df.count()
+    n = df.count() if n_rows is None else int(n_rows)
     if n <= exact_max_rows:
         a = df.select(
             F.col(id_col).alias("vec_a"),
@@ -891,25 +923,38 @@ def cosine_neardup_pairs(
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        # malformed vectors produce no pairs (Catalyst path: null sim
-        # never passes the threshold filter)
-        ok, V = _stack_valid(list(pdf[vec_col].iloc[order]))
-        if not ok:
+        vals = list(pdf[vec_col].iloc[order])
+        # one matmul per equal-length subgroup: cross-length pairs have
+        # a null dot on the Catalyst path (zip_with null padding), so
+        # only same-length pairs can ever match — null/empty vectors
+        # produce no pairs at all
+        lengths = sorted(
+            {len(v) for v in vals if v is not None and len(v) > 0}
+        )
+        outs = []
+        for d in lengths:
+            ok, V = _stack_valid(vals, dim=d)
+            if len(ok) < 2:
+                continue
+            gids = ids[np.asarray(ok)]
+            U = _unit_rows(V)
+            G = U @ U.T
+            iu, ju = np.triu_indices(len(gids), k=1)
+            keep = G[iu, ju] >= thr
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": gids[iu[keep]],
+                        "vec_b": gids[ju[keep]],
+                        "cos_sim": np.round(G[iu, ju][keep], dp),
+                    }
+                )
+            )
+        if not outs:
             return pd.DataFrame(
                 {"vec_a": [], "vec_b": [], "cos_sim": []}
             ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
-        ids = ids[np.asarray(ok)]
-        U = _unit_rows(V)
-        G = U @ U.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = G[iu, ju] >= thr
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu[keep]],
-                "vec_b": ids[ju[keep]],
-                "cos_sim": np.round(G[iu, ju][keep], dp),
-            }
-        )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         df.select(id_col, cell_col, vec_col)

@@ -4393,20 +4393,26 @@ def stratified_kfold_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l_diversity_customers",
     """
-    SELECT c_nationkey, c_mktsegment,
-           CAST(count(*) AS BIGINT) AS group_size,
-           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
-                AS BIGINT) AS distinct_sensitive
-    FROM customer
-    GROUP BY c_nationkey, c_mktsegment
-    HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 8
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                  + CASE WHEN count(*) > count(c_acctbal) THEN 1 ELSE 0 END
+                  AS BIGINT) AS distinct_sensitive
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT * FROM g WHERE distinct_sensitive < 8
     """,
     doc="l-diversity audit over (nation, segment) quasi-identifiers "
     "with the account-balance band as the sensitive attribute "
     "(audit.l_diversity_audit, Machanavasjhala et al. 2007): flags "
     "groups whose sensitive attribute takes < 8 distinct values — the "
     "homogeneity attack k-anonymity misses. One groupBy with "
-    "count(distinct) via Spark's two-phase partial-set aggregation.",
+    "count(distinct) via Spark's two-phase partial-set aggregation; "
+    "NULL sensitive values count as one distinct value on both engines "
+    "(engine side: a (is_null, value) struct set — no in-band "
+    "sentinel; oracle side: count(DISTINCT x) + 1 if any NULL).",
 )
 def l_diversity_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uc_historic_data_importer_spark.operators import audit

@@ -334,11 +334,18 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
     repartition by the file identity so each task writes its own manifest.
     Returns written file paths.
 
-    Each file is opened with TRUNCATE on its first row in the task: the
-    repartition guarantees exactly one task ever writes a given file, so
-    truncating makes task retries and re-runs into an existing out_dir
-    idempotent (append mode would duplicate the failed attempt's partial
-    output). CONTRACT: out_dir must be a filesystem visible to both the
+    Each file is written to an ATTEMPT-UNIQUE temp name and atomically
+    os.replace()d into place when the task's iterator is exhausted: the
+    repartition guarantees one PARTITION owns a given file, but task
+    RETRIES and speculative execution can run two attempts of that
+    partition concurrently — a shared truncate-on-open path would let a
+    zombie prior attempt interleave writes into the live attempt's
+    file. With rename-on-complete each attempt builds its own complete
+    temp file and the last rename wins atomically (both attempts render
+    identical content — the partition is deterministic after
+    sortWithinPartitions — so winner identity is irrelevant). A killed
+    attempt leaves only a `.tmp-*` orphan, which the final listing
+    ignores. CONTRACT: out_dir must be a filesystem visible to both the
     driver and the executors (local mode, NFS, or a fuse mount) — the
     python open()/os.listdir pair does not speak Hadoop FS URIs; a
     production S3 manifest store routes through df.write.csv instead
@@ -347,21 +354,33 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
     rows = manifest_lines(df)
 
     def _write(partition_rows):
-        handles: dict[str, object] = {}
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = (
+            str(ctx.taskAttemptId()) if ctx is not None else uuid.uuid4().hex
+        )
+        # final path -> (temp path, handle)
+        handles: dict[str, tuple[str, object]] = {}
         try:
             for r in partition_rows:
                 name = f"db.{r['_db']}.{r['_uncoalesced_collection']}-{int(r['_file_number']):06d}.csv"
                 path = os.path.join(out_dir, name)
-                fh = handles.get(path)
-                if fh is None:
-                    # "w": this task is the file's only writer ever, so
-                    # truncation == retry idempotence
-                    fh = open(path, "w", encoding="utf-8")
-                    handles[path] = fh
-                fh.write(r["line"] + "\n")
+                ent = handles.get(path)
+                if ent is None:
+                    tmp = f"{path}.tmp-{attempt}"
+                    ent = (tmp, open(tmp, "w", encoding="utf-8"))
+                    handles[path] = ent
+                ent[1].write(r["line"] + "\n")
         finally:
-            for fh in handles.values():
+            for _, fh in handles.values():
                 fh.close()
+        # only a fully-written attempt reaches the renames; a crashed
+        # attempt's temp files are orphaned, never visible
+        for path, (tmp, _) in handles.items():
+            os.replace(tmp, path)
         return iter(())
 
     (
@@ -495,37 +514,94 @@ def serialize_layout_cells(layout: DataFrame) -> DataFrame:
     return layout.mapInPandas(_ser, schema="table string, cell binary")
 
 
-def write_hfiles(layout: DataFrame, out_dir: str) -> None:
-    """Write ``hbase_bulkload_layout`` output as HFiles via
-    HFileOutputFormat2 (saveAsNewAPIHadoopFile on the sorted KeyValue
-    RDD). Requires the hbase-mapreduce jars on the Spark classpath —
-    absent here, so this raises a clear error instead of half-working;
-    the layout (the part Spark owns: total order + region alignment)
-    is produced and tested without HBase.
+def write_hfiles(
+    layout: DataFrame,
+    out_dir: str,
+    block_size: int = 64 * 1024,
+    create_time_ms: int = 0,
+) -> list[str]:
+    """Write ``hbase_bulkload_layout`` output as REAL HFile v3 files —
+    one per region partition, under ``<out_dir>/<family>/`` exactly as
+    LoadIncrementalHFiles expects a bulk-load directory.
 
-    Round-5 vendoring attempt: the sandbox has no network route to
-    Maven Central (curl: couldn't resolve host) and no hbase jars on
-    disk, so ``spark.jars.packages org.apache.hbase:hbase-mapreduce``
-    cannot resolve — the gate stands. The byte-level KeyValue wire
-    format + CellComparator ordering of the layout IS pinned
-    (tests/test_sinks.py::TestKeyValueWireParity vs
-    HbaseClient.kt:25-41), so wiring this call in a connected
-    deployment is classpath + this one call."""
-    jvm = layout.sparkSession._jvm
-    try:
-        jvm.java.lang.Class.forName(
-            "org.apache.hadoop.hbase.mapreduce.HFileOutputFormat2"
+    The container is the pure-Python writer in hfile.py (public Apache
+    block/index/trailer format, CRC32-checksummed, single-level index);
+    the cells are the byte-pinned KeyValue wire layout
+    (tests/test_sinks.py::TestKeyValueWireParity vs HbaseClient.kt:25-41).
+    Each task streams its partition's already-CellComparator-sorted
+    cells straight into one file at O(block) memory — a region's HFile
+    costs one pass regardless of cell count, which is the property that
+    makes this the 100 TB route (region servers never see the load; the
+    reference's SKIP_WAL concession taken to its conclusion).
+
+    Files are written to attempt-unique temp names and os.replace()d on
+    task completion (same speculative-execution-safe contract as
+    manifest_sink; out_dir must be executor-visible — local, NFS, or
+    fuse). On a jar-equipped cluster HFileOutputFormat2 remains the
+    alternative; this writer removes that classpath dependency.
+    Returns the written file paths."""
+    from uc_historic_data_importer_spark.hfile import HFileWriter
+
+    families = [
+        r["family"]
+        for r in layout.select("family").distinct().collect()
+    ]
+    for fam in families:
+        os.makedirs(os.path.join(out_dir, fam), exist_ok=True)
+
+    def _write(partition_rows):
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        attempt = (
+            str(ctx.taskAttemptId()) if ctx is not None else uuid.uuid4().hex
         )
-    except Exception as ex:  # noqa: BLE001 - Py4J wraps the JVM error
-        raise RuntimeError(
-            "HFileOutputFormat2 not on the classpath: add the "
-            "hbase-mapreduce jars (spark.jars.packages "
-            "org.apache.hbase:hbase-mapreduce) to write HFiles; "
-            "hbase_bulkload_layout output is connector-agnostic"
-        ) from ex
-    raise NotImplementedError(
-        "wire saveAsNewAPIHadoopFile(KeyValue) here when an HBase "
-        "cluster is reachable; layout contract is already satisfied"
+        writers: dict[str, tuple[str, str, object, HFileWriter]] = {}
+        try:
+            for r in partition_rows:
+                fam = r["family"]
+                ent = writers.get(fam)
+                if ent is None:
+                    final = os.path.join(
+                        out_dir, fam, f"part-{part:05d}.hfile"
+                    )
+                    tmp = f"{final}.tmp-{attempt}"
+                    fh = open(tmp, "wb")
+                    ent = (tmp, final, fh, HFileWriter(
+                        fh, block_size=block_size,
+                        create_time_ms=create_time_ms,
+                    ))
+                    writers[fam] = ent
+                ent[3].append_keyvalue(
+                    keyvalue_bytes(
+                        bytes(r["key"]),
+                        r["family"].encode(),
+                        r["qualifier"].encode(),
+                        int(r["version"]),
+                        r["body"].encode()
+                        if isinstance(r["body"], str)
+                        else bytes(r["body"]),
+                    )
+                )
+        finally:
+            for _tmp, _final, fh, w in writers.values():
+                try:
+                    w.close()
+                finally:
+                    fh.close()
+        for tmp, final, _fh, _w in writers.values():
+            os.replace(tmp, final)
+        return iter(())
+
+    layout.rdd.mapPartitions(_write).count()
+    return sorted(
+        os.path.join(dirpath, f)
+        for dirpath, _dirs, files in os.walk(out_dir)
+        for f in files
+        if f.endswith(".hfile")
     )
 
 

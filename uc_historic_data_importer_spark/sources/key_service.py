@@ -13,25 +13,50 @@ Reference behavior (app/services/impl/HttpKeyService.kt:35-81,127-137):
   deduplicate via resolve_data_keys, so at most one POST per distinct
   key per run.
 
-stdlib urllib only: the engine adds no HTTP dependencies.
+stdlib urllib + ssl only: the engine adds no HTTP dependencies.
 
-Deployment note (mutual TLS): the reference loads identity/trust
-keystores and speaks mTLS to DKS (SecureHttpClientProvider.kt:48,60).
-That is transport plumbing, not data semantics — wire it here by
-passing an ``ssl.SSLContext`` built with ``load_cert_chain`` (client
-identity) and ``load_verify_locations`` (trust) into
-``urllib.request.urlopen(..., context=ctx)``; retry/backoff/caching
-behavior above is unchanged. Not built in this environment (no DKS,
-no TLS material) — by design the only delta is the context argument.
+Mutual TLS: the reference loads identity/trust keystores and speaks
+mTLS to DKS (SecureHttpClientProvider.kt:48,60 — `loadKeyMaterial` is
+the client identity keystore, `loadTrustMaterial` the CA trust store).
+The Python twins are ``SSLContext.load_cert_chain`` (identity) and
+``load_verify_locations`` (trust), assembled by :func:`mtls_context`
+and passed to ``urlopen(..., context=...)``. Transport security is
+orthogonal to the retry/backoff/caching/400-is-permanent semantics
+above — an ``HttpKeyService`` with a context behaves identically
+minus the handshake (pinned by the in-process-TLS-server pytest).
 """
 
 from __future__ import annotations
 
 import json
+import ssl
 import time
 import urllib.error
 import urllib.parse
 import urllib.request
+
+
+def mtls_context(
+    client_cert_file: str,
+    client_key_file: str,
+    ca_file: str,
+    key_password: str | None = None,
+) -> ssl.SSLContext:
+    """Build the DKS mutual-TLS client context.
+
+    Mirrors SecureHttpClientProvider.kt:48,60: the (cert, key) pair is
+    the identity keystore (presented to the server when it requests a
+    client certificate), ``ca_file`` is the trust store that the DKS
+    server certificate must chain to. Hostname checking and
+    CERT_REQUIRED stay at their secure defaults
+    (``create_default_context`` is the hardened constructor)."""
+    ctx = ssl.create_default_context(ssl.Purpose.SERVER_AUTH, cafile=ca_file)
+    ctx.load_cert_chain(
+        certfile=client_cert_file,
+        keyfile=client_key_file,
+        password=key_password,
+    )
+    return ctx
 
 
 class DataKeyServiceUnavailableException(Exception):
@@ -47,10 +72,17 @@ class HttpKeyService:
     INITIAL_BACKOFF_S = 1.0
     BACKOFF_MULTIPLIER = 2.0
 
-    def __init__(self, service_url: str, timeout_s: float = 30.0, sleep=time.sleep):
+    def __init__(
+        self,
+        service_url: str,
+        timeout_s: float = 30.0,
+        sleep=time.sleep,
+        ssl_context: ssl.SSLContext | None = None,
+    ):
         self._url = service_url.rstrip("/")
         self._timeout = timeout_s
         self._sleep = sleep  # injectable for tests
+        self._ssl_context = ssl_context  # mTLS: see mtls_context()
         self._cache: dict[tuple[str, str], str] = {}
 
     def decrypt_key(self, key_encryption_key_id: str, encrypted_key: str) -> str:
@@ -84,7 +116,9 @@ class HttpKeyService:
             url, data=encrypted_key.encode("utf-8"), method="POST"
         )
         try:
-            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+            with urllib.request.urlopen(
+                req, timeout=self._timeout, context=self._ssl_context
+            ) as resp:
                 body = json.loads(resp.read().decode("utf-8"))
                 return body["plaintextDataKey"]
         except urllib.error.HTTPError as e:
