@@ -199,73 +199,93 @@ _R04_RECORDED = frozenset(
 )
 
 
-# Queries whose SEMANTICS OR PLANS changed after their most recent driver
-# record (round-4 verdict finding: a stale green row on changed semantics
-# is the only way the multi-round green record can silently rot).  These
-# outrank plain staleness in the round-5 ordering so the driver re-records
-# them immediately:
-#   - segment_cleaned_corpus / boilerplate_segments: r4 top-5000 removal cap
-#     changed results; last driver row r03.
-#   - winnowing_fingerprints: r4 O(m) rewrite; last row r03.
-#   - ann_ivf_build / ann_pq_topk / ann_ivfpq_topk: r4 argmax codegen
-#     rewrite (+ r5 pq NULL-code coalesce); last rows r02/r03.
-#   - embedding_cosine_neardup: r4 Generate-barrier plan fix; last row r03.
-#   - fuzzy_match_documents: r5 pigeonhole-bound fix over positional grams
-#     (ADVICE high); last row r04.
-#   - dedup_ngram_jaccard: r5 bounded-bucket pair cap; last row r04.
-#   - semdedup_embeddings: r5 scaled-k cells (shared _ivf_fit) + matmul
-#     pair path; last row r04.
-# Plus one freshness force: streaming_latest_per_key — its
-# applyInPandasWithState path keeps evolving (r4 verdict task 8), so it is
-# pinned inside the 50-slot window even though r03-recorded.
-_R05_MODIFIED_SINCE_RECORD = (
-    "segment_cleaned_corpus",
-    "boilerplate_segments",
-    "winnowing_fingerprints",
-    "ann_ivf_build",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "embedding_cosine_neardup",
-    "fuzzy_match_documents",
-    "dedup_ngram_jaccard",
-    "semdedup_embeddings",
-    "streaming_latest_per_key",
+# Round-5's driver record, verified == CORRECTNESS_r05.json key set:
+# the 13 round-5 additions, the 11-query modified block, and the 26
+# stalest (r01/r02), exactly as the r5 handoff predicted.
+_R05_RECORDED = frozenset(
+    {
+        "jaccard_dropped_shingles", "kmv_distinct_users",
+        "temperature_mixture_sample", "unigram_logprob_quality",
+        "token_ngram_topk", "doc_length_outliers",
+        "stratified_kfold_assign", "l_diversity_customers",
+        "minhash_jaccard_estimate", "ann_pq_rerank", "media_wav_features",
+        "grouping_sets_pricing", "user_retention_cohorts",
+        "segment_cleaned_corpus", "boilerplate_segments",
+        "winnowing_fingerprints", "ann_ivf_build", "ann_pq_topk",
+        "ann_ivfpq_topk", "embedding_cosine_neardup",
+        "fuzzy_match_documents", "dedup_ngram_jaccard",
+        "semdedup_embeddings", "streaming_latest_per_key",
+        "resample_daily_fill", "embedding_norms",
+        "customer_spend_segments", "hll_incremental_daily",
+        "media_feature_extract", "snapshot_diff_orders", "media_mp4_meta",
+        "curriculum_order_documents", "dedup_components_star",
+        "dedup_apply", "token_budget_sample_documents",
+        "media_perceptual_keys", "curation_funnel_report", "brand_revenue",
+        "semi_join_discounted", "set_ops_customers", "rollup_pricing",
+        "scalar_string_functions", "salted_agg_counts",
+        "salted_distinct_users", "window_running_totals",
+        "percentile_prices", "pivot_order_status",
+        "rolling_window_revenue", "stat_aggregates_events",
+        "null_safe_join_events",
+    }
 )
 
 
-# Round-6 handoff: the driver records the first 50 of the CURRENT
-# ordering as CORRECTNESS_r05 — i.e. (a) the 13 round-5 additions,
-# (b) the 11-query _R05_MODIFIED_SINCE_RECORD block, (c) stalest-first
-# (6 r01- and 21 r02-recorded queries) — 51 candidates for 50 slots, so
-# the LAST r02-stale query (histogram_prices, unchanged since r02)
-# stays stale until r06: modified-since-record outranks plain
-# staleness by design. Round 6 should lift the recorded set into an
-# _R05_RECORDED frozenset, list any queries whose semantics changed
-# after their latest record in a new modified block, front-load
-# round-6 additions, and keep stalest-first for the rest. NOTE: the 50
-# r03-recorded queries alone fill a whole window — round 6 should add
-# few or no new queries, or accept pushing r03-stale refreshes to r07.
+# Queries whose SEMANTICS OR PLANS changed after their most recent
+# driver record (round-6 changes — see dd2d2e5 and the approx-percentile
+# work):
+#   - ann_ivf_build / ann_ivf_topk / semdedup_embeddings: the
+#     _cell_expr size guard (over-length vectors now -1 on both
+#     dispatch branches); fixed-dim oracle corpora are value-identical
+#     but the plan changed, so the green rows must refresh.
+#   - embedding_cosine_neardup: cosine_neardup_pairs fast path now
+#     pairs per equal-length subgroup (was modal-dim only).
+#   - l_diversity_customers: NULL-sensitive handling moved to a
+#     (is_null, value) struct set; oracle rewritten to mirror it.
+#   - doc_length_outliers: length_outliers refactored around the new
+#     exact/sketch dispatch (exact path value-identical; re-record on
+#     principle — a stale green row on touched code is how the record
+#     rots).
+_R06_MODIFIED_SINCE_RECORD = (
+    "ann_ivf_build",
+    "ann_ivf_topk",
+    "semdedup_embeddings",
+    "embedding_cosine_neardup",
+    "l_diversity_customers",
+    "doc_length_outliers",
+)
+
+
+# Round-7 handoff: round 6's window is EXACTLY full — 2 round-6
+# additions (percentile_prices_approx, doc_length_outliers_approx) +
+# the 6-query modified block + 42 stalest (histogram_prices, the only
+# r02-stale, plus the 41 remaining r03-stale) = 50, so after r06 every
+# query's latest record is r04+ and NOTHING is pushed. Round 7 should
+# lift _R06_RECORDED (= CORRECTNESS_r06 keys), start a fresh modified
+# block, front-load r7 additions, and rotate the then-stalest (the 47
+# r04-recorded queries nearly fill a window — same add-few guidance).
 
 
 def _ordered_queries():
-    """Round-5 ordering: (a) never-recorded queries first (registration
-    order — each new round-5 query gets a driver row immediately), (b)
+    """Round-6 ordering: (a) never-recorded queries first (registration
+    order — each new round-6 query gets a driver row immediately), (b)
     queries modified since their most recent driver record
-    (_R05_MODIFIED_SINCE_RECORD — a stale green row on changed semantics
+    (_R06_MODIFIED_SINCE_RECORD — a stale green row on changed semantics
     must be refreshed before plain staleness rotation), (c) previously
-    recorded queries stalest-first (most recent driver row r01, then r02,
-    then r03, then r04). Every query pushed past index 50 already has a
-    green driver row in the r01∪r02∪r03∪r04 union and is re-verified each
-    round by tests/test_oracle_regression.py."""
+    recorded queries stalest-first (most recent driver row r02, then
+    r03, then r04, then r05). Every query pushed past index 50 already
+    has a green driver row in the r01..r05 union and is re-verified
+    each round by tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    modified_rank = {n: i for i, n in enumerate(_R05_MODIFIED_SINCE_RECORD)}
+    modified_rank = {n: i for i, n in enumerate(_R06_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (5, _R05_RECORDED),
             (4, _R04_RECORDED),
             (3, _R03_RECORDED),
             (2, _R02_RECORDED),

@@ -214,3 +214,49 @@ class TestSparkWriteHFiles:
             for f in files
             if ".tmp-" in f
         ]
+
+    def test_explicit_region_splits_never_cross_boundaries(self, spark, tmp_path):
+        """region_split_keys mode: every HFile's key range must fall
+        inside ONE region's [start, end) — the LoadIncrementalHFiles
+        contract that makes bulk load a rename instead of a load-time
+        split — even when hash partitioning co-locates two regions in
+        one task (write_hfiles splits files per region id)."""
+        import bisect
+        import random
+
+        random.seed(21)
+        rows = [
+            ("t1", bytearray(random.randbytes(3)), f"{i:02x}", 1, f"b{i}")
+            for i in range(120)
+        ]
+        kv = spark.createDataFrame(
+            rows,
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        splits = [b"\x20", b"\x40", b"\x80", b"\xc0", b"\xe0"]  # 6 regions
+        layout = sinks.hbase_bulkload_layout(kv, region_split_keys=splits)
+        out = str(tmp_path / "bulk")
+        paths = sinks.write_hfiles(layout, out)
+
+        def region_of(row: bytes) -> int:
+            return bisect.bisect_right(splits, row)
+
+        all_rows = []
+        for p in paths:
+            rws = []
+            for key, _v in read_hfile(p).cells:
+                rlen = struct.unpack_from(">H", key, 0)[0]
+                rws.append(key[2 : 2 + rlen])
+            assert rws, p
+            regions = {region_of(r) for r in rws}
+            assert len(regions) == 1, (p, regions)  # no boundary crossing
+            all_rows.extend(rws)
+        assert sorted(all_rows) == sorted(bytes(r[1]) for r in rows)
+        # the pinned region id in the filename matches the key-derived one
+        for p in paths:
+            fname = os.path.basename(p)
+            rid = int(fname.split("-r")[1].split(".")[0])
+            key0, _ = read_hfile(p).cells[0]
+            rlen = struct.unpack_from(">H", key0, 0)[0]
+            assert rid == region_of(key0[2 : 2 + rlen])

@@ -325,10 +325,17 @@ def hist_quantiles(
     group_cols: tuple[str, ...] = (),
     scale: int = 100,
     round_dp: int = 4,
+    emit_buckets: bool = False,
 ) -> DataFrame:
     """Quantile estimates from the bucket table: for each q, the lower
     edge of the first bucket whose cumulative count reaches q * total.
-    The counts table is sketch-sized, so the window pass is cheap."""
+    The counts table is sketch-sized, so the window pass is cheap.
+
+    ``emit_buckets`` additionally surfaces the picked bucket id per q
+    (column ``b{q}``) — consumers that need bucket-granularity equality
+    (e.g. length_outliers' degenerate-MAD rule under the sketch) compare
+    ids instead of re-deriving them from the rounded edge, which would
+    be ulp-fragile."""
     from pyspark.sql import Window
 
     w_cum = (
@@ -356,6 +363,11 @@ def hist_quantiles(
         edge(F.col(f"_b{i}")).alias(f"p{str(q).replace('0.', '')}")
         for i, q in enumerate(qs)
     ]
+    if emit_buckets:
+        qcols += [
+            F.col(f"_b{i}").alias(f"b{str(q).replace('0.', '')}")
+            for i, q in enumerate(qs)
+        ]
     return agg.select(*group_cols, *qcols)
 
 

@@ -1037,6 +1037,8 @@ def length_outliers(
     group_col: str = "source",
     z_cut: float = 3.0,
     round_dp: int = 4,
+    exact: bool = True,
+    sketch_scale: int = 100,
 ) -> DataFrame:
     """Robust (median/MAD) length-outlier detection per group — the
     truncation/concatenation-artifact screen a pretraining corpus runs
@@ -1044,35 +1046,73 @@ def length_outliers(
     (unlike mean/stddev z-scores). robust_z = (x - median) /
     (1.4826 * MAD); rows beyond +-z_cut are flagged.
 
-    Two grouped exact-percentile aggregates (median, then MAD) over
-    the same partitioning — at 100 TB swap percentile() for the
-    log-histogram quantile sketch (operators/sketches.py) behind the
-    same output contract. Groups where MAD = 0 (over half the docs
-    share one length — fixed-width exports, caps) flag EVERY value
-    different from the median with a NULL robust_z: dropping such
-    groups would silently miss exactly the truncation artifacts the
-    screen exists for. Output: flagged rows (id, group, value,
-    robust_z) — robust_z rounded, sign preserved, NULL in degenerate
-    groups."""
-    med = df.groupBy(group_col).agg(
-        F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("_med")
-    )
-    dev = df.join(med, group_col).withColumn(
-        "_adev", F.abs(F.col(value_col).cast("double") - F.col("_med"))
-    )
-    mad = dev.groupBy(group_col).agg(
-        F.percentile(F.col("_adev"), F.lit(0.5)).alias("_mad")
-    )
+    ``exact=True`` (default, the oracle path) uses two grouped
+    exact-percentile aggregates (median, then MAD) — these BUFFER each
+    group's values (ObjectHashAggregate), so a hot source group is a
+    task-OOM risk at 100 TB. ``exact=False`` is the scale path: both
+    medians route through the mergeable log-histogram quantile sketch
+    (operators/sketches.py hist_counts/hist_quantiles, DDSketch bucket
+    rule, ~1% relative error at scale=100) — fixed-size map-side state,
+    no buffering, same output contract, and still deterministic enough
+    for a DuckDB oracle to replay bit-for-bit
+    (`doc_length_outliers_approx`).
+
+    Groups where MAD = 0 (over half the docs share one length —
+    fixed-width exports, caps) flag EVERY value different from the
+    median with a NULL robust_z: dropping such groups would silently
+    miss exactly the truncation artifacts the screen exists for. Under
+    the sketch, "different from the median" is bucket-granular (the
+    row's bucket vs the median's PICKED BUCKET id, not the rounded
+    edge, which would flag the modal value itself). Output: flagged
+    rows (id, group, value, robust_z) — robust_z rounded, sign
+    preserved, NULL in degenerate groups."""
+    from uc_historic_data_importer_spark.operators import sketches
+
+    x = F.col(value_col).cast("double")
+    if exact:
+        med = df.groupBy(group_col).agg(
+            F.percentile(x, F.lit(0.5)).alias("_med")
+        )
+    else:
+        med = sketches.hist_quantiles(
+            sketches.hist_counts(
+                df, value_col, group_cols=(group_col,), scale=sketch_scale
+            ),
+            qs=(0.5,),
+            group_cols=(group_col,),
+            scale=sketch_scale,
+            round_dp=round_dp,
+            emit_buckets=True,
+        ).select(
+            group_col,
+            F.col("p5").alias("_med"),
+            F.col("b5").alias("_med_bucket"),
+        )
+    dev = df.join(med, group_col).withColumn("_adev", F.abs(x - F.col("_med")))
+    if exact:
+        mad = dev.groupBy(group_col).agg(
+            F.percentile(F.col("_adev"), F.lit(0.5)).alias("_mad")
+        )
+    else:
+        mad = sketches.hist_quantiles(
+            sketches.hist_counts(
+                dev, "_adev", group_cols=(group_col,), scale=sketch_scale
+            ),
+            qs=(0.5,),
+            group_cols=(group_col,),
+            scale=sketch_scale,
+            round_dp=round_dp,
+        ).select(group_col, F.col("p5").alias("_mad"))
     scale = F.lit(1.4826) * F.col("_mad")
-    z = F.when(
-        F.col("_mad") > 0,
-        F.round(
-            (F.col(value_col).cast("double") - F.col("_med")) / scale, round_dp
-        ),
-    )
+    z = F.when(F.col("_mad") > 0, F.round((x - F.col("_med")) / scale, round_dp))
+    if exact:
+        degenerate = x != F.col("_med")
+    else:
+        row_bucket = F.floor(F.log(F.lit(1.0) + x) * F.lit(sketch_scale))
+        degenerate = row_bucket != F.col("_med_bucket")
     flagged = F.when(
         F.col("_mad") > 0, F.abs(F.col("robust_z")) > z_cut
-    ).otherwise(F.col(value_col).cast("double") != F.col("_med"))
+    ).otherwise(degenerate)
     return (
         dev.join(F.broadcast(mad), group_col)
         .withColumn("robust_z", z)

@@ -268,6 +268,55 @@ def percentile_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_q_subquery(value_expr: str, qs: tuple[float, ...]) -> str:
+    from uc_historic_data_importer_spark.operators import sketches
+
+    return sketches.hist_quantiles_sql(
+        value_expr, "lineitem", qs=qs, group_cols=("l_returnflag",)
+    )
+
+
+@register(
+    "percentile_prices_approx",
+    f"""
+    WITH p AS (SELECT * FROM (
+      {_hist_q_subquery("l_extendedprice", (0.25, 0.5, 0.75))}
+    )),
+    d AS (SELECT * FROM (
+      {_hist_q_subquery("l_discount", (0.5,))}
+    ))
+    SELECT p.l_returnflag, p.p25, p.p5 AS p50, p.p75,
+           d.p5 AS median_discount
+    FROM p JOIN d USING (l_returnflag)
+    """,
+    doc="the 100 TB swap for percentile_prices: identical output shape "
+    "(p25/p50/p75 extended price + median discount per return flag) "
+    "but every quantile routed through the mergeable log-histogram "
+    "sketch (sketches.hist_counts/hist_quantiles, DDSketch bucket "
+    "rule) — fixed-size map-side-combined state instead of the exact "
+    "form's per-group value buffering (ObjectHashAggregate), so a hot "
+    "group can never OOM a task. Deterministic bucket rule -> the "
+    "DuckDB oracle replays it bit-for-bit.",
+)
+def percentile_prices_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import sketches
+
+    li = t(spark, sf_dir, "lineitem")
+    pc = sketches.hist_quantiles(
+        sketches.hist_counts(li, "l_extendedprice", group_cols=("l_returnflag",)),
+        qs=(0.25, 0.5, 0.75),
+        group_cols=("l_returnflag",),
+    ).select(
+        "l_returnflag", "p25", F.col("p5").alias("p50"), "p75"
+    )
+    dc = sketches.hist_quantiles(
+        sketches.hist_counts(li, "l_discount", group_cols=("l_returnflag",)),
+        qs=(0.5,),
+        group_cols=("l_returnflag",),
+    ).select("l_returnflag", F.col("p5").alias("median_discount"))
+    return pc.join(dc, "l_returnflag")
+
+
 @register(
     "pivot_order_status",
     """

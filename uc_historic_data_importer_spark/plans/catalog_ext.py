@@ -4369,6 +4369,79 @@ def doc_length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_length_outliers_approx",
+    """
+    WITH counts AS (
+      SELECT source, floor(ln(1.0 + n_chars::DOUBLE) * 100) AS bucket,
+             count(*) AS cnt
+      FROM documents GROUP BY source, bucket
+    ),
+    cum AS (
+      SELECT source, bucket,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS total
+      FROM counts
+    ),
+    medv AS (
+      SELECT source, med_bucket,
+             round(exp(med_bucket::DOUBLE / 100) - 1.0, 4) AS med
+      FROM (
+        SELECT source,
+               min(CASE WHEN cum >= 0.5 * total THEN bucket END) AS med_bucket
+        FROM cum GROUP BY source
+      )
+    ),
+    dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med, m.med_bucket,
+             abs(d.n_chars::DOUBLE - m.med) AS adev
+      FROM documents d JOIN medv m USING (source)
+    ),
+    acum AS (
+      SELECT source, bucket,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS total
+      FROM (
+        SELECT source, floor(ln(1.0 + adev) * 100) AS bucket, count(*) AS cnt
+        FROM dev GROUP BY source, bucket
+      )
+    ),
+    madv AS (
+      SELECT source, round(exp(mad_bucket::DOUBLE / 100) - 1.0, 4) AS mad
+      FROM (
+        SELECT source,
+               min(CASE WHEN cum >= 0.5 * total THEN bucket END) AS mad_bucket
+        FROM acum GROUP BY source
+      )
+    )
+    SELECT doc_id, source, n_chars,
+           CASE WHEN mad > 0
+                THEN round((n_chars::DOUBLE - med) / (1.4826 * mad), 4)
+           END AS robust_z
+    FROM dev JOIN madv USING (source)
+    WHERE CASE WHEN mad > 0
+               THEN abs(round((n_chars::DOUBLE - med) / (1.4826 * mad), 4)) > 1.5
+               ELSE floor(ln(1.0 + n_chars::DOUBLE) * 100) != med_bucket
+          END
+    """,
+    doc="the 100 TB swap for doc_length_outliers: same robust "
+    "median/MAD screen and output contract, but both grouped medians "
+    "routed through the mergeable log-histogram quantile sketch "
+    "(text.length_outliers(exact=False)) — fixed-size bucket state "
+    "instead of exact percentile()'s per-group value buffering, so a "
+    "hot source group can never OOM a task. Degenerate MAD=0 groups "
+    "flag at bucket granularity (row bucket vs the median's picked "
+    "bucket id) — comparing to the rounded edge would flag the modal "
+    "value itself. Deterministic bucket rule -> DuckDB replays it.",
+)
+def doc_length_outliers_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.length_outliers(
+        t(spark, sf_dir, "documents"), z_cut=1.5, exact=False
+    )
+
+
+@register(
     "stratified_kfold_assign",
     f"""
     SELECT doc_id, source,

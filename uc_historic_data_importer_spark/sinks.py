@@ -403,6 +403,7 @@ def hbase_bulkload_layout(
     n_regions: int = 32,
     family: str = "cf",
     qualifier: str = "record",
+    region_split_keys: list[bytes] | None = None,
 ) -> DataFrame:
     """W2 at bulk scale: the exact DataFrame layout HBase HFile bulk
     load requires, as a plan (no HBase needed to produce or test it).
@@ -410,20 +411,32 @@ def hbase_bulkload_layout(
     The reference puts cells one batch at a time through the region
     servers' write path (HbaseClient.kt:25-41, with SKIP_WAL as its
     bulk-speed concession — Config.kt:27). The idiomatic 100 TB route
-    bypasses region servers entirely: write HFiles with
-    HFileOutputFormat2 and hand them to LoadIncrementalHFiles, which is
-    WAL-free by design (the reference's skipWal flag taken to its
-    conclusion). HFileOutputFormat2 hard-requires its input KeyValues
-    TOTALLY ORDERED by (rowkey, family, qualifier, timestamp DESC) with
-    partition boundaries aligned to regions — this function produces
-    exactly that: repartitionByRange(n_regions) on the row key gives
-    contiguous, region-alignable key ranges (Spark samples split
-    points; at a real cluster pass the table's current region
-    boundaries instead), and sortWithinPartitions orders cells within
-    each prospective HFile. Family/qualifier mirror Config.kt:10-11.
+    bypasses region servers entirely: write HFiles and hand them to
+    LoadIncrementalHFiles, which is WAL-free by design (the reference's
+    skipWal flag taken to its conclusion). That requires the input
+    KeyValues TOTALLY ORDERED by (rowkey, family, qualifier, timestamp
+    DESC) with partition boundaries aligned to regions. Two alignment
+    modes:
 
-    Feed the result to ``write_hfiles`` (needs HBase jars on the
-    classpath) or to any connector that wants region-sorted cells."""
+    - ``region_split_keys=None`` (default): repartitionByRange(
+      n_regions) on the row key — Spark SAMPLES split points, giving
+      contiguous, balanced key ranges. Right for a fresh/empty table
+      (create it pre-split at these boundaries).
+    - ``region_split_keys=[...]`` — the EXISTING table's region start
+      keys (what `RegionLocator.getStartKeys()[1:]` returns, sorted,
+      first region's implicit empty start key excluded). Each row's
+      region id is the count of split keys <= its key — a pure
+      size(filter(literal array)) expression, no join, no UDF — and the
+      shuffle targets exactly one partition per region. This is the
+      LoadIncrementalHFiles contract: a file crossing a region boundary
+      triggers the load-time split slow path; aligned files are pure
+      renames. At 100 TB the split-key list is region-count-sized
+      (thousands) — a broadcast-literal, not a data-sized structure.
+
+    sortWithinPartitions orders cells within each prospective HFile.
+    Family/qualifier mirror Config.kt:10-11. Feed the result to
+    ``write_hfiles`` (pure-Python HFile v3 container) or to any
+    connector that wants region-sorted cells."""
     cells = df.select(
         F.col("key"),
         F.lit(family).alias("family"),
@@ -432,6 +445,25 @@ def hbase_bulkload_layout(
         F.col("envelope").alias("body"),
         F.col("table"),
     )
+    if region_split_keys is not None:
+        splits = sorted(region_split_keys)
+        region_id = F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in splits]),
+                lambda s: s <= F.col("key"),
+            )
+        )
+        return (
+            cells.withColumn("_region_id", region_id)
+            # hash-partition on the region id alone: every row of a
+            # region lands in ONE partition (n_partitions == n_regions
+            # keeps ids collision-free in expectation; collisions would
+            # only co-locate two regions in one task, never split one)
+            .repartition(len(splits) + 1, "_region_id")
+            .sortWithinPartitions(
+                "key", "family", "qualifier", F.desc("version")
+            )
+        )
     return cells.repartitionByRange(n_regions, "key").sortWithinPartitions(
         "key", "family", "qualifier", F.desc("version")
     )
@@ -548,6 +580,7 @@ def write_hfiles(
     ]
     for fam in families:
         os.makedirs(os.path.join(out_dir, fam), exist_ok=True)
+    has_region = "_region_id" in layout.columns
 
     def _write(partition_rows):
         import uuid
@@ -559,22 +592,30 @@ def write_hfiles(
         attempt = (
             str(ctx.taskAttemptId()) if ctx is not None else uuid.uuid4().hex
         )
-        writers: dict[str, tuple[str, str, object, HFileWriter]] = {}
+        writers: dict[tuple, tuple[str, str, object, HFileWriter]] = {}
         try:
             for r in partition_rows:
                 fam = r["family"]
-                ent = writers.get(fam)
+                # explicit-split layouts carry _region_id: one file PER
+                # REGION even when hash partitioning co-locates two
+                # regions in one task — a file must never span a region
+                # boundary (LoadIncrementalHFiles' split slow path)
+                region = r["_region_id"] if has_region else None
+                ent = writers.get((fam, region))
                 if ent is None:
-                    final = os.path.join(
-                        out_dir, fam, f"part-{part:05d}.hfile"
+                    stem = (
+                        f"part-{part:05d}"
+                        if region is None
+                        else f"part-{part:05d}-r{int(region):05d}"
                     )
+                    final = os.path.join(out_dir, fam, f"{stem}.hfile")
                     tmp = f"{final}.tmp-{attempt}"
                     fh = open(tmp, "wb")
                     ent = (tmp, final, fh, HFileWriter(
                         fh, block_size=block_size,
                         create_time_ms=create_time_ms,
                     ))
-                    writers[fam] = ent
+                    writers[(fam, region)] = ent
                 ent[3].append_keyvalue(
                     keyvalue_bytes(
                         bytes(r["key"]),
