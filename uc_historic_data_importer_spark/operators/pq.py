@@ -51,10 +51,13 @@ def _sub(vec: Column, j: int, sub_dim: int) -> Column:
 def _dot_lit(sub: Column, cent: list[float]) -> Column:
     """sub · literal centroid, UNROLLED into element_at multiply-adds.
 
-    The higher-order-function dot (aggregate over zip_with) is
-    interpreted per row — hoisting the centroid to literals turns the
-    whole product into whole-stage-codegen scalar arithmetic (~10x on
-    the encode path). Left-associated sum = the same association as a
+    The higher-order-function dot (aggregate over zip_with) re-enters
+    the interpreter per ELEMENT — hoisting the centroid to literals
+    turns the whole product into one flat scalar-arithmetic tree (~10x
+    on the encode path; in a plain Project it also whole-stage-codegen
+    compiles at PQ's small per-subspace term counts — see
+    similarity._cell_expr for the measured compile/fallback matrix).
+    Left-associated sum = the same association as a
     sequential accumulate, so DuckDB's list_inner_product reproduces
     the double bit-for-bit.
 

@@ -196,20 +196,39 @@ def _cell_expr(
     The comparison key is dot(v, c) / |c| — NOT the full cosine: |v| is
     a positive constant across centroids, so dropping it changes no
     argmax result and removes the per-centroid interpreted self-dot.
-    The dot itself is UNROLLED into element_at multiply-adds (the HOF
-    aggregate is interpreted per row; literals make it whole-stage
-    codegen). Keys are rounded BEFORE the argmax and ties break to the
-    LOWEST cell id (array_position finds the FIRST max); the oracle
-    rounds the identical key, so the assignment is bit-stable across
-    engines.
+    The dot itself is UNROLLED into element_at multiply-adds rather
+    than a HOF aggregate (a lambda re-enters the interpreter per
+    ELEMENT; the flat literal chain evaluates as one expression tree
+    and, in a plain Project, compiles — measured round 6: 0 codegen
+    fallbacks through 1,024 terms in Project, WITH or without the size
+    guard seed). Keys are rounded BEFORE the argmax and ties break to
+    the LOWEST cell id (array_position finds the FIRST max); the
+    oracle rounds the identical key, so the assignment is bit-stable
+    across engines.
+
+    Codegen reality, measured (round 6, Spark 4.1):
+    - plain Project (the assign_cells shape): compiles to >= 1,024
+      terms — whole-stage codegen splits the flat Add chains into
+      sub-methods.
+    - Project + any predicate on the computed column WITHOUT a
+      Generate barrier: pushdown clones the tree into the Filter and
+      the fused stage blows Janino's 64 KB method limit from ~640
+      terms — the pathology assign_cells' non-nullable coalesce and
+      semdedup's explode barrier exist to prevent.
+    - INSIDE a Generate (the explode(array(cell)) barrier shape):
+      never compiles — Generate cannot split a single consume method,
+      so every size from 128 terms up falls back to interpreted
+      evaluation. The barrier trades a compiled Project for an
+      interpreted Generate; that trade is confined to dispatch paths
+      bounded at exact_max_rows/oracle scale, where interpreted eval
+      of ~640 terms over <= 1k rows is milliseconds.
 
     The argmax is array_position(scores, array_max(scores)), NOT a
     chain of nested when(score > best)-folds: the fold duplicates the
     whole accumulated score tree at every step (O(2^k) expression
-    size), which pushes the generated Java past Janino's method limit
-    and silently drops the entire stage to interpreted mode. The array
+    size), which overwhelms even interpreted evaluation. The array
     form keeps each score expression exactly once, so k x dim stays
-    linear and the stage compiles.
+    linear.
 
     A vector whose length differs from the centroid dim — in EITHER
     direction — yields NULL (the -1 sentinel after assign_cells'
@@ -244,14 +263,17 @@ def _cell_expr(
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
-# above this many k x dim literal terms the unrolled argmax expression
-# stops compiling into one whole-stage-codegen method and falls to
-# interpreted evaluation (observed: k=40 x dim=64 = 2,560 terms ran the
-# 2k-row assignment in ~15 s interpreted vs ~1 s vectorized; k=400
-# OOMed the JVM on repeated giant codegen) — past the budget the
-# assignment switches to the Arrow-vectorized matmul path. 1,024 terms
-# keeps every driver-oracle scale (sf0.01: k=10 x 64 = 640) on the
-# bit-exact expression path while bench/soak scales take the fast one.
+# the unrolled-argmax term budget. Its job is twofold: (a) keep every
+# driver-oracle scale (sf0.01: k=10 x 64 = 640) on the bit-exact
+# expression path, (b) bound the cost of that path where it runs
+# interpreted — under the explode barrier (semdedup's small branch)
+# Generate cannot split the expression and evaluation is interpreted
+# at EVERY size (see _cell_expr), and in a plain Project the compiled
+# evaluation still costs O(k x dim) per row (observed: k=40 x dim=64
+# = 2,560 terms ran a 2k-row assignment in ~15 s vs ~1 s vectorized;
+# k=400 OOMed the JVM on repeated giant codegen). Past the budget the
+# assignment switches to the Arrow-vectorized matmul path, one BLAS
+# call per batch regardless of k.
 _CELL_EXPR_MAX_TERMS = 1024
 
 
@@ -786,7 +808,10 @@ def semdedup(
     # barrier): the -1-sentinel filter below is a real predicate on a
     # computed column, and without the barrier predicate pushdown would
     # clone the whole k x dim argmax tree into a Filter — the exact
-    # pathology test_cell_argmax_never_cloned_into_filters pins
+    # pathology test_cell_argmax_never_cloned_into_filters pins. The
+    # barrier's cost: Generate can't split the expression, so this
+    # branch evaluates the argmax interpreted at every size (see
+    # _cell_expr) — bounded by exact_max_rows, where it's milliseconds
     v = _ensure_parallel(df).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
