@@ -492,3 +492,111 @@ class TestJpegCodec:
             assert "categor" in str(e)
         except KeyError:  # the old failure mode — must not happen
             _pytest.fail("DC overflow surfaced as KeyError")
+
+
+class TestDctVectorParity:
+    """The numpy DCT fast path must be BIT-identical to the scalar
+    T.81 direct forms — not close, identical: the media oracles replay
+    exact arithmetic (media_jpeg_decode's DC formula) and any last-ulp
+    drift in the batched multiply/summation order would flip a
+    floor(x+0.5) somewhere eventually. Each case runs encode+decode
+    with numpy enabled and with the module's _np forced to None and
+    compares payload bytes AND decoded pixels exactly."""
+
+    @staticmethod
+    def _both_paths(fn):
+        got_np = fn()
+        saved = ic._np
+        ic._np = None
+        try:
+            got_scalar = fn()
+        finally:
+            ic._np = saved
+        return got_np, got_scalar
+
+    def test_gray_roundtrip_bitexact_parity(self):
+        import random
+
+        rng = random.Random(17)
+        imgs = [
+            (16, 9, bytes([v]) * 144) for v in (0, 1, 128, 254, 255)
+        ] + [
+            (
+                w,
+                h,
+                bytes(rng.randrange(256) for _ in range(w * h)),
+            )
+            for (w, h) in ((1, 1), (8, 8), (24, 17), (33, 7))
+        ]
+
+        def run():
+            out = []
+            for w, h, img in imgs:
+                p = ic.encode_jpeg_gray(w, h, img)
+                out.append((p, ic.decode_jpeg(p)))
+            return out
+
+        a, b = self._both_paths(run)
+        assert a == b
+
+    def test_rgb_roundtrip_bitexact_parity(self):
+        import random
+
+        rng = random.Random(23)
+        img = bytes(rng.randrange(256) for _ in range(24 * 11 * 3))
+
+        def run():
+            p = ic.encode_jpeg_rgb(24, 11, img)
+            return p, ic.decode_jpeg(p)
+
+        a, b = self._both_paths(run)
+        assert a == b
+
+    def test_unit_qt_dense_coefficients_parity(self):
+        # unit quant tables keep nearly every AC coefficient nonzero, so
+        # the zero-skip branch is mostly NOT taken — exercises the dense
+        # accumulation order
+        import random
+
+        rng = random.Random(29)
+        img = bytes(rng.randrange(256) for _ in range(16 * 16))
+
+        def run():
+            p = ic.encode_jpeg_gray(16, 16, img, qt=(1,) * 64)
+            return p, ic.decode_jpeg(p)
+
+        a, b = self._both_paths(run)
+        assert a == b
+
+    def test_fdct_idct_block_batch_matches_scalar_exactly(self):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(31)
+        blocks = [
+            [rng.uniform(-128.0, 127.0) for _ in range(64)] for _ in range(7)
+        ]
+        # sparsify some rows so the zero-skip branch is taken too
+        for j in range(64):
+            if j % 3:
+                blocks[2][j] = 0.0
+            blocks[4][j] = 0.0
+        B = np.asarray(blocks)
+        batch_f = ic._fdct_blocks(B)
+        batch_i = ic._idct_blocks(B)
+        for r in range(len(blocks)):
+            assert batch_f[r].tolist() == ic._fdct(blocks[r])
+            assert batch_i[r].reshape(64).tolist() == ic._idct(blocks[r])
+
+    def test_chunked_decode_matches_single_chunk(self, monkeypatch):
+        # a decode spanning multiple IDCT chunks must equal the
+        # one-chunk result (chunk boundaries are invisible)
+        import random
+
+        rng = random.Random(37)
+        img = bytes(rng.randrange(256) for _ in range(40 * 33))
+        p = ic.encode_jpeg_gray(40, 33, img)
+        whole = ic.decode_jpeg(p)
+        monkeypatch.setattr(ic, "_IDCT_CHUNK", 3)
+        assert ic.decode_jpeg(p) == whole

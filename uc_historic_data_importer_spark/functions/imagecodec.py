@@ -404,6 +404,63 @@ def _idct(coef: list[float]) -> list[float]:
     return out
 
 
+# Optional vectorized DCT fast path. numpy is NOT required by this
+# module (the scalar T.81 direct forms above are the reference and the
+# fallback), but when it is importable the per-block Python loops — 86%
+# of a profiled encode+decode — batch across all blocks of an image.
+# BIT-IDENTICAL by construction, not by tolerance: every per-term
+# multiply keeps the scalar grouping (((CC*coef)*cos_x)*cos_y), every
+# accumulator adds terms in the same u-major/v-minor (IDCT) or
+# x-major/y-minor (FDCT) order, and the all-zero-input skip only
+# removes ±0.0 additions, which can never change an IEEE-754 sum whose
+# accumulator starts at +0.0 (+0.0 + -0.0 = +0.0, and a +0.0/-0.0 add
+# leaves any other value's bits untouched). Parity is pinned
+# exhaustively in tests/test_imagecodec.py::TestDctVectorParity.
+try:  # pragma: no cover - import guard
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy absent
+    _np = None  # type: ignore[assignment]
+
+if _np is not None:
+    _COS_NP = _np.array(_COS)  # [x][u] (== [y][v] — same table)
+    _CC_NP = _np.array(_CC)  # [u][v]
+    _QUARTER_CC_NP = 0.25 * _CC_NP  # scalar folds (0.25*ccu[v]) first
+
+
+def _fdct_blocks(blocks):
+    """Batched _fdct: (nb, 64) float64 level-shifted samples ->
+    (nb, 64) coefficients, bit-identical to looping _fdct per block."""
+    nb = blocks.shape[0]
+    B = blocks.reshape(nb, 8, 8)
+    acc = _np.zeros((nb, 8, 8))
+    nz = B.any(axis=0)  # one vectorized pre-check, not 64 .any() calls
+    for x in range(8):
+        cos_xu = _COS_NP[x]  # over u
+        for y in range(8):
+            if not nz[x, y]:
+                continue  # ±0.0 terms — bit-safe to skip (see above)
+            t = B[:, x, y][:, None] * cos_xu[None, :]  # (block*cxu), per u
+            acc += t[:, :, None] * _COS_NP[y][None, None, :]  # *COS[y][v]
+    return (_QUARTER_CC_NP[None, :, :] * acc).reshape(nb, 64)
+
+
+def _idct_blocks(coefs):
+    """Batched _idct: (nb, 64) float64 dequantized coefficients ->
+    (nb, 8, 8) samples, bit-identical to looping _idct per block."""
+    nb = coefs.shape[0]
+    acc = _np.zeros((nb, 8, 8))
+    nz = coefs.any(axis=0)  # one vectorized pre-check, not 64 .any() calls
+    for u in range(8):
+        cos_xu = _COS_NP[:, u]  # over x
+        for v in range(8):
+            if not nz[u * 8 + v]:
+                continue  # ±0.0 terms — bit-safe to skip (see above)
+            t1 = _CC_NP[u, v] * coefs[:, u * 8 + v]  # (ccu[v]*coef)
+            t2 = t1[:, None] * cos_xu[None, :]  # *cxu, per x
+            acc += t2[:, :, None] * _COS_NP[:, v][None, None, :]  # *COS[y][v]
+    return 0.25 * acc
+
+
 def _round_half_up(x: float) -> int:
     return int(_math.floor(x + 0.5))
 
@@ -432,6 +489,11 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             k += 1
         code <<= 1
     return codes
+
+
+# the encoder's tables are fixed — build the code maps once, not per call
+_ENC_DC_CODES = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+_ENC_AC_CODES = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
 
 
 class _BitWriter:
@@ -480,6 +542,87 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
+def _quantized_blocks(
+    width: int, height: int, plane: bytes, qt: tuple[int, ...]
+) -> list[list[int]]:
+    """Every 8x8 block of one sample plane, level-shifted, FDCT'd, and
+    quantized (floor(coef/qt + 0.5)) — in by-major/bx-minor block order
+    with edge blocks replicating the last row/column. The numpy path
+    pads with mode='edge' (same replication as the min() clamp) and
+    runs ONE batched FDCT for the whole plane; values are bit-identical
+    to the scalar fallback (see _fdct_blocks)."""
+    if _np is not None:
+        img = _np.frombuffer(plane, dtype=_np.uint8).reshape(height, width)
+        img = _np.pad(
+            img, ((0, (-height) % 8), (0, (-width) % 8)), mode="edge"
+        )
+        h8, w8 = img.shape
+        blocks = (
+            img.reshape(h8 // 8, 8, w8 // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 64)
+            .astype(_np.float64)
+            - 128.0
+        )
+        coefs = _fdct_blocks(blocks)
+        qtv = _np.asarray(qt, dtype=_np.float64)
+        return _np.floor(coefs / qtv[None, :] + 0.5).astype(_np.int64).tolist()
+    out: list[list[int]] = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [0.0] * 64
+            for x in range(8):
+                sy = min(by + x, height - 1)
+                for y in range(8):
+                    sx = min(bx + y, width - 1)
+                    block[x * 8 + y] = plane[sy * width + sx] - 128.0
+            coef = _fdct(block)
+            out.append([_round_half_up(coef[i] / qt[i]) for i in range(64)])
+    return out
+
+
+def _encode_block(
+    bw: "_BitWriter",
+    q: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one quantized block (DC DPCM + AC run-length in
+    zigzag order); returns the new DC predictor."""
+    diff = q[0] - pred
+    cat = _dc_category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    zz = [q[_ZIGZAG[i]] for i in range(64)]
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return q[0]
+
+
 def encode_jpeg_gray(
     width: int,
     height: int,
@@ -493,54 +636,13 @@ def encode_jpeg_gray(
     if width <= 0 or height <= 0 or len(pixels) != width * height:
         raise ValueError("bad grayscale buffer")
     qt_zz = bytes(qt[_ZIGZAG[i]] for i in range(64))
-    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
 
     bw = _BitWriter()
     pred = 0
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            block = [0.0] * 64
-            for x in range(8):
-                sy = min(by + x, height - 1)
-                for y in range(8):
-                    sx = min(bx + y, width - 1)
-                    block[x * 8 + y] = pixels[sy * width + sx] - 128.0
-            coef = _fdct(block)
-            q = [_round_half_up(coef[i] / qt[i]) for i in range(64)]
-            # DC difference
-            diff = q[0] - pred
-            pred = q[0]
-            cat = _dc_category(diff)
-            code, ln = dc_codes[cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            # AC run-length in zigzag order
-            run = 0
-            last_nz = 0
-            zz = [q[_ZIGZAG[i]] for i in range(64)]
-            for i in range(63, 0, -1):
-                if zz[i]:
-                    last_nz = i
-                    break
-            for i in range(1, last_nz + 1):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat = _category(v)
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+    for q in _quantized_blocks(width, height, pixels, qt):
+        pred = _encode_block(bw, q, pred, dc_codes, ac_codes)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -586,8 +688,14 @@ class _BitReader:
             else:
                 self.marker = nxt
                 raise _MarkerInData()
-        self._acc = (self._acc << 8) | b
-        self._n += 8
+        # _fill only runs when every buffered bit is consumed (_n == 0),
+        # so REPLACE the accumulator rather than shifting into it: the
+        # shift-or form (acc << 8 | b) kept every consumed byte alive as
+        # a growing bignum, making each subsequent shift O(bytes read) —
+        # quadratic in stream size (measured: a 512x512 noise image
+        # decoded in 61 s; this fix + the batched IDCT bring it to ~2 s)
+        self._acc = b
+        self._n = 8
 
     def bit(self) -> int:
         if self._n == 0:
@@ -756,6 +864,8 @@ def _decode_scan(
     scan: list[tuple[int, "_HuffTable", "_HuffTable", list[int]]],
     dri: int,
 ) -> tuple[int, int, int, bytes]:
+    if _np is not None:
+        return _decode_scan_np(data, pos, width, height, scan, dri)
     mcw = (width + 7) // 8
     mch = (height + 7) // 8
     nc = len(scan)
@@ -830,6 +940,105 @@ def _decode_scan(
     return width, height, 3, bytes(out)
 
 
+# batch size for the chunked IDCT: bounds the decode-side coefficient
+# buffer (nc x CHUNK x 64 float64 ~ 6 MB at nc=3) so an arbitrarily
+# large image never holds all of its coefficients at once — the
+# entropy loop streams MCUs into the chunk and each flush is one
+# batched IDCT + level shift + plane placement
+_IDCT_CHUNK = 4096
+
+
+def _decode_scan_np(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    scan: list[tuple[int, "_HuffTable", "_HuffTable", list[int]]],
+    dri: int,
+) -> tuple[int, int, int, bytes]:
+    """Numpy twin of the scalar scan decode. The Huffman/DPCM entropy
+    loop is unchanged (serial by construction — each code's length is
+    only known after decoding it); dequantized coefficients accumulate
+    into a chunk buffer and the IDCT + level shift + clamp + YCbCr
+    conversion run batched. Bit-identical to the scalar path: integer
+    coefficients are exact in float64, _idct_blocks preserves the
+    scalar summation order, and every rounding keeps the scalar
+    grouping (floor((px + 128.0) + 0.5); Y + (1.402*cr); etc.)."""
+    mcw = (width + 7) // 8
+    mch = (height + 7) // 8
+    nc = len(scan)
+    nmcu = mcw * mch
+    planes = [
+        _np.empty((mch * 8, mcw * 8), dtype=_np.uint8) for _ in range(nc)
+    ]
+    chunk = min(_IDCT_CHUNK, nmcu)
+    coefs = _np.zeros((nc, chunk, 64), dtype=_np.float64)
+    base = 0  # first MCU index of the current chunk
+    fill = 0  # MCUs currently buffered
+
+    def flush() -> None:
+        nonlocal base, fill
+        if not fill:
+            return
+        for ci in range(nc):
+            px = _idct_blocks(coefs[ci, :fill])
+            v = _np.floor((px + 128.0) + 0.5)
+            v = _np.clip(v, 0.0, 255.0).astype(_np.uint8)
+            plane = planes[ci]
+            for j in range(fill):
+                my, mx = divmod(base + j, mcw)
+                plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = v[j]
+        coefs[:, :fill] = 0.0
+        base += fill
+        fill = 0
+
+    br = _BitReader(data, pos)
+    preds = [0] * nc
+    rst_n = 0
+    for mcu in range(nmcu):
+        if dri and mcu and mcu % dri == 0:
+            br.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds = [0] * nc
+        for ci, (_cid, dc_t, ac_t, qt) in enumerate(scan):
+            row = coefs[ci, fill]
+            try:
+                cat = dc_t.decode(br)
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                preds[ci] += diff
+                row[0] = preds[ci] * qt[0]
+                k = 1
+                while k <= 63:
+                    rs = ac_t.decode(br)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise UnsupportedImageError("AC index overflow")
+                    row[_ZIGZAG[k]] = _extend(br.bits(s), s) * qt[_ZIGZAG[k]]
+                    k += 1
+            except _MarkerInData:
+                raise UnsupportedImageError("marker inside MCU")
+        fill += 1
+        if fill == chunk:
+            flush()
+    flush()
+    if nc == 1:
+        return width, height, 1, planes[0][:height, :width].tobytes()
+    yf = planes[0][:height, :width].astype(_np.float64)
+    cb = planes[1][:height, :width].astype(_np.float64) - 128.0
+    cr = planes[2][:height, :width].astype(_np.float64) - 128.0
+    r = _np.floor((yf + 1.402 * cr) + 0.5)
+    g = _np.floor(((yf - 0.344136 * cb) - 0.714136 * cr) + 0.5)
+    b = _np.floor((yf + 1.772 * cb) + 0.5)
+    rgb = _np.clip(_np.stack((r, g, b), axis=-1), 0.0, 255.0)
+    return width, height, 3, rgb.astype(_np.uint8).tobytes()
+
+
 def encode_jpeg_rgb(
     width: int,
     height: int,
@@ -841,66 +1050,47 @@ def encode_jpeg_rgb(
     exercises the decoder's multi-component MCU + color-convert path."""
     if width <= 0 or height <= 0 or len(pixels) != width * height * 3:
         raise ValueError("bad RGB buffer")
-    # full-range Rec.601 forward transform, floor(x+0.5) rounding
-    planes = [bytearray(width * height) for _ in range(3)]
-    for i in range(width * height):
-        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
-        y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
-        cb = _round_half_up(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
-        cr = _round_half_up(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
-        planes[0][i] = min(255, max(0, y))
-        planes[1][i] = min(255, max(0, cb))
-        planes[2][i] = min(255, max(0, cr))
+    # full-range Rec.601 forward transform, floor(x+0.5) rounding; the
+    # numpy branch keeps the scalar left-to-right grouping per channel
+    # so the clamped plane bytes are bit-identical to the loop below
+    if _np is not None:
+        px = _np.frombuffer(pixels, dtype=_np.uint8).reshape(-1, 3)
+        r = px[:, 0].astype(_np.float64)
+        g = px[:, 1].astype(_np.float64)
+        b = px[:, 2].astype(_np.float64)
+        y = _np.floor(((0.299 * r + 0.587 * g) + 0.114 * b) + 0.5)
+        cb = _np.floor((((128 - 0.168736 * r) - 0.331264 * g) + 0.5 * b) + 0.5)
+        cr = _np.floor((((128 + 0.5 * r) - 0.418688 * g) - 0.081312 * b) + 0.5)
+        planes = [
+            bytearray(_np.clip(c, 0.0, 255.0).astype(_np.uint8).tobytes())
+            for c in (y, cb, cr)
+        ]
+    else:
+        planes = [bytearray(width * height) for _ in range(3)]
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+            cb = _round_half_up(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            cr = _round_half_up(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+            planes[0][i] = min(255, max(0, y))
+            planes[1][i] = min(255, max(0, cb))
+            planes[2][i] = min(255, max(0, cr))
     qt_zz = bytes(qt[_ZIGZAG[i]] for i in range(64))
-    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            for ci in range(3):
-                plane = planes[ci]
-                block = [0.0] * 64
-                for x in range(8):
-                    sy = min(by + x, height - 1)
-                    for y in range(8):
-                        sx = min(bx + y, width - 1)
-                        block[x * 8 + y] = plane[sy * width + sx] - 128.0
-                coef = _fdct(block)
-                q = [_round_half_up(coef[i] / qt[i]) for i in range(64)]
-                diff = q[0] - preds[ci]
-                preds[ci] = q[0]
-                cat = _dc_category(diff)
-                code, ln = dc_codes[cat]
-                bw.write(code, ln)
-                if cat:
-                    bw.write(
-                        diff if diff >= 0 else diff + (1 << cat) - 1, cat
-                    )
-                run = 0
-                zz = [q[_ZIGZAG[i]] for i in range(64)]
-                last_nz = 0
-                for i in range(63, 0, -1):
-                    if zz[i]:
-                        last_nz = i
-                        break
-                for i in range(1, last_nz + 1):
-                    v = zz[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = ac_codes[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = ac_codes[(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]
-                    bw.write(code, ln)
+    # one batched FDCT per component plane; the interleaved scan then
+    # walks the three per-plane block lists in MCU order
+    comp_qs = [
+        _quantized_blocks(width, height, bytes(planes[ci]), qt)
+        for ci in range(3)
+    ]
+    for bi in range(len(comp_qs[0])):
+        for ci in range(3):
+            preds[ci] = _encode_block(
+                bw, comp_qs[ci][bi], preds[ci], dc_codes, ac_codes
+            )
     bw.flush()
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, b"\x00" + qt_zz)
