@@ -433,14 +433,17 @@ def _fdct_blocks(blocks):
     nb = blocks.shape[0]
     B = blocks.reshape(nb, 8, 8)
     acc = _np.zeros((nb, 8, 8))
-    nz = B.any(axis=0)  # one vectorized pre-check, not 64 .any() calls
+    if not B.any():  # all-zero plane (e.g. uniform gray 128) — acc stays 0
+        return (_QUARTER_CC_NP[None, :, :] * acc).reshape(nb, 64)
+    # both multiplies hoisted out of the accumulation loop; the 64
+    # per-term adds stay explicit (and x-major/y-minor) because numpy's
+    # pairwise/unrolled reductions would change the summation order
+    t1 = B[:, :, :, None] * _COS_NP[None, :, None, :]  # [nb,x,y,u] block*cxu
     for x in range(8):
-        cos_xu = _COS_NP[x]  # over u
+        t2 = t1[:, x][:, :, :, None] * _COS_NP[None, :, None, :]
+        # t2[nb,y,u,v] = (block*cxu)*COS[y][v]
         for y in range(8):
-            if not nz[x, y]:
-                continue  # ±0.0 terms — bit-safe to skip (see above)
-            t = B[:, x, y][:, None] * cos_xu[None, :]  # (block*cxu), per u
-            acc += t[:, :, None] * _COS_NP[y][None, None, :]  # *COS[y][v]
+            acc += t2[:, y]
     return (_QUARTER_CC_NP[None, :, :] * acc).reshape(nb, 64)
 
 
