@@ -188,9 +188,11 @@ class TestSparkWriteHFiles:
         layout = sinks.hbase_bulkload_layout(kv, n_regions=3)
         out = str(tmp_path / "bulk")
         paths = sinks.write_hfiles(layout, out)
-        # bulk-load directory shape: <out>/<family>/<file>
+        # bulk-load directory shape: <out>/<table>/<family>/<file> —
+        # each <out>/<table> is one LoadIncrementalHFiles directory
         assert paths and all(
-            os.path.dirname(p) == os.path.join(out, "cf") for p in paths
+            os.path.dirname(p) == os.path.join(out, "t1", "cf")
+            for p in paths
         )
         all_cells = []
         for p in paths:
@@ -260,3 +262,70 @@ class TestSparkWriteHFiles:
             key0, _ = read_hfile(p).cells[0]
             rlen = struct.unpack_from(">H", key0, 0)[0]
             assert rid == region_of(key0[2 : 2 + rlen])
+
+    def test_multi_table_layout_separates_directories(self, spark, tmp_path):
+        """The kv model carries several HBase tables in one DataFrame;
+        bulk load is per-table, so cells must land under their own
+        <out>/<table>/<family> directory with no cross-table mixing in
+        any file."""
+        rows = [
+            ("db1:alpha", bytearray(bytes([i])), f"{i:02x}", 1, f"a{i}")
+            for i in range(12)
+        ] + [
+            ("db2:beta", bytearray(bytes([i])), f"{i:02x}", 1, f"b{i}")
+            for i in range(7)
+        ]
+        kv = spark.createDataFrame(
+            rows,
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        layout = sinks.hbase_bulkload_layout(kv, n_regions=2)
+        out = str(tmp_path / "bulk")
+        paths = sinks.write_hfiles(layout, out)
+        by_table = {"db1:alpha": [], "db2:beta": []}
+        for p in paths:
+            rel = os.path.relpath(p, out)
+            table = rel.split(os.sep)[0]
+            assert table in by_table, rel
+            assert rel.split(os.sep)[1] == "cf"
+            for _k, v in read_hfile(p).cells:
+                by_table[table].append(v)
+        assert sorted(by_table["db1:alpha"]) == sorted(
+            f"a{i}".encode() for i in range(12)
+        )
+        assert sorted(by_table["db2:beta"]) == sorted(
+            f"b{i}".encode() for i in range(7)
+        )
+
+    def test_rerun_into_same_dir_leaves_no_stale_files(self, spark, tmp_path):
+        """File names are partition-derived, so a re-run producing fewer
+        files must not leave the previous run's extras visible — the
+        writer owns out_dir and clears old *.hfile/temp files up
+        front."""
+        def kv_of(n):
+            return spark.createDataFrame(
+                [
+                    ("t1", bytearray(bytes([i])), f"{i:02x}", 1, f"b{i}")
+                    for i in range(n)
+                ],
+                "table string, key binary, key_hex string, version long, "
+                "envelope string",
+            )
+
+        out = str(tmp_path / "bulk")
+        first = sinks.write_hfiles(
+            sinks.hbase_bulkload_layout(kv_of(40), n_regions=4), out
+        )
+        assert len(first) >= 2
+        second = sinks.write_hfiles(
+            sinks.hbase_bulkload_layout(kv_of(5), n_regions=1), out
+        )
+        on_disk = sorted(
+            os.path.join(d, f)
+            for d, _s, files in os.walk(out)
+            for f in files
+        )
+        assert on_disk == sorted(second)  # nothing stale from run 1
+        total = sum(read_hfile(p).entry_count for p in second)
+        assert total == 5

@@ -567,9 +567,19 @@ def _quantized_blocks(
             .astype(_np.float64)
             - 128.0
         )
-        coefs = _fdct_blocks(blocks)
         qtv = _np.asarray(qt, dtype=_np.float64)
-        return _np.floor(coefs / qtv[None, :] + 0.5).astype(_np.int64).tolist()
+        # chunked like the decoder's _IDCT_CHUNK: _fdct_blocks' hoisted
+        # t1 intermediate is 4 KB/block (64 B per input pixel) — batch
+        # the whole plane and a 16 MP encode transiently allocates ~1 GB
+        out_q: list[list[int]] = []
+        for i in range(0, blocks.shape[0], _IDCT_CHUNK):
+            coefs = _fdct_blocks(blocks[i : i + _IDCT_CHUNK])
+            out_q.extend(
+                _np.floor(coefs / qtv[None, :] + 0.5)
+                .astype(_np.int64)
+                .tolist()
+            )
+        return out_q
     out: list[list[int]] = []
     for by in range(0, height, 8):
         for bx in range(0, width, 8):

@@ -341,11 +341,14 @@ class HFileWriter:
         self._flush_data_block()
         load_on_open = self._offset
         # root data index, then the (empty) meta index root — the reader
-        # walks them sequentially from load_on_open_data_offset
+        # walks them sequentially from load_on_open_data_offset.
+        # uncompressed_data_index_size (trailer field 3) counts the DATA
+        # index only — HBase's FileTrailerProto excludes the meta index,
+        # so the measurement window closes before the empty meta root
         before = self._total_uncompressed
         self._write_block(ROOT_INDEX_MAGIC, self._root_index_bytes(self._index))
-        self._write_block(ROOT_INDEX_MAGIC, b"")
         self._index_uncompressed = self._total_uncompressed - before
+        self._write_block(ROOT_INDEX_MAGIC, b"")
         file_info_offset = self._offset
         self._write_block(FILE_INFO_MAGIC, self._file_info_bytes())
         self._fh.write(

@@ -292,6 +292,21 @@ def cms_sql(
 # Log-histogram quantile sketch (mergeable percentiles)
 # ---------------------------------------------------------------------------
 
+def log_bucket(value: Column, scale: int = 100) -> Column:
+    """THE sketch bucket rule — floor(ln(1 + value) * scale) — as one
+    shared expression. hist_counts builds its state with it and
+    consumers that compare a row against a sketch bucket (e.g.
+    text.length_outliers' degenerate-MAD rule) MUST derive the row's
+    bucket through this same function: a drifted inline copy of the
+    rule would silently break bucket-equality comparisons. The DuckDB
+    twin lives in hist_quantiles_sql's `floor(ln(1.0 + x) * scale)`
+    string — oracle SQL is textual by nature, so that copy is pinned
+    by the oracle gate instead."""
+    return F.floor(
+        F.log(F.lit(1.0) + value.cast("double")) * F.lit(scale)
+    )
+
+
 def hist_counts(
     df: DataFrame,
     value_col: str,
@@ -309,9 +324,7 @@ def hist_counts(
     streaming micro-batches. DDSketch's bucket rule, kept to pure
     ln/floor so any engine reproduces it bit-for-bit.
     """
-    bucket = F.floor(
-        F.log(F.lit(1.0) + F.col(value_col).cast("double")) * F.lit(scale)
-    ).alias("bucket")
+    bucket = log_bucket(F.col(value_col), scale).alias("bucket")
     return (
         df.select(*group_cols, bucket)
         .groupBy(*group_cols, "bucket")

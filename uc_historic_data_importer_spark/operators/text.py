@@ -1108,8 +1108,12 @@ def length_outliers(
     if exact:
         degenerate = x != F.col("_med")
     else:
-        row_bucket = F.floor(F.log(F.lit(1.0) + x) * F.lit(sketch_scale))
-        degenerate = row_bucket != F.col("_med_bucket")
+        # the row's bucket MUST come from the same shared rule that
+        # built the sketch state (sketches.log_bucket) — an inline copy
+        # could drift and silently break the bucket-equality comparison
+        degenerate = (
+            sketches.log_bucket(x, sketch_scale) != F.col("_med_bucket")
+        )
     flagged = F.when(
         F.col("_mad") > 0, F.abs(F.col("robust_z")) > z_cut
     ).otherwise(degenerate)

@@ -445,6 +445,11 @@ def hbase_bulkload_layout(
         F.col("envelope").alias("body"),
         F.col("table"),
     )
+    # `table` leads both the partitioning and the within-partition sort:
+    # the kv model carries multiple HBase tables in one DataFrame, and a
+    # bulk-load file must never mix tables (each table gets its own
+    # LoadIncrementalHFiles directory in write_hfiles). With a
+    # single-table layout the leading constant changes nothing.
     if region_split_keys is not None:
         splits = sorted(region_split_keys)
         region_id = F.size(
@@ -455,17 +460,20 @@ def hbase_bulkload_layout(
         )
         return (
             cells.withColumn("_region_id", region_id)
-            # hash-partition on the region id alone: every row of a
-            # region lands in ONE partition (n_partitions == n_regions
-            # keeps ids collision-free in expectation; collisions would
-            # only co-locate two regions in one task, never split one)
-            .repartition(len(splits) + 1, "_region_id")
+            # hash-partition on (table, region id): every row of a
+            # table's region lands in ONE partition (n_partitions ==
+            # n_regions keeps ids collision-free in expectation;
+            # collisions only co-locate two regions in one task, never
+            # split one — write_hfiles splits files per (table, region))
+            .repartition(len(splits) + 1, "table", "_region_id")
             .sortWithinPartitions(
-                "key", "family", "qualifier", F.desc("version")
+                "table", "key", "family", "qualifier", F.desc("version")
             )
         )
-    return cells.repartitionByRange(n_regions, "key").sortWithinPartitions(
-        "key", "family", "qualifier", F.desc("version")
+    return cells.repartitionByRange(
+        n_regions, "table", "key"
+    ).sortWithinPartitions(
+        "table", "key", "family", "qualifier", F.desc("version")
     )
 
 
@@ -553,8 +561,11 @@ def write_hfiles(
     create_time_ms: int = 0,
 ) -> list[str]:
     """Write ``hbase_bulkload_layout`` output as REAL HFile v3 files —
-    one per region partition, under ``<out_dir>/<family>/`` exactly as
-    LoadIncrementalHFiles expects a bulk-load directory.
+    one per (table, region) per partition, under
+    ``<out_dir>/<table>/<family>/``: each ``<out_dir>/<table>`` is
+    exactly the bulk-load directory LoadIncrementalHFiles expects for
+    that table (bulk load is a per-table operation, so a multi-table kv
+    layout must never mix tables in one file or one directory).
 
     The container is the pure-Python writer in hfile.py (public Apache
     block/index/trailer format, CRC32-checksummed, single-level index);
@@ -569,17 +580,21 @@ def write_hfiles(
     Files are written to attempt-unique temp names and os.replace()d on
     task completion (same speculative-execution-safe contract as
     manifest_sink; out_dir must be executor-visible — local, NFS, or
-    fuse). On a jar-equipped cluster HFileOutputFormat2 remains the
+    fuse). ``out_dir`` is OWNED by this writer: stale ``*.hfile`` /
+    temp files from a previous run into the same directory are removed
+    up front, because file names are partition-derived — a re-run that
+    produces fewer partitions would otherwise leave the extra old
+    files visible in the returned listing and in the bulk load.
+    On a jar-equipped cluster HFileOutputFormat2 remains the
     alternative; this writer removes that classpath dependency.
     Returns the written file paths."""
     from uc_historic_data_importer_spark.hfile import HFileWriter
 
-    families = [
-        r["family"]
-        for r in layout.select("family").distinct().collect()
-    ]
-    for fam in families:
-        os.makedirs(os.path.join(out_dir, fam), exist_ok=True)
+    if os.path.isdir(out_dir):
+        for dirpath, _dirs, files in os.walk(out_dir):
+            for f in files:
+                if f.endswith(".hfile") or ".hfile.tmp-" in f:
+                    os.remove(os.path.join(dirpath, f))
     has_region = "_region_id" in layout.columns
 
     def _write(partition_rows):
@@ -596,26 +611,32 @@ def write_hfiles(
         try:
             for r in partition_rows:
                 fam = r["family"]
+                tbl = r["table"]
                 # explicit-split layouts carry _region_id: one file PER
                 # REGION even when hash partitioning co-locates two
                 # regions in one task — a file must never span a region
                 # boundary (LoadIncrementalHFiles' split slow path)
                 region = r["_region_id"] if has_region else None
-                ent = writers.get((fam, region))
+                ent = writers.get((tbl, fam, region))
                 if ent is None:
                     stem = (
                         f"part-{part:05d}"
                         if region is None
                         else f"part-{part:05d}-r{int(region):05d}"
                     )
-                    final = os.path.join(out_dir, fam, f"{stem}.hfile")
+                    fam_dir = os.path.join(out_dir, tbl, fam)
+                    # executor-side mkdir at first use: a driver-side
+                    # distinct() over the table/family columns would
+                    # execute the entire upstream plan a second time
+                    os.makedirs(fam_dir, exist_ok=True)
+                    final = os.path.join(fam_dir, f"{stem}.hfile")
                     tmp = f"{final}.tmp-{attempt}"
                     fh = open(tmp, "wb")
                     ent = (tmp, final, fh, HFileWriter(
                         fh, block_size=block_size,
                         create_time_ms=create_time_ms,
                     ))
-                    writers[(fam, region)] = ent
+                    writers[(tbl, fam, region)] = ent
                 ent[3].append_keyvalue(
                     keyvalue_bytes(
                         bytes(r["key"]),
