@@ -329,3 +329,96 @@ class TestSparkWriteHFiles:
         assert on_disk == sorted(second)  # nothing stale from run 1
         total = sum(read_hfile(p).entry_count for p in second)
         assert total == 5
+
+
+class TestHFileProperties:
+    """Hypothesis round-trips: arbitrary cell streams and block sizes
+    through the writer must come back byte-identical through the
+    strict parser (which re-verifies checksums and walks the index the
+    way HBase does)."""
+
+    def test_random_cells_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        cell_st = st.tuples(
+            st.binary(min_size=1, max_size=40),  # row
+            st.integers(min_value=0, max_value=2**40),  # ts
+            st.binary(min_size=0, max_size=120),  # value
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            cells=st.lists(cell_st, min_size=0, max_size=60),
+            block_size=st.sampled_from([64, 256, 4096, 65536]),
+        )
+        def run(cells, block_size):
+            # one version per row: sort rows, drop duplicate rows so the
+            # stream is strictly CellComparator-increasing
+            uniq = {}
+            for row, ts, val in cells:
+                uniq[row] = (ts, val)
+            stream = [
+                (_key(row, ts=ts), val)
+                for row, (ts, val) in sorted(uniq.items())
+            ]
+            import io
+
+            fh = io.BytesIO()
+            w = HFileWriter(fh, block_size=block_size)
+            for k, v in stream:
+                w.append(k, v)
+            w.close()
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".hfile") as tf:
+                tf.write(fh.getvalue())
+                tf.flush()
+                parsed = read_hfile(tf.name)
+            assert parsed.cells == stream
+            assert parsed.entry_count == len(stream)
+            fks = [cell_order_key(k) for _, _, k in parsed.root_index]
+            assert fks == sorted(fks)
+
+        run()
+
+    def test_multi_version_rows_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            rows=st.lists(
+                st.tuples(
+                    st.binary(min_size=1, max_size=12),
+                    st.lists(
+                        st.integers(min_value=0, max_value=10**12),
+                        min_size=1,
+                        max_size=4,
+                        unique=True,
+                    ),
+                ),
+                min_size=1,
+                max_size=20,
+            )
+        )
+        def run(rows):
+            uniq = dict(rows)
+            stream = []
+            for row in sorted(uniq):
+                for ts in sorted(uniq[row], reverse=True):  # ts DESC
+                    stream.append((_key(row, ts=ts), b"v%d" % ts))
+            import io, tempfile
+
+            fh = io.BytesIO()
+            w = HFileWriter(fh, block_size=128)
+            for k, v in stream:
+                w.append(k, v)
+            w.close()
+            with tempfile.NamedTemporaryFile(suffix=".hfile") as tf:
+                tf.write(fh.getvalue())
+                tf.flush()
+                parsed = read_hfile(tf.name)
+            assert parsed.cells == stream
+
+        run()

@@ -600,3 +600,43 @@ class TestDctVectorParity:
         whole = ic.decode_jpeg(p)
         monkeypatch.setattr(ic, "_IDCT_CHUNK", 3)
         assert ic.decode_jpeg(p) == whole
+
+
+class TestJpegPropertyParity:
+    """Hypothesis: arbitrary small images through encode+decode must be
+    byte-identical between the numpy fast path and the forced-scalar
+    fallback — payload bytes AND decoded pixels."""
+
+    def test_random_gray_images_parity(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            w=st.integers(min_value=1, max_value=20),
+            h=st.integers(min_value=1, max_value=20),
+            data=st.data(),
+        )
+        def run(w, h, data):
+            img = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(min_value=0, max_value=255),
+                        min_size=w * h,
+                        max_size=w * h,
+                    )
+                )
+            )
+            p1 = ic.encode_jpeg_gray(w, h, img)
+            d1 = ic.decode_jpeg(p1)
+            saved = ic._np
+            ic._np = None
+            try:
+                p2 = ic.encode_jpeg_gray(w, h, img)
+                d2 = ic.decode_jpeg(p2)
+            finally:
+                ic._np = saved
+            assert p1 == p2
+            assert d1 == d2
+
+        run()
