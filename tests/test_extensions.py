@@ -2624,6 +2624,29 @@ class TestReviewFixesRound2:
                        exact_max_rows=cap).collect()}
             assert got == {(2, 3)}, cap
 
+    def test_empty_vectors_pair_identically_on_both_branches(self, spark):
+        """Catalyst scores empty-vs-empty as cos 0.0 (the aggregate's
+        0.0 seed over a zero-length zip_with, |0| -> 1 norm guard), so
+        at threshold <= 0 the pair IS emitted — the fast path's
+        length-0 subgroup must agree instead of silently dropping
+        empties (round-6 review fix)."""
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        rows = [(0, []), (1, []), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).withColumn("cell", F.lit(0))
+        for thr, want in (
+            (0.0, {(0, 1), (2, 3)}),  # empties pair at cos 0.0 >= 0.0
+            (0.4, {(2, 3)}),  # and never at a positive threshold
+        ):
+            for cap in (10**9, 0):
+                got = {(r["vec_a"], r["vec_b"])
+                       for r in sim.cosine_neardup_pairs(
+                           df, threshold=thr, cell_col="cell",
+                           exact_max_rows=cap).collect()}
+                assert got == want, (thr, cap)
+
     def test_semdedup_malformed_parity_across_branches(self, spark):
         import uc_historic_data_importer_spark.operators.similarity as sim
 

@@ -97,10 +97,11 @@ def test_gives_up_after_max_attempts(server):
 # Mutual TLS (SecureHttpClientProvider.kt:48,60): an in-process HTTPS
 # server that REQUIRES a client certificate, with every cert generated
 # ephemerally at test time (no key material checked in). Skipped only if
-# the `cryptography` wheel is absent.
+# the `cryptography` wheel is absent — and scoped to the mTLS fixtures,
+# NOT module level: a module-level importorskip would silently skip the
+# plain-HTTP retry/backoff matrix above whenever the optional wheel is
+# missing (a coverage regression on tests that need no crypto at all).
 # --------------------------------------------------------------------------
-
-cryptography = pytest.importorskip("cryptography")
 
 
 def _make_cert(subject_name, issuer_cert=None, issuer_key=None, is_ca=False):
@@ -159,6 +160,7 @@ def _pem(path, obj, private=False):
 def tls_material(tmp_path_factory):
     """One ephemeral CA signing a server cert and a client cert, plus a
     SECOND independent CA (for the untrusted-peer negative cases)."""
+    pytest.importorskip("cryptography")
     d = tmp_path_factory.mktemp("tls")
     ca_cert, ca_key = _make_cert("test-ca", is_ca=True)
     srv_cert, srv_key = _make_cert("dks-server", ca_cert, ca_key)

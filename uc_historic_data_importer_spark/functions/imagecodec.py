@@ -547,40 +547,40 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 def _quantized_blocks(
     width: int, height: int, plane: bytes, qt: tuple[int, ...]
-) -> list[list[int]]:
-    """Every 8x8 block of one sample plane, level-shifted, FDCT'd, and
-    quantized (floor(coef/qt + 0.5)) — in by-major/bx-minor block order
-    with edge blocks replicating the last row/column. The numpy path
-    pads with mode='edge' (same replication as the min() clamp) and
-    runs ONE batched FDCT for the whole plane; values are bit-identical
-    to the scalar fallback (see _fdct_blocks)."""
+):
+    """Yield every 8x8 block of one sample plane, level-shifted, FDCT'd,
+    and quantized (floor(coef/qt + 0.5)) — in by-major/bx-minor block
+    order with edge blocks replicating the last row/column. A GENERATOR
+    so the encoders stay O(chunk) in memory like the old streaming
+    per-block loop (and the decoder's _IDCT_CHUNK): the numpy staging
+    keeps only a uint8 copy of the padded plane plus one float64 chunk,
+    never the whole plane's quantized coefficients. The numpy path pads
+    with mode='edge' (same replication as the min() clamp) and batches
+    the FDCT per chunk; values are bit-identical to the scalar fallback
+    (see _fdct_blocks)."""
     if _np is not None:
         img = _np.frombuffer(plane, dtype=_np.uint8).reshape(height, width)
         img = _np.pad(
             img, ((0, (-height) % 8), (0, (-width) % 8)), mode="edge"
         )
         h8, w8 = img.shape
-        blocks = (
+        # uint8 block staging (1 B/pixel); float64 + the FDCT's hoisted
+        # t1 intermediate (64 B/pixel) exist only one chunk at a time
+        bl_u8 = (
             img.reshape(h8 // 8, 8, w8 // 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(-1, 64)
-            .astype(_np.float64)
-            - 128.0
         )
         qtv = _np.asarray(qt, dtype=_np.float64)
-        # chunked like the decoder's _IDCT_CHUNK: _fdct_blocks' hoisted
-        # t1 intermediate is 4 KB/block (64 B per input pixel) — batch
-        # the whole plane and a 16 MP encode transiently allocates ~1 GB
-        out_q: list[list[int]] = []
-        for i in range(0, blocks.shape[0], _IDCT_CHUNK):
-            coefs = _fdct_blocks(blocks[i : i + _IDCT_CHUNK])
-            out_q.extend(
+        for i in range(0, bl_u8.shape[0], _IDCT_CHUNK):
+            blocks = bl_u8[i : i + _IDCT_CHUNK].astype(_np.float64) - 128.0
+            coefs = _fdct_blocks(blocks)
+            yield from (
                 _np.floor(coefs / qtv[None, :] + 0.5)
                 .astype(_np.int64)
                 .tolist()
             )
-        return out_q
-    out: list[list[int]] = []
+        return
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
             block = [0.0] * 64
@@ -590,8 +590,7 @@ def _quantized_blocks(
                     sx = min(bx + y, width - 1)
                     block[x * 8 + y] = plane[sy * width + sx] - 128.0
             coef = _fdct(block)
-            out.append([_round_half_up(coef[i] / qt[i]) for i in range(64)])
-    return out
+            yield [_round_half_up(coef[i] / qt[i]) for i in range(64)]
 
 
 def _encode_block(
@@ -1093,16 +1092,17 @@ def encode_jpeg_rgb(
     ac_codes = _ENC_AC_CODES
     bw = _BitWriter()
     preds = [0, 0, 0]
-    # one batched FDCT per component plane; the interleaved scan then
-    # walks the three per-plane block lists in MCU order
-    comp_qs = [
+    # three per-plane block GENERATORS zipped in MCU order: each plane's
+    # chunked FDCT advances in lockstep, so the interleaved scan never
+    # holds more than one chunk of quantized coefficients per component
+    gens = [
         _quantized_blocks(width, height, bytes(planes[ci]), qt)
         for ci in range(3)
     ]
-    for bi in range(len(comp_qs[0])):
+    for qs in zip(*gens):
         for ci in range(3):
             preds[ci] = _encode_block(
-                bw, comp_qs[ci][bi], preds[ci], dc_codes, ac_codes
+                bw, qs[ci], preds[ci], dc_codes, ac_codes
             )
     bw.flush()
     out = bytearray(b"\xff\xd8")

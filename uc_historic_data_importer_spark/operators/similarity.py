@@ -951,11 +951,14 @@ def cosine_neardup_pairs(
         vals = list(pdf[vec_col].iloc[order])
         # one matmul per equal-length subgroup: cross-length pairs have
         # a null dot on the Catalyst path (zip_with null padding), so
-        # only same-length pairs can ever match — null/empty vectors
-        # produce no pairs at all
-        lengths = sorted(
-            {len(v) for v in vals if v is not None and len(v) > 0}
-        )
+        # only same-length pairs can ever match — null vectors produce
+        # no pairs at all. EMPTY vectors are their own length-0
+        # subgroup: the Catalyst path scores empty-vs-empty as cos 0.0
+        # (zip_with over nothing -> the 0.0 aggregate seed, |0| -> 1
+        # norm guard), so for threshold <= 0 they DO pair — the (k,0)
+        # matmul below yields the same zeros, keeping both dispatch
+        # branches identical on this degenerate shape too
+        lengths = sorted({len(v) for v in vals if v is not None})
         outs = []
         for d in lengths:
             ok, V = _stack_valid(vals, dim=d)

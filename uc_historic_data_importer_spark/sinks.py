@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import struct
+import sys
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -345,12 +346,18 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
     identical content — the partition is deterministic after
     sortWithinPartitions — so winner identity is irrelevant). A killed
     attempt leaves only a `.tmp-*` orphan, which the final listing
-    ignores. CONTRACT: out_dir must be a filesystem visible to both the
+    ignores and which the NEXT run into the same out_dir deletes up
+    front (same owned-directory pre-clean as write_hfiles — without it
+    zombie-attempt orphans accumulate forever). CONTRACT: out_dir must
+    be a filesystem visible to both the
     driver and the executors (local mode, NFS, or a fuse mount) — the
     python open()/os.listdir pair does not speak Hadoop FS URIs; a
     production S3 manifest store routes through df.write.csv instead
     (see the module docstring's W6 note)."""
     os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if ".csv.tmp-" in f:
+            os.remove(os.path.join(out_dir, f))
     rows = manifest_lines(df)
 
     def _write(partition_rows):
@@ -375,8 +382,19 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
                     handles[path] = ent
                 ent[1].write(r["line"] + "\n")
         finally:
+            # close EVERY handle even if one close raises (ENOSPC on
+            # flush): a first-failure-aborts loop would leak the
+            # remaining fds for the executor's lifetime
+            errs = []
             for _, fh in handles.values():
-                fh.close()
+                try:
+                    fh.close()
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+            if errs and sys.exc_info()[0] is None:
+                # raise ONLY when the body succeeded — raising while an
+                # exception is already propagating would mask it
+                raise errs[0]
         # only a fully-written attempt reaches the renames; a crashed
         # attempt's temp files are orphaned, never visible
         for path, (tmp, _) in handles.items():
@@ -649,11 +667,25 @@ def write_hfiles(
                     )
                 )
         finally:
+            # close EVERY writer+handle even if one close raises
+            # (HFileWriter.close writes index/trailer and can hit
+            # ENOSPC): aborting on the first failure would leak the
+            # remaining open fds in the executor
+            errs = []
             for _tmp, _final, fh, w in writers.values():
                 try:
                     w.close()
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
                 finally:
-                    fh.close()
+                    try:
+                        fh.close()
+                    except Exception as e:  # noqa: BLE001
+                        errs.append(e)
+            if errs and sys.exc_info()[0] is None:
+                # raise ONLY when the body succeeded — raising while an
+                # exception is already propagating would mask it
+                raise errs[0]
         for tmp, final, _fh, _w in writers.values():
             os.replace(tmp, final)
         return iter(())
