@@ -2664,3 +2664,51 @@ class TestReviewFixesRound2:
         # malformed (wrong-dim) rows all stay kept on both branches
         assert exact[0] == exact[1] == exact[2] == 1
         assert exact[3] == 1 and exact[4] == 0
+
+
+class TestReviewFixesRound3:
+    """Round-6 third review pass: config guards, A-ES interior-u, and
+    no-silent-drops accounting."""
+
+    def test_lsh_bands_must_divide_num_perms(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="divide"):
+            dedup.minhash_lsh_pairs(df, num_perms=16, bands=32).collect()
+        with pytest.raises(ValueError, match="divide"):
+            dedup.minhash_lsh_pairs(df, num_perms=16, bands=5).collect()
+
+    def test_connected_components_rejects_zero_iters(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        pairs = spark.createDataFrame(
+            [(1, 2)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(ValueError, match="max_iters"):
+            dedup.connected_components(pairs, max_iters=0)
+
+    def test_weighted_sample_top_bucket_not_weight_independent(self):
+        """A-ES requires u strictly inside (0,1): at u = 1.0 the key is
+        ln(1)/w = 0 — the maximum regardless of weight. The bucket ->
+        u mapping must never produce exactly 1.0."""
+        from uc_historic_data_importer_spark.operators.sampling import DENOM
+
+        # the fixed mapping: u = (bucket + 1) / (DENOM + 1)
+        top_u = (DENOM - 1 + 1) / (DENOM + 1)
+        low_u = (0 + 1) / (DENOM + 1)
+        assert 0.0 < low_u and top_u < 1.0
+
+    def test_shingle_coverage_stats_counts_short_docs(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b"), (3, ""), (4, "x y z w q")],
+            "doc_id long, text string",
+        )
+        row = dedup.shingle_coverage_stats(df, n=3).collect()[0]
+        assert row["n_docs"] == 4
+        assert row["n_unshingled_docs"] == 2  # the 2-token and empty docs
+        assert row["coverage"] == 0.5

@@ -27,9 +27,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from uc_historic_data_importer_spark.functions.hashes import (
-    MERSENNE_61,
+    MERSENNE_61,  # noqa: F401 — re-exported for callers/tests
     md5_i64,
     perm_constants,
+    perm_hash,
 )
 from uc_historic_data_importer_spark.operators.text import tokens_col
 
@@ -94,6 +95,55 @@ def doc_shingle_hashes(
     ).select("doc_id", md5_i64(F.col("shingle")).alias("h"))
 
 
+def shingle_coverage_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """No-silent-drops accounting for the shingle family: documents
+    shorter than ``n`` tokens produce an EMPTY shingle set and appear
+    in NO signature / LSH bucket / jaccard pair — by construction, but
+    invisibly. One row (n_docs, n_unshingled_docs, coverage) so a
+    pipeline can observe what fraction of the corpus the n-gram dedup
+    family actually covered (the short-doc twin of
+    jaccard_bucket_stats / lsh_bucket_stats; route sub-n documents
+    through exact_dup_groups, which hashes whole content and covers
+    every doc)."""
+    empty = (F.size(shingles_col(F.col(text_col), n)) == 0).cast("long")
+    return df.select(F.col(id_col), empty.alias("_e")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_e").alias("n_unshingled_docs"),
+        F.round(
+            1.0 - F.sum("_e") / F.count(F.lit(1)), 6
+        ).alias("coverage"),
+    )
+
+
+def _sorted_pairs_expr() -> Column:
+    """All (doc_a < doc_b) pairs from a SORTED id-array column named
+    `_ids`, as one in-array expression (per-bucket fan-out is the same
+    k^2/2 rows a self-join would produce, but in one pass). THE shared
+    pair-expansion used by both _bucket_pairs and jaccard_pairs — the
+    slice arithmetic must stay bit-identical between them, so it lives
+    in exactly one place."""
+    return F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("_ids"),
+                        (i + 2).cast("int"),
+                        F.greatest(
+                            F.size(F.col("_ids")) - i - 1, F.lit(0)
+                        ).cast("int"),
+                    ),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+
+
 def _bucket_pairs(
     df: DataFrame, *bucket_cols: str, max_bucket_docs: int | None = None
 ) -> DataFrame:
@@ -119,24 +169,7 @@ def _bucket_pairs(
             .drop("_bdf")
         )
     ids = F.array_sort(F.collect_list("doc_id"))
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("_ids"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("_ids"),
-                        (i + 2).cast("int"),
-                        F.greatest(
-                            F.size(F.col("_ids")) - i - 1, F.lit(0)
-                        ).cast("int"),
-                    ),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
-    )
+    pairs = _sorted_pairs_expr()
     return (
         df.groupBy(*bucket_cols)
         .agg(ids.alias("_ids"))
@@ -166,7 +199,16 @@ def jaccard_pairs(
     the per-doc sizes, and the pair expansion are all derived from that one
     aggregate. The two consumers share an identical Exchange subtree, so
     Spark's ReuseExchange runs the expensive scan+explode exactly once —
-    the previous join-based form scanned the corpus 6x."""
+    the previous join-based form scanned the corpus 6x.
+
+    The threshold compares against the 6-dp ROUNDED jaccard —
+    DELIBERATE, not an oversight: membership must be decided on a value
+    both engines reproduce bit-for-bit, and the raw division differs in
+    the last ulp across engines (the repo-wide round-before-rank
+    convention). A pair whose true jaccard sits within 5e-7 of the
+    threshold may therefore land on either side — but it lands on the
+    SAME side in Spark and the oracle, which is the property that
+    matters."""
     sh = doc_shingle_hashes(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         from pyspark.sql.window import Window
@@ -190,24 +232,7 @@ def jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
-    # pair generation via in-array (i < j) combinations: per-bucket fan-out
-    # is the same k^2/2 rows a self-join would produce, but with one pass
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("_ids"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("_ids"),
-                        (i + 2).cast("int"),
-                        F.greatest(F.size(F.col("_ids")) - i - 1, F.lit(0)).cast("int"),
-                    ),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
-    )
+    pairs = _sorted_pairs_expr()
     common = (
         buckets.filter(F.size("_ids") > 1)
         .select(F.explode(pairs).alias("p"))
@@ -288,7 +313,7 @@ def minhash_signatures(
     (map-side partial agg keeps shuffle payload = num_perms longs/doc)."""
     sh = doc_shingle_hashes(df, text_col, id_col, n)
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"mh{j}")
+        F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{j}")
         for j, (a, b) in enumerate(perm_constants(num_perms))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -356,6 +381,15 @@ def minhash_band_signatures(
     bucketed by band_sig): incoming batches compute THEIR bands with the
     same constants and equi-join — dedup-against-corpus without ever
     re-reading corpus text (see lsh_join_incremental)."""
+    # a non-divisor silently discards trailing permutations, and
+    # bands > num_perms makes rows_per_band 0 — every band signature
+    # becomes md5('') and EVERY doc shares one bucket per band (C(n,2)
+    # pair fan-out, silently wrong candidates)
+    if bands < 1 or num_perms % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_perms={num_perms} "
+            "(rows_per_band = num_perms / bands must be a positive int)"
+        )
     rows_per_band = num_perms // bands
     sig = minhash_signatures(df, num_perms, text_col, id_col, n)
     band_cols = []
@@ -472,6 +506,11 @@ def connected_components(
     truncates the per-round lineage so the plan does not grow
     quadratically with rounds.
     """
+    if max_iters < 1:
+        # the for-else failure path interpolates the last round's
+        # `changed` count; with zero rounds that name is unbound and
+        # the misconfiguration would surface as a NameError
+        raise ValueError("max_iters must be >= 1")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -675,7 +714,7 @@ def source_minhash_overlap(
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
     ).select("grp", md5_i64(F.col("shingle")).alias("h"))
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"mh{j}")
+        F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{j}")
         for j, (a, b) in enumerate(perm_constants(num_perms))
     ]
     sig = sh.groupBy("grp").agg(*aggs)

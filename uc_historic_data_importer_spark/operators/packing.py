@@ -58,8 +58,11 @@ def pack_concat_chunks(
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     out = base.withColumn("start_off", start)
     first_chunk = F.floor(F.col("start_off") / budget)
-    # empty documents occupy zero tokens: they sit at their offset and
-    # span zero chunks (first > last by convention, n_chunks = 0)
+    # empty documents occupy zero tokens: they sit at their offset with
+    # first_chunk == last_chunk (the greatest(n,1) pins last to the
+    # same chunk as first) and n_chunks = 0 — n_chunks, NOT
+    # first==last, is the "fits one window" signal, since a zero-token
+    # doc shares first==last with genuine one-window docs
     last_chunk = F.floor(
         (F.col("start_off") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget
     )

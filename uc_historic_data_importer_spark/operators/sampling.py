@@ -42,6 +42,16 @@ def _bucket(id_col: str):
     return md5_i64(F.col(id_col).cast("string")) % F.lit(DENOM)
 
 
+def _mixture_levels(w: float) -> tuple[int, int]:
+    """Weight -> (n_full_copies, fractional 1/DENOM threshold) — THE
+    float-to-int split both mixture_sample and its DuckDB twin
+    mixture_sql must share: a drifted copy (round vs floor on the
+    fractional part) would silently diverge the engines at weight
+    boundaries."""
+    n_full = int(math.floor(w))
+    return n_full, int(round((w - n_full) * DENOM))
+
+
 def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Keep ~fraction of rows, chosen by id hash — map-only, rerun-stable."""
     if not 0.0 <= fraction <= 1.0:
@@ -141,9 +151,7 @@ def mixture_sample(
     if any(w < 0 for w in weights.values()) or default_weight < 0:
         raise ValueError("mixture weights must be >= 0")
 
-    def levels(w: float) -> tuple[int, int]:
-        n_full = int(math.floor(w))
-        return n_full, int(round((w - n_full) * DENOM))
+    levels = _mixture_levels
 
     n_full_col = F.lit(levels(default_weight)[0])
     thresh_col = F.lit(levels(default_weight)[1])
@@ -181,9 +189,7 @@ def mixture_sql(
     returns (CTE body, WHERE predicate) as a single SELECT."""
     from uc_historic_data_importer_spark.functions.hashes import md5_i64_sql
 
-    def levels(w: float) -> tuple[int, int]:
-        n_full = int(math.floor(w))
-        return n_full, int(round((w - n_full) * DENOM))
+    levels = _mixture_levels
 
     nf_case = f"CASE {domain_col} "
     th_case = f"CASE {domain_col} "
@@ -227,8 +233,14 @@ def weighted_sample(
     is undefined. One shuffle, partitioned by group (or a TakeOrdered-
     style global top-n when ``group_col`` is None via a single-group
     window over the already-filtered candidates).
+
+    u must be strictly INSIDE (0, 1): at u = 1.0 the key is ln(1)/w = 0
+    — the global maximum REGARDLESS of weight — so the ~1/DENOM of rows
+    hashing to the top bucket would win weight-independently (round-6
+    review fix: the denominator is DENOM + 1, putting u in
+    [1/(DENOM+1), DENOM/(DENOM+1)]).
     """
-    u = (_bucket(id_col) + 1).cast("double") / F.lit(float(DENOM))
+    u = (_bucket(id_col) + 1).cast("double") / F.lit(float(DENOM + 1))
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), key_dp)
     cand = df.filter(F.col(weight_col) > 0).withColumn("_wkey", key)
     part = [group_col] if group_col else []
@@ -241,12 +253,13 @@ def weighted_sample(
 
 
 def weighted_key_sql(id_expr: str, weight_expr: str, key_dp: int = 8) -> str:
-    """DuckDB expression matching weighted_sample's ranking key."""
+    """DuckDB expression matching weighted_sample's ranking key
+    (including its strictly-interior u: denominator DENOM + 1)."""
     from uc_historic_data_importer_spark.functions.hashes import md5_i64_sql
 
     h = md5_i64_sql(f"CAST({id_expr} AS VARCHAR)")
     return (
-        f"round(ln((({h} % {DENOM}) + 1)::DOUBLE / {DENOM}) / "
+        f"round(ln((({h} % {DENOM}) + 1)::DOUBLE / {DENOM + 1}) / "
         f"({weight_expr})::DOUBLE, {key_dp})"
     )
 
@@ -379,7 +392,14 @@ def kfold_assign(
     binomial wobble). One shuffle partitioned by stratum; the fold of a
     row depends on the stratum's membership (by construction — balance
     requires it), so use split_assign when growth-stability matters
-    more than balance."""
+    more than balance.
+
+    ``stratum_col=None`` ranks the WHOLE input through one reducer (a
+    global row_number with no rank-limit to push down) — fine for
+    modest frames, a single-task sort at corpus scale. For unstratified
+    folds on a big corpus pass a synthetic stratum (e.g. a
+    hash(id) % 1024 column): per-shard round-robin keeps fold sizes
+    balanced within +-n_shards while the window parallelizes."""
     if n_folds < 2:
         raise ValueError("n_folds must be >= 2")
     part = [stratum_col] if stratum_col else []
