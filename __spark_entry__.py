@@ -246,6 +246,10 @@ _R05_RECORDED = frozenset(
 #     exact/sketch dispatch (exact path value-identical; re-record on
 #     principle — a stale green row on touched code is how the record
 #     rots).
+#   - weighted_sample_documents: the A-ES uniform now maps to the
+#     strict interior of (0, 1) (denominator DENOM + 1) on both
+#     engines — the top hash bucket no longer wins weight-independently,
+#     so the SELECTED ROWS can differ from the r03 record.
 _R06_MODIFIED_SINCE_RECORD = (
     "ann_ivf_build",
     "ann_ivf_topk",
@@ -253,14 +257,18 @@ _R06_MODIFIED_SINCE_RECORD = (
     "embedding_cosine_neardup",
     "l_diversity_customers",
     "doc_length_outliers",
+    "weighted_sample_documents",
 )
 
 
 # Round-7 handoff: round 6's window is EXACTLY full — 2 round-6
 # additions (percentile_prices_approx, doc_length_outliers_approx) +
-# the 6-query modified block + 42 stalest (histogram_prices, the only
-# r02-stale, plus the 41 remaining r03-stale) = 50, so after r06 every
-# query's latest record is r04+ and NOTHING is pushed. Round 7 should
+# the 7-query modified block (weighted_sample_documents joined it when
+# the A-ES interior-u fix changed its selected rows; 5 of the 7 are
+# r05-recorded, so the block costs only 2 extra stale slots) + the 41
+# remaining stale (histogram_prices, the only r02-stale, plus every
+# r03-stale query) = 50, verified by enumeration: NOTHING is pushed,
+# and after r06 every query's latest record is r04+. Round 7 should
 # lift _R06_RECORDED (= CORRECTNESS_r06 keys), start a fresh modified
 # block, front-load r7 additions, and rotate the then-stalest (the 47
 # r04-recorded queries nearly fill a window — same add-few guidance).
