@@ -2712,3 +2712,88 @@ class TestReviewFixesRound3:
         assert row["n_docs"] == 4
         assert row["n_unshingled_docs"] == 2  # the 2-token and empty docs
         assert row["coverage"] == 0.5
+
+
+class TestSketchNullHardening:
+    """Round-6 fourth review pass: NULL values must not become sketch
+    state — they corrupted the HLL estimator (phantom register), broke
+    KMV's Spark/DuckDB NULL-sort parity, and skewed the histogram's
+    cumulative pick. The rule everywhere mirrors approx_count_distinct:
+    NULLs simply don't sketch."""
+
+    def test_hll_ignores_nulls(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        vals = spark.createDataFrame(
+            [(str(i),) for i in range(300)], "v string"
+        )
+        with_nulls = vals.union(
+            spark.createDataFrame([(None,), (None,)], "v string")
+        )
+        a = sketches.hll_distinct(vals, "v").collect()[0]["hll_distinct"]
+        b = sketches.hll_distinct(with_nulls, "v").collect()[0][
+            "hll_distinct"
+        ]
+        assert a == b
+
+    def test_kmv_ignores_nulls_and_ungrouped_path(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        vals = [(str(i),) for i in range(100)]
+        df = spark.createDataFrame(vals + [(None,)], "v string")
+        row = sketches.kmv_distinct(df, "v", k=32).collect()[0]
+        # a NULL hash must not consume a bottom-k slot (n_kept == k
+        # from REAL hashes) and the ungrouped path must still work
+        assert row["n_kept"] == 32
+        clean = sketches.kmv_distinct(
+            spark.createDataFrame(vals, "v string"), "v", k=32
+        ).collect()[0]
+        assert (row["kth_min_hash"], row["kmv_estimate"]) == (
+            clean["kth_min_hash"],
+            clean["kmv_estimate"],
+        )
+
+    def test_cms_estimate_zero_for_absent_candidate(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        data = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "v string")
+        counters = sketches.cms_counters(data, "v")
+        cand = spark.createDataFrame(
+            [("a",), ("zzz-never-seen",)], "v string"
+        )
+        got = {
+            r["v"]: r["cms_n"]
+            for r in sketches.cms_estimate(counters, cand, "v").collect()
+        }
+        assert got["a"] >= 5  # CMS never underestimates
+        # absent candidate: at least one of its d cells is empty -> 0,
+        # and the row itself must not vanish from the output
+        assert got["zzz-never-seen"] == 0
+
+    def test_hist_quantiles_ignore_null_values(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        base = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)], "v double"
+        )
+        with_nulls = base.union(
+            spark.createDataFrame([(None,)] * 10, "v double")
+        )
+        qa = sketches.hist_quantiles(
+            sketches.hist_counts(base, "v")
+        ).collect()[0]
+        qb = sketches.hist_quantiles(
+            sketches.hist_counts(with_nulls, "v")
+        ).collect()[0]
+        assert qa == qb
+
+    def test_constraint_audit_empty_table_reports_zero(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([], "x int").filter(F.lit(False))
+        row = audit.constraint_audit(
+            df, {"x_positive": F.col("x") > 0}
+        ).collect()[0]
+        assert row["row_count"] == 0
+        assert row["x_positive"] == 0  # not NULL

@@ -408,8 +408,28 @@ def test_snapshot_version_pruning(spark, tmp_path):
     assert pruned == [0, 1, 2]
     assert sorted(os.listdir(base)) == ["v=3", "v=4"]
     assert sp.latest_snapshot_version(spark, str(base)) == 4
-    # never deletes the newest even with keep_n=1 on a single version
     assert sp.prune_snapshot_versions(spark, str(base), keep_n=5) == []
+
+
+def test_prune_keeps_replay_predecessor(spark, tmp_path):
+    """keep_n=1 would delete the newest snapshot's PREDECESSOR — the
+    fold input if the last batch replays after a torn checkpoint
+    commit — so it must be rejected, and keep_n=2 must always leave
+    that predecessor on disk."""
+    import os
+
+    import pytest
+
+    base = tmp_path / "snap"
+    for v in (6, 7):
+        d = base / f"v={v}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+        (d / "_SUCCESS").write_bytes(b"")
+    with pytest.raises(ValueError, match="keep_n must be >= 2"):
+        sp.prune_snapshot_versions(spark, str(base), keep_n=1)
+    assert sp.prune_snapshot_versions(spark, str(base), keep_n=2) == []
+    assert sorted(os.listdir(base)) == ["v=6", "v=7"]
 
 
 def test_incomplete_snapshot_version_is_invisible(spark, tmp_path):
@@ -529,3 +549,55 @@ def test_segment_clean_is_stream_safe(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert streamed == batch
+
+
+def test_deduped_stream_survives_unordered_historic_files(spark, tmp_path):
+    """The dedup watermark rides ARRIVAL time: a batch of recent
+    versions must not make a later file of much older versions 'late'
+    (a version-time watermark silently discarded such files wholesale).
+    Two micro-batch runs, business timestamps years apart, newest
+    first — every distinct (key, version) must come through."""
+    import json
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def write_file(name, rows):
+        (in_dir / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n", encoding="utf-8"
+        )
+
+    def run_once():
+        lines = sp.read_jsonl_stream(spark, str(in_dir))
+        dd = sp.deduped_stream(sp.normalized_stream(lines))
+        q = (
+            dd.select("table", "key_hex", "version")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write_file("db1.coll.0001.json", [
+        {"_id": {"id": "a"}, "lastModifiedDateTime":
+         {"$date": "2023-11-14T22:13:20.000+0000"}},
+    ])
+    run_once()
+    # second run: same collection, ANCIENT business timestamps (2011 —
+    # far beyond any 1h watermark if it rode the version clock)
+    write_file("db1.coll.0002.json", [
+        {"_id": {"id": "b"}, "lastModifiedDateTime":
+         {"$date": "2011-03-13T07:06:40.000+0000"}},
+        {"_id": {"id": "b"}, "lastModifiedDateTime":
+         {"$date": "2011-03-13T07:06:40.000+0000"}},  # dup to drop
+    ])
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r["key_hex"], r["version"]) for r in rows}
+    # both records present (nothing dropped as 'late'), dup collapsed
+    assert len(got) == 2 and len(rows) == 2

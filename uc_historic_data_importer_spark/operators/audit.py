@@ -31,8 +31,14 @@ def constraint_audit(df: DataFrame, constraints: Mapping[str, Column]) -> DataFr
     aggs = [F.count(F.lit(1)).alias("row_count")]
     for name, pred in constraints.items():
         aggs.append(
-            F.sum(
-                F.when(pred.isNull() | ~pred, F.lit(1)).otherwise(F.lit(0))
+            # coalesce: sum() over ZERO rows is NULL, and a gate doing
+            # `row[name] > 0` on an empty upstream (itself an incident)
+            # must read 0 violations, not crash on None
+            F.coalesce(
+                F.sum(
+                    F.when(pred.isNull() | ~pred, F.lit(1)).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             ).alias(name)
         )
     return df.agg(*aggs)
@@ -131,15 +137,19 @@ def l_diversity_audit(
     if l < 2:
         raise ValueError("l must be >= 2")
     s = F.col(sensitive_col)
+    # countDistinct over the struct, NOT size(collect_set(...)): the
+    # struct itself is never NULL (only its fields are), so countDistinct
+    # counts the NULL-carrying entry identically — but plans as bounded
+    # two-phase partial aggregation instead of buffering every group's
+    # full distinct set in memory (a high-diversity group, exactly the
+    # kind that PASSES the audit, could hold millions of values)
     return (
         df.groupBy(*quasi_cols)
         .agg(
             F.count(F.lit(1)).alias("group_size"),
-            F.size(
-                F.collect_set(
-                    F.struct(
-                        s.isNull().alias("n"), s.cast("string").alias("v")
-                    )
+            F.countDistinct(
+                F.struct(
+                    s.isNull().alias("n"), s.cast("string").alias("v")
                 )
             ).cast("long").alias("distinct_sensitive"),
         )

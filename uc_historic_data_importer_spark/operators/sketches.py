@@ -60,9 +60,15 @@ def hll_registers(
     This is the sketch you persist / union / re-aggregate: merging two
     register tables is groupBy(bucket).max(rho) again."""
     rem_bits = HASH_BITS - p
+    # NULL values must not sketch: md5_i64(NULL) is NULL, and the
+    # (bucket=NULL, rho=rem_bits+1) phantom register it would create
+    # counts toward _nonempty — inflating past m corrupts both the
+    # raw estimator's denominator and the linear-counting V (the
+    # approx_count_distinct this replaces ignores NULLs; so do we,
+    # and so does every oracle twin)
     hashed = df.select(
         *group_cols, md5_i64(F.col(value_col).cast("string")).alias("_h")
-    )
+    ).filter(F.col("_h").isNotNull())
     bucket = F.shiftright(F.col("_h"), rem_bits).alias("bucket")
     w = F.col("_h").bitwiseAND(F.lit((1 << rem_bits) - 1))
     rho = _rho_expr(w, rem_bits).alias("rho")
@@ -140,6 +146,7 @@ def hll_sql(
     return f"""
     WITH hashed AS (
       SELECT {gsel}{md5_i64_sql(value_expr)} AS full_h FROM {table}
+      WHERE ({value_expr}) IS NOT NULL
     ),
     sliced AS (
       SELECT {gsel}(full_h >> {rem_bits}) AS bucket,
@@ -213,7 +220,9 @@ def cms_counters(
     values with equal low bits would collide in EVERY row and the min
     could never shake the collision out. Disjoint md5 windows make
     all-row collisions ~w^-d."""
-    hashed = df.select(md5_i64(F.col(value_col).cast("string")).alias("_h"))
+    hashed = df.select(
+        md5_i64(F.col(value_col).cast("string")).alias("_h")
+    ).filter(F.col("_h").isNotNull())  # NULLs don't sketch (HLL rule)
     entries = F.array(*_cms_bucket_structs(F.col("_h"), d, w))
     return (
         hashed.select(F.explode(entries).alias("e"))
@@ -244,10 +253,18 @@ def cms_estimate(
         *keep, "e.row_idx", "e.bucket"
     )
     return (
-        F.broadcast(cells)
-        .join(counters, ["row_idx", "bucket"])
+        cells
+        # LEFT join + coalesce-to-0: an absent counter cell means NO
+        # sketched value hashed there — the point query's min over the
+        # d counters must see that 0 (an inner join would drop empty
+        # cells and return the min of only the collision-inflated ones,
+        # or no row at all for a candidate absent from every cell).
+        # The broadcast moves to the RIGHT side: a left-outer join
+        # cannot broadcast its left, and `counters` is the bounded
+        # d x w table anyway
+        .join(F.broadcast(counters), ["row_idx", "bucket"], "left")
         .groupBy(*keep)
-        .agg(F.min("cnt").alias("cms_n"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_n"))
     )
 
 
@@ -269,7 +286,9 @@ def cms_sql(
         for j in range(d)
     )
     return f"""
-    WITH hashed AS (SELECT {h} AS h FROM {table}),
+    WITH hashed AS (
+      SELECT {h} AS h FROM {table} WHERE ({value_expr}) IS NOT NULL
+    ),
     counters AS (
       SELECT row_idx, bucket, count(*) AS cnt
       FROM ({counter_rows}) GROUP BY row_idx, bucket
@@ -325,8 +344,14 @@ def hist_counts(
     ln/floor so any engine reproduces it bit-for-bit.
     """
     bucket = log_bucket(F.col(value_col), scale).alias("bucket")
+    # a NULL bucket (NULL value, or value <= -1 outside ln's domain)
+    # must not become sketch state: Spark's cumulative window sorts
+    # NULL buckets FIRST while DuckDB's sorts them LAST, so a NULL
+    # bucket row would shift every quantile pick differently per
+    # engine — and skew Spark's quantiles even alone
     return (
         df.select(*group_cols, bucket)
+        .filter(F.col("bucket").isNotNull())
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -411,7 +436,9 @@ def hist_quantiles_sql(
     WITH counts AS (
       SELECT {gsel}floor(ln(1.0 + ({value_expr})::DOUBLE) * {scale}) AS bucket,
              count(*) AS cnt
-      FROM {table} GROUP BY {gby_b}
+      FROM {table}
+      WHERE ({value_expr}) IS NOT NULL AND (1.0 + ({value_expr})::DOUBLE) > 0
+      GROUP BY {gby_b}
     ),
     cum AS (
       SELECT {gsel}bucket, cnt,
@@ -540,6 +567,7 @@ def hll_intersection_sql(
     return f"""
     WITH hashed AS (
       SELECT {set_col}, {md5_i64_sql(value_expr)} AS full_h FROM {table}
+      WHERE ({value_expr}) IS NOT NULL
     ),
     h AS (
       SELECT {set_col}, (full_h >> {rem_bits}) AS bucket,
@@ -550,7 +578,7 @@ def hll_intersection_sql(
       SELECT {set_col}, bucket, max(rho) AS max_rho
       FROM h GROUP BY {set_col}, bucket
     ),
-    types AS (SELECT DISTINCT {set_col} FROM {table}),
+    types AS (SELECT DISTINCT {set_col} FROM regs),
     pair_regs AS (
       SELECT least(r.{set_col}, t.{set_col}) AS type_a,
              greatest(r.{set_col}, t.{set_col}) AS type_b,
@@ -611,13 +639,25 @@ def kmv_distinct(
     from pyspark.sql.window import Window
 
     g = list(group_cols)
-    hashed = df.select(
-        *g, md5_i64(F.col(value_col).cast("string")).alias("_h")
-    ).dropDuplicates(g + ["_h"])
-    w = Window.partitionBy(*g).orderBy("_h") if g else Window.orderBy("_h")
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
+    # NULL values don't sketch (HLL rule), and NULL would also break
+    # engine parity: Spark's window sorts NULLS FIRST (consuming a
+    # bottom-k slot), DuckDB's ORDER BY defaults NULLS LAST
+    hashed = (
+        df.select(*g, md5_i64(F.col(value_col).cast("string")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .dropDuplicates(g + ["_h"])
     )
+    if g:
+        w = Window.partitionBy(*g).orderBy("_h")
+        kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+    else:
+        # an un-partitioned row_number window funnels every distinct
+        # hash through ONE task; orderBy().limit(k) plans as
+        # TakeOrderedAndProject — per-partition bottom-k then a k-way
+        # driver merge, the scalable global shape
+        kept = hashed.orderBy("_h").limit(k)
     agg = kept.groupBy(*g).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("_h").alias("kth_min_hash"),

@@ -4218,7 +4218,7 @@ _KMV_K = 64
     WITH h AS (
       SELECT DISTINCT event_type,
              {md5_i64_sql("CAST(user_id AS VARCHAR)")} AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     kept AS (
       SELECT event_type, h FROM (

@@ -30,17 +30,6 @@ from uc_historic_data_importer_spark.operators.keying import flatten_normalized
 from uc_historic_data_importer_spark.operators.naming import with_table_names
 from uc_historic_data_importer_spark.operators.transforms import normalize_records
 
-LINES_SCHEMA = T.StructType(
-    [
-        T.StructField("db", T.StringType()),
-        T.StructField("collection", T.StringType()),
-        T.StructField("file_number", T.IntegerType()),
-        T.StructField("line_no", T.IntegerType()),
-        T.StructField("raw_json", T.StringType()),
-    ]
-)
-
-
 def read_jsonl_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """File-source stream of dump lines. Filename metadata is derived the
     same way as the batch source (sources/jsonl.py); line numbers are not
@@ -74,23 +63,46 @@ def normalized_stream(lines: DataFrame) -> DataFrame:
 
 def deduped_stream(norm: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """F4 under streaming: drop (table, key, version) duplicates with a
-    watermark bounding the dedup state — late re-deliveries beyond the
-    delay are the task-retry idempotence window."""
-    with_event_time = norm.withColumn(
-        "event_time", F.timestamp_millis(F.col("version"))
-    )
-    return with_event_time.withWatermark(
-        "event_time", watermark_delay
+    watermark bounding the dedup state — re-deliveries within the delay
+    are the task-retry idempotence window.
+
+    The watermark rides ARRIVAL time (processing time), NOT the record
+    version: the version is the record's BUSINESS timestamp, and
+    historic dump files arrive in an order unrelated to it — a
+    version-time watermark advanced by one recent file would make every
+    subsequent file with older versions "late" and
+    dropDuplicatesWithinWatermark would discard those never-before-seen
+    records WHOLESALE (silent data loss, far beyond dedup). Redelivery
+    lateness is bounded in wall-clock terms (task retry, file
+    re-ingest), so arrival time is the semantically correct clock for
+    this state — and it makes the operator safe on arbitrarily
+    unordered historic corpora."""
+    with_arrival = norm.withColumn("arrival_time", F.current_timestamp())
+    return with_arrival.withWatermark(
+        "arrival_time", watermark_delay
     ).dropDuplicatesWithinWatermark(["table", "key_hex", "version"])
 
 
-def windowed_counts(norm: DataFrame, window: str = "1 hour") -> DataFrame:
-    """Per-table tumbling-window put counts — the streaming F5 report."""
+def windowed_counts(
+    norm: DataFrame, window: str = "1 hour", watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Per-table tumbling-window put counts — the streaming F5 report.
+
+    The window is BUSINESS time (the record version) by design — that
+    is what the report counts. CAVEAT for unordered historic imports:
+    the watermark also advances in business time, so a file whose
+    versions lag the max seen so far by more than ``watermark_delay``
+    is dropped from the aggregation as late. When ingesting dump files
+    whose business-time disorder exceeds the delay, either raise
+    ``watermark_delay`` to cover the disorder (state grows
+    accordingly) or run the batch F5 report (filter_status_counts /
+    manifest accounting) over the landed data instead — the batch path
+    has no lateness concept."""
     with_event_time = norm.withColumn(
         "event_time", F.timestamp_millis(F.col("version"))
     )
     return (
-        with_event_time.withWatermark("event_time", "1 hour")
+        with_event_time.withWatermark("event_time", watermark_delay)
         .groupBy("table", F.window("event_time", window).alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select("table", F.col("w.start").alias("window_start"), "n")
@@ -393,12 +405,27 @@ def prune_snapshot_versions(
 ) -> list[int]:
     """Retention for the CDC merge sink's version history: delete all
     but the newest ``keep_n`` ``v=N`` snapshot directories, returning
-    the pruned version numbers. Never touches the newest version, so
-    concurrent readers of `latest_snapshot_version` are safe; driver-
-    side directory operations only (O(versions), no data read) — via
-    the Hadoop FS API, so the store works on HDFS/S3A URIs too."""
-    if keep_n < 1:
-        raise ValueError("keep_n must be >= 1")
+    the pruned version numbers. Driver-side directory operations only
+    (O(versions), no data read) — via the Hadoop FS API, so the store
+    works on HDFS/S3A URIs too.
+
+    ``keep_n`` must be >= 2, and the reason is REPLAY, not concurrent
+    reads: if a crash lands after batch N wrote ``v=N`` but before the
+    streaming checkpoint committed, the restart REPLAYS batch N —
+    apply_changelog_batch folds it onto the newest ``v < N`` snapshot.
+    With keep_n=1 that predecessor was just pruned, the replay folds
+    batch N onto an EMPTY snapshot, and the rewritten ``v=N`` (the
+    version every reader picks) silently loses every key the batch
+    didn't touch. The second-newest version must always survive
+    pruning (pinned in
+    tests/test_streaming.py::test_prune_keeps_replay_predecessor)."""
+    if keep_n < 2:
+        raise ValueError(
+            "keep_n must be >= 2: the newest snapshot's PREDECESSOR is "
+            "the replay input if the last batch's checkpoint commit was "
+            "torn — pruning it makes a crash-replay fold into an empty "
+            "snapshot and silently drop every untouched key"
+        )
     versions = sorted(_snapshot_versions(spark, snapshot_base))
     doomed = versions[:-keep_n] if len(versions) > keep_n else []
     if doomed:
