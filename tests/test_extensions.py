@@ -2797,3 +2797,51 @@ class TestSketchNullHardening:
         ).collect()[0]
         assert row["row_count"] == 0
         assert row["x_positive"] == 0  # not NULL
+
+
+class TestReviewFixesRound5:
+    """Round-6 fifth review pass: bloom guards, salted determinism/NULL
+    semantics, zorder SQL cast."""
+
+    def test_bloom_word_count_mismatch_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import bloom
+
+        ex = spark.createDataFrame([("k1",), ("k2",)], "key string")
+        words = bloom.bloom_build(ex, "key", m=1 << 12)
+        with pytest.raises(ValueError, match="build and probe must share m"):
+            bloom.maybe_contains(F.col("key"), words, m=1 << 16)
+
+    def test_bloom_anti_join_rejects_mismatched_key_types(self, spark):
+        from uc_historic_data_importer_spark.operators import bloom
+
+        recs = spark.createDataFrame([(1,)], "key bigint")
+        ex = spark.createDataFrame([("1",)], "key string")
+        with pytest.raises(ValueError, match="key types must match"):
+            bloom.bloom_anti_join(recs, ex, "key")
+
+    def test_salted_distinct_count_ignores_nulls(self, spark):
+        from uc_historic_data_importer_spark.operators import skew
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), ("a", "y"), ("b", None)],
+            "k string, v string",
+        )
+        got = {
+            r["k"]: r["n_distinct_v"]
+            for r in skew.salted_distinct_count(df, ["k"], "v").collect()
+        }
+        # count(DISTINCT v) semantics: NULL never counts; an all-NULL
+        # key yields no row (matching SQL's absent-group behavior under
+        # the oracle's GROUP BY over non-null values)
+        assert got == {"a": 2}
+
+    def test_salted_agg_deterministic_across_runs(self, spark):
+        from uc_historic_data_importer_spark.operators import skew
+
+        df = spark.createDataFrame(
+            [("a", i % 3) for i in range(100)], "k string, v int"
+        )
+        spec = {"n": ("count", "sum", None), "total": ("sum", "sum", "v")}
+        a = {tuple(r) for r in skew.salted_agg(df, ["k"], spec).collect()}
+        b = {tuple(r) for r in skew.salted_agg(df, ["k"], spec).collect()}
+        assert a == b == {("a", 100, 99)}

@@ -46,8 +46,13 @@ WORD_BITS = 32
 
 
 def _hash64(value: Column) -> Column:
-    # cast to string so build and probe sides agree even when their
-    # column types differ (xxhash64 hashes ints and strings differently)
+    # cast to string so build and probe sides hash the same bytes for
+    # the same value (xxhash64 hashes ints and strings differently).
+    # CONTRACT: both sides must be the SAME TYPE — different numeric
+    # types can render differently ('1' vs '1.50' for values an
+    # equi-join would compare EQUAL under implicit casts), which would
+    # be a Bloom false NEGATIVE; bloom_anti_join enforces the type
+    # equality up front
     return F.xxhash64(value.cast("string"))
 
 
@@ -123,6 +128,15 @@ def maybe_contains(
     is one plan node.)
     """
     _check_params(k, m)
+    if len(words) != m // WORD_BITS:
+        # an m/words mismatch indexes past the bitmap: substring
+        # returns empty binary, conv('') is NULL, and the NULL
+        # conjunction silently drops rows from BOTH bloom_anti_join
+        # branches — data loss with no exception
+        raise ValueError(
+            f"bitmap has {len(words)} words but m={m} needs "
+            f"{m // WORD_BITS}: build and probe must share m"
+        )
     bitmap = F.lit(bytearray(pack_bitmap(words)))
     h = _hash64(value)
     cond = None
@@ -210,8 +224,25 @@ def bloom_anti_join(
     (Bloom filters have no false negatives): definitely-new rows pass
     map-side; only maybe-existing rows (true hits + ~(1-e^{-kn/m})^k
     false positives) reach the shuffle for the exact check.
+
+    Cost honesty: the two filter branches are independent subtrees
+    under the union, so an UNCACHED records input is SCANNED TWICE.
+    The win is avoiding the anti-join SHUFFLE of the definitely-new
+    majority — for shuffle-bound pipelines (wide rows, most records
+    new) that dominates; for a scan-bound narrow input, cache/persist
+    the records first or use the plain left_anti. Key columns must be
+    the same type on both sides (see _hash64) — enforced here.
     """
     ek = existing_key or record_key
+    rt = records.schema[record_key].dataType
+    et = existing.schema[ek].dataType
+    if rt != et:
+        raise ValueError(
+            f"bloom_anti_join key types must match: records.{record_key} "
+            f"is {rt.simpleString()}, existing.{ek} is {et.simpleString()} "
+            "— different types can string-render the same value "
+            "differently and turn a Bloom hit into a false negative"
+        )
     if cache_key is not None:
         words = bloom_build_cached(existing, ek, cache_key, k, m)
     else:

@@ -48,9 +48,12 @@ def zorder_key_sql(exprs: Sequence[str], bits: int = 16) -> str:
     """DuckDB SQL computing the same Morton key (oracle parity)."""
     k = len(exprs)
     # every term fully parenthesized: SQL `<<` binds looser than `+`,
-    # so an unparenthesized `a << 3 + b << 5` re-associates the shifts
+    # so an unparenthesized `a << 3 + b << 5` re-associates the shifts.
+    # Each expr is CAST to BIGINT to match the Spark side's .cast
+    # ("long"): an INTEGER-typed expr would make DuckDB raise
+    # 'Overflow in left shift' at bit positions >= 31 (verified live)
     terms = [
-        f"(((({e}) >> {j}) & 1) << {j * k + i})"
+        f"((((CAST(({e}) AS BIGINT)) >> {j}) & 1) << {j * k + i})"
         for j in range(bits)
         for i, e in enumerate(exprs)
     ]

@@ -35,8 +35,19 @@ def salted_agg(
     salting is for the ones it can't — high-cardinality intermediate
     state, collect-like aggregates, or single-key skew where one
     reducer's combine step is itself too large.
+
+    The salt is DETERMINISTIC (partition id + a row hash), never
+    F.rand: a rand salt makes the phase-1 map output indeterminate, and
+    a fetch failure during phase 2 then needs a whole-stage rollback
+    Spark often cannot perform ("cannot rollback ShuffleMapStage" job
+    abort) — recomputed rows would carry different salts than the
+    partials already fetched. Mixing spark_partition_id into the hash
+    keeps identical duplicate rows spread across (at worst) their map
+    partitions, so an undeduplicated hot key still fans out.
     """
-    salt = (F.rand(seed=42) * n_salts).cast("int")
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), *df.columns), F.lit(n_salts)
+    )
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[
             getattr(F, fn1)(F.col(src) if src else F.lit(1)).alias(f"_p_{out}")
@@ -56,10 +67,16 @@ def salted_distinct_count(
 ) -> DataFrame:
     """Exact distinct count per key under skew: salt by the VALUE hash so
     each distinct value lands in exactly one salt bucket (no double
-    counting), dedup within buckets, then sum bucket cardinalities."""
+    counting), dedup within buckets, then sum bucket cardinalities.
+
+    NULL values are excluded BEFORE the dedup — count(DISTINCT x)
+    semantics (and the paired SQL oracle) ignore NULLs, but the
+    (key, salt, NULL) group would otherwise survive dropDuplicates and
+    count(lit(1)) would count it as a distinct value."""
     salt = F.pmod(F.hash(F.col(value_col)), F.lit(n_salts))
     per_bucket = (
-        df.withColumn("_salt", salt)
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_salt", salt)
         .select(*keys, "_salt", value_col)
         .dropDuplicates([*keys, "_salt", value_col])
         .groupBy(*keys, "_salt")
@@ -88,13 +105,20 @@ def salted_join(
 
     The fact salt derives from ``salt_col`` (any well-distributed column
     NOT equal to the join key; hashing the key itself would put one hot
-    key entirely in one bucket again); default is the whole-row hash.
+    key entirely in one bucket again); default is the whole-row hash
+    MIXED with the partition id — without the mix, a hot key whose rows
+    are exact duplicates (an undeduplicated record stream) hashes every
+    replica to ONE salt bucket, recreating the single-reducer skew
+    while still paying the dim side's n_salts-fold replication. With
+    the mix, identical rows spread across their map partitions.
     AQE's skew-join splitting covers sort-merge joins adaptively — this
     explicit form is for when you must pin the strategy (e.g. a skewed
     key feeding a downstream co-partitioned stage).
     """
     salt_src = (
-        F.hash(F.col(salt_col)) if salt_col else F.hash(*fact.columns)
+        F.hash(F.col(salt_col))
+        if salt_col
+        else F.xxhash64(F.spark_partition_id(), *fact.columns)
     )
     f = fact.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
     d = dim.withColumn(
