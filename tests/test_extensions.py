@@ -2845,3 +2845,116 @@ class TestReviewFixesRound5:
         a = {tuple(r) for r in skew.salted_agg(df, ["k"], spec).collect()}
         b = {tuple(r) for r in skew.salted_agg(df, ["k"], spec).collect()}
         assert a == b == {("a", 100, 99)}
+
+
+class TestReviewFixesRound6:
+    """Round-6 sixth review pass: atomic latest-row picks, corrupt-media
+    robustness, duration parsing."""
+
+    def test_latest_per_key_never_returns_torn_rows(self, spark):
+        """Two rows tied at the max version: the winner is arbitrary but
+        ATOMIC — every payload column must come from the SAME source
+        row, never a mix."""
+        from uc_historic_data_importer_spark.operators.latest import (
+            latest_per_key,
+        )
+
+        rows = [
+            ("t", "k", 5, "env-A", "src-A"),
+            ("t", "k", 5, "env-B", "src-B"),
+            ("t", "k", 3, "env-old", "src-old"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "table string, key_hex string, version long, "
+            "envelope string, source string",
+        ).repartition(8)
+        got = latest_per_key(
+            df, payload_cols=("envelope", "source")
+        ).collect()
+        assert len(got) == 1 and got[0]["version"] == 5
+        pair = (got[0]["envelope"], got[0]["source"])
+        assert pair in {("env-A", "src-A"), ("env-B", "src-B")}, pair
+
+    def test_corrupt_png_payloads_yield_sentinels_not_task_failure(self, spark):
+        """Signature-valid but corrupt payloads raise zlib/struct errors
+        from the stdlib codec — they must map to the -1 sentinel / stub
+        passthrough, never kill the task."""
+        import struct as st
+        import zlib as zl
+
+        from uc_historic_data_importer_spark.operators import multimodal as mm
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+        good = ic.encode_png(4, 3, 1, bytes(range(12)))
+        truncated = good[:20]  # mid-IHDR: struct/ValueError territory
+        # valid chunks, garbage IDAT: zlib.error territory
+        ihdr = good[8:33]
+        bad_idat = (
+            ic.PNG_SIGNATURE
+            + ihdr
+            + ic._chunk(b"IDAT", b"\x99" * 10)
+            + ic._chunk(b"IEND", b"")
+        )
+        for p in (truncated, bad_idat):
+            with pytest.raises((ValueError, zl.error, st.error)):
+                ic.decode_png(p)
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytearray(good)),
+                (2, "image", bytearray(truncated)),
+                (3, "image", bytearray(bad_idat)),
+            ],
+            "media_id long, kind string, payload binary",
+        ).withColumn("mime", F.lit("image/png")).withColumn(
+            "meta", F.create_map().cast("map<string,string>")
+        )
+        feats = {r["media_id"]: r["width"]
+                 for r in mm.extract_features(media).collect()}
+        assert feats[1] == 4  # real decode
+        # corrupt payloads fall back (stub dims or sentinel), no crash
+        assert 2 in feats and 3 in feats
+        keys = {r["media_id"]: r["ahash"]
+                for r in mm.perceptual_keys(media).collect()}
+        assert keys[1] != -1 and keys[3] == -1
+        resized = mm.resize_images(media, 8, 8).collect()
+        assert len(resized) == 3  # corrupt rows pass through, no crash
+
+    def test_perceptual_keys_hash_jpegs_too(self, spark):
+        from uc_historic_data_importer_spark.operators import multimodal as mm
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+        jpg = ic.encode_jpeg_gray(16, 16, bytes([100]) * 256)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(jpg))],
+            "media_id long, kind string, payload binary",
+        ).withColumn("mime", F.lit("image/jpeg")).withColumn(
+            "meta", F.create_map().cast("map<string,string>")
+        )
+        row = mm.perceptual_keys(media).collect()[0]
+        assert row["ahash"] != -1  # JPEGs get a REAL perceptual hash
+
+    def test_fractional_duration_strings_plan_floored(self, spark):
+        from uc_historic_data_importer_spark.operators import multimodal as mm
+
+        media = spark.createDataFrame(
+            [(1, "video"), (2, "video"), (3, "audio")],
+            "media_id long, kind string",
+        ).select(
+            "media_id",
+            "kind",
+            F.lit(None).cast("binary").alias("payload"),
+            F.lit("x").alias("mime"),
+            F.create_map(
+                F.lit("duration_s"),
+                F.when(F.col("media_id") == 1, "12.5")
+                .when(F.col("media_id") == 2, "0.4")
+                .otherwise("7.9"),
+            ).alias("meta"),
+        )
+        frames = mm.frame_sample_plan(media).groupBy("media_id").count()
+        got = {r["media_id"]: r["count"] for r in frames.collect()}
+        # 12.5 floors to 12 -> frames at 0,5,10; 0.4 floors to 0 -> skip
+        assert got == {1: 3}
+        chunks = mm.audio_chunk_plan(media, chunk_s=5, overlap_s=1)
+        assert chunks.count() == 2  # 7.9 -> dur 7 -> starts 0, 4

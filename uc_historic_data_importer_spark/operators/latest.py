@@ -26,17 +26,26 @@ def latest_per_key(
 ) -> DataFrame:
     """max_by aggregation: one shuffle, map-side partial aggregation.
 
-    Ties on version resolve to an arbitrary-but-single row (HBase cells at
-    the same timestamp overwrite each other — same semantics)."""
-    struct_cols = [version_col, *payload_cols]
+    Ties on version resolve to an arbitrary-but-SINGLE row (HBase cells
+    at the same timestamp overwrite each other — same semantics). The
+    payload columns ride ONE max_by over a combined struct, not one
+    max_by per column: independent max_by calls give no cross-aggregate
+    consistency under ties, so a key with two rows at the same max
+    version could return a TORN row mixing column values from different
+    source rows — a row that never existed. One struct aggregate
+    guarantees atomicity (and F.max_by over Columns handles any column
+    name, where f-string SQL interpolation broke on non-identifiers)."""
+    picked = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]), F.col(version_col)
+    ).alias("_picked")
     agg = df.groupBy(*key_cols).agg(
-        F.max(version_col).alias(version_col),
-        *[
-            F.expr(f"max_by({c}, {version_col})").alias(c)
-            for c in payload_cols
-        ],
+        F.max(version_col).alias(version_col), picked
     )
-    return agg
+    return agg.select(
+        *key_cols,
+        version_col,
+        *[F.col(f"_picked.{c}").alias(c) for c in payload_cols],
+    )
 
 
 def latest_per_key_window(

@@ -22,6 +22,8 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -52,6 +54,14 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+
+# every error a corrupt-but-signature-valid payload can raise out of the
+# stdlib codecs: the Unsupported*Error classes subclass ValueError, but
+# zlib.error (bad IDAT deflate) and struct.error (short fixed-layout
+# reads) do NOT — a decode catch that misses them lets one corrupt row
+# kill the whole Spark task instead of yielding the sentinel/stub
+_DECODE_ERRORS = (ValueError, zlib.error, struct.error)
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
@@ -95,7 +105,7 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
         if container == "gif":
             w, h = imagecodec.gif_dims(payload)
             return w, h, _decode_image_stub(payload)[2]
-    except imagecodec.UnsupportedImageError:
+    except _DECODE_ERRORS:
         pass
     return _decode_image_stub(payload)
 
@@ -131,7 +141,7 @@ def extract_features(
                 payload = bytes(row.payload) if row.payload is not None else b""
                 try:
                     w, h, feat = decode(payload)
-                except ValueError:
+                except _DECODE_ERRORS:
                     w, h, feat = -1, -1, None
                 out.append(
                     {
@@ -161,8 +171,16 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     (no rows emitted) rather than planned as zero-length work items
     (ADVICE r1); route them through a metadata-repair pass if they must
     not be dropped silently."""
+    # try_cast DOUBLE then floor, not try_cast INT: an int cast turns a
+    # FRACTIONAL duration string ('12.5') into NULL and silently skips
+    # media with valid positive duration — the documented skip rule
+    # covers only missing/non-positive durations (the oracle floors the
+    # same way)
     dur = F.coalesce(
-        F.element_at(F.col("meta"), "duration_s").try_cast("int"), F.lit(0)
+        F.floor(
+            F.element_at(F.col("meta"), "duration_s").try_cast("double")
+        ).cast("int"),
+        F.lit(0),
     )
     frames = F.sequence(F.lit(0), dur - 1, F.lit(every_n_seconds))
     return (
@@ -218,7 +236,7 @@ def _resize_image(payload: bytes, w: int, h: int) -> bytes:
             return imagecodec.encode_png(
                 w, h, ch, imagecodec.resize_nearest(sw, sh, ch, px, w, h)
             )
-        except imagecodec.UnsupportedImageError:
+        except _DECODE_ERRORS:
             pass
     return _resize_image_stub(payload, w, h)
 
@@ -270,10 +288,26 @@ def audio_chunk_plan(
 
     Assets with missing or non-positive duration metadata are SKIPPED
     (no rows emitted) rather than planned as zero-length chunks
-    (ADVICE r1)."""
+    (ADVICE r1).
+
+    Known shape: when the last start falls within ``overlap_s`` of the
+    end (e.g. chunk 30 s / overlap 5 s over 55 s audio -> starts 0, 25,
+    50), the final chunk is fully contained in its predecessor — the
+    same trailing seconds decode twice. Harmless for dedup-downstream
+    consumers (and the oracle replays the identical rule); a consumer
+    that must not double-process should drop chunks whose
+    ``chunk_start_s >= duration_s - overlap_s`` when ``chunk_start_s >
+    0``."""
     if overlap_s >= chunk_s:
         raise ValueError("overlap_s must be < chunk_s")
-    dur = F.coalesce(F.element_at(F.col("meta"), "duration_s").try_cast("int"), F.lit(0))
+    # floor(double), not int-cast: see frame_sample_plan — a fractional
+    # duration string must not NULL out and skip the asset
+    dur = F.coalesce(
+        F.floor(
+            F.element_at(F.col("meta"), "duration_s").try_cast("double")
+        ).cast("int"),
+        F.lit(0),
+    )
     rate = F.coalesce(
         F.element_at(F.col("meta"), "sample_rate").try_cast("int"), F.lit(16000)
     )
@@ -340,7 +374,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                             "peak": peak,
                         }
                     )
-                except (audiocodec.UnsupportedAudioError, ValueError):
+                except _DECODE_ERRORS:
                     out.append(
                         {
                             "media_id": row.media_id,
@@ -392,7 +426,7 @@ def audio_window_features(media: DataFrame, window: int = 80) -> DataFrame:
                 payload = bytes(row.payload) if row.payload is not None else b""
                 try:
                     _rate, _ch, samples = audiocodec.decode_wav(payload)
-                except (audiocodec.UnsupportedAudioError, ValueError):
+                except _DECODE_ERRORS:
                     continue
                 n_full = len(samples) // window
                 for w in range(n_full):
@@ -449,7 +483,7 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
                 payload = bytes(row.payload) if row.payload is not None else b""
                 try:
                     w, h, dur = videocodec.parse_mp4_meta(payload)
-                except (videocodec.UnsupportedVideoError, ValueError):
+                except _DECODE_ERRORS:
                     w, h, dur = -1, -1, -1
                 out.append(
                     {
@@ -478,7 +512,13 @@ def perceptual_keys(media: DataFrame) -> DataFrame:
     keys in media_dedup_keys catch only exact copies). Undecodable
     payloads yield -1; grouping on the hash (or on hamming bands of it,
     as with SimHash) clusters visually-identical media without any
-    pairwise comparison."""
+    pairwise comparison.
+
+    Dispatches on the sniffed container like _decode_image — every
+    format the codec can FULLY decode (PNG and baseline JPEG) gets a
+    real hash. A PNG-only path here would silently hand every JPEG the
+    -1 sentinel, and 'group by ahash' would then cluster all JPEGs as
+    one giant pseudo-duplicate while appearing to cover them."""
     from uc_historic_data_importer_spark.functions import imagecodec
 
     def _keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -486,10 +526,16 @@ def perceptual_keys(media: DataFrame) -> DataFrame:
             out = []
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
+                container = imagecodec.sniff(payload)
                 try:
-                    w, h, ch, px = imagecodec.decode_png(payload)
+                    if container == "png":
+                        w, h, ch, px = imagecodec.decode_png(payload)
+                    elif container == "jpeg":
+                        w, h, ch, px = imagecodec.decode_jpeg(payload)
+                    else:
+                        raise ValueError("no pixel decoder for payload")
                     key = imagecodec.ahash(w, h, ch, px)
-                except (imagecodec.UnsupportedImageError, ValueError):
+                except _DECODE_ERRORS:
                     key = -1
                 out.append({"media_id": row.media_id, "ahash": key})
             yield pd.DataFrame(out)

@@ -57,14 +57,18 @@ def pack_concat_chunks(
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     out = base.withColumn("start_off", start)
-    first_chunk = F.floor(F.col("start_off") / budget)
+    # integer `div`, not floor(double division): both operands are exact
+    # ints and the sibling shard_assign_by_tokens already uses div — a
+    # double quotient could in principle misround at extreme offsets,
+    # and the exact form is engine-portable by construction
+    first_chunk = F.expr(f"start_off div {budget}")
     # empty documents occupy zero tokens: they sit at their offset with
     # first_chunk == last_chunk (the greatest(n,1) pins last to the
     # same chunk as first) and n_chunks = 0 — n_chunks, NOT
     # first==last, is the "fits one window" signal, since a zero-token
     # doc shares first==last with genuine one-window docs
-    last_chunk = F.floor(
-        (F.col("start_off") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget
+    last_chunk = F.expr(
+        f"(start_off + greatest(n_tokens, 1) - 1) div {budget}"
     )
     n_chunks = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
         last_chunk - first_chunk + 1
@@ -98,12 +102,12 @@ def pack_sql(tokens_sql: str, budget: int, n_shards: int) -> str:
       FROM base
     )
     SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens, start_off,
-           CAST(floor(start_off / {budget}) AS BIGINT) AS first_chunk,
-           CAST(floor((start_off + greatest(n_tokens, 1) - 1)
-                      / {budget}) AS BIGINT) AS last_chunk,
+           CAST((start_off // {budget}) AS BIGINT) AS first_chunk,
+           CAST(((start_off + greatest(n_tokens, 1) - 1)
+                      // {budget}) AS BIGINT) AS last_chunk,
            CAST(CASE WHEN n_tokens = 0 THEN 0
-                ELSE floor((start_off + greatest(n_tokens, 1) - 1) / {budget})
-                     - floor(start_off / {budget}) + 1 END AS BIGINT)
+                ELSE ((start_off + greatest(n_tokens, 1) - 1) // {budget})
+                     - (start_off // {budget}) + 1 END AS BIGINT)
              AS n_chunks
     FROM offs
     """

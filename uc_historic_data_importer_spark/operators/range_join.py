@@ -48,7 +48,17 @@ def interval_join(
     """
     if upper_ms < lower_ms:
         raise ValueError("upper_ms must be >= lower_ms")
-    width = bucket_width_ms or max(upper_ms - lower_ms, 1)
+    # explicit validation, not a falsy `or`: bucket_width_ms=0 would
+    # silently fall back to the default width (coarser pruning than the
+    # caller asked for) and a negative width would explode descending
+    # bucket sequences instead of erroring
+    if bucket_width_ms is not None and bucket_width_ms < 1:
+        raise ValueError("bucket_width_ms must be >= 1")
+    width = (
+        bucket_width_ms
+        if bucket_width_ms is not None
+        else max(upper_ms - lower_ms, 1)
+    )
     keys = list(equi_keys or [])
 
     l_ms = F.unix_millis(F.col(left_ts))
