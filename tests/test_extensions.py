@@ -291,6 +291,12 @@ class TestMultimodal:
             (21, "video", bytearray(b"v"), "video/mp4", {"duration_s": "0"}),
             (22, "video", bytearray(b"v"), "video/mp4", {"duration_s": "x"}),
             (23, "video", bytearray(b"v"), "video/mp4", {"duration_s": "7"}),
+            # out-of-int-range (ms-vs-s corruption): must SKIP, not
+            # raise CAST_OVERFLOW under ANSI mode (ADVICE r6)
+            (27, "video", bytearray(b"v"), "video/mp4",
+             {"duration_s": "9999999999"}),
+            (28, "audio", bytearray(b"a"), "audio/wav",
+             {"duration_s": "9999999999", "sample_rate": "8000"}),
             (24, "audio", bytearray(b"a"), "audio/wav", {}),
             (25, "audio", bytearray(b"a"), "audio/wav",
              {"duration_s": "0", "sample_rate": "8000"}),
@@ -2845,6 +2851,29 @@ class TestReviewFixesRound5:
         a = {tuple(r) for r in skew.salted_agg(df, ["k"], spec).collect()}
         b = {tuple(r) for r in skew.salted_agg(df, ["k"], spec).collect()}
         assert a == b == {("a", 100, 99)}
+
+    def test_salted_ops_tolerate_map_columns(self, spark):
+        # xxhash64 rejects MapType at analysis time; the salt hash must
+        # skip map-bearing columns (incl. nested) instead of failing
+        # (ADVICE r6)
+        from uc_historic_data_importer_spark.operators import skew
+
+        df = spark.createDataFrame(
+            [("a", i % 3, {"m": str(i)}, ({"n": i},)) for i in range(60)],
+            "k string, v int, meta map<string,string>, "
+            "s struct<inner: map<string,int>>",
+        )
+        spec = {"n": ("count", "sum", None), "total": ("sum", "sum", "v")}
+        got = {
+            (r["k"], r["n"], r["total"])
+            for r in skew.salted_agg(df, ["k"], spec).collect()
+        }
+        assert got == {("a", 60, 60)}  # sum(i % 3, i<60) = 20 * 3
+
+        dim = spark.createDataFrame([("a", "dim")], "k string, d string")
+        joined = skew.salted_join(df.select("k", "v", "meta"), dim, "k")
+        assert joined.count() == 60
+        assert set(joined.columns) == {"k", "v", "meta", "d"}
 
 
 class TestReviewFixesRound6:

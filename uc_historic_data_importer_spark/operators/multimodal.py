@@ -175,11 +175,14 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     # FRACTIONAL duration string ('12.5') into NULL and silently skips
     # media with valid positive duration — the documented skip rule
     # covers only missing/non-positive durations (the oracle floors the
-    # same way)
+    # same way). The OUTER narrowing must also be try_cast: under ANSI
+    # mode a plain cast raises CAST_OVERFLOW on an out-of-int-range
+    # duration string (ms-vs-s corruption) and aborts the job; try_cast
+    # keeps the tolerate-corrupt-metadata contract (NULL -> 0 -> skip).
     dur = F.coalesce(
         F.floor(
             F.element_at(F.col("meta"), "duration_s").try_cast("double")
-        ).cast("int"),
+        ).try_cast("int"),
         F.lit(0),
     )
     frames = F.sequence(F.lit(0), dur - 1, F.lit(every_n_seconds))
@@ -301,11 +304,13 @@ def audio_chunk_plan(
     if overlap_s >= chunk_s:
         raise ValueError("overlap_s must be < chunk_s")
     # floor(double), not int-cast: see frame_sample_plan — a fractional
-    # duration string must not NULL out and skip the asset
+    # duration string must not NULL out and skip the asset; the outer
+    # narrowing is try_cast so an out-of-int-range duration skips
+    # instead of raising CAST_OVERFLOW under ANSI mode
     dur = F.coalesce(
         F.floor(
             F.element_at(F.col("meta"), "duration_s").try_cast("double")
-        ).cast("int"),
+        ).try_cast("int"),
         F.lit(0),
     )
     rate = F.coalesce(

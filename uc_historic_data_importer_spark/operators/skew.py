@@ -12,6 +12,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _row_salt_hash(df: DataFrame) -> F.Column:
+    """Deterministic per-row salt source: xxhash64 over the partition id
+    and every HASHABLE column. xxhash64 rejects MapType (anywhere in the
+    type, incl. inside arrays/structs) at analysis time, so map-bearing
+    columns are excluded — with the partition id always mixed in, rows
+    that collide on the remaining columns still spread across their map
+    partitions, which is all the salt needs."""
+    hashable = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not _contains_map(f.dataType)
+    ]
+    return F.xxhash64(F.spark_partition_id(), *hashable)
 
 
 def salted_agg(
@@ -45,9 +71,7 @@ def salted_agg(
     keeps identical duplicate rows spread across (at worst) their map
     partitions, so an undeduplicated hot key still fans out.
     """
-    salt = F.pmod(
-        F.xxhash64(F.spark_partition_id(), *df.columns), F.lit(n_salts)
-    )
+    salt = F.pmod(_row_salt_hash(df), F.lit(n_salts))
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[
             getattr(F, fn1)(F.col(src) if src else F.lit(1)).alias(f"_p_{out}")
@@ -116,9 +140,7 @@ def salted_join(
     key feeding a downstream co-partitioned stage).
     """
     salt_src = (
-        F.hash(F.col(salt_col))
-        if salt_col
-        else F.xxhash64(F.spark_partition_id(), *fact.columns)
+        F.hash(F.col(salt_col)) if salt_col else _row_salt_hash(fact)
     )
     f = fact.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
     d = dim.withColumn(

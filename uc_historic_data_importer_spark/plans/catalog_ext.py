@@ -4374,7 +4374,9 @@ def doc_length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (
       SELECT source, floor(ln(1.0 + n_chars::DOUBLE) * 100) AS bucket,
              count(*) AS cnt
-      FROM documents GROUP BY source, bucket
+      FROM documents
+      WHERE n_chars IS NOT NULL AND (1.0 + n_chars::DOUBLE) > 0
+      GROUP BY source, bucket
     ),
     cum AS (
       SELECT source, bucket,
@@ -4404,7 +4406,9 @@ def doc_length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(cnt) OVER (PARTITION BY source) AS total
       FROM (
         SELECT source, floor(ln(1.0 + adev) * 100) AS bucket, count(*) AS cnt
-        FROM dev GROUP BY source, bucket
+        FROM dev
+        WHERE adev IS NOT NULL AND (1.0 + adev) > 0
+        GROUP BY source, bucket
       )
     ),
     madv AS (
