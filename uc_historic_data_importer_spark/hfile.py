@@ -1,14 +1,17 @@
-"""Minimal pure-Python Apache HFile **version 3** writer + independent
-parser — the container around the KeyValue wire cells that closes W2's
-bulk-load path without HBase jars.
+"""Pure-Python Apache HFile **version 3** writer + independent parser —
+the container around the KeyValue wire cells that closes W2's bulk-load
+path without HBase jars.
 
 The reference writes cells through region servers (HbaseClient.kt:25-41
-with SKIP_WAL, Config.kt:27); the idiomatic 100 TB route is bulk load:
-region-aligned, totally-ordered HFiles handed to LoadIncrementalHFiles.
-`hbase_bulkload_layout` (sinks.py) already produces the exact
-partitioning + in-partition CellComparator order, and the KeyValue wire
-bytes are pinned byte-exactly (tests/test_sinks.py::TestKeyValueWireParity).
-This module supplies the remaining piece: the on-disk block container.
+with SKIP_WAL, Config.kt:27) into a table whose column family is
+GZ-compressed for both flush and compaction (HbaseClient.kt:88-89); the
+idiomatic 100 TB route is bulk load: region-aligned, totally-ordered
+HFiles handed to LoadIncrementalHFiles. `hbase_bulkload_layout`
+(sinks.py) already produces the exact partitioning + in-partition
+CellComparator order, and the KeyValue wire bytes are pinned byte-exactly
+(tests/test_sinks.py::TestKeyValueWireParity). This module supplies the
+remaining piece: the on-disk block container, with the table's own GZ
+block compression and a multi-level data index for multi-GB region files.
 
 Layout follows the PUBLIC Apache HBase format (all structure and
 constants from the Apache-2.0 HBase source, not the reference repo):
@@ -16,28 +19,51 @@ constants from the Apache-2.0 HBase source, not the reference repo):
 - ``HFileBlock``: 33-byte header = blockType magic (8) |
   onDiskSizeWithoutHeader (i32) | uncompressedSizeWithoutHeader (i32) |
   prevBlockOffset of same type (i64) | checksumType (u8) |
-  bytesPerChecksum (i32) | onDiskDataSizeWithHeader (i32), then data,
-  then one CRC32 per bytesPerChecksum chunk covering header+data
-  (hbase HFileBlock.java / ChecksumUtil.java; CRC32 == zlib.crc32).
+  bytesPerChecksum (i32) | onDiskDataSizeWithHeader (i32), then the
+  (possibly compressed) data, then one CRC32 per bytesPerChecksum chunk
+  covering header+on-disk-data (hbase HFileBlock.java /
+  ChecksumUtil.java; CRC32 == zlib.crc32).
+- Compression is a FILE-level context (FixedFileTrailer's
+  compression_codec, Compression.Algorithm ordinals — GZ=1, NONE=2):
+  when GZ, every block body except the trailer is one standard gzip
+  stream (Hadoop GzipCodec == RFC 1952), and the header's
+  onDiskSizeWithoutHeader / uncompressedSizeWithoutHeader diverge —
+  checksums cover the COMPRESSED bytes (what's on disk).
 - Data block payload: cells as keyLen(i32) valueLen(i32) key value —
   no memstoreTS vlong and no tags, signalled by OMITTING
   KEY_VALUE_VERSION / MAX_MEMSTORE_TS_KEY / MAX_TAGS_LEN from FileInfo
   (HFileReaderImpl derives both flags from FileInfo presence).
-- Root index block (single level): per entry offset(i64),
+- Data index, 1..N levels (HFileBlockIndex.BlockIndexWriter): leaf
+  index blocks ("IDXLEAF2", non-root format) are written INLINE among
+  the data blocks whenever the accumulating chunk reaches
+  ``max_chunk_size`` (hfile.index.block.max.size, default 128 KB);
+  at close, if no leaf was ever flushed the single chunk is promoted
+  to a one-level root (BlockIndexWriter#shouldWriteBlock's closing
+  branch), otherwise intermediate levels ("IDXINTE2", non-root format)
+  are written into the load-on-open section until the root chunk fits
+  ``max_chunk_size``, then the root ("IDXROOT2", root format).
+  Non-root format (BlockIndexChunk#writeNonRoot): numEntries(i32),
+  secondary index of (numEntries+1) i32 entry offsets, then entries as
+  offset(i64) | onDiskSizeWithHeader(i32) | firstKey raw bytes.
+  Root format (#writeRoot): per entry offset(i64),
   onDiskSizeWithHeader(i32), firstKey as Hadoop writeByteArray
-  (vint len + bytes) — HFileBlockIndex.BlockIndexChunk#writeRoot.
+  (vint len + bytes).
 - FileInfo block: "PBUF" magic + varint-delimited FileInfoProto
   (repeated BytesBytesPair map_entry) — HFileInfo#write.
 - Fixed trailer, 4096 bytes: "TRABLK\"$" magic + varint-delimited
   FileTrailerProto + zero padding + version word
-  (major=3 | minor<<24) — FixedFileTrailer#serialize.
+  (major=3 | minor<<24) — FixedFileTrailer#serialize. The trailer is
+  NEVER compressed (it must be readable before the codec is known).
 
 In this sandbox there is no HBase classpath to run HFilePrettyPrinter,
 so verification is a strict INDEPENDENT parser (`read_hfile`) driven
 from the trailer exactly the way HBase opens a file — trailer -> version
--> load-on-open walk -> root index -> per-block checksum verify ->
-cell scan — plus golden structural pins in tests/test_hfile.py. The
-writer never reads its own bookkeeping back.
+-> codec -> load-on-open walk -> root index -> intermediate -> leaf ->
+per-block checksum verify -> cell scan — plus golden structural pins,
+a hypothesis write->parse property suite over arbitrary cell sets, and
+a byte-fuzz matrix (tests/test_hfile.py) asserting the parser rejects
+every corrupted structural field loudly. The writer never reads its own
+bookkeeping back.
 """
 
 from __future__ import annotations
@@ -47,8 +73,10 @@ import zlib
 from dataclasses import dataclass, field
 
 # --- public HBase constants (BlockType.java, ChecksumType.java,
-# Compression.java, HFile.java) ---
+# Compression.java, HFile.java, HFileBlockIndex.java) ---
 DATA_MAGIC = b"DATABLK*"
+LEAF_INDEX_MAGIC = b"IDXLEAF2"
+INTERMEDIATE_INDEX_MAGIC = b"IDXINTE2"
 ROOT_INDEX_MAGIC = b"IDXROOT2"
 FILE_INFO_MAGIC = b"FILEINF2"
 TRAILER_MAGIC = b'TRABLK"$'
@@ -56,6 +84,7 @@ TRAILER_MAGIC = b'TRABLK"$'
 HEADER_SIZE = 33  # v2+ header with checksum fields
 CHECKSUM_CRC32 = 1  # ChecksumType.CRC32.getCode()
 BYTES_PER_CHECKSUM = 16384
+COMPRESSION_GZ = 1  # Compression.Algorithm.GZ.ordinal()
 COMPRESSION_NONE = 2  # Compression.Algorithm.NONE.ordinal()
 MAJOR_VERSION = 3
 MINOR_VERSION = 3  # HFileReaderImpl.MAX_MINOR_VERSION
@@ -65,6 +94,11 @@ TRAILER_SIZE = 4096  # FixedFileTrailer.TRAILER_SIZE[v2+]
 COMPARATOR_NAME = "org.apache.hadoop.hbase.KeyValue$KVComparator"
 
 DEFAULT_BLOCK_SIZE = 64 * 1024  # HConstants.DEFAULT_BLOCKSIZE
+MAX_CHUNK_SIZE = 128 * 1024  # hfile.index.block.max.size default
+MIN_INDEX_NUM_ENTRIES = 16  # hfile.index.block.min.entries default
+
+# one secondary-index entry's fixed cost: offset i64 + onDiskSize i32
+_NONROOT_ENTRY_OVERHEAD = 12
 
 
 def _write_vlong(i: int) -> bytes:
@@ -84,6 +118,11 @@ def _write_vlong(i: int) -> bytes:
     for idx in range(ln, 0, -1):
         out += struct.pack("B", (i >> ((idx - 1) * 8)) & 0xFF)
     return out
+
+
+def _vlong_size(i: int) -> int:
+    """WritableUtils.getVIntSize — root-entry size accounting."""
+    return len(_write_vlong(i))
 
 
 def _read_vlong(buf: bytes, pos: int) -> tuple[int, int]:
@@ -151,11 +190,64 @@ def _parse_pb_fields(buf: bytes) -> dict[int, list]:
     return fields
 
 
+def _gz_compress(data: bytes) -> bytes:
+    """One standard gzip stream per block (Hadoop GzipCodec, RFC 1952;
+    wbits=31 == gzip container, deterministic header — zlib writes
+    mtime 0 when deflateSetHeader is unset)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def _gz_decompress(data: bytes) -> bytes:
+    return zlib.decompress(data, 31)
+
+
 @dataclass
 class _BlockIndexEntry:
     offset: int
     on_disk_size_with_header: int
     first_key: bytes
+
+
+def _non_root_size(entries: list[_BlockIndexEntry]) -> int:
+    """BlockIndexChunk#getNonRootSize: numEntries int + secondary index
+    (n+1 ints) + per-entry (12 + keylen)."""
+    return (
+        4
+        + 4 * (len(entries) + 1)
+        + sum(_NONROOT_ENTRY_OVERHEAD + len(e.first_key) for e in entries)
+    )
+
+
+def _root_size(entries: list[_BlockIndexEntry]) -> int:
+    """BlockIndexChunk#getRootSize: per-entry long + int + vint keylen +
+    key bytes."""
+    return sum(
+        12 + _vlong_size(len(e.first_key)) + len(e.first_key) for e in entries
+    )
+
+
+def _non_root_bytes(entries: list[_BlockIndexEntry]) -> bytes:
+    """BlockIndexChunk#writeNonRoot — leaf/intermediate block payload."""
+    out = struct.pack(">i", len(entries))
+    cur = 0
+    for e in entries:
+        out += struct.pack(">i", cur)
+        cur += _NONROOT_ENTRY_OVERHEAD + len(e.first_key)
+    out += struct.pack(">i", cur)
+    for e in entries:
+        out += struct.pack(">qi", e.offset, e.on_disk_size_with_header)
+        out += e.first_key
+    return out
+
+
+def _root_bytes(entries: list[_BlockIndexEntry]) -> bytes:
+    """BlockIndexChunk#writeRoot — root block payload."""
+    out = b""
+    for e in entries:
+        out += struct.pack(">qi", e.offset, e.on_disk_size_with_header)
+        out += _write_vlong(len(e.first_key)) + e.first_key
+    return out
 
 
 def cell_order_key(key: bytes) -> tuple:
@@ -176,25 +268,49 @@ def cell_order_key(key: bytes) -> tuple:
 
 
 class HFileWriter:
-    """Streaming single-level-index HFile v3 writer.
+    """Streaming HFile v3 writer with optional GZ block compression and
+    a 1..N-level data index.
 
     Cells must arrive in CellComparator order (`keyvalue_sort_key` in
     sinks.py); ordering is asserted, not fixed up — the upstream layout
     owns the sort. Memory is one data block (~``block_size``) plus the
-    root index entries, so a region's HFile streams at O(block) memory
-    regardless of cell count — the property that lets one Spark task
-    write one region's file."""
+    CURRENT index chunk per level (each capped at ``max_chunk_size``,
+    leaf chunks flushed inline the way HBase's BlockIndexWriter does),
+    so a region's HFile streams at O(block + chunk) memory regardless
+    of cell count — the property that lets one Spark task write one
+    region's file. With ``compression=COMPRESSION_GZ`` every block body
+    is a gzip stream, matching the reference table's
+    ``Compression.Algorithm.GZ`` flush/compaction setting
+    (HbaseClient.kt:88-89) — at 100 TB the ~3-5x on-disk saving is the
+    difference between bulk load and a re-compaction storm."""
 
-    def __init__(self, fh, block_size: int = DEFAULT_BLOCK_SIZE,
-                 create_time_ms: int = 0):
+    def __init__(
+        self,
+        fh,
+        block_size: int = DEFAULT_BLOCK_SIZE,
+        create_time_ms: int = 0,
+        compression: int = COMPRESSION_NONE,
+        max_chunk_size: int = MAX_CHUNK_SIZE,
+        min_index_entries: int = MIN_INDEX_NUM_ENTRIES,
+    ):
+        if compression not in (COMPRESSION_GZ, COMPRESSION_NONE):
+            raise ValueError(f"unsupported compression codec {compression}")
         self._fh = fh
         self._block_size = block_size
         self._create_time_ms = create_time_ms
+        self._compression = compression
+        self._max_chunk_size = max_chunk_size
+        self._min_index_entries = min_index_entries
         self._offset = 0
         self._prev_offset_by_type: dict[bytes, int] = {}
         self._buf = bytearray()
         self._first_key_in_block: bytes | None = None
-        self._index: list[_BlockIndexEntry] = []
+        # BlockIndexWriter state: curInlineChunk accumulates data-block
+        # entries; rootChunk accumulates leaf-block entries once the
+        # index goes multi-level.
+        self._inline_chunk: list[_BlockIndexEntry] = []
+        self._root_chunk: list[_BlockIndexEntry] = []
+        self._num_levels = 1
         self._entry_count = 0
         self._total_key_len = 0
         self._total_value_len = 0
@@ -239,13 +355,17 @@ class HFileWriter:
 
     # -- block plumbing ------------------------------------------------
     def _write_block(self, magic: bytes, data: bytes) -> tuple[int, int]:
-        """Write one checksummed block; returns (offset,
-        on_disk_size_with_header)."""
-        on_disk_data_with_header = HEADER_SIZE + len(data)
+        """Write one checksummed (and, under GZ, compressed) block;
+        returns (offset, on_disk_size_with_header)."""
+        if self._compression == COMPRESSION_GZ:
+            on_disk_data = _gz_compress(data)
+        else:
+            on_disk_data = data
+        on_disk_data_with_header = HEADER_SIZE + len(on_disk_data)
         n_chunks = (
             on_disk_data_with_header + BYTES_PER_CHECKSUM - 1
         ) // BYTES_PER_CHECKSUM
-        on_disk_without_header = len(data) + 4 * n_chunks
+        on_disk_without_header = len(on_disk_data) + 4 * n_chunks
         header = (
             magic
             + struct.pack(">ii", on_disk_without_header, len(data))
@@ -254,7 +374,7 @@ class HFileWriter:
             + struct.pack(">i", BYTES_PER_CHECKSUM)
             + struct.pack(">i", on_disk_data_with_header)
         )
-        blob = header + data
+        blob = header + on_disk_data
         checksums = b"".join(
             struct.pack(
                 ">I",
@@ -273,7 +393,7 @@ class HFileWriter:
         if not self._buf:
             return
         offset, on_disk = self._write_block(DATA_MAGIC, bytes(self._buf))
-        self._index.append(
+        self._inline_chunk.append(
             _BlockIndexEntry(offset, on_disk, self._first_key_in_block)
         )
         if self._first_data_offset < 0:
@@ -281,15 +401,62 @@ class HFileWriter:
         self._last_data_offset = offset
         self._buf = bytearray()
         self._first_key_in_block = None
+        # BlockIndexWriter#shouldWriteBlock(closing=false): flush a leaf
+        # once the chunk would exceed max_chunk_size AND has enough
+        # entries to be worth a block.
+        if (
+            _non_root_size(self._inline_chunk) >= self._max_chunk_size
+            and len(self._inline_chunk) >= self._min_index_entries
+        ):
+            self._flush_leaf_block()
+
+    def _write_index_block(
+        self, magic: bytes, entries: list[_BlockIndexEntry], payload: bytes
+    ) -> _BlockIndexEntry:
+        offset, on_disk = self._write_block(magic, payload)
+        self._index_uncompressed += HEADER_SIZE + len(payload)
+        return _BlockIndexEntry(offset, on_disk, entries[0].first_key)
+
+    def _flush_leaf_block(self) -> None:
+        """Write the current inline chunk as a leaf index block (inline,
+        among the data blocks, exactly where HBase's InlineBlockWriter
+        puts it) and promote its first key into the root chunk."""
+        self._root_chunk.append(
+            self._write_index_block(
+                LEAF_INDEX_MAGIC,
+                self._inline_chunk,
+                _non_root_bytes(self._inline_chunk),
+            )
+        )
+        self._inline_chunk = []
+        self._num_levels = max(self._num_levels, 2)
+
+    def _write_intermediate_level(
+        self, entries: list[_BlockIndexEntry]
+    ) -> list[_BlockIndexEntry]:
+        """BlockIndexWriter#writeIntermediateLevel: split one level's
+        entries into non-root INTERMEDIATE blocks each under
+        max_chunk_size; returns the parent level's entries."""
+        parent: list[_BlockIndexEntry] = []
+        cur: list[_BlockIndexEntry] = []
+        for e in entries:
+            cur.append(e)
+            if _non_root_size(cur) >= self._max_chunk_size:
+                parent.append(
+                    self._write_index_block(
+                        INTERMEDIATE_INDEX_MAGIC, cur, _non_root_bytes(cur)
+                    )
+                )
+                cur = []
+        if cur:
+            parent.append(
+                self._write_index_block(
+                    INTERMEDIATE_INDEX_MAGIC, cur, _non_root_bytes(cur)
+                )
+            )
+        return parent
 
     # -- load-on-open section -----------------------------------------
-    def _root_index_bytes(self, entries: list[_BlockIndexEntry]) -> bytes:
-        out = b""
-        for e in entries:
-            out += struct.pack(">qi", e.offset, e.on_disk_size_with_header)
-            out += _write_vlong(len(e.first_key)) + e.first_key
-        return out
-
     def _file_info_bytes(self) -> bytes:
         avg_key = self._total_key_len // max(1, self._entry_count)
         avg_value = self._total_value_len // max(1, self._entry_count)
@@ -309,7 +476,10 @@ class HFileWriter:
         return b"PBUF" + _pb_varint(len(proto)) + proto
 
     def _trailer_bytes(
-        self, load_on_open_offset: int, file_info_offset: int
+        self,
+        load_on_open_offset: int,
+        file_info_offset: int,
+        root_entry_count: int,
     ) -> bytes:
         proto = b"".join(
             (
@@ -317,14 +487,14 @@ class HFileWriter:
                 _pb_field_varint(2, load_on_open_offset),
                 _pb_field_varint(3, self._index_uncompressed),
                 _pb_field_varint(4, self._total_uncompressed),
-                _pb_field_varint(5, len(self._index)),
+                _pb_field_varint(5, root_entry_count),
                 _pb_field_varint(6, 0),  # meta_index_count
                 _pb_field_varint(7, self._entry_count),
-                _pb_field_varint(8, 1),  # num_data_index_levels
+                _pb_field_varint(8, self._num_levels),
                 _pb_field_varint(9, max(0, self._first_data_offset)),
                 _pb_field_varint(10, max(0, self._last_data_offset)),
                 _pb_field_bytes(11, COMPARATOR_NAME.encode()),
-                _pb_field_varint(12, COMPRESSION_NONE),
+                _pb_field_varint(12, self._compression),
             )
         )
         body = TRAILER_MAGIC + _pb_varint(len(proto)) + proto
@@ -339,20 +509,35 @@ class HFileWriter:
             return
         self._closed = True
         self._flush_data_block()
+        # BlockIndexWriter#shouldWriteBlock(closing=true): with no leaf
+        # ever flushed, the single inline chunk IS the root (one-level
+        # index); otherwise the remainder becomes one more leaf.
+        if not self._root_chunk:
+            root = self._inline_chunk
+        else:
+            if self._inline_chunk:
+                self._flush_leaf_block()
+            root = self._root_chunk
+        # writeIndexBlocks: shrink the root through intermediate levels
+        # (written just before the root, inside load-on-open) until it
+        # fits one block.
+        while (
+            _root_size(root) > self._max_chunk_size
+            and len(root) > self._min_index_entries
+        ):
+            root = self._write_intermediate_level(root)
+            self._num_levels += 1
         load_on_open = self._offset
         # root data index, then the (empty) meta index root — the reader
         # walks them sequentially from load_on_open_data_offset.
-        # uncompressed_data_index_size (trailer field 3) counts the DATA
-        # index only — HBase's FileTrailerProto excludes the meta index,
-        # so the measurement window closes before the empty meta root
-        before = self._total_uncompressed
-        self._write_block(ROOT_INDEX_MAGIC, self._root_index_bytes(self._index))
-        self._index_uncompressed = self._total_uncompressed - before
-        self._write_block(ROOT_INDEX_MAGIC, b"")
+        root_payload = _root_bytes(root)
+        self._write_block(ROOT_INDEX_MAGIC, root_payload)
+        self._index_uncompressed += HEADER_SIZE + len(root_payload)
+        self._write_block(ROOT_INDEX_MAGIC, b"")  # empty meta index root
         file_info_offset = self._offset
         self._write_block(FILE_INFO_MAGIC, self._file_info_bytes())
         self._fh.write(
-            self._trailer_bytes(load_on_open, file_info_offset)
+            self._trailer_bytes(load_on_open, file_info_offset, len(root))
         )
 
 
@@ -367,6 +552,7 @@ class ParsedHFile:
     minor_version: int
     entry_count: int
     data_index_count: int
+    num_data_index_levels: int
     comparator: str
     compression_codec: int
     cells: list[tuple[bytes, bytes]]  # (key, value) in file order
@@ -375,36 +561,145 @@ class ParsedHFile:
     trailer_fields: dict[int, list] = field(default_factory=dict)
 
 
-def _parse_block(buf: bytes, offset: int, expect_magic: bytes) -> tuple[bytes, int]:
-    """Parse + checksum-verify one block at ``offset``; returns
-    (payload, on_disk_size_with_header)."""
+def _parse_block(
+    buf: bytes, offset: int, expect_magic: bytes, codec: int = COMPRESSION_NONE
+) -> tuple[bytes, int]:
+    """Parse + checksum-verify (and decompress) one block at ``offset``;
+    returns (payload, on_disk_size_with_header)."""
     magic = buf[offset : offset + 8]
     if magic != expect_magic:
         raise ValueError(f"bad block magic at {offset}: {magic!r}")
-    on_disk_without_header, data_len = struct.unpack_from(
+    on_disk_without_header, uncompressed_len = struct.unpack_from(
         ">ii", buf, offset + 8
     )
     checksum_type = buf[offset + 24]
     bytes_per_checksum, on_disk_data_with_header = struct.unpack_from(
         ">ii", buf, offset + 25
     )
-    data = buf[offset + HEADER_SIZE : offset + HEADER_SIZE + data_len]
+    if (
+        on_disk_without_header < 0
+        or uncompressed_len < 0
+        or on_disk_data_with_header < HEADER_SIZE
+        or on_disk_data_with_header > HEADER_SIZE + on_disk_without_header
+        or offset + HEADER_SIZE + on_disk_without_header > len(buf)
+    ):
+        raise ValueError(f"implausible block sizes at {offset}")
+    raw = buf[offset + HEADER_SIZE : offset + on_disk_data_with_header]
     if checksum_type == CHECKSUM_CRC32:
+        if bytes_per_checksum <= 0:
+            raise ValueError(f"bad bytesPerChecksum in block at {offset}")
         blob = buf[offset : offset + on_disk_data_with_header]
         stored = buf[
             offset + on_disk_data_with_header : offset + HEADER_SIZE + on_disk_without_header
         ]
+        n_chunks = (len(blob) + bytes_per_checksum - 1) // bytes_per_checksum
+        if len(stored) < 4 * n_chunks:
+            raise ValueError(f"truncated checksum section at {offset}")
         for i, start in enumerate(range(0, len(blob), bytes_per_checksum)):
             expect = struct.unpack_from(">I", stored, i * 4)[0]
             got = zlib.crc32(blob[start : start + bytes_per_checksum]) & 0xFFFFFFFF
             if got != expect:
                 raise ValueError(f"checksum mismatch in block at {offset}")
+    if codec == COMPRESSION_GZ:
+        try:
+            data = _gz_decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"bad gzip stream in block at {offset}: {e}") from e
+    elif codec == COMPRESSION_NONE:
+        data = raw
+    else:
+        raise ValueError(f"unsupported compression codec {codec}")
+    if len(data) != uncompressed_len:
+        raise ValueError(
+            f"uncompressed size mismatch at {offset}: header says "
+            f"{uncompressed_len}, got {len(data)}"
+        )
     return data, HEADER_SIZE + on_disk_without_header
+
+
+def _parse_root_entries(payload: bytes, count: int) -> list[tuple[int, int, bytes]]:
+    entries: list[tuple[int, int, bytes]] = []
+    pos = 0
+    for _ in range(count):
+        off, sz = struct.unpack_from(">qi", payload, pos)
+        pos += 12
+        klen, pos = _read_vlong(payload, pos)
+        entries.append((off, sz, payload[pos : pos + klen]))
+        pos += klen
+    return entries
+
+
+def _parse_non_root_entries(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Inverse of _non_root_bytes, validating the secondary index."""
+    (n,) = struct.unpack_from(">i", payload, 0)
+    if n < 0:
+        raise ValueError("negative entry count in non-root index block")
+    sec = struct.unpack_from(f">{n + 1}i", payload, 4)
+    entries_start = 4 + 4 * (n + 1)
+    if sec[0] != 0 or entries_start + sec[n] > len(payload):
+        raise ValueError("corrupt secondary index in non-root index block")
+    out: list[tuple[int, int, bytes]] = []
+    for j in range(n):
+        base = entries_start + sec[j]
+        off, sz = struct.unpack_from(">qi", payload, base)
+        key = payload[base + 12 : entries_start + sec[j + 1]]
+        out.append((off, sz, key))
+    return out
+
+
+def _scan_data_block(
+    payload: bytes, first_key: bytes, offset: int
+) -> list[tuple[bytes, bytes]]:
+    cells: list[tuple[bytes, bytes]] = []
+    pos = 0
+    first_in_block = True
+    while pos < len(payload):
+        klen, vlen = struct.unpack_from(">ii", payload, pos)
+        pos += 8
+        key = payload[pos : pos + klen]
+        pos += klen
+        value = payload[pos : pos + vlen]
+        pos += vlen
+        if first_in_block and key != first_key:
+            raise ValueError(f"root index first-key mismatch at block {offset}")
+        first_in_block = False
+        cells.append((key, value))
+    return cells
+
+
+def _walk_index(
+    buf: bytes,
+    entries: list[tuple[int, int, bytes]],
+    levels_below: int,
+    codec: int,
+    cells: list[tuple[bytes, bytes]],
+) -> None:
+    """Descend the data index: ``levels_below`` counts index levels
+    under this pointer list (0 = the pointers address data blocks)."""
+    for off, _sz, first_key in entries:
+        if levels_below == 0:
+            payload, _ = _parse_block(buf, off, DATA_MAGIC, codec)
+            cells.extend(_scan_data_block(payload, first_key, off))
+        else:
+            magic = (
+                LEAF_INDEX_MAGIC
+                if levels_below == 1
+                else INTERMEDIATE_INDEX_MAGIC
+            )
+            payload, _ = _parse_block(buf, off, magic, codec)
+            children = _parse_non_root_entries(payload)
+            if children and children[0][2] != first_key:
+                raise ValueError(
+                    f"index subtree first-key mismatch at block {off}"
+                )
+            _walk_index(buf, children, levels_below - 1, codec, cells)
 
 
 def read_hfile(path: str) -> ParsedHFile:
     """Parse an HFile v3 strictly from its trailer, verifying every
-    block checksum and the root-index -> data-block correspondence."""
+    block checksum, decompressing per the trailer's codec, and walking
+    the data index root -> intermediate -> leaf -> data blocks with
+    first-key correspondence checks at every level."""
     with open(path, "rb") as fh:
         buf = fh.read()
     trailer = buf[-TRAILER_SIZE:]
@@ -413,26 +708,25 @@ def read_hfile(path: str) -> ParsedHFile:
     version_word = struct.unpack(">i", trailer[-4:])[0]
     major = version_word & 0x00FFFFFF
     minor = (version_word >> 24) & 0xFF
+    if major != MAJOR_VERSION:
+        raise ValueError(f"unsupported HFile major version {major}")
     pb_len, pos = _read_pb_varint(trailer, 8)
     tf = _parse_pb_fields(trailer[pos : pos + pb_len])
     file_info_offset = tf[1][0]
     load_on_open = tf[2][0]
     data_index_count = tf[5][0]
     entry_count = tf[7][0]
+    num_levels = tf[8][0] if 8 in tf else 1
+    codec = tf[12][0] if 12 in tf else COMPRESSION_NONE
 
-    root_payload, root_size = _parse_block(buf, load_on_open, ROOT_INDEX_MAGIC)
-    root_index: list[tuple[int, int, bytes]] = []
-    pos = 0
-    for _ in range(data_index_count):
-        off, sz = struct.unpack_from(">qi", root_payload, pos)
-        pos += 12
-        klen, pos = _read_vlong(root_payload, pos)
-        root_index.append((off, sz, root_payload[pos : pos + klen]))
-        pos += klen
+    root_payload, root_size = _parse_block(
+        buf, load_on_open, ROOT_INDEX_MAGIC, codec
+    )
+    root_index = _parse_root_entries(root_payload, data_index_count)
     # empty meta index root follows the data index
-    _parse_block(buf, load_on_open + root_size, ROOT_INDEX_MAGIC)
+    _parse_block(buf, load_on_open + root_size, ROOT_INDEX_MAGIC, codec)
 
-    info_payload, _ = _parse_block(buf, file_info_offset, FILE_INFO_MAGIC)
+    info_payload, _ = _parse_block(buf, file_info_offset, FILE_INFO_MAGIC, codec)
     if info_payload[:4] != b"PBUF":
         raise ValueError("FileInfo missing PBUF magic")
     fi_len, fi_pos = _read_pb_varint(info_payload, 4)
@@ -441,31 +735,18 @@ def read_hfile(path: str) -> ParsedHFile:
         kv = _parse_pb_fields(entry)
         file_info[bytes(kv[1][0])] = bytes(kv[2][0])
 
+    if num_levels < 1:
+        raise ValueError(f"implausible num_data_index_levels {num_levels}")
     cells: list[tuple[bytes, bytes]] = []
-    for off, _sz, first_key in root_index:
-        payload, _ = _parse_block(buf, off, DATA_MAGIC)
-        pos = 0
-        first_in_block = True
-        while pos < len(payload):
-            klen, vlen = struct.unpack_from(">ii", payload, pos)
-            pos += 8
-            key = payload[pos : pos + klen]
-            pos += klen
-            value = payload[pos : pos + vlen]
-            pos += vlen
-            if first_in_block and key != first_key:
-                raise ValueError(
-                    f"root index first-key mismatch at block {off}"
-                )
-            first_in_block = False
-            cells.append((key, value))
+    _walk_index(buf, root_index, num_levels - 1, codec, cells)
     return ParsedHFile(
         major_version=major,
         minor_version=minor,
         entry_count=entry_count,
         data_index_count=data_index_count,
+        num_data_index_levels=num_levels,
         comparator=bytes(tf[11][0]).decode(),
-        compression_codec=tf[12][0],
+        compression_codec=codec,
         cells=cells,
         file_info=file_info,
         root_index=root_index,

@@ -577,6 +577,7 @@ def write_hfiles(
     out_dir: str,
     block_size: int = 64 * 1024,
     create_time_ms: int = 0,
+    compression: str = "gz",
 ) -> list[str]:
     """Write ``hbase_bulkload_layout`` output as REAL HFile v3 files —
     one per (table, region) per partition, under
@@ -605,9 +606,18 @@ def write_hfiles(
     files visible in the returned listing and in the bulk load.
     On a jar-equipped cluster HFileOutputFormat2 remains the
     alternative; this writer removes that classpath dependency.
-    Returns the written file paths."""
-    from uc_historic_data_importer_spark.hfile import HFileWriter
+    ``compression`` is ``"gz"`` (default — the reference table's column
+    family is GZ for both flush and compaction, HbaseClient.kt:88-89,
+    so bulk-loaded files match the table codec and skip the 3-5x
+    rewrite IO a compaction re-compress would cost at 100 TB) or
+    ``"none"``. Returns the written file paths."""
+    from uc_historic_data_importer_spark.hfile import (
+        COMPRESSION_GZ,
+        COMPRESSION_NONE,
+        HFileWriter,
+    )
 
+    codec = {"gz": COMPRESSION_GZ, "none": COMPRESSION_NONE}[compression]
     if os.path.isdir(out_dir):
         for dirpath, _dirs, files in os.walk(out_dir):
             for f in files:
@@ -653,6 +663,7 @@ def write_hfiles(
                     ent = (tmp, final, fh, HFileWriter(
                         fh, block_size=block_size,
                         create_time_ms=create_time_ms,
+                        compression=codec,
                     ))
                     writers[(tbl, fam, region)] = ent
                 ent[3].append_keyvalue(
