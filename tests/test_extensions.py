@@ -2987,3 +2987,170 @@ class TestReviewFixesRound6:
         assert got == {1: 3}
         chunks = mm.audio_chunk_plan(media, chunk_s=5, overlap_s=1)
         assert chunks.count() == 2  # 7.9 -> dur 7 -> starts 0, 4
+
+
+class TestTokenizerSeam:
+    """Real-tokenizer injection point (text.encoded_ids_udf — the text
+    twin of the r5 media decoder seam): parity-pinned via injected
+    fakes; the BPE-ish/whitespace defaults stay the oracles. The fakes
+    are built as LOCAL closures (cloudpickle ships them by value — a
+    module-level test function would be pickled by reference and fail
+    to import inside Spark's Python workers, exactly the trap a real
+    tiktoken swap must also avoid)."""
+
+    @staticmethod
+    def _ws_encode():
+        def enc(t):
+            import re
+
+            return [len(w) for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+        return enc
+
+    @staticmethod
+    def _char_encode():
+        def enc(t):
+            return [ord(c) for c in t]
+
+        return enc
+
+    def _docs(self, spark):
+        rows = [
+            (1, "src_a", "The quick brown fox, it's 42 jumps!"),
+            (2, "src_a", "hello   world\t\ttabs\nand newlines"),
+            (3, "src_b", "punctuation-only:  ... !!! ???"),
+            (4, "src_b", ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_bpe_stats_under_seam_equals_default(self, spark):
+        from uc_historic_data_importer_spark.operators import text as T
+        from uc_historic_data_importer_spark.plans.catalog_ext import (
+            _seam_fake_encode,
+        )
+
+        docs = self._docs(spark)
+        default = T.bpe_token_stats(docs).orderBy("source").collect()
+        seam = T.bpe_token_stats(
+            docs, encode=_seam_fake_encode
+        ).orderBy("source").collect()
+        assert [r.asDict() for r in seam] == [r.asDict() for r in default]
+
+    def test_seam_encoder_actually_drives_counts(self, spark):
+        from uc_historic_data_importer_spark.operators import text as T
+
+        docs = self._docs(spark)
+        seam = {
+            r["source"]: r["total_bpe_tokens"]
+            for r in T.bpe_token_stats(
+                docs, encode=self._char_encode()
+            ).collect()
+        }
+        default = {
+            r["source"]: r["total_bpe_tokens"]
+            for r in T.bpe_token_stats(docs).collect()
+        }
+        assert seam != default  # char-level counts differ from BPE-ish
+
+    def test_pack_concat_chunks_seam_parity(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+
+        docs = self._docs(spark)
+        default = packing.pack_concat_chunks(docs, budget=4).orderBy(
+            "doc_id"
+        ).collect()
+        seam = packing.pack_concat_chunks(
+            docs, budget=4, encode=self._ws_encode()
+        ).orderBy("doc_id").collect()
+        assert [r.asDict() for r in seam] == [r.asDict() for r in default]
+
+    def test_with_token_counts_feeds_shard_assign(self, spark):
+        from uc_historic_data_importer_spark.operators import packing
+        from uc_historic_data_importer_spark.operators import text as T
+
+        docs = self._docs(spark)
+        counted = T.with_token_counts(
+            docs, encode=self._ws_encode()
+        )
+        via_seam = packing.shard_assign_by_tokens(
+            counted, target_tokens=5
+        ).orderBy("doc_id").collect()
+        counted_default = T.with_token_counts(docs)
+        # whitespace fake == tokens_col rule, but with_token_counts'
+        # default is the BPE-ish count — so compare against an explicit
+        # tokens_col recount instead
+        from pyspark.sql import functions as F
+
+        explicit = docs.withColumn(
+            "n_tokens", F.size(T.tokens_col(F.col("text")))
+        )
+        via_explicit = packing.shard_assign_by_tokens(
+            explicit, target_tokens=5
+        ).orderBy("doc_id").collect()
+        assert [r.asDict() for r in via_seam] == [
+            r.asDict() for r in via_explicit
+        ]
+        assert counted_default.columns == counted.columns
+
+    def test_null_text_maps_to_null_ids(self, spark):
+        from uc_historic_data_importer_spark.operators import text as T
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "two words")], "doc_id long, text string"
+        )
+        ids = df.select(
+            T.encoded_ids_udf(self._ws_encode())(F.col("text")).alias("ids")
+        ).orderBy(F.lit(1)).collect()
+        got = {r["ids"] is None for r in ids}
+        assert got == {True, False}
+
+
+class TestDispatchCountElision:
+    """r6-verdict item: catalog callers of the size-dispatched
+    similarity operators must pass ``n_rows`` from parquet footer
+    metadata instead of letting the operator run ``df.count()`` over
+    the uncached upstream plan. Pin: DataFrame.count is POISONED while
+    the affected catalog queries build — any dispatch count fires
+    loudly."""
+
+    QUERIES_UNDER_PIN = (
+        "semdedup_embeddings",
+        "embedding_cosine_neardup",
+        "ann_ivf_build",
+        "ann_ivf_topk",
+    )
+
+    def test_no_count_during_build(self, spark, monkeypatch):
+        import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
+        import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
+        from pyspark.sql import DataFrame
+        from uc_historic_data_importer_spark.plans.catalog import QUERIES
+
+        sf_dir = "/root/testdata/sf0.001"
+        built = {}
+
+        def boom(self):
+            raise AssertionError(
+                "df.count() fired during catalog query build — "
+                "dispatch must use _table_n_rows footer metadata"
+            )
+
+        with monkeypatch.context() as m:
+            m.setattr(DataFrame, "count", boom)
+            for name in self.QUERIES_UNDER_PIN:
+                built[name] = QUERIES[name].fn(spark, sf_dir)
+        # counts restored: the built plans still execute and return rows
+        for name, df in built.items():
+            assert df.count() > 0, name
+
+    def test_footer_metadata_matches_spark_count(self, spark):
+        from uc_historic_data_importer_spark.plans.catalog_ext import (
+            _table_n_rows,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        for tbl in ("embeddings", "documents"):
+            n_meta = _table_n_rows(sf_dir, tbl)
+            n_spark = spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+            assert n_meta == n_spark, tbl

@@ -35,6 +35,7 @@ def pack_concat_chunks(
     text_col: str = "text",
     budget: int = 512,
     n_shards: int = 8,
+    encode=None,
 ) -> DataFrame:
     """Assign each document its [start, end) token span in the packed
     stream of its shard, plus the chunk ids that span covers.
@@ -43,11 +44,20 @@ def pack_concat_chunks(
     last_chunk, n_chunks): ``first_chunk == last_chunk`` means the
     document fits one context window; larger spans are split across
     ``n_chunks`` consecutive windows exactly as the loader would slice
-    them.
+    them. ``encode`` injects a real tokenizer for the span arithmetic
+    (text.encoded_ids_udf seam — counts then come from actual token
+    ids); the default stays the whitespace proxy, which is the oracle.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    toks = F.size(tokens_col(F.col(text_col)))
+    if encode is None:
+        toks = F.size(tokens_col(F.col(text_col)))
+    else:
+        from uc_historic_data_importer_spark.operators.text import (
+            encoded_ids_udf,
+        )
+
+        toks = F.size(encoded_ids_udf(encode)(F.col(text_col)))
     shard = (md5_i64(F.col(id_col).cast("string")) % F.lit(n_shards)).alias("shard")
     base = df.select(F.col(id_col).alias("doc_id"), shard, toks.alias("n_tokens"))
     w = (
@@ -194,6 +204,11 @@ def shard_assign_by_tokens(
     primitive. A document is assigned to the shard where it STARTS, so a
     shard can overshoot by at most one document (the standard shard-
     writer closing rule).
+
+    ``n_tokens_col`` is count-agnostic: feed it whitespace counts,
+    BPE-ish counts, or REAL-tokenizer counts via
+    ``text.with_token_counts(df, encode=...)`` (the encoded_ids_udf
+    seam) — the shard arithmetic below is unchanged.
 
     The spec is a global running sum — but a single unbounded window
     would serialize the corpus through one reducer. The scalable plan is

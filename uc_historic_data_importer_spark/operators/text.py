@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -257,19 +258,66 @@ def bpe_pieces_col(text: Column) -> Column:
     )
 
 
+def encoded_ids_udf(encode):
+    """Wrap a tiktoken/HF-shaped ``encode: str -> list[int]`` callable
+    into an Arrow-batched pandas UDF returning ``array<long>`` token
+    ids — the REAL-tokenizer injection point for the token family (the
+    text twin of multimodal.extract_features' ``decoder`` seam).
+
+    ``encode`` is cloudpickled into the Arrow workers, so it must be
+    importable or self-contained; for tiktoken pass
+    ``tiktoken.get_encoding("cl100k_base").encode`` (or the HF
+    equivalent ``tok.encode``) wrapped in a module-level function.
+    Contract: NULL text maps to NULL ids; everything else about the
+    consuming plans — schema, partitioning, aggregation shape — is
+    unchanged, which is what makes the production swap a one-argument
+    change. The BPE-ish regex default stays the ORACLE tokenizer
+    (deterministic, engine-portable, SQL-replayable)."""
+
+    @F.pandas_udf("array<long>")
+    def _ids(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [int(i) for i in encode(t)] if t is not None else None
+        )
+
+    return _ids
+
+
+def token_count_col(text: Column, encode=None) -> Column:
+    """Token count of ``text``: under the injected real tokenizer when
+    ``encode`` is given (Arrow-batched), else the BPE-ish pretokenizer
+    (pure codegen, the oracle default)."""
+    if encode is None:
+        return F.size(bpe_pieces_col(text))
+    return F.size(encoded_ids_udf(encode)(text))
+
+
+def with_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+    encode=None,
+) -> DataFrame:
+    """Attach ``out_col`` token counts — the upstream step for
+    count-consuming operators (packing.shard_assign_by_tokens,
+    token-budget sampling) when counts must come from a REAL tokenizer
+    instead of the whitespace/BPE-ish proxies."""
+    return df.withColumn(out_col, token_count_col(F.col(text_col), encode))
+
+
 def bpe_token_stats(
-    df: DataFrame, text_col: str = "text", by: str = "source"
+    df: DataFrame, text_col: str = "text", by: str = "source", encode=None
 ) -> DataFrame:
     """Per-group BPE-piece vs whitespace-token unit economics: total
     pieces, total whitespace tokens, and the mean per-doc pieces/word
     blowup ratio (the fertility estimate that sizes a training run).
     Map-only tokenization + one groupBy on the (low-cardinality) group
-    key."""
-    pieces = bpe_pieces_col(F.col(text_col))
+    key. ``encode`` injects a real tokenizer (encoded_ids_udf seam);
+    the default stays the codegen BPE-ish pretokenizer."""
     ws = tokens_col(F.col(text_col))
     base = df.select(
         F.col(by),
-        F.size(pieces).alias("n_bpe"),
+        token_count_col(F.col(text_col), encode).alias("n_bpe"),
         F.size(ws).alias("n_ws"),
     )
     return base.groupBy(by).agg(

@@ -1239,12 +1239,44 @@ def _ivf_cells_for(n: int) -> int:
     return max(4, -(-n // _IVF_OCC))
 
 
+_N_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _table_n_rows(sf_dir: str, name: str) -> int:
+    """Row count of a source parquet table from the FOOTER metadata
+    (pyarrow, driver-side, zero Spark jobs) — the r6-verdict fix for
+    dispatch counts: semdedup/cosine_neardup_pairs' ``n_rows``
+    short-circuit and _ivf_cells_for's k selection need only the
+    corpus size, and a ``df.count()`` there executes the uncached
+    upstream plan once per call just to pick a branch. Memoized per
+    (sf_dir, table); at 100 TB this is exactly the statistic the
+    table catalog (metastore/Delta log) hands out for free."""
+    key = (sf_dir, name)
+    if key not in _N_ROWS_CACHE:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            n = sum(
+                pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+                for dp, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+        _N_ROWS_CACHE[key] = n
+    return _N_ROWS_CACHE[key]
+
+
 def _ivf_fit(spark: SparkSession, sf_dir: str):
     """Memoized scaled-k quantizer fit shared by ann_ivf_build and
     ann_ivf_topk — at 100 TB the fit is a once-per-corpus build
     artifact, so the pair must not refit per query."""
     emb = t(spark, sf_dir, "embeddings")
-    k_cells = _ivf_cells_for(emb.count())
+    k_cells = _ivf_cells_for(_table_n_rows(sf_dir, "embeddings"))
     cents = _memo(
         ("kmeans_fit", sf_dir, k_cells, 2),
         lambda: similarity.kmeans_fit(emb, k=k_cells, iters=2),
@@ -1405,7 +1437,9 @@ def embedding_cosine_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # past it — the sf1 soak's worst constant (162 s of interpreted
     # per-pair dots) collapses to one BLAS call per cell
     return similarity.cosine_neardup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.4
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_rows=_table_n_rows(sf_dir, "embeddings"),
     )
 
 
@@ -4133,7 +4167,10 @@ def _semdedup_oracle() -> str:
 )
 def semdedup_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, cents = _ivf_fit(spark, sf_dir)
-    return similarity.semdedup(emb, cents, threshold=_SEMDEDUP_T)
+    return similarity.semdedup(
+        emb, cents, threshold=_SEMDEDUP_T,
+        n_rows=_table_n_rows(sf_dir, "embeddings"),
+    )
 
 
 _FUZZY_D, _FUZZY_Q, _FUZZY_DF, _FUZZY_HEAD = 3, 3, 200, 24
@@ -4655,4 +4692,61 @@ def media_wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "win_idx",
         F.round("win_rms", 6).alias("win_rms"),
         "zero_crossings",
+    )
+
+
+def _seam_fake_encode(t: str) -> list[int]:
+    """Deterministic tiktoken-SHAPED fake for the real-tokenizer seam
+    parity pin: a pure-Python re implementation of the SAME BPE-ish
+    pretokenizer (re.ASCII pins \\s and negated classes to the ASCII
+    semantics java.util.regex and RE2 share), emitting one id (the
+    piece length) per non-whitespace piece. Counting under this
+    injected encoder must therefore equal the codegen default AND the
+    DuckDB oracle — a three-way pin across the injection boundary."""
+    import re as _re
+
+    from uc_historic_data_importer_spark.operators.text import BPE_SPLIT_RE
+
+    return [
+        len(p)
+        for p in _re.findall(BPE_SPLIT_RE, t, flags=_re.ASCII)
+        if not _re.fullmatch(r"\s*", p, flags=_re.ASCII)
+    ]
+
+
+@register(
+    "token_counts_seam",
+    f"""
+    WITH pieces AS (
+      SELECT source,
+             len(list_filter(
+                 regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
+                 x -> NOT regexp_matches(x, '^\\s*$'))) AS n_bpe,
+             len({_TOKENS_SQL}) AS n_ws
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(round(avg(CASE WHEN n_ws > 0
+                          THEN n_bpe::DOUBLE / n_ws END) * 10000)
+                AS BIGINT) AS avg_fertility_e4
+    FROM pieces GROUP BY source
+    """,
+    doc="REAL-tokenizer injection seam under the value-hash oracle "
+    "(text.encoded_ids_udf / bpe_token_stats(encode=...)): token stats "
+    "computed through the Arrow-batched encode seam with a "
+    "deterministic tiktoken-shaped fake (a pure-Python re "
+    "implementation of the same pretokenizer), which must match the "
+    "codegen default path and the DuckDB oracle bit-for-bit. In "
+    "production the one-argument swap is tiktoken/HF encode; the plan "
+    "shape (map-only UDF stage + one low-cardinality groupBy) is what "
+    "this query pins.",
+)
+def token_counts_seam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import text as text_ops
+
+    return text_ops.bpe_token_stats(
+        t(spark, sf_dir, "documents"), encode=_seam_fake_encode
     )
