@@ -261,38 +261,108 @@ _R06_MODIFIED_SINCE_RECORD = (
 )
 
 
-# Round-7 handoff: round 6's window is EXACTLY full — 2 round-6
-# additions (percentile_prices_approx, doc_length_outliers_approx) +
-# the 7-query modified block (weighted_sample_documents joined it when
-# the A-ES interior-u fix changed its selected rows; 5 of the 7 are
-# r05-recorded, so the block costs only 2 extra stale slots) + the 41
-# remaining stale (histogram_prices, the only r02-stale, plus every
-# r03-stale query) = 50, verified by enumeration: NOTHING is pushed,
-# and after r06 every query's latest record is r04+. Round 7 should
-# lift _R06_RECORDED (= CORRECTNESS_r06 keys), start a fresh modified
-# block, front-load r7 additions, and rotate the then-stalest (the 47
-# r04-recorded queries nearly fill a window — same add-few guidance).
+# Round-6's driver record, verified == CORRECTNESS_r06.json key set:
+# the 2 round-6 additions, the 7-query modified block, and the 41
+# stalest (r02/r03), exactly as the r6 handoff predicted. After r06
+# every query's latest record is r04+.
+_R06_RECORDED = frozenset(
+    {
+        "doc_length_outliers_approx", "percentile_prices_approx",
+        "ann_ivf_build", "ann_ivf_topk", "semdedup_embeddings",
+        "embedding_cosine_neardup", "l_diversity_customers",
+        "doc_length_outliers", "weighted_sample_documents",
+        "source_overlap_matrix", "ann_recall_audit", "segment_dup_ratio",
+        "dedup_best_representative", "relative_quality_filter",
+        "curation_pipeline_v2", "dedup_apply_best", "profile_drift_orders",
+        "substring_dup_spans", "substring_dedup_apply",
+        "shard_assign_tokens", "semantic_decontamination", "bm25_retrieval",
+        "streaming_windowed_counts", "hll_intersection_users",
+        "indoc_segment_dedup", "content_defined_chunks", "chunk_dup_ratio",
+        "media_png_decode", "media_frame_plan", "dedup_components",
+        "dedup_simhash", "ann_cosine_topk", "binary_media_keys",
+        "pack_sequences", "pii_redaction", "text_repetition_scores",
+        "embedding_quantize_int8", "embedding_lsh_buckets",
+        "ngram_decontamination", "mixture_sample_documents",
+        "chunk_spans_documents", "cdc_merge_orders",
+        "zorder_stats_lineitem", "bpe_token_stats",
+        "audit_orders_constraints",
+        "profile_orders_columns", "k_anonymity_customers",
+        "dedup_incremental_lsh", "media_wav_decode", "histogram_prices",
+    }
+)
+
+
+# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed after their
+# most recent driver record (the post-r06 advice fixes in 0a0ff62 plus
+# the round-7 seam / dispatch work). Values may be identical in every
+# case — re-record on principle; a stale green row on touched code is
+# how the record rots:
+#   - media_frame_plan: ANSI-safe duration cast (try_cast on the
+#     floored value) in frame_sample_plan.
+#   - doc_length_outliers_approx: oracle counts CTE gained the
+#     NULL/<=-1 n_chars filter mirroring hist_counts.
+#   - salted_join_priority_revenue / salted_agg_counts /
+#     salted_distinct_users: map-tolerant salting (xxhash64 over
+#     hashable columns only).
+#   - ann_ivf_build / ann_ivf_topk / semdedup_embeddings /
+#     embedding_cosine_neardup: dispatch row counts now come from
+#     parquet footer metadata (_table_n_rows) instead of df.count();
+#     semdedup/cosine_neardup_pairs take n_rows explicitly.
+#   - bpe_token_stats / pack_sequences: the real-tokenizer seam
+#     (encode=None default path routed through token_count_col /
+#     the pack_concat_chunks encode branch).
+#   - segment_cleaned_corpus: membership dispatch — the 5000-entry
+#     removal list now routes through the precompiled-frozenset pandas
+#     UDF (16x at the sf1 soak, value-identical; parity-pinned).
+_R07_MODIFIED_SINCE_RECORD = (
+    "media_frame_plan",
+    "doc_length_outliers_approx",
+    "salted_join_priority_revenue",
+    "salted_agg_counts",
+    "salted_distinct_users",
+    "ann_ivf_build",
+    "ann_ivf_topk",
+    "semdedup_embeddings",
+    "embedding_cosine_neardup",
+    "bpe_token_stats",
+    "pack_sequences",
+    "segment_cleaned_corpus",
+)
+
+
+# Round-8 handoff: round 7's window = 2 round-7 additions
+# (token_counts_seam, streaming_cdc_snapshot) + the 12-query modified
+# block above (8 r06-recorded + 3 r05 + 1 r04) + the 36 stalest of the
+# 46 remaining r04-latest queries = 50, verified by enumeration.
+# TEN r04-latest queries slip past index 50 this round (each still
+# green in CORRECTNESS_r04 and re-verified every round by
+# tests/test_oracle_regression.py): they sort FIRST in round 8's
+# staleness rotation. Round 8 should lift _R07_RECORDED
+# (= CORRECTNESS_r07 keys), start a fresh modified block, front-load
+# r8 additions (budget ~2-3), then rotate: the 10 slipped r04s, then
+# the r05 block — which again nearly fills a window.
 
 
 def _ordered_queries():
-    """Round-6 ordering: (a) never-recorded queries first (registration
-    order — each new round-6 query gets a driver row immediately), (b)
+    """Round-7 ordering: (a) never-recorded queries first (registration
+    order — each new round-7 query gets a driver row immediately), (b)
     queries modified since their most recent driver record
-    (_R06_MODIFIED_SINCE_RECORD — a stale green row on changed semantics
+    (_R07_MODIFIED_SINCE_RECORD — a stale green row on changed semantics
     must be refreshed before plain staleness rotation), (c) previously
-    recorded queries stalest-first (most recent driver row r02, then
-    r03, then r04, then r05). Every query pushed past index 50 already
-    has a green driver row in the r01..r05 union and is re-verified
-    each round by tests/test_oracle_regression.py."""
+    recorded queries stalest-first (most recent driver row r04, then
+    r05, then r06). Every query pushed past index 50 already has a
+    green driver row in the r01..r06 union and is re-verified each
+    round by tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    modified_rank = {n: i for i, n in enumerate(_R06_MODIFIED_SINCE_RECORD)}
+    modified_rank = {n: i for i, n in enumerate(_R07_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (6, _R06_RECORDED),
             (5, _R05_RECORDED),
             (4, _R04_RECORDED),
             (3, _R03_RECORDED),

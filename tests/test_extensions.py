@@ -3154,3 +3154,71 @@ class TestDispatchCountElision:
             n_meta = _table_n_rows(sf_dir, tbl)
             n_spark = spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
             assert n_meta == n_spark, tbl
+
+
+class TestSegmentCleanMembershipDispatch:
+    """segment_clean_docs membership dispatch (r6-verdict item 7): the
+    precompiled-frozenset pandas-UDF path must be value-identical to
+    the literal array_contains path (membership is exact either way —
+    the 16x sf1 win is purely cost), and auto must pick by list size."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "a b c d e f g h i j k l m n o p q r s t"),
+            (2, "a b c d e X Y Z w1 w2 k l m n o tail tail2 t3 t4 t5"),
+            (3, ""),
+            (4, None),
+            (5, "k l m n o k l m n o k l m n o"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    BP = ["a b c d e", "k l m n o"]
+
+    def test_paths_value_identical(self, spark):
+        from uc_historic_data_importer_spark.operators import text as T
+
+        docs = self._docs(spark)
+        cols = ("doc_id", "n_segments", "n_removed", "cleaned_text")
+        lit = [
+            tuple(r[c] for c in cols)
+            for r in T.segment_clean_docs(
+                docs, self.BP, k=5, membership="literal"
+            ).orderBy("doc_id").collect()
+        ]
+        su = [
+            tuple(r[c] for c in cols)
+            for r in T.segment_clean_docs(
+                docs, self.BP, k=5, membership="set_udf"
+            ).orderBy("doc_id").collect()
+        ]
+        assert lit == su
+        # the removal actually bites: doc 5 is 3x the second bp segment
+        by_id = dict((t[0], t) for t in lit)
+        assert by_id[5][2] == 3 and by_id[5][3] == ""
+
+    def test_auto_picks_by_list_size(self, spark):
+        from uc_historic_data_importer_spark.operators import text as T
+
+        docs = self._docs(spark).limit(2)
+        small = T.segment_clean_docs(docs, self.BP, k=5)  # auto -> literal
+        big_list = self.BP + [f"filler segment number {i}" for i in range(70)]
+        big = T.segment_clean_docs(docs, big_list, k=5)  # auto -> set_udf
+        # plan fingerprint: the set path runs a Python (Arrow) stage
+        assert "pythonUDF" not in small._jdf.queryExecution().executedPlan().toString() \
+            or "ArrowEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+        # and both modes still agree on values
+        a = [r.asDict() for r in small.orderBy("doc_id").collect()]
+        b = [
+            r.asDict()
+            for r in T.segment_clean_docs(
+                docs, self.BP, k=5, membership="set_udf"
+            ).orderBy("doc_id").collect()
+        ]
+        assert a == b
+
+    def test_unknown_mode_rejected(self, spark):
+        from uc_historic_data_importer_spark.operators import text as T
+
+        with pytest.raises(ValueError, match="membership"):
+            T.segment_clean_docs(self._docs(spark), self.BP, membership="bloom")

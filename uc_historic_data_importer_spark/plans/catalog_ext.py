@@ -4750,3 +4750,99 @@ def token_counts_seam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_token_stats(
         t(spark, sf_dir, "documents"), encode=_seam_fake_encode
     )
+
+
+@register(
+    "streaming_cdc_snapshot",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'P' END AS op,
+             value
+      FROM events WHERE event_id % 20 < 4
+    ),
+    w AS (
+      SELECT user_id, op, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY seq DESC) AS rn
+      FROM c
+    )
+    SELECT user_id, value FROM w WHERE rn = 1 AND op = 'P'
+    """,
+    doc="Streaming CDC merge sink run to convergence (streaming/"
+    "stream_pipeline.run_changelog_merge_sink — foreachBatch folds "
+    "each micro-batch of put/delete changes into a versioned parquet "
+    "snapshot via cdc.merge_changelog; exactly-once by "
+    "read-prev/overwrite-own-version, the crash drill in "
+    "test_streaming.py proves idempotent replay). Fixture: the sampled "
+    "events become a changelog keyed by user_id with seq=event_id and "
+    "op=D on 'error' events, split into 4 seq-range-ordered files so "
+    "arrival order agrees with seq order and the converged snapshot "
+    "is batching-independent: per key, the globally max-seq change "
+    "wins (kept iff it is a put) — which is exactly what the oracle "
+    "replays with one window. The returned frame is the final "
+    "snapshot version.",
+)
+def streaming_cdc_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    from uc_historic_data_importer_spark.streaming.stream_pipeline import (
+        latest_snapshot_version,
+        run_changelog_merge_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix="hdi_stream_cdc_")
+    try:
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 < 4)
+        changes = ev.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("P"))
+            .alias("op"),
+            "value",
+        ).withColumn("_b", F.ntile(4).over(Window.orderBy("seq")))
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        # seq-range-ordered batches: bucket i holds the i-th quartile of
+        # seq, written (and mtime-stamped) in order so the file source's
+        # (modTime, path) ordering delivers them as batches 0..3 — a
+        # later batch can then never carry a lower seq for a key, which
+        # is what makes the converged snapshot equal the one-window
+        # oracle regardless of how rows split WITHIN a batch
+        now = time.time()
+        for i in range(1, 5):
+            bdir = os.path.join(in_dir, f"b{i}")
+            changes.filter(F.col("_b") == i).drop("_b").coalesce(
+                1
+            ).write.parquet(bdir)
+            for dp, _dirs, files in os.walk(bdir):
+                for f in files:
+                    os.utime(os.path.join(dp, f), (now + i, now + i))
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, seq BIGINT, op STRING, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        snap_base = os.path.join(work, "snap")
+        q = run_changelog_merge_sink(
+            stream, snap_base, os.path.join(work, "chk"),
+            key_cols=("user_id",),
+        )
+        q.awaitTermination()
+        v = latest_snapshot_version(spark, snap_base)
+        snap = spark.read.parquet(f"{snap_base}/v={v}")
+        # the work dir is deleted below, so materialize the (sampled,
+        # bounded) snapshot driver-side before returning — same
+        # lifetime contract as the memory-sink streaming queries
+        rows = snap.select("user_id", "value").collect()
+        return spark.createDataFrame(rows, "user_id BIGINT, value DOUBLE")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
