@@ -73,12 +73,15 @@ import zlib
 from dataclasses import dataclass, field
 
 # --- public HBase constants (BlockType.java, ChecksumType.java,
-# Compression.java, HFile.java, HFileBlockIndex.java) ---
+# Compression.java, HFile.java, HFileBlockIndex.java,
+# CompoundBloomFilterBase.java, Hash.java) ---
 DATA_MAGIC = b"DATABLK*"
 LEAF_INDEX_MAGIC = b"IDXLEAF2"
 INTERMEDIATE_INDEX_MAGIC = b"IDXINTE2"
 ROOT_INDEX_MAGIC = b"IDXROOT2"
 FILE_INFO_MAGIC = b"FILEINF2"
+BLOOM_CHUNK_MAGIC = b"BLMFBLK2"
+GENERAL_BLOOM_META_MAGIC = b"BLMFMET2"
 TRAILER_MAGIC = b'TRABLK"$'
 
 HEADER_SIZE = 33  # v2+ header with checksum fields
@@ -96,6 +99,11 @@ COMPARATOR_NAME = "org.apache.hadoop.hbase.KeyValue$KVComparator"
 DEFAULT_BLOCK_SIZE = 64 * 1024  # HConstants.DEFAULT_BLOCKSIZE
 MAX_CHUNK_SIZE = 128 * 1024  # hfile.index.block.max.size default
 MIN_INDEX_NUM_ENTRIES = 16  # hfile.index.block.min.entries default
+
+BLOOM_VERSION = 3  # CompoundBloomFilterBase.VERSION
+HASH_MURMUR = 1  # Hash.MURMUR_HASH
+DEFAULT_BLOOM_BLOCK_SIZE = 128 * 1024  # hfile.bloom.block.size
+DEFAULT_BLOOM_ERROR_RATE = 0.01  # io.storefile.bloom.error.rate
 
 # one secondary-index entry's fixed cost: offset i64 + onDiskSize i32
 _NONROOT_ENTRY_OVERHEAD = 12
@@ -250,6 +258,90 @@ def _root_bytes(entries: list[_BlockIndexEntry]) -> bytes:
     return out
 
 
+# ---------------------------------------------------------------------
+# ROW Bloom filter (CompoundBloomFilter — the HBase default
+# BloomType.ROW the reference table gets from HColumnDescriptor's
+# defaults): inline BLMFBLK2 chunks among the data blocks, one
+# BLMFMET2 metadata block in load-on-open.
+# ---------------------------------------------------------------------
+
+
+def _i32(x: int) -> int:
+    """Wrap to Java signed 32-bit int semantics."""
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def murmur_hash2(data: bytes, seed: int) -> int:
+    """Java-exact MurmurHash 2.0 (32-bit) as HBase's MurmurHash.java
+    computes it: little-endian 4-byte words read through SIGNED java
+    bytes (the leading byte of each word sign-extends), int-wrapped
+    multiplies, logical >>> shifts. This is the default hash behind
+    every HBase bloom filter (Hash.MURMUR_HASH)."""
+    m = 0x5BD1E995
+    h = _i32(seed ^ len(data))
+    n4 = len(data) >> 2
+    for i in range(n4):
+        o = i << 2
+        b3 = data[o + 3] - 256 if data[o + 3] >= 128 else data[o + 3]
+        k = b3  # signed high byte, then OR in unsigned lower bytes
+        k = (k << 8) | data[o + 2]
+        k = (k << 8) | data[o + 1]
+        k = _i32((k << 8) | data[o])
+        k = _i32(k * m)
+        k = _i32(k ^ ((k & 0xFFFFFFFF) >> 24))
+        k = _i32(k * m)
+        h = _i32(h * m)
+        h = _i32(h ^ k)
+    left = len(data) - (n4 << 2)
+    if left:
+        def sb(idx: int) -> int:
+            b = data[idx]
+            return b - 256 if b >= 128 else b
+
+        if left >= 3:
+            h = _i32(h ^ (sb(len(data) - 3) << 16))
+        if left >= 2:
+            h = _i32(h ^ (sb(len(data) - 2) << 8))
+        if left >= 1:
+            h = _i32(h ^ sb(len(data) - 1))
+        h = _i32(h * m)
+    h = _i32(h ^ ((h & 0xFFFFFFFF) >> 13))
+    h = _i32(h * m)
+    h = _i32(h ^ ((h & 0xFFFFFFFF) >> 15))
+    return h
+
+
+def _java_mod(a: int, b: int) -> int:
+    """Java % (sign follows the dividend, unlike Python's)."""
+    r = abs(a) % b
+    return -r if a < 0 else r
+
+
+def _bloom_bit_positions(key: bytes, hash_count: int, bit_size: int):
+    """ByteBloomFilter's double-hashing probe sequence: h1 = hash(key,
+    seed 0), h2 = hash(key, h1), position_i = |(h1 + i*h2) % bits|
+    with java int wrap-around inside the parenthesis."""
+    h1 = murmur_hash2(key, 0)
+    h2 = murmur_hash2(key, h1)
+    for i in range(hash_count):
+        yield abs(_java_mod(_i32(h1 + i * h2), bit_size))
+
+
+def _bloom_size_by_bytes(byte_size: int, error_rate: float) -> tuple[int, int]:
+    """ByteBloomFilter.createBySize: (max_keys, hash_count) for a chunk
+    of ``byte_size`` bytes at ``error_rate`` — idealMaxKeys = bits *
+    ln2^2 / -ln(err); optimal k = ceil(ln2 * bits / maxKeys)."""
+    import math
+
+    bit_size = byte_size * 8
+    max_keys = max(
+        1, int(bit_size * (math.log(2) ** 2) / -math.log(error_rate))
+    )
+    hash_count = math.ceil(math.log(2) * bit_size / max_keys)
+    return max_keys, hash_count
+
+
 def cell_order_key(key: bytes) -> tuple:
     """CellComparator sort tuple decoded from a serialized KEY portion
     (rowLen i16 | row | famLen u8 | family | qualifier | ts i64 |
@@ -292,9 +384,14 @@ class HFileWriter:
         compression: int = COMPRESSION_NONE,
         max_chunk_size: int = MAX_CHUNK_SIZE,
         min_index_entries: int = MIN_INDEX_NUM_ENTRIES,
+        bloom: str = "row",
+        bloom_block_size: int = DEFAULT_BLOOM_BLOCK_SIZE,
+        bloom_error_rate: float = DEFAULT_BLOOM_ERROR_RATE,
     ):
         if compression not in (COMPRESSION_GZ, COMPRESSION_NONE):
             raise ValueError(f"unsupported compression codec {compression}")
+        if bloom not in ("row", "none"):
+            raise ValueError(f"unsupported bloom type {bloom!r}")
         self._fh = fh
         self._block_size = block_size
         self._create_time_ms = create_time_ms
@@ -321,6 +418,23 @@ class HFileWriter:
         self._total_uncompressed = 0
         self._index_uncompressed = 0
         self._closed = False
+        # CompoundBloomFilterWriter state (ROW bloom): one fixed-size
+        # ByteBloomFilter chunk at a time, flushed inline as a
+        # BLOOM_CHUNK block when its key budget fills; one bloom key
+        # per DISTINCT row (cells arrive row-sorted, so consecutive
+        # dedup is exact — StoreFileWriter's appendGeneralBloomfilter
+        # rule).
+        self._bloom = bloom
+        self._bloom_byte_size = bloom_block_size
+        self._bloom_max_keys, self._bloom_hash_count = _bloom_size_by_bytes(
+            bloom_block_size, bloom_error_rate
+        )
+        self._bloom_bits = bytearray(bloom_block_size) if bloom == "row" else None
+        self._bloom_chunk_keys = 0
+        self._bloom_chunk_first_row: bytes | None = None
+        self._bloom_last_row: bytes | None = None
+        self._bloom_total_keys = 0
+        self._bloom_index: list[_BlockIndexEntry] = []
 
     # -- cell ingestion ------------------------------------------------
     def append(self, key: bytes, value: bytes) -> None:
@@ -341,6 +455,12 @@ class HFileWriter:
         self._total_key_len += len(key)
         self._total_value_len += len(value)
         self._last_key = key
+        if self._bloom == "row":
+            row_len = struct.unpack_from(">H", key, 0)[0]
+            row = key[2 : 2 + row_len]
+            if row != self._bloom_last_row:
+                self._bloom_add_row(row)
+                self._bloom_last_row = row
         if len(self._buf) >= self._block_size:
             self._flush_data_block()
 
@@ -456,6 +576,52 @@ class HFileWriter:
             )
         return parent
 
+    # -- bloom plumbing ------------------------------------------------
+    def _bloom_add_row(self, row: bytes) -> None:
+        if self._bloom_chunk_first_row is None:
+            self._bloom_chunk_first_row = row
+        bits = self._bloom_byte_size * 8
+        for pos in _bloom_bit_positions(row, self._bloom_hash_count, bits):
+            self._bloom_bits[pos >> 3] |= 1 << (pos & 7)
+        self._bloom_chunk_keys += 1
+        self._bloom_total_keys += 1
+        if self._bloom_chunk_keys >= self._bloom_max_keys:
+            self._flush_bloom_chunk()
+
+    def _flush_bloom_chunk(self) -> None:
+        """Write the current ByteBloomFilter chunk inline as a
+        BLOOM_CHUNK block (CompoundBloomFilterWriter is an
+        InlineBlockWriter like the leaf-index writer)."""
+        if self._bloom_chunk_keys == 0:
+            return
+        offset, on_disk = self._write_block(
+            BLOOM_CHUNK_MAGIC, bytes(self._bloom_bits)
+        )
+        self._bloom_index.append(
+            _BlockIndexEntry(offset, on_disk, self._bloom_chunk_first_row)
+        )
+        self._bloom_bits = bytearray(self._bloom_byte_size)
+        self._bloom_chunk_keys = 0
+        self._bloom_chunk_first_row = None
+
+    def _bloom_meta_bytes(self) -> bytes:
+        """CompoundBloomFilterWriter.MetaWriter layout: version,
+        totalByteSize, hashCount, hashType, totalKeyCount, totalMaxKeys,
+        numChunks, null comparator (int 0 — ROW blooms key on raw row
+        bytes), then the single-level root-format chunk index."""
+        n = len(self._bloom_index)
+        return (
+            struct.pack(">i", BLOOM_VERSION)
+            + struct.pack(">q", n * self._bloom_byte_size)
+            + struct.pack(">i", self._bloom_hash_count)
+            + struct.pack(">i", HASH_MURMUR)
+            + struct.pack(">q", self._bloom_total_keys)
+            + struct.pack(">q", n * self._bloom_max_keys)
+            + struct.pack(">i", n)
+            + struct.pack(">i", 0)
+            + _root_bytes(self._bloom_index)
+        )
+
     # -- load-on-open section -----------------------------------------
     def _file_info_bytes(self) -> bytes:
         avg_key = self._total_key_len // max(1, self._entry_count)
@@ -467,6 +633,9 @@ class HFileWriter:
             (b"hfile.CREATE_TIME_TS", struct.pack(">q", self._create_time_ms)),
             (b"hfile.LASTKEY", self._last_key or b""),
         ]
+        if self._bloom == "row" and self._bloom_index:
+            # StoreFileWriter publishes the bloom type in FileInfo
+            entries.append((b"BLOOM_FILTER_TYPE", b"ROW"))
         proto = b"".join(
             _pb_field_bytes(
                 1, _pb_field_bytes(1, k) + _pb_field_bytes(2, v)
@@ -509,6 +678,8 @@ class HFileWriter:
             return
         self._closed = True
         self._flush_data_block()
+        if self._bloom == "row":
+            self._flush_bloom_chunk()
         # BlockIndexWriter#shouldWriteBlock(closing=true): with no leaf
         # ever flushed, the single inline chunk IS the root (one-level
         # index); otherwise the remainder becomes one more leaf.
@@ -525,7 +696,15 @@ class HFileWriter:
             _root_size(root) > self._max_chunk_size
             and len(root) > self._min_index_entries
         ):
-            root = self._write_intermediate_level(root)
+            parent = self._write_intermediate_level(root)
+            if len(parent) >= len(root):
+                # no shrink possible (single entries already exceed the
+                # chunk budget — keys larger than max_chunk_size);
+                # another level would loop forever without helping
+                root = parent
+                self._num_levels += 1
+                break
+            root = parent
             self._num_levels += 1
         load_on_open = self._offset
         # root data index, then the (empty) meta index root — the reader
@@ -536,6 +715,13 @@ class HFileWriter:
         self._write_block(ROOT_INDEX_MAGIC, b"")  # empty meta index root
         file_info_offset = self._offset
         self._write_block(FILE_INFO_MAGIC, self._file_info_bytes())
+        # general bloom meta follows FileInfo in load-on-open; readers
+        # find it by walking remaining blocks and matching the magic
+        # (HFileReaderImpl's load-on-open block iteration)
+        if self._bloom == "row" and self._bloom_index:
+            self._write_block(
+                GENERAL_BLOOM_META_MAGIC, self._bloom_meta_bytes()
+            )
         self._fh.write(
             self._trailer_bytes(load_on_open, file_info_offset, len(root))
         )
@@ -544,6 +730,21 @@ class HFileWriter:
 # ---------------------------------------------------------------------
 # Independent parser — opens the file the way HBase does (trailer first)
 # ---------------------------------------------------------------------
+
+
+@dataclass
+class ParsedBloom:
+    """General (ROW) bloom: CompoundBloomFilter metadata + loaded chunk
+    bitmaps, probe-ready via ``bloom_maybe_contains``."""
+
+    version: int
+    chunk_byte_size: int
+    hash_count: int
+    hash_type: int
+    total_key_count: int
+    total_max_keys: int
+    chunks: list[tuple[int, int, bytes]]  # offset, onDiskSize, firstRow
+    chunk_bits: list[bytes]
 
 
 @dataclass
@@ -558,6 +759,7 @@ class ParsedHFile:
     cells: list[tuple[bytes, bytes]]  # (key, value) in file order
     file_info: dict[bytes, bytes]
     root_index: list[tuple[int, int, bytes]]  # offset, onDiskSize, firstKey
+    bloom: ParsedBloom | None = None
     trailer_fields: dict[int, list] = field(default_factory=dict)
 
 
@@ -726,7 +928,9 @@ def read_hfile(path: str) -> ParsedHFile:
     # empty meta index root follows the data index
     _parse_block(buf, load_on_open + root_size, ROOT_INDEX_MAGIC, codec)
 
-    info_payload, _ = _parse_block(buf, file_info_offset, FILE_INFO_MAGIC, codec)
+    info_payload, info_size = _parse_block(
+        buf, file_info_offset, FILE_INFO_MAGIC, codec
+    )
     if info_payload[:4] != b"PBUF":
         raise ValueError("FileInfo missing PBUF magic")
     fi_len, fi_pos = _read_pb_varint(info_payload, 4)
@@ -734,6 +938,18 @@ def read_hfile(path: str) -> ParsedHFile:
     for entry in _parse_pb_fields(info_payload[fi_pos : fi_pos + fi_len]).get(1, []):
         kv = _parse_pb_fields(entry)
         file_info[bytes(kv[1][0])] = bytes(kv[2][0])
+
+    # walk the rest of load-on-open for the general bloom meta (readers
+    # identify trailing load-on-open blocks by magic)
+    bloom = None
+    next_off = file_info_offset + info_size
+    if (
+        next_off < len(buf) - TRAILER_SIZE
+        and buf[next_off : next_off + 8] == GENERAL_BLOOM_META_MAGIC
+    ):
+        bloom = _parse_bloom(buf, next_off, codec)
+    if file_info.get(b"BLOOM_FILTER_TYPE") == b"ROW" and bloom is None:
+        raise ValueError("FileInfo declares a ROW bloom but no meta block")
 
     if num_levels < 1:
         raise ValueError(f"implausible num_data_index_levels {num_levels}")
@@ -750,5 +966,65 @@ def read_hfile(path: str) -> ParsedHFile:
         cells=cells,
         file_info=file_info,
         root_index=root_index,
+        bloom=bloom,
         trailer_fields=tf,
     )
+
+
+def _parse_bloom(buf: bytes, offset: int, codec: int) -> ParsedBloom:
+    """Parse the GENERAL_BLOOM_META block and load every BLOOM_CHUNK it
+    indexes, validating sizes at each step."""
+    payload, _ = _parse_block(buf, offset, GENERAL_BLOOM_META_MAGIC, codec)
+    version, = struct.unpack_from(">i", payload, 0)
+    if version != BLOOM_VERSION:
+        raise ValueError(f"unsupported bloom meta version {version}")
+    total_byte_size, = struct.unpack_from(">q", payload, 4)
+    hash_count, hash_type = struct.unpack_from(">ii", payload, 12)
+    total_keys, total_max_keys = struct.unpack_from(">qq", payload, 20)
+    num_chunks, comparator_len = struct.unpack_from(">ii", payload, 36)
+    if hash_type != HASH_MURMUR:
+        raise ValueError(f"unsupported bloom hash type {hash_type}")
+    if comparator_len != 0:
+        raise ValueError("non-ROW bloom comparator not supported")
+    if num_chunks <= 0 or total_byte_size % num_chunks:
+        raise ValueError("implausible bloom chunk accounting")
+    chunk_byte_size = total_byte_size // num_chunks
+    chunks = _parse_root_entries(payload[44:], num_chunks)
+    chunk_bits = []
+    for off, _sz, _first in chunks:
+        bits, _ = _parse_block(buf, off, BLOOM_CHUNK_MAGIC, codec)
+        if len(bits) != chunk_byte_size:
+            raise ValueError(f"bloom chunk at {off} has wrong size")
+        chunk_bits.append(bits)
+    return ParsedBloom(
+        version=version,
+        chunk_byte_size=chunk_byte_size,
+        hash_count=hash_count,
+        hash_type=hash_type,
+        total_key_count=total_keys,
+        total_max_keys=total_max_keys,
+        chunks=chunks,
+        chunk_bits=chunk_bits,
+    )
+
+
+def bloom_maybe_contains(parsed: ParsedHFile, row: bytes) -> bool:
+    """CompoundBloomFilter.contains: pick the chunk whose firstRow range
+    covers ``row`` (greatest firstRow <= row; rows before the first
+    chunk are definitively absent), then probe its bits with the
+    double-hash sequence. False means DEFINITELY absent; True means
+    maybe-present (tunable false-positive rate)."""
+    import bisect
+
+    if parsed.bloom is None:
+        raise ValueError("file has no general bloom filter")
+    b = parsed.bloom
+    firsts = [first for _o, _s, first in b.chunks]
+    idx = bisect.bisect_right(firsts, row) - 1
+    if idx < 0:
+        return False
+    bits = b.chunk_bits[idx]
+    for pos in _bloom_bit_positions(row, b.hash_count, b.chunk_byte_size * 8):
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True

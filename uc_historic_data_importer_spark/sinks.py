@@ -578,6 +578,7 @@ def write_hfiles(
     block_size: int = 64 * 1024,
     create_time_ms: int = 0,
     compression: str = "gz",
+    bloom: str = "row",
 ) -> list[str]:
     """Write ``hbase_bulkload_layout`` output as REAL HFile v3 files —
     one per (table, region) per partition, under
@@ -610,7 +611,9 @@ def write_hfiles(
     family is GZ for both flush and compaction, HbaseClient.kt:88-89,
     so bulk-loaded files match the table codec and skip the 3-5x
     rewrite IO a compaction re-compress would cost at 100 TB) or
-    ``"none"``. Returns the written file paths."""
+    ``"none"``. ``bloom`` is ``"row"`` (default — the reference table
+    inherits HColumnDescriptor's BloomType.ROW default, so cluster
+    files carry one) or ``"none"``. Returns the written file paths."""
     from uc_historic_data_importer_spark.hfile import (
         COMPRESSION_GZ,
         COMPRESSION_NONE,
@@ -664,6 +667,7 @@ def write_hfiles(
                         fh, block_size=block_size,
                         create_time_ms=create_time_ms,
                         compression=codec,
+                        bloom=bloom,
                     ))
                     writers[(tbl, fam, region)] = ent
                 ent[3].append_keyvalue(
