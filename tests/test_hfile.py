@@ -1081,3 +1081,65 @@ class TestWriterGuards:
         parsed = read_hfile(p)
         assert parsed.cells == cells
         assert parsed.num_data_index_levels >= 2
+
+
+class TestAdversarialCraftedInputs:
+    """Review findings: crafted inputs with VALID checksums must raise,
+    never hang — the parser is the verification tool for externally
+    produced files, where corruption arrives with recomputed CRCs."""
+
+    def _file(self, tmp_path):
+        cells = [(_key(b"row-%03d" % i), b"v" * 20) for i in range(30)]
+        return _write(tmp_path / "a.hfile", cells, bloom="none")
+
+    def test_negative_cell_length_rejected_not_looped(self, tmp_path):
+        p = self._file(tmp_path)
+        buf = bytearray(open(p, "rb").read())
+        # first cell's keyLen at offset 33: make it negative, fix CRCs
+        struct.pack_into(">i", buf, 33, -8)
+        _fix_block_checksums(buf, 0)
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="corrupt cell lengths"):
+            read_hfile(str(p))
+
+    def test_oversized_cell_length_rejected(self, tmp_path):
+        p = self._file(tmp_path)
+        buf = bytearray(open(p, "rb").read())
+        struct.pack_into(">i", buf, 33, 2**30)
+        _fix_block_checksums(buf, 0)
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="corrupt cell lengths"):
+            read_hfile(str(p))
+
+    def test_implausible_root_entry_count_rejected(self, tmp_path):
+        p = self._file(tmp_path)
+        buf = bytearray(open(p, "rb").read())
+        _patch_trailer_varint(buf, 5, 120)  # data_index_count lie
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="implausible root index"):
+            read_hfile(str(p))
+
+    def test_corrupt_root_key_vlong_rejected(self, tmp_path):
+        p = self._file(tmp_path)
+        buf = bytearray(open(p, "rb").read())
+        root_off = bytes(buf).find(ROOT_INDEX_MAGIC)
+        assert root_off > 0
+        # root entry: offset(8) + onDiskSize(4) + vlong klen; poison the
+        # klen byte to a huge value behind a valid checksum
+        buf[root_off + 33 + 12] = 0x7F  # vlong 127 > remaining payload
+        _fix_block_checksums(buf, root_off)
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="root index"):
+            read_hfile(str(p))
+
+    def test_write_hfiles_rejects_bad_options_driver_side(self, spark, tmp_path):
+        kv = spark.createDataFrame(
+            [("t1", bytearray(b"\x01"), "01", 1, "b")],
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        layout = sinks.hbase_bulkload_layout(kv, n_regions=1)
+        with pytest.raises(ValueError, match="compression"):
+            sinks.write_hfiles(layout, str(tmp_path / "x"), compression="snappy")
+        with pytest.raises(ValueError, match="bloom"):
+            sinks.write_hfiles(layout, str(tmp_path / "y"), bloom="rowcol")

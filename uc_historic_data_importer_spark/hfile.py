@@ -406,6 +406,10 @@ class HFileWriter:
         # entries; rootChunk accumulates leaf-block entries once the
         # index goes multi-level.
         self._inline_chunk: list[_BlockIndexEntry] = []
+        # running non-root entry bytes (12 + keylen per entry) — the
+        # BlockIndexChunk curTotalNonRootEntrySize counter; recomputing
+        # _non_root_size per flush would be quadratic per chunk
+        self._inline_entry_bytes = 0
         self._root_chunk: list[_BlockIndexEntry] = []
         self._num_levels = 1
         self._entry_count = 0
@@ -516,6 +520,9 @@ class HFileWriter:
         self._inline_chunk.append(
             _BlockIndexEntry(offset, on_disk, self._first_key_in_block)
         )
+        self._inline_entry_bytes += (
+            _NONROOT_ENTRY_OVERHEAD + len(self._first_key_in_block)
+        )
         if self._first_data_offset < 0:
             self._first_data_offset = offset
         self._last_data_offset = offset
@@ -523,10 +530,12 @@ class HFileWriter:
         self._first_key_in_block = None
         # BlockIndexWriter#shouldWriteBlock(closing=false): flush a leaf
         # once the chunk would exceed max_chunk_size AND has enough
-        # entries to be worth a block.
+        # entries to be worth a block. Running-counter form of
+        # _non_root_size: 4 + 4*(n+1) + entry_bytes.
+        n = len(self._inline_chunk)
         if (
-            _non_root_size(self._inline_chunk) >= self._max_chunk_size
-            and len(self._inline_chunk) >= self._min_index_entries
+            8 + 4 * n + self._inline_entry_bytes >= self._max_chunk_size
+            and n >= self._min_index_entries
         ):
             self._flush_leaf_block()
 
@@ -549,6 +558,7 @@ class HFileWriter:
             )
         )
         self._inline_chunk = []
+        self._inline_entry_bytes = 0
         self._num_levels = max(self._num_levels, 2)
 
     def _write_intermediate_level(
@@ -559,15 +569,18 @@ class HFileWriter:
         max_chunk_size; returns the parent level's entries."""
         parent: list[_BlockIndexEntry] = []
         cur: list[_BlockIndexEntry] = []
+        cur_bytes = 0  # running counter, same reason as the inline chunk
         for e in entries:
             cur.append(e)
-            if _non_root_size(cur) >= self._max_chunk_size:
+            cur_bytes += _NONROOT_ENTRY_OVERHEAD + len(e.first_key)
+            if 8 + 4 * len(cur) + cur_bytes >= self._max_chunk_size:
                 parent.append(
                     self._write_index_block(
                         INTERMEDIATE_INDEX_MAGIC, cur, _non_root_bytes(cur)
                     )
                 )
                 cur = []
+                cur_bytes = 0
         if cur:
             parent.append(
                 self._write_index_block(
@@ -820,12 +833,18 @@ def _parse_block(
 
 
 def _parse_root_entries(payload: bytes, count: int) -> list[tuple[int, int, bytes]]:
+    # every entry costs >= 13 bytes (q + i + 1-byte vlong), so an
+    # implausible count is rejected before the loop rather than spun on
+    if count < 0 or count * 13 > len(payload):
+        raise ValueError(f"implausible root index entry count {count}")
     entries: list[tuple[int, int, bytes]] = []
     pos = 0
     for _ in range(count):
         off, sz = struct.unpack_from(">qi", payload, pos)
         pos += 12
         klen, pos = _read_vlong(payload, pos)
+        if klen < 0 or pos + klen > len(payload):
+            raise ValueError("corrupt key length in root index entry")
         entries.append((off, sz, payload[pos : pos + klen]))
         pos += klen
     return entries
@@ -856,7 +875,14 @@ def _scan_data_block(
     pos = 0
     first_in_block = True
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError(f"truncated cell header in block at {offset}")
         klen, vlen = struct.unpack_from(">ii", payload, pos)
+        # a negative length would walk pos backwards — an infinite loop,
+        # not an error, if unchecked (checksums stop random corruption,
+        # but this parser is also the verifier for EXTERNAL files)
+        if klen < 0 or vlen < 0 or pos + 8 + klen + vlen > len(payload):
+            raise ValueError(f"corrupt cell lengths in block at {offset}")
         pos += 8
         key = payload[pos : pos + klen]
         pos += klen

@@ -620,7 +620,12 @@ def write_hfiles(
         HFileWriter,
     )
 
-    codec = {"gz": COMPRESSION_GZ, "none": COMPRESSION_NONE}[compression]
+    codecs = {"gz": COMPRESSION_GZ, "none": COMPRESSION_NONE}
+    if compression not in codecs:
+        raise ValueError(f"unsupported compression {compression!r}")
+    if bloom not in ("row", "none"):
+        raise ValueError(f"unsupported bloom type {bloom!r}")
+    codec = codecs[compression]
     if os.path.isdir(out_dir):
         for dirpath, _dirs, files in os.walk(out_dir):
             for f in files:
