@@ -840,6 +840,8 @@ def _parse_root_entries(payload: bytes, count: int) -> list[tuple[int, int, byte
     entries: list[tuple[int, int, bytes]] = []
     pos = 0
     for _ in range(count):
+        if pos + 13 > len(payload):
+            raise ValueError("truncated root index entry")
         off, sz = struct.unpack_from(">qi", payload, pos)
         pos += 12
         klen, pos = _read_vlong(payload, pos)
