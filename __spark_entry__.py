@@ -314,6 +314,14 @@ _R06_RECORDED = frozenset(
 #   - segment_cleaned_corpus: membership dispatch — the 5000-entry
 #     removal list now routes through the precompiled-frozenset pandas
 #     UDF (16x at the sf1 soak, value-identical; parity-pinned).
+#   - streaming_latest_per_key: _latest_state_fn version ties now
+#     break on the body lexicographically (replay-deterministic — a
+#     REAL semantic change under ties) and the stream source shares
+#     the batch filename projection.
+#   - streaming_windowed_counts: rides the shared filename projection
+#     (plan-identical; re-record on principle).
+#   - streaming_interval_join: inverted-bounds ValueError guard added
+#     (behavior-neutral for valid inputs; touched code).
 _R07_MODIFIED_SINCE_RECORD = (
     "media_frame_plan",
     "doc_length_outliers_approx",
@@ -327,19 +335,22 @@ _R07_MODIFIED_SINCE_RECORD = (
     "bpe_token_stats",
     "pack_sequences",
     "segment_cleaned_corpus",
+    "streaming_latest_per_key",
+    "streaming_windowed_counts",
+    "streaming_interval_join",
 )
 
 
 # Round-8 handoff: round 7's window = 2 round-7 additions
-# (token_counts_seam, streaming_cdc_snapshot) + the 12-query modified
-# block above (8 r06-recorded + 3 r05 + 1 r04) + the 36 stalest of the
-# 46 remaining r04-latest queries = 50, verified by enumeration.
-# TEN r04-latest queries slip past index 50 this round (each still
+# (token_counts_seam, streaming_cdc_snapshot) + the 15-query modified
+# block above (9 r06-recorded + 4 r05 + 2 r04) + the 33 stalest of the
+# 45 remaining r04-latest queries = 50, verified by enumeration.
+# TWELVE r04-latest queries slip past index 50 this round (each still
 # green in CORRECTNESS_r04 and re-verified every round by
 # tests/test_oracle_regression.py): they sort FIRST in round 8's
 # staleness rotation. Round 8 should lift _R07_RECORDED
 # (= CORRECTNESS_r07 keys), start a fresh modified block, front-load
-# r8 additions (budget ~2-3), then rotate: the 10 slipped r04s, then
+# r8 additions (budget ~2-3), then rotate: the 12 slipped r04s, then
 # the r05 block — which again nearly fills a window.
 
 

@@ -601,3 +601,153 @@ def test_deduped_stream_survives_unordered_historic_files(spark, tmp_path):
     got = {(r["key_hex"], r["version"]) for r in rows}
     # both records present (nothing dropped as 'late'), dup collapsed
     assert len(got) == 2 and len(rows) == 2
+
+
+class TestStreamingReviewFixes:
+    """Round-7 streaming review pass: checkpoint/output mismatch guards,
+    torn-batch reader gate, deterministic state tie-breaks, batch/stream
+    guard parity, schema hygiene."""
+
+    def test_cdc_sink_refuses_foreign_newer_snapshots(self, spark, tmp_path):
+        """A fresh checkpoint restarting batch ids at 0 against an old
+        run's snapshots must fail loudly, not rebuild from empty."""
+        base = tmp_path / "snap"
+        d = base / "v=5"
+        d.mkdir(parents=True)
+        schema = "id BIGINT, seq BIGINT, op STRING, score DOUBLE"
+        spark.createDataFrame([(1, 1, "P", 1.0)], schema).drop(
+            "seq", "op"
+        ).write.mode("overwrite").parquet(str(d))
+        b0 = spark.createDataFrame([(9, 1, "P", 9.0)], schema)
+        with pytest.raises(ValueError, match="checkpoint/snapshot mismatch"):
+            sp.apply_changelog_batch(b0, 0, str(base), ("id",))
+
+    def test_kv_sink_refuses_foreign_newer_batches(self, spark, tmp_path):
+        """Same guard for the KV stream sink: an output dir holding
+        batch ids newer than the current batch is foreign history."""
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "db.c.0001.json").write_text(
+            '{"_id": {"someId": "a"}, "_lastModifiedDateTime":'
+            ' {"$date": "2018-12-01T15:01:02.000Z"}}\n'
+        )
+        kv_path = tmp_path / "kv"
+        stale = kv_path / "batch_id=7"
+        stale.mkdir(parents=True)
+        (stale / "_SUCCESS").write_bytes(b"")
+        norm = sp.normalized_stream(
+            sp.read_jsonl_stream(spark, str(src))
+        )
+        q = sp.run_to_kv_sink(
+            norm, str(kv_path), str(tmp_path / "chk")
+        )
+        with pytest.raises(Exception, match="foreign history"):
+            q.awaitTermination()
+
+    def test_read_kv_stream_output_excludes_torn_batches(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "db.c.0001.json").write_text(
+            '{"_id": {"someId": "a"}, "_lastModifiedDateTime":'
+            ' {"$date": "2018-12-01T15:01:02.000Z"}}\n'
+        )
+        kv_path = str(tmp_path / "kv")
+        norm = sp.normalized_stream(sp.read_jsonl_stream(spark, str(src)))
+        q = sp.run_to_kv_sink(norm, kv_path, str(tmp_path / "chk"))
+        q.awaitTermination()
+        complete_rows = sp.read_kv_stream_output(spark, kv_path).count()
+        assert complete_rows >= 1
+        # simulate a torn batch: parquet data present, no _SUCCESS
+        import os
+        import shutil
+
+        torn = os.path.join(kv_path, "batch_id=99")
+        src_dir = os.path.join(kv_path, "batch_id=0")
+        shutil.copytree(src_dir, torn)
+        os.remove(os.path.join(torn, "_SUCCESS"))
+        raw = spark.read.parquet(kv_path).count()
+        gated = sp.read_kv_stream_output(spark, kv_path).count()
+        assert raw == 2 * complete_rows  # raw read sees the torn copy
+        assert gated == complete_rows  # the gate excludes it
+
+    def test_latest_state_fn_version_ties_break_deterministically(self):
+        """Same (key, version) with different bodies: the max body wins
+        regardless of arrival order (the cdc.latest_changes rule), so a
+        replayed batch persists/emits identical state."""
+        import pandas as pd
+
+        class FakeState:
+            def __init__(self):
+                self.exists = False
+                self._v = None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+                self.exists = True
+
+        def run(chunks):
+            st = FakeState()
+            out = list(
+                sp._latest_state_fn(("t", "k"), iter(chunks), st)
+            )
+            return st._v, out
+
+        a = pd.DataFrame({"version": [5], "record_json": ["aaa"]})
+        b = pd.DataFrame({"version": [5], "record_json": ["zzz"]})
+        state_ab, _ = run([a, b])
+        state_ba, _ = run([b, a])
+        assert state_ab == state_ba == (5, "zzz")
+        # and a lower-version later chunk never wins
+        c = pd.DataFrame({"version": [4], "record_json": ["~~~"]})
+        state_abc, _ = run([a, b, c])
+        assert state_abc == (5, "zzz")
+
+    def test_interval_join_stream_rejects_inverted_bounds(self, spark):
+        df = spark.readStream.format("rate").load()
+        with pytest.raises(ValueError, match="upper_ms"):
+            sp.interval_join_stream(
+                df, df, lower_ms=600_000, upper_ms=1
+            )
+
+    def test_deduped_stream_does_not_leak_arrival_time(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "db.c.0001.json").write_text(
+            '{"_id": {"someId": "a"}, "_lastModifiedDateTime":'
+            ' {"$date": "2018-12-01T15:01:02.000Z"}}\n'
+        )
+        norm = sp.normalized_stream(sp.read_jsonl_stream(spark, str(src)))
+        deduped = sp.deduped_stream(norm)
+        assert "arrival_time" not in deduped.columns
+        assert deduped.columns == norm.columns
+
+    def test_batch_and_stream_filename_projection_share_one_definition(
+        self, spark, tmp_path
+    ):
+        from uc_historic_data_importer_spark.sources.jsonl import (
+            read_jsonl_lines,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "mydb.mycoll.0042.json").write_text('{"_id": "x"}\n')
+        batch = read_jsonl_lines(spark, str(src)).select(
+            "db", "collection", "file_number"
+        ).collect()[0]
+        out = tmp_path / "out"
+        q = (
+            sp.read_jsonl_stream(spark, str(src))
+            .writeStream.format("memory")
+            .queryName("fname_parity")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream = spark.table("fname_parity").select(
+            "db", "collection", "file_number"
+        ).collect()[0]
+        assert tuple(batch) == tuple(stream) == ("mydb", "mycoll", 42)

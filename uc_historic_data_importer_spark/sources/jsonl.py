@@ -22,6 +22,23 @@ from uc_historic_data_importer_spark.sources.listing import FILENAME_GROUPS
 DUMP_FILENAME_RE = r"([\w-]+)\.([\w-]+)\.([0-9]+)\.json"
 
 
+def filename_meta_cols(path_col):
+    """db / collection / file_number projection from a dump file path —
+    ONE definition shared by the batch source below and the streaming
+    source (streaming/stream_pipeline.read_jsonl_stream). The regex was
+    already shared, but the projection (path split, group numbering,
+    int cast) was duplicated; a change applied to only one copy would
+    silently desynchronize batch/stream parity, which is the exact
+    failure the shared-regex comment above exists to prevent."""
+    fname = F.element_at(F.split(path_col, "/"), -1)
+    g = DUMP_FILENAME_RE
+    return [
+        F.regexp_extract(fname, g, 1).alias("db"),
+        F.regexp_extract(fname, g, 2).alias("collection"),
+        F.regexp_extract(fname, g, 3).cast("int").alias("file_number"),
+    ]
+
+
 def read_jsonl_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Read dump files as (db, collection, file_number, line_no, raw_json).
 
@@ -39,12 +56,8 @@ def read_jsonl_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
             ),
         )
     )
-    groups = DUMP_FILENAME_RE
-    fname = F.element_at(F.split(F.col("data_path"), "/"), -1)
     return df.select(
-        F.regexp_extract(fname, groups, 1).alias("db"),
-        F.regexp_extract(fname, groups, 2).alias("collection"),
-        F.regexp_extract(fname, groups, 3).cast("int").alias("file_number"),
+        *filename_meta_cols(F.col("data_path")),
         F.col("line_no"),
         F.col("value").alias("raw_json"),
         F.col("data_path"),

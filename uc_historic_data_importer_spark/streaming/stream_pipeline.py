@@ -30,24 +30,26 @@ from uc_historic_data_importer_spark.operators.keying import flatten_normalized
 from uc_historic_data_importer_spark.operators.naming import with_table_names
 from uc_historic_data_importer_spark.operators.transforms import normalize_records
 
-def read_jsonl_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    """File-source stream of dump lines. Filename metadata is derived the
-    same way as the batch source (sources/jsonl.py); line numbers are not
-    defined under streaming (files split across batches) and are null."""
+def read_jsonl_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of dump lines. Filename metadata is derived by
+    the SAME projection as the batch source (sources/jsonl.py::
+    filename_meta_cols — one definition, so batch/stream parity cannot
+    drift); line numbers are not defined under streaming (files split
+    across batches) and are null. ``max_files_per_trigger`` sizes the
+    micro-batch (per-batch memory, and snapshot-rewrite frequency when
+    feeding the CDC sink)."""
     raw = (
         spark.readStream.format("text")
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(input_dir)
         .withColumn("data_path", F.input_file_name())
     )
-    from uc_historic_data_importer_spark.sources.jsonl import DUMP_FILENAME_RE
+    from uc_historic_data_importer_spark.sources.jsonl import filename_meta_cols
 
-    groups = DUMP_FILENAME_RE
-    fname = F.element_at(F.split(F.col("data_path"), "/"), -1)
     return raw.select(
-        F.regexp_extract(fname, groups, 1).alias("db"),
-        F.regexp_extract(fname, groups, 2).alias("collection"),
-        F.regexp_extract(fname, groups, 3).cast("int").alias("file_number"),
+        *filename_meta_cols(F.col("data_path")),
         F.lit(None).cast("int").alias("line_no"),
         F.col("value").alias("raw_json"),
     )
@@ -76,11 +78,15 @@ def deduped_stream(norm: DataFrame, watermark_delay: str = "1 hour") -> DataFram
     lateness is bounded in wall-clock terms (task retry, file
     re-ingest), so arrival time is the semantically correct clock for
     this state — and it makes the operator safe on arbitrarily
-    unordered historic corpora."""
+    unordered historic corpora. The arrival_time column is dedup
+    plumbing and is dropped from the output — downstream consumers see
+    the input schema unchanged."""
     with_arrival = norm.withColumn("arrival_time", F.current_timestamp())
-    return with_arrival.withWatermark(
-        "arrival_time", watermark_delay
-    ).dropDuplicatesWithinWatermark(["table", "key_hex", "version"])
+    return (
+        with_arrival.withWatermark("arrival_time", watermark_delay)
+        .dropDuplicatesWithinWatermark(["table", "key_hex", "version"])
+        .drop("arrival_time")
+    )
 
 
 def windowed_counts(
@@ -138,7 +144,14 @@ def _latest_state_fn(
     not early ones), so a -1 sentinel would silently swallow any key
     whose records are all pre-1970. A batch that touches a key without
     advancing it emits nothing — downstream update-mode consumers see
-    one emission per actual state change, not per touching batch."""
+    one emission per actual state change, not per touching batch.
+
+    Version ties break on the body lexicographically (max record_json
+    among max-version rows — the same struct-max rule as
+    cdc.latest_changes): a first-seen-wins compare would let shuffle
+    order pick the winner, so a replayed batch after a crash could
+    persist and emit a DIFFERENT body for the same (key, version) than
+    the original run."""
     cur_version: int | None
     if state.exists:
         (cur_version, cur_body) = state.get
@@ -146,11 +159,16 @@ def _latest_state_fn(
         cur_version, cur_body = None, None
     advanced = False
     for pdf in pdfs:
-        idx = pdf["version"].idxmax()
-        v = int(pdf["version"][idx])
-        if cur_version is None or v > cur_version:
-            cur_version = v
-            cur_body = pdf["record_json"][idx]
+        vmax = int(pdf["version"].max())
+        bodies = pdf.loc[pdf["version"] == vmax, "record_json"]
+        body = max((b for b in bodies if b is not None), default=None)
+        if (
+            cur_version is None
+            or vmax > cur_version
+            or (vmax == cur_version and (body or "") > (cur_body or ""))
+        ):
+            cur_version = vmax
+            cur_body = body
             advanced = True
     state.update((cur_version, cur_body))
     if advanced:
@@ -224,13 +242,70 @@ def normalized_stream_batch_keys(spark: SparkSession, input_dir: str) -> DataFra
     return norm.groupBy("table", "key_hex").agg(F.max("version").alias("version"))
 
 
+def _existing_batch_ids(spark: SparkSession, kv_path: str) -> list[int]:
+    """batch_id=N partition directories already present under a KV
+    stream output path (empty list if the path does not exist yet)."""
+    fs, hpath = _snapshot_fs(spark, kv_path)
+    if not fs.exists(hpath):
+        return []
+    ids = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def read_kv_stream_output(spark: SparkSession, kv_path: str) -> DataFrame:
+    """Read the streaming KV sink output including ONLY complete
+    batches: a crash between a batch's write and its checkpoint commit
+    leaves a torn ``batch_id=N`` directory without ``_SUCCESS``, and a
+    raw ``spark.read.parquet(kv_path)`` would happily include its
+    partial cells until the restart replays the batch. Same
+    completeness gate as the CDC snapshot reader (_snapshot_versions'
+    _SUCCESS check); the filter prunes at the partition level, so torn
+    files are never opened."""
+    fs, jpath = _snapshot_fs(spark, kv_path)
+    jpath_cls = spark._jvm.org.apache.hadoop.fs.Path
+    complete = []
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            tail = name.split("=", 1)[-1]
+            if name.startswith("batch_id=") and tail.isdigit():
+                if fs.exists(jpath_cls(st.getPath(), "_SUCCESS")):
+                    complete.append(int(tail))
+    df = spark.read.option("basePath", kv_path).parquet(kv_path)
+    return df.filter(F.col("batch_id").isin(complete))
+
+
 def run_to_kv_sink(
-    norm: DataFrame, kv_path: str, checkpoint_dir: str, available_now: bool = True
+    norm: DataFrame,
+    kv_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    ctx=None,
 ):
     """Materialize the stream into the same versioned-KV parquet layout as
     the batch sink via foreachBatch — idempotent per batch id because
     each batch overwrites its own `batch_id=N` partition directory (a
-    plain append would duplicate every cell of a replayed batch)."""
+    plain append would duplicate every cell of a replayed batch).
+
+    ``ctx`` is the envelope RunContext; production callers should pass
+    the real per-run context (uuid unitOfWorkId/traceId, wall-clock
+    timestamp, as run.py stamps batch runs) — the default is a
+    deterministic placeholder suitable only for tests and oracles.
+
+    Reusing a ``kv_path`` with a FRESH checkpoint is refused: batch ids
+    would restart at 0 and silently overwrite the previous run's
+    partitions (Structured Streaming never commits batch N+1 before N,
+    so an existing directory with a HIGHER id than the current batch
+    can only be foreign history). Read the output through
+    ``read_kv_stream_output`` — it excludes torn batches a crash may
+    have left behind."""
     from uc_historic_data_importer_spark import sinks
     from uc_historic_data_importer_spark.operators.envelope import (
         RunContext,
@@ -238,11 +313,26 @@ def run_to_kv_sink(
         with_envelope,
     )
 
-    ctx = RunContext(
-        unit_of_work_id="stream", timestamp="1970-01-01T00:00:00.000", trace_id="stream"
-    )
+    if ctx is None:
+        ctx = RunContext(
+            unit_of_work_id="stream",
+            timestamp="1970-01-01T00:00:00.000",
+            trace_id="stream",
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        newer = [
+            b
+            for b in _existing_batch_ids(batch_df.sparkSession, kv_path)
+            if b > batch_id
+        ]
+        if newer:
+            raise ValueError(
+                f"kv_path {kv_path!r} already holds batch ids {newer} newer "
+                f"than current batch {batch_id}: the checkpoint does not "
+                "match this output directory (fresh checkpoint against an "
+                "old run's output?) — refusing to overwrite foreign history"
+            )
         enveloped = with_envelope(passthrough_body(batch_df), ctx)
         # idempotence: each micro-batch owns its own partition
         # directory and OVERWRITES it — a batch replayed after a crash
@@ -381,6 +471,11 @@ def interval_join_stream(
 
     Batch parity: run both sides through the batch ``interval_join`` and
     the joined sets converge (pinned in tests with availableNow)."""
+    if upper_ms < lower_ms:
+        # same guard as the batch twin: an inverted band builds an
+        # unsatisfiable predicate that would run forever emitting
+        # nothing instead of failing fast
+        raise ValueError("upper_ms must be >= lower_ms")
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)
     cond = F.lit(True)
@@ -450,12 +545,29 @@ def apply_changelog_batch(
     same input version and overwrites its own output (pinned in
     tests/test_streaming.py::test_changelog_batch_replay_is_idempotent).
     Exposed separately from the stream writer so batch backfills can
-    drive the same fold."""
+    drive the same fold.
+
+    A snapshot version NEWER than ``batch_id`` is refused: Structured
+    Streaming never commits batch N+1 before N, so a higher complete
+    version can only mean the checkpoint does not belong to this
+    snapshot_base (e.g. a fresh/lost checkpoint restarted batch ids at
+    0 against an old run's snapshots). Folding on would quietly rebuild
+    from EMPTY, dropping every key the old history held, while readers
+    stay pinned to the stale old version — fail loudly instead."""
     from uc_historic_data_importer_spark.operators import cdc
 
     spark = batch_df.sparkSession
     keys = list(key_cols)
-    prev = latest_snapshot_version(spark, snapshot_base, below=batch_id)
+    versions = _snapshot_versions(spark, snapshot_base)
+    newer = [v for v in versions if v > batch_id]
+    if newer:
+        raise ValueError(
+            f"snapshot_base {snapshot_base!r} already holds versions "
+            f"{newer} newer than batch {batch_id}: checkpoint/snapshot "
+            "mismatch (fresh checkpoint against an old run's snapshots?)"
+        )
+    below = [v for v in versions if v < batch_id]
+    prev = max(below) if below else None
     payload = [c for c in batch_df.columns if c not in (seq_col, op_col)]
     if prev is None:
         snap = spark.createDataFrame([], batch_df.select(*payload).schema)
