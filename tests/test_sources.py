@@ -252,7 +252,17 @@ class TestPaginatedListing:
         lister = L.Boto3Lister("bucket", client=FakeS3Client(keys))
         out = L.list_objects(spark, lister, prefixes=["p/"])
         got = {(r["path"], r["size"]) for r in out.collect()}
-        assert got == set(keys)
+        # paths come back SCHEME-QUALIFIED: bare keys would resolve
+        # against the local filesystem in every downstream consumer
+        assert got == {(f"s3a://bucket/{k}", s) for k, s in keys}
+        custom = L.Boto3Lister(
+            "bucket", client=FakeS3Client(keys), uri_prefix="s3://bucket/"
+        )
+        got2 = {
+            r["path"]
+            for r in L.list_objects(spark, custom, prefixes=["p/"]).collect()
+        }
+        assert got2 == {f"s3://bucket/{k}" for k, s in keys}
 
 
 class TestCryptoSource:
@@ -285,3 +295,115 @@ class TestCryptoSource:
         assert len(out) == 5
         assert [r["line_no"] for r in sorted(out, key=lambda r: r["line_no"])] == [1, 2, 3, 4, 5]
         assert all(r["db"] == "mydb" and r["file_number"] == 3 for r in out)
+
+
+class TestSourcesReviewFixes:
+    """Round-7 sources review pass: cross-prefix pairing, anchored
+    filename contracts, relative-root normalization, the object-opener
+    seam, and the repartition count short-circuit."""
+
+    def test_same_filename_under_two_prefixes_pairs_within_directory(
+        self, spark, tmp_path
+    ):
+        """Identically named files in different prefixes must pair with
+        their OWN sidecar — a filename-only stem cross-joins them (4
+        pairs, each decrypting with the other prefix's key)."""
+        for sub in ("2020", "2021"):
+            d = tmp_path / sub
+            d.mkdir()
+            (d / "db.c.0001.json.gz.enc").write_bytes(b"x")
+            (d / "db.c.0001.json.encryption.json").write_bytes(b"{}")
+        pairs = L.pair_files(
+            L.list_local_objects(spark, str(tmp_path))
+        ).collect()
+        assert len(pairs) == 2
+        for r in pairs:
+            import os
+
+            assert os.path.dirname(r["data_path"]) == os.path.dirname(
+                r["meta_path"]
+            )
+
+    def test_extra_name_components_are_dropped_not_misparsed(
+        self, spark, tmp_path
+    ):
+        """db.c.0001.json.old.gz.enc matches the old suffix-only check
+        but not the anchored contract: it must be dropped (reference
+        drops unmatched names with a warning), not paired with NULL
+        file_number."""
+        (tmp_path / "db.c.0001.json.old.gz.enc").write_bytes(b"x")
+        (tmp_path / "db.c.0001.json.encryption.json").write_bytes(b"{}")
+        (tmp_path / "db.c.0002.json.gz.enc").write_bytes(b"x")
+        (tmp_path / "db.c.0002.json.encryption.json").write_bytes(b"{}")
+        pairs = L.pair_files(
+            L.list_local_objects(spark, str(tmp_path))
+        ).collect()
+        assert len(pairs) == 1
+        assert pairs[0]["file_number"] == 2
+
+    def test_relative_root_listing_is_absolute(self, spark, tmp_path, monkeypatch):
+        """A relative --input-dir must still produce paths that match
+        input_file_name()'s absolute URIs (and that executor-side
+        open() can resolve)."""
+        d = tmp_path / "dumps"
+        d.mkdir()
+        (d / "db.c.0001.json.gz.enc").write_bytes(b"x")
+        monkeypatch.chdir(tmp_path)
+        rows = L.list_local_objects(spark, "dumps").collect()
+        assert rows and all(r["path"].startswith("/") for r in rows)
+
+    def test_default_opener_refuses_object_store_uris(self):
+        from uc_historic_data_importer_spark.sources.crypto_source import (
+            _local_opener,
+        )
+
+        with pytest.raises(ValueError, match="opener"):
+            _local_opener("s3a://bucket/db.c.0001.json.gz.enc")
+
+    def test_injected_opener_drives_the_decrypt_stage(self, spark, tmp_path):
+        """The S5 seam: a fake object-store opener (path -> BytesIO)
+        must carry the whole decrypt/gunzip/line-split path."""
+        import base64
+        import gzip as gz
+        import io
+        import os
+
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+
+        key, iv = os.urandom(32), os.urandom(16)
+        enc = Cipher(algorithms.AES(key), modes.CTR(iv)).encryptor()
+        payload = enc.update(gz.compress(b'{"a":1}\n{"a":2}\n')) + enc.finalize()
+        store = {"s3a://bkt/db.c.0001.json.gz.enc": payload}
+        pairs = spark.createDataFrame(
+            [(
+                "s3a://bkt/db.c.0001.json.gz.enc", "db", "c", 1,
+                "kek", "eek", base64.b64encode(iv).decode(),
+            )],
+            "data_path string, db string, collection string, "
+            "file_number int, key_encryption_key_id string, "
+            "encrypted_encryption_key string, initialisation_vector string",
+        )
+        out = read_encrypted_jsonl(
+            pairs,
+            {("kek", "eek"): base64.b64encode(key).decode()},
+            opener=lambda p: io.BytesIO(store[p]),
+            n_files=1,
+        ).collect()
+        assert [r["raw_json"] for r in out] == ['{"a":1}', '{"a":2}']
+        assert [r["line_no"] for r in out] == [1, 2]
+
+    def test_read_jsonl_lines_skips_stray_files(self, spark, tmp_path):
+        (tmp_path / "db.c.0001.json").write_text('{"_id": "x"}\n')
+        (tmp_path / "README.txt").write_text("not a dump\n")
+        (tmp_path / "db.c.0002.json.bak").write_text('{"_id": "y"}\n')
+        from uc_historic_data_importer_spark.sources.jsonl import (
+            read_jsonl_lines,
+        )
+
+        rows = read_jsonl_lines(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0]["db"] == "db" and rows[0]["file_number"] == 1

@@ -74,15 +74,42 @@ def decrypt_stream(raw: io.BufferedIOBase, key_b64: str, iv_b64: str) -> io.Buff
     return io.BufferedReader(_Reader(), buffer_size=65536)
 
 
+def _local_opener(path: str):
+    """Default object opener: local filesystem only. Scheme-qualified
+    paths (s3a://..., from Boto3Lister) need an injected opener — e.g.
+    a boto3 ``get_object()["Body"]`` wrapper — because executor-side
+    ``open()`` cannot resolve object-store URIs."""
+    if "://" in path:
+        raise ValueError(
+            f"cannot open non-local path {path!r} with the default "
+            "opener; pass read_encrypted_jsonl(opener=...) with an "
+            "object-store client (e.g. boto3 Body stream)"
+        )
+    return open(path, "rb")
+
+
 def read_encrypted_jsonl(
     pairs_with_meta: DataFrame,
     data_keys: dict[tuple[str, str], str],
+    opener=None,
+    n_files: int | None = None,
 ) -> DataFrame:
     """S8+S9+S10: file-pair rows -> decrypted, decompressed, line-split
     records DataFrame. `data_keys` is the driver-resolved plaintext key
     map (sources/metadata.py) — small, shipped in the task closure
-    (broadcast semantics)."""
+    (broadcast semantics).
+
+    ``opener`` is the pluggable object-fetch seam (S5 for non-local
+    stores): a callable ``path -> binary file-like`` cloudpickled to
+    the executors; the default opens local paths and REFUSES
+    scheme-qualified ones with a clear message. ``n_files``
+    short-circuits the repartition count (same contract as the
+    similarity operators' n_rows): the caller usually knows the file
+    count from the driver-resident listing, and the default
+    ``files.count()`` re-executes the upstream lineage — including the
+    whole-file sidecar scan — once more just to size partitions."""
     spark = pairs_with_meta.sparkSession
+    open_fn = opener if opener is not None else _local_opener
     cols = [
         "data_path",
         "db",
@@ -101,7 +128,7 @@ def read_encrypted_jsonl(
                     (row.key_encryption_key_id, row.encrypted_encryption_key)
                 ]
                 out_rows: list[dict] = []
-                with open(row.data_path, "rb") as fh:
+                with open_fn(row.data_path) as fh:
                     stream = decrypt_stream(fh, key_b64, row.initialisation_vector)
                     with gzip.open(stream, "rt", encoding="utf-8") as text:
                         for i, line in enumerate(text, start=1):
@@ -125,5 +152,5 @@ def read_encrypted_jsonl(
 
     # one task per file: repartition the (tiny) file list so decrypt work
     # spreads across the cluster exactly like the reference's thread pool
-    n = max(files.count(), 1)
+    n = max(n_files if n_files is not None else files.count(), 1)
     return files.repartition(n).mapInPandas(_expand, schema=LINES_SCHEMA)

@@ -56,9 +56,18 @@ def read_jsonl_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
             ),
         )
     )
-    return df.select(
-        *filename_meta_cols(F.col("data_path")),
-        F.col("line_no"),
-        F.col("value").alias("raw_json"),
-        F.col("data_path"),
+    fname = F.element_at(F.split(F.col("data_path"), "/"), -1)
+    return (
+        df
+        # anchored whole-name contract: stray files (README, notes.txt,
+        # db.c.0001.json.bak) would otherwise flow in with db='' and
+        # NULL file_number — the reference drops unmatched filenames
+        # with a warning (KeyPairGenerator.kt:29-37), so drop them here
+        .filter(fname.rlike(rf"^{DUMP_FILENAME_RE}(\.gz)?$"))
+        .select(
+            *filename_meta_cols(F.col("data_path")),
+            F.col("line_no"),
+            F.col("value").alias("raw_json"),
+            F.col("data_path"),
+        )
     )

@@ -25,6 +25,15 @@ from pyspark.sql import types as T
 FILENAME_FORMAT = r"[\w-]+\.[\w-]+\.[0-9]+\.json"
 DATA_SUFFIX = r"\.gz\.enc$"
 METADATA_SUFFIX = r"\.encryption\.json$"
+# ANCHORED whole-filename contracts: a name must be EXACTLY
+# <stem>.json.gz.enc / <stem>.json.encryption.json to classify. A
+# suffix-only check would admit e.g. db.c.0001.json.old.gz.enc (the
+# embedded stem matches unanchored, the suffix matches) and then
+# FILENAME_GROUPS extraction yields ''/NULL metadata that crashes the
+# decrypt stage — the reference instead drops unmatched names with a
+# warning (KeyPairGenerator.kt:29-37), which is what `neither` does.
+DATA_FULL_RE = rf"^{FILENAME_FORMAT}\.gz\.enc$"
+META_FULL_RE = rf"^{FILENAME_FORMAT}\.encryption\.json$"
 # HBaseWriter.kt:86-88: db/collection/filenumber capture
 FILENAME_GROUPS = r"([\w-]+)\.([\w-]+)\.([0-9]+)\.json\.gz\.enc$"
 
@@ -82,7 +91,12 @@ class LocalFsLister:
         keys = []
         for dirpath, _dirs, files in os.walk(base):
             for f in files:
-                p = os.path.join(dirpath, f)
+                # absolute paths: the metadata stage compares these
+                # listing paths against input_file_name()'s absolute
+                # URIs, and the decrypt stage open()s them from
+                # executor processes whose cwd is not the driver's — a
+                # relative root would make every sidecar look missing
+                p = os.path.abspath(os.path.join(dirpath, f))
                 keys.append((p, os.path.getsize(p)))
         keys.sort()
         start = int(continuation_token) if continuation_token else 0
@@ -96,10 +110,18 @@ class Boto3Lister:
     """S3 backend via boto3 ListObjectsV2 (S3Reader.kt:79-97 parity).
 
     Import-gated: constructing it without boto3 installed raises with a
-    clear message; nothing else in the module needs the dependency."""
+    clear message; nothing else in the module needs the dependency.
+
+    Emitted paths are SCHEME-QUALIFIED (``uri_prefix`` + key, default
+    ``s3a://<bucket>/``): downstream consumers resolve listing paths
+    directly — the sidecar text scan through Spark (which reads s3a
+    natively) and the decrypt stage through its pluggable ``opener``
+    seam (crypto_source.read_encrypted_jsonl) — so bare keys would
+    resolve against the local filesystem and fail."""
 
     bucket: str
     client: object | None = None
+    uri_prefix: str | None = None
 
     def __post_init__(self):
         if self.client is None:
@@ -110,6 +132,8 @@ class Boto3Lister:
                     "Boto3Lister requires boto3; install it or inject a client"
                 ) from ex
             self.client = boto3.client("s3")
+        if self.uri_prefix is None:
+            self.uri_prefix = f"s3a://{self.bucket}/"
 
     def list_page(self, prefix: str, continuation_token: str | None) -> ListPage:
         kwargs = {"Bucket": self.bucket, "Prefix": prefix}
@@ -117,7 +141,8 @@ class Boto3Lister:
             kwargs["ContinuationToken"] = continuation_token
         resp = self.client.list_objects_v2(**kwargs)  # type: ignore[attr-defined]
         objects = [
-            (o["Key"], int(o["Size"])) for o in resp.get("Contents", [])
+            (self.uri_prefix + o["Key"], int(o["Size"]))
+            for o in resp.get("Contents", [])
         ]
         token = (
             resp.get("NextContinuationToken")
@@ -179,41 +204,71 @@ def list_local_objects(spark: SparkSession, root: str, prefixes: list[str] | Non
 
 
 def pair_files(listing: DataFrame, strict: bool = True) -> DataFrame:
-    """S2: group keys by filename stem into (data, metadata) pairs.
+    """S2: group keys into (data, metadata) pairs.
 
-    - stem = the `<db>.<collection>.<NNNN>.json` core (KeyPairGenerator.kt:23)
-    - unmatched filenames and metadata-without-data are dropped with a
-      warning in the reference (:29-37,47-50) — dropped here;
+    - a file classifies ONLY on an anchored whole-filename match
+      (DATA_FULL_RE / META_FULL_RE): names with extra components (e.g.
+      `db.c.0001.json.old.gz.enc`) are `neither` and dropped, exactly
+      as the reference drops unmatched names with a warning
+      (KeyPairGenerator.kt:29-37) — a suffix-only check would pass them
+      through with NULL file_number and crash the decrypt stage;
+    - the pair key is the DIRECTORY-QUALIFIED path stem (full path with
+      the kind suffix stripped), not the bare filename: identically
+      named files under different prefixes must pair with their OWN
+      sidecar, not cross-join with every same-named one — the reference
+      pairs on the full S3 key, which is unique;
+    - stem (the `<db>.<collection>.<NNNN>.json` core,
+      KeyPairGenerator.kt:23) is kept as a display column;
+    - metadata-without-data is dropped (:47-50);
     - data-without-metadata raises (:40-46) when strict.
 
-    Returns (stem, data_path, data_size, meta_path, meta_size, db,
-    collection, file_number)."""
+    Returns (pair_stem, stem, data_path, data_size, meta_path,
+    meta_size, db, collection, file_number)."""
     base = listing.withColumn("filename", F.element_at(F.split(F.col("path"), "/"), -1))
     stem = F.regexp_extract(F.col("filename"), f"({FILENAME_FORMAT})", 1)
     kind = (
-        F.when(F.col("filename").rlike(DATA_SUFFIX), F.lit("data"))
-        .when(F.col("filename").rlike(METADATA_SUFFIX), F.lit("metadata"))
+        F.when(F.col("filename").rlike(DATA_FULL_RE), F.lit("data"))
+        .when(F.col("filename").rlike(META_FULL_RE), F.lit("metadata"))
         .otherwise(F.lit("neither"))
     )
-    tagged = base.withColumn("stem", stem).withColumn("kind", kind).filter(
-        (F.col("stem") != "") & (F.col("kind") != "neither")
+    # dir-qualified pair key: strip the kind suffix from the FULL path
+    pair_stem = (
+        F.when(
+            F.col("kind") == "data",
+            F.regexp_replace(F.col("path"), DATA_SUFFIX, ""),
+        )
+        .when(
+            F.col("kind") == "metadata",
+            F.regexp_replace(F.col("path"), METADATA_SUFFIX, ""),
+        )
+        .otherwise(F.lit(""))
+    )
+    tagged = (
+        base.withColumn("kind", kind)
+        .withColumn("stem", stem)
+        .withColumn("pair_stem", pair_stem)
+        .filter(F.col("kind") != "neither")
     )
     data = tagged.filter(F.col("kind") == "data").select(
+        "pair_stem",
         "stem",
         F.col("path").alias("data_path"),
         F.col("size").alias("data_size"),
     )
     meta = tagged.filter(F.col("kind") == "metadata").select(
-        "stem",
+        "pair_stem",
         F.col("path").alias("meta_path"),
         F.col("size").alias("meta_size"),
     )
     if strict:
-        missing = data.join(meta, "stem", "left_anti")
-        bad = [r["stem"] for r in missing.select("stem").limit(5).collect()]
+        missing = data.join(meta, "pair_stem", "left_anti")
+        bad = [
+            r["pair_stem"]
+            for r in missing.select("pair_stem").limit(5).collect()
+        ]
         if bad:
             raise MissingMetadataError(f"data objects without metadata: {bad}")
-    paired = data.join(meta, "stem", "inner")
+    paired = data.join(meta, "pair_stem", "inner")
     return paired.select(
         "*",
         F.regexp_extract(F.col("data_path"), FILENAME_GROUPS, 1).alias("db"),

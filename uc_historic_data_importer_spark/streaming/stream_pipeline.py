@@ -46,12 +46,21 @@ def read_jsonl_stream(
         .load(input_dir)
         .withColumn("data_path", F.input_file_name())
     )
-    from uc_historic_data_importer_spark.sources.jsonl import filename_meta_cols
+    from uc_historic_data_importer_spark.sources.jsonl import (
+        DUMP_FILENAME_RE,
+        filename_meta_cols,
+    )
 
-    return raw.select(
-        *filename_meta_cols(F.col("data_path")),
-        F.lit(None).cast("int").alias("line_no"),
-        F.col("value").alias("raw_json"),
+    fname = F.element_at(F.split(F.col("data_path"), "/"), -1)
+    return (
+        # same anchored whole-name contract as the batch source: stray
+        # files are dropped, not imported with ''/NULL metadata
+        raw.filter(fname.rlike(rf"^{DUMP_FILENAME_RE}(\.gz)?$"))
+        .select(
+            *filename_meta_cols(F.col("data_path")),
+            F.lit(None).cast("int").alias("line_no"),
+            F.col("value").alias("raw_json"),
+        )
     )
 
 
