@@ -126,14 +126,15 @@ class TestRetryingPutter:
         assert len(store.cells) == 5
         assert len(store.put_log) == 5
         assert len(set(store.put_log)) == 5
-        assert delays == [1.0]  # one retry, initial backoff
+        assert delays == [10.0]  # one retry, initial backoff (10 s, the reference schedule)
 
     def test_backoff_schedule_matches_reference(self):
         store = FlakyStore(fail_attempts=3, fail_after=0)
         delays = []
         sinks.RetryingPutter(store, sleep=delays.append).put_batch("t", BATCH)
         # HBaseWriter.kt:556-557: initial, then initial*attempts*multiplier
-        assert delays == [1.0, 2.0, 4.0]
+        # with the reference's 10 s initial (SURVEY W2: backoff 10 s x2)
+        assert delays == [10.0, 20.0, 40.0]
         assert len(store.cells) == 5
 
     def test_exhaustion_reraises_last_error(self):
@@ -549,3 +550,199 @@ class TestKeyValueWireParity:
             sinks.keyvalue_bytes(b"\x01k", b"cf", b"record", 2, b"b2"),
             sinks.keyvalue_bytes(b"\x01k", b"cf", b"record", 1, b"b1"),
         ]
+
+
+class TestSinksReviewFixes:
+    """Round-7 sinks/envelope review pass regressions."""
+
+    def test_encrypt_mode_never_stamps_source_key_metadata(self, spark):
+        """Re-encrypted bodies must not carry the SOURCE file's key ids
+        (a consumer decrypting per the envelope metadata would get
+        garbage and the true key would be recorded nowhere)."""
+        import json
+
+        from uc_historic_data_importer_spark.operators.envelope import (
+            RunContext,
+            with_envelope,
+        )
+
+        ctx = RunContext(unit_of_work_id="u", timestamp="t", trace_id="tr")
+        df = spark.createDataFrame(
+            [(
+                "rec", "", "_lastModifiedDateTime", "", False, "", False,
+                "", False, False, False, "a", True, False, "c", "db",
+                "MONGO_IMPORT", "CT", "IV",
+                "SOURCE_KEK", "SOURCE_EEK",
+            )],
+            "record_json string, x string, timestamp_source string, "
+            "created_datetime string, created_modified boolean, "
+            "removed_datetime string, removed_modified boolean, "
+            "archived_datetime string, archived_modified boolean, "
+            "is_removed boolean, is_archived boolean, id string, "
+            "id_is_string boolean, id_was_modified boolean, "
+            "collection_out string, db string, inner_type string, "
+            "db_object string, iv string, "
+            "key_encryption_key_id string, encrypted_encryption_key string",
+        ).withColumn("last_modified", F.lit("2020-01-01T00:00:00.000"))
+        # passthrough (encrypted=False): source fallback is correct
+        env_pass = json.loads(
+            with_envelope(df, ctx).collect()[0]["envelope"]
+        )
+        assert env_pass["message"]["encryption"]["keyEncryptionKeyId"] == "SOURCE_KEK"
+        # encrypted=True with no run-level ids: fallback DISABLED
+        env_enc = json.loads(
+            with_envelope(df, ctx, encrypted=True).collect()[0]["envelope"]
+        )
+        assert env_enc["message"]["encryption"]["keyEncryptionKeyId"] == ""
+        assert env_enc["message"]["encryption"]["encryptedEncryptionKey"] == ""
+        # run-level ids always win
+        env_run = json.loads(
+            with_envelope(
+                df, ctx, key_encryption_key_id="RUN_KEK",
+                encrypted_encryption_key="RUN_EEK", encrypted=True,
+            ).collect()[0]["envelope"]
+        )
+        assert env_run["message"]["encryption"]["keyEncryptionKeyId"] == "RUN_KEK"
+
+    def test_envelope_survives_hostile_type_and_control_chars(self, spark):
+        """inner_type and last_modified are record-derived: quotes and
+        ANY control character must leave the envelope parseable."""
+        import json
+
+        from uc_historic_data_importer_spark.operators.envelope import (
+            RunContext,
+            with_envelope,
+        )
+
+        ctx = RunContext(unit_of_work_id="u", timestamp="t", trace_id="tr")
+        hostile_type = 'x"y\x0bz'
+        hostile_lm = "a\x00b\x1fc\td"
+        df = spark.createDataFrame(
+            [(
+                "a", True, False, "", "_lastModifiedDateTime", "",
+                False, "", False, "", False, False, False, "c", "db",
+                hostile_type, "CT", "IV", hostile_lm,
+            )],
+            "id string, id_is_string boolean, id_was_modified boolean, "
+            "x string, timestamp_source string, "
+            "created_datetime string, created_modified boolean, "
+            "removed_datetime string, removed_modified boolean, "
+            "archived_datetime string, archived_modified boolean, "
+            "is_removed boolean, is_archived boolean, "
+            "collection_out string, db string, inner_type string, "
+            "db_object string, iv string, last_modified string",
+        )
+        env = with_envelope(df, ctx).collect()[0]["envelope"]
+        parsed = json.loads(env)  # must not raise
+        assert parsed["message"]["@type"] == hostile_type
+        assert parsed["message"]["_lastModifiedDateTime"] == hostile_lm
+
+    def test_manifest_rerun_leaves_no_stale_final_csvs(self, spark, tmp_path):
+        from tests.fixtures import write_dump_file  # noqa: F401 - layout only
+        import os
+
+        out = str(tmp_path / "m")
+        os.makedirs(out)
+        # a previous run's leftover manifest
+        stale = os.path.join(out, "db.old.coll-000099.csv")
+        open(stale, "w").write("stale|row\n")
+        df = spark.createDataFrame(
+            [('"x"', 1500000000000, "db", "c", "IMPORT", "HDI",
+              '{"someId":"x"}', "TYPE", "c", 1, 1)],
+            "id string, timestamp long, db string, collection string, "
+            "source string, outer_type string, original_id string, "
+            "inner_type string, _uncoalesced_collection string, "
+            "_file_number int, _line_no int",
+        )
+        written = sinks.manifest_sink(df, out)
+        on_disk = sorted(
+            f for f in os.listdir(out) if f.endswith(".csv")
+        )
+        assert os.path.basename(stale) not in on_disk
+        assert on_disk == sorted(os.path.basename(p) for p in written)
+
+    def test_multi_table_split_keys_require_dict(self, spark):
+        kv = spark.createDataFrame(
+            [("a", bytearray(b"\x01"), "01", 1, "b"),
+             ("b", bytearray(b"\x02"), "02", 1, "b")],
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        with pytest.raises(ValueError, match="per table"):
+            sinks.hbase_bulkload_layout(kv, region_split_keys=[b"\x80"])
+
+    def test_per_table_split_key_dict_aligns_each_table(self, spark, tmp_path):
+        import bisect
+        import struct as st
+
+        kv = spark.createDataFrame(
+            [("a", bytearray(bytes([i])), f"{i:02x}", 1, f"a{i}")
+             for i in range(8)]
+            + [("b", bytearray(bytes([i])), f"{i:02x}", 1, f"b{i}")
+               for i in range(8)],
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        splits = {"a": [b"\x04"], "b": [b"\x02", b"\x06"]}
+        layout = sinks.hbase_bulkload_layout(kv, region_split_keys=splits)
+        paths = sinks.write_hfiles(layout, str(tmp_path / "bulk"))
+        from uc_historic_data_importer_spark.hfile import read_hfile
+
+        for p in paths:
+            table = p.split("/")[-3]
+            regions = set()
+            for key, _v in read_hfile(p).cells:
+                rlen = st.unpack_from(">H", key, 0)[0]
+                row = key[2 : 2 + rlen]
+                regions.add(bisect.bisect_right(splits[table], row))
+            assert len(regions) == 1, (p, regions)
+
+    def test_batched_exists_is_preferred_over_per_row(self):
+        calls = {"batch": 0, "single": 0}
+
+        class Store(sinks.InMemoryKVStore):
+            def exists_batch(self, table, pairs):
+                calls["batch"] += 1
+                return super().exists_batch(table, pairs)
+
+            def exists(self, table, key, version):
+                calls["single"] += 1
+                return super().exists(table, key, version)
+
+        putter = sinks.RetryingPutter(Store(), sleep=lambda _s: None)
+        putter.put_batch("t", [(b"k", 1, "b"), (b"k2", 1, "b2")])
+        assert calls["batch"] == 1 and calls["single"] == 0
+
+    def test_send_manifest_missing_file_is_permanent_skip(self, tmp_path):
+        class Uploader:
+            def __init__(self):
+                self.calls = 0
+
+            def put_object(self, *a, **kw):
+                self.calls += 1
+
+        up = Uploader()
+        ok = sinks.send_manifest(
+            up, str(tmp_path / "gone.csv"), "b", "p", sleep=lambda _s: None
+        )
+        assert ok is True and up.calls == 0  # no 10-attempt hammering
+
+    def test_send_manifest_transient_failures_back_off(self, tmp_path):
+        p = tmp_path / "m.csv"
+        p.write_text("row|1\n")
+        delays = []
+
+        class FlakyUploader:
+            def __init__(self):
+                self.calls = 0
+
+            def put_object(self, *a, **kw):
+                self.calls += 1
+                if self.calls <= 2:
+                    raise ConnectionError("transient")
+
+        ok = sinks.send_manifest(
+            FlakyUploader(), str(p), "b", "p", sleep=delays.append
+        )
+        assert ok is True
+        assert delays == [1.0, 2.0]  # spaced, not back-to-back

@@ -48,7 +48,10 @@ def _b(col: Column) -> Column:
 
 def _json_escape(col: Column) -> Column:
     """Escape a record-derived string for splicing inside a JSON string
-    literal (backslash first, then quote and the common control chars).
+    literal (backslash first, then quote, then EVERY RFC 8259-forbidden
+    control character U+0000..U+001F — \\n/\\r/\\t as their short
+    escapes, the rest as \\u00XX; stopping at the common three would
+    leave e.g. a vertical tab raw and the envelope unparseable).
     Literal F.replace, not regexp_replace — replacement-string '$'/'\\'
     metacharacters are exactly the bug class this avoids. Valid
     timestamps contain none of these characters, so the escape is
@@ -57,9 +60,13 @@ def _json_escape(col: Column) -> Column:
     string template does splice raw) would emit broken JSON."""
     out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
     out = F.replace(out, F.lit('"'), F.lit('\\"'))
-    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
-    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
-    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    short = {0x08: "\\b", 0x09: "\\t", 0x0A: "\\n", 0x0C: "\\f", 0x0D: "\\r"}
+    for code in range(0x20):
+        out = F.replace(
+            out,
+            F.lit(chr(code)),
+            F.lit(short.get(code, f"\\u{code:04x}")),
+        )
     return out
 
 
@@ -77,8 +84,11 @@ def envelope_col(
         F.concat(F.lit('"'), F.col("id"), F.lit('"')),
     ).otherwise(F.col("id"))
     # already derived in the normalization pass (body @type, default
-    # MONGO_IMPORT — MessageProducer.kt:36) — avoids re-parsing the JSON
-    inner_type = F.col("inner_type")
+    # MONGO_IMPORT — MessageProducer.kt:36) — avoids re-parsing the
+    # JSON. Escaped like last_modified: @type is a record-derived raw
+    # string (an attacker-controlled '"' inside it would otherwise
+    # break the envelope out of its string literal)
+    inner_type = _json_escape(F.col("inner_type"))
     lmdt_altered = _b(F.col("timestamp_source") != F.lit("_lastModifiedDateTime"))
     return F.concat(
         F.lit('{"unitOfWorkId":"' + ctx.unit_of_work_id + '",'),
@@ -180,6 +190,7 @@ def with_envelope(
     ctx: RunContext,
     key_encryption_key_id: str = "",
     encrypted_encryption_key: str = "",
+    encrypted: bool = False,
 ) -> DataFrame:
     """T9: add the `envelope` column. Expects `db_object`/`iv` columns from
     encrypt_body or passthrough_body.
@@ -188,13 +199,18 @@ def with_envelope(
     the reference stamps the freshly-obtained DKS data key
     (MessageProducer.kt:63-65, `dataKeyResult.dataKeyEncryptionKeyId` /
     `ciphertextDataKey`), never the source file's key. So an explicit
-    run-level key id wins; the source-metadata column is only a fallback
-    for passthrough runs that re-announce the original encryption."""
+    run-level key id wins, and the source-metadata column is a fallback
+    ONLY for passthrough runs (``encrypted=False``) that re-announce the
+    original encryption. With ``encrypted=True`` (encrypt_body was
+    applied) the fallback is DISABLED: stamping the SOURCE file's key
+    against a body ciphered under a DIFFERENT key would make the data
+    undecryptable by its own metadata — an empty block (key not
+    recorded) is recoverable, a wrong one is not."""
 
     def pick(run_value: str, source_col: str) -> Column:
         if run_value:
             return F.lit(run_value)
-        if source_col in df.columns:
+        if not encrypted and source_col in df.columns:
             return F.coalesce(F.col(source_col), F.lit(""))
         return F.lit("")
 

@@ -79,6 +79,7 @@ def process_lines(lines: DataFrame, cfg: PipelineConfig, existing: DataFrame | N
         cfg.run_context,
         key_encryption_key_id=cfg.key_encryption_key_id,
         encrypted_encryption_key=cfg.encrypted_encryption_key,
+        encrypted=cfg.encrypt,
     )
     valid = Filt.with_filter_status(valid, cfg.skip_earlier_than, cfg.skip_later_than)
     # F4 as a status (not a drop): put_count then counts exactly the

@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "plaintextDatakey (test env)")
     p.add_argument("--encrypt-output", action="store_true")
     p.add_argument("--data-key", default=None, help="base64 AES key for T8")
+    p.add_argument("--key-encryption-key-id", default="",
+                   help="KEK id recorded in the envelope encryption "
+                        "block when re-encrypting (the DKS id that "
+                        "wraps --data-key)")
+    p.add_argument("--encrypted-data-key", default="",
+                   help="base64 ciphertext of --data-key under the KEK "
+                        "(envelope encryption block metadata)")
     p.add_argument("--master", default=None)
     # maintenance: versioned-KV compaction (HBase major-compaction analogue)
     p.add_argument("--compact-src", default=None,
@@ -179,6 +186,8 @@ def main(argv: list[str] | None = None) -> int:
         skip_existing=args.skip_existing,
         encrypt=args.encrypt_output,
         data_key_b64=args.data_key,
+        key_encryption_key_id=args.key_encryption_key_id,
+        encrypted_encryption_key=args.encrypted_data_key,
         run_context=RunContext(
             unit_of_work_id=str(uuid.uuid4()),
             timestamp=datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.")

@@ -168,9 +168,11 @@ def kv_put_sink(
     cols.foreachPartition(_write_partition)
 
 
-# HBaseWriter.kt:543-573 putBatch policy
+# HBaseWriter.kt:543-573 putBatch policy (SURVEY W2: retry x5,
+# backoff 10 s x2 — a 1 s schedule would exhaust all attempts in ~15 s
+# and hammer a struggling store 10x faster than the reference)
 PUT_MAX_ATTEMPTS = 5
-PUT_INITIAL_BACKOFF_S = 1.0
+PUT_INITIAL_BACKOFF_S = 10.0
 PUT_BACKOFF_MULTIPLIER = 2.0
 
 
@@ -185,9 +187,13 @@ class RetryingPutter:
     reference: ``initial`` on the first retry, then
     ``initial * attempts * multiplier``.
 
-    ``store`` needs ``exists(table, key, version) -> bool``,
-    ``put_batch(table, records)`` and ``close()`` — an HBase, Bigtable,
-    or REST client adapter is a few lines; ``InMemoryKVStore`` below is
+    ``store`` needs ``put_batch(table, records)``, ``close()``, and an
+    exists check: ``exists_batch(table, pairs) -> list[bool]`` when the
+    backend supports it (HBase existsAll — ONE round trip per batch,
+    the reference's F4 shape) with ``exists(table, key, version) ->
+    bool`` as the per-row fallback for minimal adapters; a batch of a
+    million cells against a per-row-only store would otherwise issue a
+    million sequential RPCs per attempt. ``InMemoryKVStore`` below is
     the reference implementation used by the tests."""
 
     def __init__(
@@ -212,12 +218,22 @@ class RetryingPutter:
         while attempts < self.max_attempts:
             try:
                 # F4 inside the loop: drop cells that already exist
-                # (including ones a previous failed attempt wrote)
-                filtered = [
-                    r
-                    for r in records
-                    if not self.store.exists(table, r[0], r[1])
-                ]
+                # (including ones a previous failed attempt wrote) —
+                # batched when the store supports it (existsAll parity)
+                exists_batch = getattr(self.store, "exists_batch", None)
+                if exists_batch is not None:
+                    flags = exists_batch(
+                        table, [(r[0], r[1]) for r in records]
+                    )
+                    filtered = [
+                        r for r, ex in zip(records, flags) if not ex
+                    ]
+                else:
+                    filtered = [
+                        r
+                        for r in records
+                        if not self.store.exists(table, r[0], r[1])
+                    ]
                 self.store.put_batch(table, filtered)
                 return
             except Exception as ex:  # noqa: BLE001 - client errors vary
@@ -251,6 +267,9 @@ class InMemoryKVStore:
     def exists(self, table: str, key: bytes, version: int) -> bool:
         return (table, key, version) in self.cells
 
+    def exists_batch(self, table: str, pairs) -> list[bool]:
+        return [(table, k, v) in self.cells for k, v in pairs]
+
     def put_batch(self, table: str, records) -> None:
         for key, version, body in records:
             self.cells[(table, key, version)] = body
@@ -266,18 +285,6 @@ def csv_escape(col: Column) -> Column:
     needs = col.rlike('[",\n\r]')
     escaped = F.concat(F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"'))
     return F.when(needs, escaped).otherwise(col)
-
-
-MANIFEST_COLUMNS = (
-    "manifest_id",
-    "version",
-    "db",
-    "collection_out",
-    "source",
-    "outer_type",
-    "original_id",
-    "inner_type",
-)
 
 
 def manifest_rows(df: DataFrame) -> DataFrame:
@@ -355,8 +362,12 @@ def manifest_sink(df: DataFrame, out_dir: str) -> list[str]:
     production S3 manifest store routes through df.write.csv instead
     (see the module docstring's W6 note)."""
     os.makedirs(out_dir, exist_ok=True)
+    # owned-directory pre-clean, final CSVs INCLUDED (same contract as
+    # write_hfiles): file names are input-derived, so a re-run that
+    # processes fewer inputs would otherwise return — and upload — a
+    # previous run's leftover manifests as if they were current output
     for f in os.listdir(out_dir):
-        if ".csv.tmp-" in f:
+        if f.endswith(".csv") or ".csv.tmp-" in f:
             os.remove(os.path.join(out_dir, f))
     rows = manifest_lines(df)
 
@@ -450,6 +461,12 @@ def hbase_bulkload_layout(
       triggers the load-time split slow path; aligned files are pure
       renames. At 100 TB the split-key list is region-count-sized
       (thousands) — a broadcast-literal, not a data-sized structure.
+      Region boundaries are PER TABLE: a multi-table frame must pass a
+      ``dict`` of ``table -> split keys`` (one CASE branch per table in
+      the plan); a bare list with more than one table present raises,
+      because bucketing table B by table A's boundaries silently
+      produces boundary-crossing files — exactly the load-time split
+      slow path this mode exists to avoid.
 
     sortWithinPartitions orders cells within each prospective HFile.
     Family/qualifier mirror Config.kt:10-11. Feed the result to
@@ -469,13 +486,52 @@ def hbase_bulkload_layout(
     # LoadIncrementalHFiles directory in write_hfiles). With a
     # single-table layout the leading constant changes nothing.
     if region_split_keys is not None:
-        splits = sorted(region_split_keys)
-        region_id = F.size(
-            F.filter(
-                F.array(*[F.lit(s) for s in splits]),
-                lambda s: s <= F.col("key"),
+
+        def rid_for(splits: list[bytes]):
+            return F.size(
+                F.filter(
+                    F.array(*[F.lit(s) for s in sorted(splits)]),
+                    lambda s: s <= F.col("key"),
+                )
             )
-        )
+
+        if isinstance(region_split_keys, dict):
+            region_id = None
+            n_parts = 0
+            for tbl, splits in sorted(region_split_keys.items()):
+                branch = rid_for(list(splits))
+                cond = F.col("table") == F.lit(tbl)
+                region_id = (
+                    F.when(cond, branch)
+                    if region_id is None
+                    else region_id.when(cond, branch)
+                )
+                n_parts += len(splits) + 1
+            # a table absent from the dict has no known boundaries —
+            # fail the job rather than guess (raise_error surfaces the
+            # first offending table name)
+            region_id = region_id.otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("no region_split_keys entry for table "),
+                        F.col("table"),
+                    )
+                ).cast("int")
+            )
+        else:
+            splits = sorted(region_split_keys)
+            tables = [
+                r["table"]
+                for r in cells.select("table").distinct().limit(2).collect()
+            ]
+            if len(tables) > 1:
+                raise ValueError(
+                    "a bare region_split_keys list is single-table "
+                    "(region boundaries are per table); pass a dict "
+                    "of table -> split keys for a multi-table frame"
+                )
+            region_id = rid_for(splits)
+            n_parts = len(splits) + 1
         return (
             cells.withColumn("_region_id", region_id)
             # hash-partition on (table, region id): every row of a
@@ -483,7 +539,7 @@ def hbase_bulkload_layout(
             # n_regions keeps ids collision-free in expectation;
             # collisions only co-locate two regions in one task, never
             # split one — write_hfiles splits files per (table, region))
-            .repartition(len(splits) + 1, "table", "_region_id")
+            .repartition(n_parts, "table", "_region_id")
             .sortWithinPartitions(
                 "table", "key", "family", "qualifier", F.desc("version")
             )
@@ -730,6 +786,8 @@ def send_manifest(
     bucket: str,
     prefix: str,
     max_attempts: int = MANIFEST_MAX_ATTEMPTS,
+    backoff_s: float = 1.0,
+    sleep=None,
 ) -> bool:
     """W6: upload one manifest file with the reference's exact policy
     (StreamingManifestWriter.kt:14-49): retry up to ``max_attempts``
@@ -745,7 +803,17 @@ def send_manifest(
     ``put_object(bucket, key, data: bytes, content_type, metadata)``
     — a boto3 adapter is two lines; tests use a counting fake.
     Returns True when the manifest was uploaded or legitimately
-    skipped, False when attempts were exhausted."""
+    skipped, False when attempts were exhausted.
+
+    A missing local file is a PERMANENT condition (already uploaded by
+    a previous call — the post-upload delete — or removed out of band):
+    it returns True immediately instead of burning all ten attempts and
+    mislabeling the outcome as an exhausted upload. Transient failures
+    back off ``backoff_s * attempt`` between tries (``sleep``
+    injectable) rather than hammering the store back-to-back."""
+    import time
+
+    sleep = sleep if sleep is not None else time.sleep
     name = os.path.basename(manifest_path)
     attempts = 0
     while attempts < max_attempts:
@@ -764,8 +832,14 @@ def send_manifest(
             )
             os.remove(manifest_path)
             return True
+        except FileNotFoundError:
+            # already uploaded-and-deleted (or removed out of band):
+            # nothing to do, and retrying cannot change that
+            return True
         except Exception:  # noqa: BLE001 - client errors vary
             attempts += 1
+            if attempts < max_attempts:
+                sleep(backoff_s * attempts)
     return False
 
 
