@@ -322,6 +322,10 @@ _R06_RECORDED = frozenset(
 #     (plan-identical; re-record on principle).
 #   - streaming_interval_join: inverted-bounds ValueError guard added
 #     (behavior-neutral for valid inputs; touched code).
+#   - scd2_user_intervals: duplicate (key, version) cells now collapse
+#     deterministically (compact_kv's max rule) before interval
+#     derivation — value-identical on the fixture (unique versions),
+#     semantics change under duplicates.
 _R07_MODIFIED_SINCE_RECORD = (
     "media_frame_plan",
     "doc_length_outliers_approx",
@@ -338,13 +342,14 @@ _R07_MODIFIED_SINCE_RECORD = (
     "streaming_latest_per_key",
     "streaming_windowed_counts",
     "streaming_interval_join",
+    "scd2_user_intervals",
 )
 
 
 # Round-8 handoff: round 7's window = 2 round-7 additions
-# (token_counts_seam, streaming_cdc_snapshot) + the 15-query modified
-# block above (9 r06-recorded + 4 r05 + 2 r04) + the 33 stalest of the
-# 45 remaining r04-latest queries = 50, verified by enumeration.
+# (token_counts_seam, streaming_cdc_snapshot) + the 16-query modified
+# block above (9 r06-recorded + 4 r05 + 3 r04) + the 32 stalest of the
+# 44 remaining r04-latest queries = 50, verified by enumeration.
 # TWELVE r04-latest queries slip past index 50 this round (each still
 # green in CORRECTNESS_r04 and re-verified every round by
 # tests/test_oracle_regression.py): they sort FIRST in round 8's

@@ -16,6 +16,7 @@ from tests.fixtures import (
     write_dump_file,
 )
 from uc_historic_data_importer_spark.operators.envelope import RunContext
+from uc_historic_data_importer_spark.plans import pipeline as P
 from uc_historic_data_importer_spark.plans.pipeline import (
     PipelineConfig,
     process_lines,
@@ -261,3 +262,92 @@ def test_unparseable_filter_bound_raises(spark):
         Filt.parse_filter_bound("2020-01-01T00:00:00Z")  # no millis
     with _pytest.raises(ValueError):
         Filt.parse_filter_bound("not a timestamp")
+
+
+class TestPipelineSpineReviewFixes:
+    """Round-7 pipeline-spine review pass regressions."""
+
+    def test_data_key_never_appears_in_query_plan(self, spark):
+        """The batch AES key must ship in the UDF closure, not as a
+        Catalyst literal — a plan-literal key is readable in explain()
+        output, the Spark UI SQL tab, and persisted event logs."""
+        from uc_historic_data_importer_spark.operators.envelope import (
+            encrypt_body,
+        )
+
+        key_b64 = "c2VjcmV0LWtleS1tYXRlcmlhbC0zMmJ5dGVzISEh"
+        df = spark.createDataFrame(
+            [("body",)], "record_json string"
+        )
+        out = encrypt_body(df, data_key_b64=key_b64)
+        plan = out._jdf.queryExecution().toString()
+        assert key_b64 not in plan
+        with pytest.raises(ValueError, match="exactly one"):
+            encrypt_body(df)
+        with pytest.raises(ValueError, match="exactly one"):
+            encrypt_body(df, "kcol", data_key_b64=key_b64)
+
+    def test_unknown_run_mode_fails_loudly(self, spark):
+        lines = spark.createDataFrame(
+            [("db", "c", 1, 1, "{}")],
+            "db string, collection string, file_number int, line_no int, "
+            "raw_json string",
+        )
+        with pytest.raises(ValueError, match="run_mode"):
+            P.process_lines(lines, P.PipelineConfig(run_mode="manifests"))
+
+    def test_offset_format_filter_bound_accepted(self):
+        from uc_historic_data_importer_spark.operators.filters import (
+            parse_filter_bound,
+        )
+
+        z = parse_filter_bound("2020-01-01T00:00:00.000Z")
+        off = parse_filter_bound("2020-01-01T00:00:00.000+0000")
+        assert z == off
+        with pytest.raises(ValueError):
+            parse_filter_bound("not-a-time")
+
+    def test_latest_per_key_handles_dotted_column_names(self, spark):
+        from uc_historic_data_importer_spark.operators.latest import (
+            latest_per_key,
+        )
+
+        df = spark.createDataFrame(
+            [("t", "k", 1, "old"), ("t", "k", 2, "new")],
+            ["table", "key_hex", "version", "payload.v1"],
+        )
+        out = latest_per_key(df, payload_cols=("payload.v1",)).collect()
+        assert len(out) == 1 and out[0]["payload.v1"] == "new"
+
+    def test_scd2_duplicate_versions_collapse_deterministically(self, spark):
+        from uc_historic_data_importer_spark.operators.latest import (
+            scd2_intervals,
+        )
+
+        df = spark.createDataFrame(
+            [("t", "k", 100, "bodyA"), ("t", "k", 100, "bodyB"),
+             ("t", "k", 200, "bodyC")],
+            "table string, key_hex string, version long, body string",
+        )
+        rows = sorted(
+            (r["version"], r["body"], r["valid_to"], r["is_current"])
+            for r in scd2_intervals(df).collect()
+        )
+        # one interval per VERSION (no zero-width duplicates), max body
+        # wins the tie (compact_kv's rule), intervals chain correctly
+        assert rows == [
+            (100, "bodyB", 200, False),
+            (200, "bodyC", None, True),
+        ]
+
+    def test_run_persists_normalized_frame_across_sinks(self, spark):
+        lines = spark.createDataFrame(
+            [("db", "c", 1, 1,
+              '{"_id": {"someId": "a"}, "_lastModifiedDateTime":'
+              ' {"$date": "2018-12-01T15:01:02.000Z"}}')],
+            "db string, collection string, file_number int, line_no int, "
+            "raw_json string",
+        )
+        result = P.process_lines(lines, P.PipelineConfig(), persist=True)
+        plan = result.putable._jdf.queryExecution().toString()
+        assert "InMemoryRelation" in plan  # the normalize UDF runs once

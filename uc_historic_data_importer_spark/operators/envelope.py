@@ -136,11 +136,18 @@ _CRYPTO_SCHEMA = T.StructType(
 )
 
 
-def _encrypt_series(body: pd.Series, key_b64: pd.Series, fixed_iv: bytes | None) -> pd.DataFrame:
+def _encrypt_series(
+    body: pd.Series, key_b64, fixed_iv: bytes | None
+) -> pd.DataFrame:
+    """``key_b64`` is a per-record Series OR a single str (one batch
+    key captured in the UDF closure)."""
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
 
+    keys = (
+        [key_b64] * len(body) if isinstance(key_b64, str) else key_b64
+    )
     ivs, cts = [], []
-    for text, kb64 in zip(body, key_b64):
+    for text, kb64 in zip(body, keys):
         iv = fixed_iv if fixed_iv is not None else os.urandom(16)
         cipher = Cipher(algorithms.AES(base64.b64decode(kb64)), modes.CTR(iv))
         enc = cipher.encryptor()
@@ -152,21 +159,42 @@ def _encrypt_series(body: pd.Series, key_b64: pd.Series, fixed_iv: bytes | None)
 
 def encrypt_body(
     df: DataFrame,
-    data_key_b64_col: str,
+    data_key_b64_col: str | None = None,
     body_col: str = "record_json",
     deterministic_iv: bytes | None = None,
+    data_key_b64: str | None = None,
 ) -> DataFrame:
     """Add `db_object` (base64 ciphertext) and `iv` columns.
 
     AES/CTR/NoPadding with a per-record random 16-byte IV, exactly the
     reference cipher (AESCipherService.kt:42-55). `deterministic_iv` is a
-    test hook (reference IVs are random, SURVEY.md §7.4.5)."""
+    test hook (reference IVs are random, SURVEY.md §7.4.5).
 
-    @F.pandas_udf(_CRYPTO_SCHEMA)
-    def _udf(body: pd.Series, key: pd.Series) -> pd.DataFrame:
-        return _encrypt_series(body, key, deterministic_iv)
+    The key arrives EITHER per record (``data_key_b64_col``) or as one
+    batch key (``data_key_b64``). The batch form ships the key in the
+    cloudpickled UDF closure, NEVER as a plan literal: an F.lit'd key
+    appears verbatim in explain() output, the Spark UI SQL tab, and
+    persisted event logs — handing the run's decryption key to anyone
+    with UI or history-server access."""
+    if (data_key_b64_col is None) == (data_key_b64 is None):
+        raise ValueError(
+            "pass exactly one of data_key_b64_col / data_key_b64"
+        )
 
-    res = _udf(F.col(body_col), F.col(data_key_b64_col))
+    if data_key_b64 is not None:
+
+        @F.pandas_udf(_CRYPTO_SCHEMA)
+        def _udf(body: pd.Series) -> pd.DataFrame:
+            return _encrypt_series(body, data_key_b64, deterministic_iv)
+
+        res = _udf(F.col(body_col))
+    else:
+
+        @F.pandas_udf(_CRYPTO_SCHEMA)
+        def _udf(body: pd.Series, key: pd.Series) -> pd.DataFrame:
+            return _encrypt_series(body, key, deterministic_iv)
+
+        res = _udf(F.col(body_col), F.col(data_key_b64_col))
     return df.withColumn("_enc", res).withColumn(
         "db_object", F.col("_enc.ciphertext")
     ).withColumn("iv", F.col("_enc.iv")).drop("_enc")

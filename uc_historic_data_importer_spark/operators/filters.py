@@ -36,9 +36,12 @@ def parse_filter_bound(value: str | None) -> int | None:
     if not value or not value.strip():
         return None
     v = value.strip()
-    if not v.endswith("Z"):
-        v = v + "Z"
+    # parse as-is FIRST: the shared parser also accepts the '+0000'
+    # offset format, and unconditionally appending 'Z' would turn that
+    # well-formed bound into '...+0000Z' and reject it
     millis = parse_hdi_timestamp_millis(v)
+    if millis is None and not v.endswith("Z"):
+        millis = parse_hdi_timestamp_millis(v + "Z")
     if millis is None:
         raise ValueError(
             f"unparseable time-range filter bound: {value!r} "

@@ -14,8 +14,14 @@ CRC-prefixed) key followed by a per-partition top-1:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _qcol(name: str) -> Column:
+    """Column reference by EXACT name: backtick-quoted so '.'/'`' in a
+    column name are not parsed as nested-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def latest_per_key(
@@ -33,18 +39,21 @@ def latest_per_key(
     consistency under ties, so a key with two rows at the same max
     version could return a TORN row mixing column values from different
     source rows — a row that never existed. One struct aggregate
-    guarantees atomicity (and F.max_by over Columns handles any column
-    name, where f-string SQL interpolation broke on non-identifiers)."""
+    guarantees atomicity. Column references are backtick-quoted and the
+    payload is extracted with getField (literal name resolution), so
+    names containing '.' or '`' — which a bare F.col would parse as
+    nested-field access — work end to end."""
     picked = F.max_by(
-        F.struct(*[F.col(c) for c in payload_cols]), F.col(version_col)
+        F.struct(*[_qcol(c).alias(c) for c in payload_cols]),
+        _qcol(version_col),
     ).alias("_picked")
-    agg = df.groupBy(*key_cols).agg(
-        F.max(version_col).alias(version_col), picked
+    agg = df.groupBy(*[_qcol(c) for c in key_cols]).agg(
+        F.max(_qcol(version_col)).alias(version_col), picked
     )
     return agg.select(
-        *key_cols,
-        version_col,
-        *[F.col(f"_picked.{c}").alias(c) for c in payload_cols],
+        *[_qcol(c) for c in key_cols],
+        _qcol(version_col),
+        *[F.col("_picked").getField(c).alias(c) for c in payload_cols],
     )
 
 
@@ -86,10 +95,26 @@ def scd2_intervals(
     One shuffle on the key (lead shares the latest-per-key window
     spec); at 100 TB this is the same per-key timeline partitioning as
     sessionization.
+
+    Duplicate (key, version) cells — which the append-only KV log can
+    hold (sinks.compact_kv's documented reality) — are collapsed FIRST
+    with the same deterministic rule compact_kv uses (max over the
+    remaining columns): without the collapse, lead() over a non-unique
+    version ordering emits zero-width intervals that as-of queries can
+    never match and marks an arbitrary duplicate is_current.
     """
+    payload = [c for c in df.columns if c not in key_cols and c != version_col]
+    dup_w = Window.partitionBy(
+        *key_cols, version_col
+    ).orderBy(*([F.col(c).desc() for c in payload] or [F.lit(1)]))
+    d = (
+        df.withColumn("_dup", F.row_number().over(dup_w))
+        .filter(F.col("_dup") == 1)
+        .drop("_dup")
+    )
     w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).asc())
     nxt = F.lead(F.col(version_col)).over(w)
-    return df.withColumn(
+    return d.withColumn(
         "valid_to",
         F.coalesce(nxt, F.lit(open_end).cast("long")),
     ).withColumn("is_current", nxt.isNull())

@@ -32,14 +32,22 @@ def coalesced_collection(collection: Column) -> Column:
     return F.regexp_replace(collection, COALESCED_SUFFIX, "")
 
 
-def table_name(db: Column, collection: Column) -> Column:
-    """Derive the final table name including the archive special case."""
-    base = F.regexp_replace(
+def _base_table(db: Column, collection: Column) -> Column:
+    """Pre-archive-map table name — ONE definition shared by table_name
+    and with_table_names (a duplicated expression edited in only one
+    place would silently desynchronize archive detection, which
+    compares against exactly this form)."""
+    return F.regexp_replace(
         F.concat(db, F.lit(":"), coalesced_collection(collection)), "-", "_"
     )
+
+
+def table_name(db: Column, collection: Column) -> Column:
+    """Derive the final table name including the archive special case."""
+    base = _base_table(db, collection)
     out = base
     for src, dst in _ARCHIVE_MAP.items():
-        out = F.when(out == src, F.lit(dst)).otherwise(out)
+        out = F.when(base == src, F.lit(dst)).otherwise(out)
     return out
 
 
@@ -54,14 +62,17 @@ def with_table_names(
     re-derived from tableName when coalescedArchive changed it). The
     `collection` input stays untouched because the manifest FILE name keeps
     the uncoalesced collection (HBaseWriter.kt:124-127) while the manifest
-    ROW uses the coalesced one."""
-    tbl = table_name(F.col(db_col), F.col(collection_col))
-    original_tbl = F.regexp_replace(
-        F.concat(F.col(db_col), F.lit(":"), coalesced_collection(F.col(collection_col))),
-        "-",
-        "_",
-    )
+    ROW uses the coalesced one. Archive detection tests the map
+    directly on the shared base expression — not a re-derived copy
+    compared for inequality."""
+    base = _base_table(F.col(db_col), F.col(collection_col))
+    tbl = base
+    archived = F.lit(False)
+    for src, dst in _ARCHIVE_MAP.items():
+        hit = base == src
+        tbl = F.when(hit, F.lit(dst)).otherwise(tbl)
+        archived = archived | hit
     coll_out = F.when(
-        tbl != original_tbl, F.regexp_extract(tbl, "^[^:]+:(.*)$", 1)
+        archived, F.regexp_extract(tbl, "^[^:]+:(.*)$", 1)
     ).otherwise(coalesced_collection(F.col(collection_col)))
     return df.withColumn("table", tbl).withColumn("collection_out", coll_out)

@@ -61,17 +61,48 @@ class PipelineResult:
     counts: DataFrame  # F5 accounting
 
 
-def process_lines(lines: DataFrame, cfg: PipelineConfig, existing: DataFrame | None = None) -> PipelineResult:
+RUN_MODES = ("import", "manifest", "import_and_manifest")
+
+
+def process_lines(
+    lines: DataFrame,
+    cfg: PipelineConfig,
+    existing: DataFrame | None = None,
+    persist: bool = False,
+) -> PipelineResult:
     """Record lines -> fully processed DataFrames. `lines` must carry
-    (db, collection, file_number, line_no, raw_json)."""
+    (db, collection, file_number, line_no, raw_json).
+
+    ``persist=True`` caches the normalized frame (MEMORY_AND_DISK):
+    the per-record normalization UDF is the dominant pipeline cost and
+    every downstream branch (putable, manifest, BOTH sides of the
+    counts join) derives from it — un-persisted, a run that
+    materializes all of them re-executes the UDF up to four times over
+    the full input. run() persists for the duration of its sink
+    actions; the caller owns result.records' eventual unpersist if the
+    frames outlive the run call."""
+    if cfg.run_mode not in RUN_MODES:
+        # same fail-loud stance as parse_filter_bound: a typo'd mode
+        # ('manifests', 'Import') would otherwise silently behave as
+        # import_and_manifest and write to the store the mode was
+        # meant to protect
+        raise ValueError(
+            f"unknown run_mode {cfg.run_mode!r}; expected one of {RUN_MODES}"
+        )
     norm = flatten_normalized(normalize_records(lines))
     norm = with_table_names(norm)
+    if persist:
+        from pyspark import StorageLevel
+
+        norm = norm.persist(StorageLevel.MEMORY_AND_DISK)
 
     valid = Filt.valid_records(norm)
     if cfg.encrypt:
         if not cfg.data_key_b64:
             raise ValueError("encrypt=True requires data_key_b64")
-        valid = encrypt_body(valid.withColumn("_dk", F.lit(cfg.data_key_b64)), "_dk").drop("_dk")
+        # closure-captured batch key — NOT F.lit: a plan-literal key is
+        # visible in explain()/the Spark UI/event logs (see encrypt_body)
+        valid = encrypt_body(valid, data_key_b64=cfg.data_key_b64)
     else:
         valid = passthrough_body(valid)
     valid = with_envelope(
@@ -118,7 +149,9 @@ def run(
     When ``manifest_uploader`` is given, each written manifest is also
     uploaded with the reference's W6 policy (retry x10, zero-byte skip,
     text/plain — sinks.send_manifest, StreamingManifestWriter.kt:14-49)."""
-    result = process_lines(lines, cfg, existing=existing)
+    # persist the normalized frame across the sink fan-out: run_mode
+    # validation happens inside process_lines (fail-loud on typos)
+    result = process_lines(lines, cfg, existing=existing, persist=True)
     if cfg.run_mode != "manifest" and kv_path:
         sinks.kv_sink(result.putable, kv_path)
     if cfg.run_mode != "import" and manifest_dir:
