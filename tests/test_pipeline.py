@@ -351,3 +351,35 @@ class TestPipelineSpineReviewFixes:
         result = P.process_lines(lines, P.PipelineConfig(), persist=True)
         plan = result.putable._jdf.queryExecution().toString()
         assert "InMemoryRelation" in plan  # the normalize UDF runs once
+        result.unpersist()
+
+    def test_run_releases_persisted_frame(self, spark, tmp_path):
+        """Repeated run() calls must not accumulate cached frames: the
+        normalized frame is persisted only for the duration of the sink
+        fan-out + counts report and released in a finally (the r7 leak:
+        persist with no unpersist, a library caller looping run() over
+        many collections piled caches up until LRU eviction)."""
+        lines = spark.createDataFrame(
+            [("db", "c", 1, 1,
+              '{"_id": {"someId": "a"}, "_lastModifiedDateTime":'
+              ' {"$date": "2018-12-01T15:01:02.000Z"}}'),
+             ("db", "c", 1, 2, "not json")],
+            "db string, collection string, file_number int, line_no int, "
+            "raw_json string",
+        )
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        for i in range(2):
+            result = P.run(
+                spark, lines, P.PipelineConfig(),
+                kv_path=str(tmp_path / f"kv{i}"),
+                manifest_dir=str(tmp_path / f"mf{i}"),
+            )
+            assert result.persisted is None
+            # counts came back as a materialized local frame (usable
+            # after the cache is gone, without re-running the pipeline)
+            rows = result.counts.collect()
+            assert len(rows) == 1
+            assert rows[0]["records_total"] == 2
+            assert rows[0]["parse_errors"] == 1
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after == before  # nothing leaked across the two runs

@@ -59,6 +59,17 @@ class PipelineResult:
     putable: DataFrame  # records passing F2/F3/F4 (KV-sink bound)
     manifest: DataFrame  # manifest rows (W5)
     counts: DataFrame  # F5 accounting
+    # the frame process_lines(persist=True) cached — the handle
+    # unpersist() releases (records/putable/... are DERIVED from it, so
+    # calling .unpersist() on them would not free the cache)
+    persisted: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the cached normalized frame (no-op when
+        process_lines ran with persist=False or already released)."""
+        if self.persisted is not None:
+            self.persisted.unpersist()
+            self.persisted = None
 
 
 RUN_MODES = ("import", "manifest", "import_and_manifest")
@@ -78,9 +89,12 @@ def process_lines(
     every downstream branch (putable, manifest, BOTH sides of the
     counts join) derives from it — un-persisted, a run that
     materializes all of them re-executes the UDF up to four times over
-    the full input. run() persists for the duration of its sink
-    actions; the caller owns result.records' eventual unpersist if the
-    frames outlive the run call."""
+    the full input. The cached frame rides the result as
+    ``result.persisted``; whoever drives the actions owns calling
+    ``result.unpersist()`` when the last consumer has materialized
+    (run() does this in a finally — a library caller looping
+    process_lines(persist=True) must do the same or cached frames
+    accumulate until LRU eviction)."""
     if cfg.run_mode not in RUN_MODES:
         # same fail-loud stance as parse_filter_bound: a typo'd mode
         # ('manifests', 'Import') would otherwise silently behave as
@@ -130,7 +144,13 @@ def process_lines(
         "left",
     )
     counts = Filt.filter_counts(all_status)
-    return PipelineResult(records=valid, putable=putable, manifest=manifest, counts=counts)
+    return PipelineResult(
+        records=valid,
+        putable=putable,
+        manifest=manifest,
+        counts=counts,
+        persisted=norm if persist else None,
+    )
 
 
 def run(
@@ -148,16 +168,36 @@ def run(
 
     When ``manifest_uploader`` is given, each written manifest is also
     uploaded with the reference's W6 policy (retry x10, zero-byte skip,
-    text/plain — sinks.send_manifest, StreamingManifestWriter.kt:14-49)."""
+    text/plain — sinks.send_manifest, StreamingManifestWriter.kt:14-49).
+
+    The normalized frame is persisted ONLY for the duration of this
+    call: the sinks plus the F5 counts report are the consumers, the
+    counts rows (bounded — one per input file) are materialized here
+    and returned as a small local frame, and the cache is released in
+    a finally. Repeated run() calls therefore leave no cached frames
+    behind. Consequence: ``result.records``/``putable``/``manifest``
+    are still lazy plans — consuming them AFTER run() returns
+    re-executes the pipeline; a caller who needs those frames
+    materialized should use process_lines(persist=True) and own
+    result.unpersist() itself."""
     # persist the normalized frame across the sink fan-out: run_mode
     # validation happens inside process_lines (fail-loud on typos)
     result = process_lines(lines, cfg, existing=existing, persist=True)
-    if cfg.run_mode != "manifest" and kv_path:
-        sinks.kv_sink(result.putable, kv_path)
-    if cfg.run_mode != "import" and manifest_dir:
-        written = sinks.manifest_sink(result.manifest, manifest_dir)
-        if manifest_uploader is not None:
-            sinks.upload_manifests(
-                written, manifest_uploader, manifest_bucket, manifest_prefix
-            )
+    try:
+        if cfg.run_mode != "manifest" and kv_path:
+            sinks.kv_sink(result.putable, kv_path)
+        if cfg.run_mode != "import" and manifest_dir:
+            written = sinks.manifest_sink(result.manifest, manifest_dir)
+            if manifest_uploader is not None:
+                sinks.upload_manifests(
+                    written, manifest_uploader, manifest_bucket, manifest_prefix
+                )
+        # the counts report is the last consumer of the cached frame:
+        # materialize it (bounded: one row per (db, collection, file))
+        # while the cache is still hot, hand back a driver-local frame
+        result.counts = spark.createDataFrame(
+            result.counts.collect(), schema=result.counts.schema
+        )
+    finally:
+        result.unpersist()
     return result
