@@ -263,6 +263,48 @@ class TestSparkWriteHFiles:
             rlen = struct.unpack_from(">H", key0, 0)[0]
             assert rid == region_of(key0[2 : 2 + rlen])
 
+    def test_empty_split_dict_raises_explicitly(self, spark):
+        """An empty region_split_keys dict has no CASE branches and
+        would pass repartition(0) — it must fail naming the misuse, not
+        crash with AttributeError on region_id.otherwise."""
+        kv = spark.createDataFrame(
+            [("t1", b"\x01", "01", 1, "b")],
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        with pytest.raises(ValueError, match="non-empty"):
+            sinks.hbase_bulkload_layout(kv, region_split_keys={})
+
+    def test_bare_splits_with_declared_table_validates_lazily(self, spark):
+        """With ``table=`` the bare-list single-table check is a plan-
+        side raise_error guard: nothing executes at plan-construction
+        time (the old eager distinct probe re-ran the whole upstream
+        lineage), and a frame holding a foreign table fails at action
+        time naming it."""
+        from pyspark.sql import functions as F
+
+        kv = spark.createDataFrame(
+            [("t1", b"\x01", "01", 1, "b1"), ("t2", b"\x02", "02", 1, "b2")],
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        # multi-table frame + declared table: constructing the plan does
+        # NOT raise (the eager probe would have) ...
+        layout = sinks.hbase_bulkload_layout(
+            kv, region_split_keys=[b"\x80"], table="t1"
+        )
+        # ... the violation surfaces at action time, naming the table
+        with pytest.raises(Exception, match="holds table"):
+            layout.collect()
+        # a frame that really is single-table flows through the guard
+        ok = sinks.hbase_bulkload_layout(
+            kv.filter(F.col("table") == "t1"),
+            region_split_keys=[b"\x80"],
+            table="t1",
+        ).collect()
+        assert [r["table"] for r in ok] == ["t1"]
+        assert ok[0]["_region_id"] == 0  # key below the single split
+
     def test_multi_table_layout_separates_directories(self, spark, tmp_path):
         """The kv model carries several HBase tables in one DataFrame;
         bulk load is per-table, so cells must land under their own

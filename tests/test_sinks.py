@@ -746,3 +746,27 @@ class TestSinksReviewFixes:
         )
         assert ok is True
         assert delays == [1.0, 2.0]  # spaced, not back-to-back
+
+    def test_send_manifest_uploader_fnf_is_not_success(self, tmp_path):
+        """A FileNotFoundError raised by the UPLOADER (missing client
+        cert/config) is a client error to retry — not 'manifest already
+        uploaded'. Only a missing LOCAL manifest is the permanent-skip
+        condition."""
+        p = tmp_path / "m.csv"
+        p.write_text("row|1\n")
+
+        class BrokenClient:
+            def __init__(self):
+                self.calls = 0
+
+            def put_object(self, *a, **kw):
+                self.calls += 1
+                raise FileNotFoundError("/etc/certs/client.pem")
+
+        up = BrokenClient()
+        ok = sinks.send_manifest(
+            up, str(p), "b", "p", max_attempts=3, sleep=lambda _s: None
+        )
+        assert ok is False  # exhausted, reported as failure
+        assert up.calls == 3  # it retried like any client error
+        assert p.exists()  # the local manifest was never deleted

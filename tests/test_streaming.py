@@ -655,8 +655,15 @@ class TestStreamingReviewFixes:
         norm = sp.normalized_stream(sp.read_jsonl_stream(spark, str(src)))
         q = sp.run_to_kv_sink(norm, kv_path, str(tmp_path / "chk"))
         q.awaitTermination()
-        complete_rows = sp.read_kv_stream_output(spark, kv_path).count()
+        committed = sp.read_kv_stream_output(spark, kv_path)
+        complete_rows = committed.count()
         assert complete_rows >= 1
+        # the no-committed-batches empty frame promises exactly this
+        # shape — pin the constant against a REAL written output so the
+        # two can never drift
+        assert [(f.name, f.dataType) for f in committed.schema.fields] == [
+            (f.name, f.dataType) for f in sp.KV_STREAM_SCHEMA.fields
+        ]
         # simulate a torn batch: parquet data present, no _SUCCESS
         import os
         import shutil
@@ -669,6 +676,22 @@ class TestStreamingReviewFixes:
         gated = sp.read_kv_stream_output(spark, kv_path).count()
         assert raw == 2 * complete_rows  # raw read sees the torn copy
         assert gated == complete_rows  # the gate excludes it
+
+    def test_read_kv_stream_output_empty_or_missing_path(self, spark, tmp_path):
+        """A missing path, or one holding only torn batch dirs with no
+        readable footers, reads as an EMPTY frame of the KV stream
+        schema — not an AnalysisException from schema inference."""
+        out = sp.read_kv_stream_output(spark, str(tmp_path / "nope"))
+        assert out.count() == 0
+        assert [(f.name, f.dataType) for f in out.schema.fields] == [
+            (f.name, f.dataType) for f in sp.KV_STREAM_SCHEMA.fields
+        ]
+        # only a torn batch present: no _SUCCESS, torn bytes, no footer
+        torn = tmp_path / "kv" / "batch_id=0"
+        torn.mkdir(parents=True)
+        (torn / "part-00000.parquet").write_bytes(b"torn write, no footer")
+        out2 = sp.read_kv_stream_output(spark, str(tmp_path / "kv"))
+        assert out2.count() == 0
 
     def test_latest_state_fn_version_ties_break_deterministically(self):
         """Same (key, version) with different bodies: the max body wins

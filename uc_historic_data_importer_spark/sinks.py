@@ -19,6 +19,7 @@ named `db.<db>.<uncoalesced-collection>-%06d.csv` (HBaseWriter.kt:124-127).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import struct
 import sys
@@ -433,6 +434,7 @@ def hbase_bulkload_layout(
     family: str = "cf",
     qualifier: str = "record",
     region_split_keys: list[bytes] | None = None,
+    table: str | None = None,
 ) -> DataFrame:
     """W2 at bulk scale: the exact DataFrame layout HBase HFile bulk
     load requires, as a plan (no HBase needed to produce or test it).
@@ -466,7 +468,10 @@ def hbase_bulkload_layout(
       the plan); a bare list with more than one table present raises,
       because bucketing table B by table A's boundaries silently
       produces boundary-crossing files — exactly the load-time split
-      slow path this mode exists to avoid.
+      slow path this mode exists to avoid. With a bare list, pass
+      ``table=`` to make that single-table check a lazy plan-side
+      raise_error guard; without it the check is an eager probe that
+      executes the upstream lineage once at plan-construction time.
 
     sortWithinPartitions orders cells within each prospective HFile.
     Family/qualifier mirror Config.kt:10-11. Feed the result to
@@ -496,6 +501,14 @@ def hbase_bulkload_layout(
             )
 
         if isinstance(region_split_keys, dict):
+            if not region_split_keys:
+                # an empty dict would leave the CASE expression with no
+                # branches (region_id None -> AttributeError) and pass
+                # repartition(0); fail with the actual misuse instead
+                raise ValueError(
+                    "region_split_keys dict must be non-empty; pass "
+                    "None to let repartitionByRange sample split points"
+                )
             region_id = None
             n_parts = 0
             for tbl, splits in sorted(region_split_keys.items()):
@@ -520,17 +533,41 @@ def hbase_bulkload_layout(
             )
         else:
             splits = sorted(region_split_keys)
-            tables = [
-                r["table"]
-                for r in cells.select("table").distinct().limit(2).collect()
-            ]
-            if len(tables) > 1:
-                raise ValueError(
-                    "a bare region_split_keys list is single-table "
-                    "(region boundaries are per table); pass a dict "
-                    "of table -> split keys for a multi-table frame"
+            if table is not None:
+                # lazy single-table guard: a pure map-side raise_error
+                # branch — no eager probe, nothing executes at plan
+                # time. The preferred form at scale.
+                region_id = F.when(
+                    F.col("table") == F.lit(table), rid_for(splits)
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "bare region_split_keys declared for "
+                                f"table {table!r} but frame holds table "
+                            ),
+                            F.col("table"),
+                        )
+                    ).cast("int")
                 )
-            region_id = rid_for(splits)
+            else:
+                # no declared table: the single-table check needs an
+                # EAGER probe that executes the full (typically
+                # unpersisted) upstream lineage once — including the
+                # normalization UDF — just to validate. Fine for tests
+                # and small frames; at scale pass ``table=`` (lazy
+                # branch above) or persist upstream first.
+                tables = [
+                    r["table"]
+                    for r in cells.select("table").distinct().limit(2).collect()
+                ]
+                if len(tables) > 1:
+                    raise ValueError(
+                        "a bare region_split_keys list is single-table "
+                        "(region boundaries are per table); pass a dict "
+                        "of table -> split keys for a multi-table frame"
+                    )
+                region_id = rid_for(splits)
             n_parts = len(splits) + 1
         return (
             cells.withColumn("_region_id", region_id)
@@ -817,12 +854,22 @@ def send_manifest(
     name = os.path.basename(manifest_path)
     attempts = 0
     while attempts < max_attempts:
+        # the missing-LOCAL-file check wraps only the local reads: a
+        # FileNotFoundError raised by uploader.put_object itself (a
+        # missing cert/config file on the client) must NOT be
+        # mislabeled "already uploaded" — it falls through to the
+        # retry loop like any other client error
         try:
             size = os.path.getsize(manifest_path)
             if size == 0:
                 return True  # zero-byte manifests are never uploaded
             with open(manifest_path, "rb") as fh:
                 data = fh.read()
+        except FileNotFoundError:
+            # already uploaded-and-deleted (or removed out of band):
+            # nothing to do, and retrying cannot change that
+            return True
+        try:
             uploader.put_object(
                 bucket,
                 f"{prefix}/{name}",
@@ -830,11 +877,8 @@ def send_manifest(
                 content_type=MANIFEST_CONTENT_TYPE,
                 metadata={"x-amz-meta-title": name},
             )
-            os.remove(manifest_path)
-            return True
-        except FileNotFoundError:
-            # already uploaded-and-deleted (or removed out of band):
-            # nothing to do, and retrying cannot change that
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(manifest_path)  # raced removal = already gone
             return True
         except Exception:  # noqa: BLE001 - client errors vary
             attempts += 1

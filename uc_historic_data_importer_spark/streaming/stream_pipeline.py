@@ -30,6 +30,22 @@ from uc_historic_data_importer_spark.operators.keying import flatten_normalized
 from uc_historic_data_importer_spark.operators.naming import with_table_names
 from uc_historic_data_importer_spark.operators.transforms import normalize_records
 
+# schema of the streaming KV sink read back through the partitioned
+# parquet layout (kv_sink's data columns, then the discovered partition
+# columns in path order: batch_id=N/table=X). read_kv_stream_output
+# returns an empty frame of exactly this shape when no batch has
+# committed yet; test_streaming pins it against a real written output.
+KV_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("key_hex", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("table", T.StringType()),
+    ]
+)
+
 def read_jsonl_stream(
     spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
@@ -287,6 +303,13 @@ def read_kv_stream_output(spark: SparkSession, kv_path: str) -> DataFrame:
             if name.startswith("batch_id=") and tail.isdigit():
                 if fs.exists(jpath_cls(st.getPath(), "_SUCCESS")):
                     complete.append(int(tail))
+    if not complete:
+        # a missing/empty path, or one holding only torn batch dirs
+        # (no _SUCCESS, possibly no readable footers at all), must read
+        # as "no committed cells yet" — not an AnalysisException from
+        # schema inference over nothing, and not an isin([]) over
+        # whatever partial files a crash left behind
+        return spark.createDataFrame([], schema=KV_STREAM_SCHEMA)
     df = spark.read.option("basePath", kv_path).parquet(kv_path)
     return df.filter(F.col("batch_id").isin(complete))
 
