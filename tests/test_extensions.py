@@ -1641,6 +1641,44 @@ class TestSubstringDedup:
         assert out[1]["n_tokens"] == 0 and out[1]["kept_text"] == ""
         assert out[2]["n_tokens"] == 0 and out[2]["kept_text"] == ""
 
+    def test_duplicate_spans_hash_gram_parity(self, sub_docs):
+        """hash_grams=True (xxhash64 gram keys — the cluster switch that
+        bounds shuffle bytes per window at 8) must produce IDENTICAL
+        spans and identical reassembled text; only the shuffled key
+        representation changes. The gram column itself becomes bigint."""
+        a = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in text.duplicate_spans(sub_docs, k=8).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in text.duplicate_spans(
+                sub_docs, k=8, hash_grams=True
+            ).collect()
+        )
+        assert a == b and a  # same spans, non-empty
+        ra = sorted(
+            (r["doc_id"], r["dup_tokens"], r["kept_text"])
+            for r in text.remove_duplicate_spans(sub_docs, k=8).collect()
+        )
+        rb = sorted(
+            (r["doc_id"], r["dup_tokens"], r["kept_text"])
+            for r in text.remove_duplicate_spans(
+                sub_docs, k=8, hash_grams=True
+            ).collect()
+        )
+        assert ra == rb
+        # the hashed gram column is a bigint (8 shuffle bytes), and
+        # min_occurrences still thresholds on hashed keys
+        hashed = text.sliding_windows(sub_docs, k=8, hash_grams=True)
+        assert dict(hashed.dtypes)["gram"] == "bigint"
+        assert (
+            text.duplicate_spans(
+                sub_docs, k=8, min_occurrences=5, hash_grams=True
+            ).count()
+            == 0
+        )
+
 
 class TestShardAssign:
     @pytest.fixture(scope="class")

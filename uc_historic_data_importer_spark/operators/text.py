@@ -549,7 +549,11 @@ def segment_clean_docs(
 
 
 def sliding_windows(
-    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """(id, pos, gram): every stride-1 k-token sliding window of the
     normalized token stream (pos = 0-based start token index). The
@@ -558,27 +562,33 @@ def sliding_windows(
     granularity rather than alignment-dependent.
 
     Output rows ~= n_tokens per document (linear blow-up); each gram is
-    k joined tokens. At 100 TB the gram string would be replaced by a
-    64-bit hash to bound NETWORK shuffle bytes (same plan shape,
-    collision rate ~ n^2/2^64); the string form is kept here so
-    external oracles can replay the exact semantics. MEASURED (round 7,
-    sf1, local[32], min-of-2): md5_i64-hashed grams ran 16.3 s vs
-    15.2 s for strings with identical span output — the per-window md5
-    costs more than a LOCAL (memory/disk) shuffle saves, so the hash
-    swap only pays on a real cluster where shuffle crosses the network;
-    don't "optimize" the local path with it. On a cluster prefer
-    xxhash64 (native codegen) over md5 if oracle replay isn't needed."""
+    k joined tokens. ``hash_grams=True`` replaces the gram string with
+    its xxhash64 (gram: bigint — native codegen, no Python): the 100 TB
+    switch that bounds NETWORK shuffle bytes per window at 8 instead of
+    ~8 tokens of text, with identical plan shape and collision rate
+    ~ n^2/2^64 (a collision can only merge two spans, never drop one).
+    The default stays the string form: external oracles can replay
+    exact semantics, and MEASURED (round 7, sf1, local[32], min-of-2)
+    md5_i64-hashed grams ran 16.3 s vs 15.2 s for strings with
+    identical span output — per-window hashing costs more than a LOCAL
+    (memory/disk) shuffle saves, so the swap only pays on a real
+    cluster where shuffle crosses the network; don't "optimize" the
+    local path with it. Parity between the two forms is pinned by
+    tests/test_extensions.py::test_duplicate_spans_hash_gram_parity."""
     toks = with_tokens(df, text_col)
     nwin = F.col("n_tokens") - F.lit(k) + 1
+
+    def gram_of(i):
+        g = F.concat_ws(" ", F.slice("tokens", i + 1, F.lit(k)))
+        return F.xxhash64(g) if hash_grams else g
+
     # guard: sequence(0, -1) DESCENDS in Spark rather than returning
     # empty, so short documents must bypass the window build
+    empty_t = "array<bigint>" if hash_grams else "array<string>"
     wins = F.when(
         nwin > 0,
-        F.transform(
-            F.sequence(F.lit(0), nwin - 1),
-            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, F.lit(k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        F.transform(F.sequence(F.lit(0), nwin - 1), gram_of),
+    ).otherwise(F.array().cast(empty_t))
     return toks.select(id_col, F.posexplode(wins).alias("pos", "gram"))
 
 
@@ -588,6 +598,7 @@ def duplicate_spans(
     min_occurrences: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact substring-level duplicate spans (the ExactSubstr dedup of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -606,10 +617,17 @@ def duplicate_spans(
     equals the true occurrence count of each duplicated gram. This is
     the suffix-array dedup's distributed approximation — at k-token
     window resolution the detected spans are exactly the suffix-array
-    duplicates of length >= k."""
+    duplicates of length >= k.
+
+    ``hash_grams=True`` runs the gram count/join on xxhash64 gram keys
+    (8 shuffle bytes per window instead of the gram text) — the cluster
+    switch; see sliding_windows for the measured local-vs-network
+    tradeoff and the parity pin."""
     from pyspark.sql import Window
 
-    wins = sliding_windows(df, k=k, text_col=text_col, id_col=id_col)
+    wins = sliding_windows(
+        df, k=k, text_col=text_col, id_col=id_col, hash_grams=hash_grams
+    )
     dup = (
         wins.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -645,6 +663,7 @@ def remove_duplicate_spans(
     min_occurrences: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Apply side of exact substring dedup: cut every duplicated span
     (from `duplicate_spans`) out of every document and reassemble the
@@ -661,7 +680,8 @@ def remove_duplicate_spans(
     token positions — pure codegen, no Python, no extra shuffle beyond
     the span aggregation's doc_id exchange (reused by the join)."""
     spans = duplicate_spans(
-        df, k=k, min_occurrences=min_occurrences, text_col=text_col, id_col=id_col
+        df, k=k, min_occurrences=min_occurrences, text_col=text_col,
+        id_col=id_col, hash_grams=hash_grams,
     )
     agg = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),

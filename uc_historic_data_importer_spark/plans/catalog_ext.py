@@ -3329,9 +3329,12 @@ spans AS (
     f"{_SUBSTR_K}-token windows each occur >=2 times corpus-wide, "
     "merged by a gaps-and-islands pass so spans never overlap. Linear "
     "explode -> groupBy(gram) -> join-back on the content-uniform gram "
-    "key -> one doc_id window+agg; at 100 TB the gram string becomes a "
-    "64-bit hash (same plan, bounded shuffle bytes). The distributed "
-    "approximation of suffix-array dedup at k-token resolution.",
+    "key -> one doc_id window+agg; at 100 TB pass hash_grams=True to "
+    "run the count/join on xxhash64 gram keys (8 shuffle bytes per "
+    "window, same plan, value-identical — parity-pinned; the measured "
+    "local-mode tradeoff in sliding_windows explains why the STRING "
+    "form stays the default here). The distributed approximation of "
+    "suffix-array dedup at k-token resolution.",
 )
 def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.duplicate_spans(t(spark, sf_dir, "documents"), k=_SUBSTR_K)
