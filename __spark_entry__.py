@@ -346,38 +346,91 @@ _R07_MODIFIED_SINCE_RECORD = (
 )
 
 
-# Round-8 handoff: round 7's window = 2 round-7 additions
-# (token_counts_seam, streaming_cdc_snapshot) + the 16-query modified
-# block above (9 r06-recorded + 4 r05 + 3 r04) + the 32 stalest of the
-# 44 remaining r04-latest queries = 50, verified by enumeration.
-# TWELVE r04-latest queries slip past index 50 this round (each still
-# green in CORRECTNESS_r04 and re-verified every round by
-# tests/test_oracle_regression.py): they sort FIRST in round 8's
-# staleness rotation. Round 8 should lift _R07_RECORDED
-# (= CORRECTNESS_r07 keys), start a fresh modified block, front-load
-# r8 additions (budget ~2-3), then rotate: the 12 slipped r04s, then
-# the r05 block — which again nearly fills a window.
+# Round-8 handoff (as predicted): round 7's window = 2 round-7
+# additions + the 16-query modified block + the 32 stalest r04s = 50.
+# TWELVE r04-latest queries slipped past index 50 and sort first in
+# round 8's staleness rotation.
+
+
+# Round-7's driver record, verified == CORRECTNESS_r07.json key set:
+# the 2 round-7 additions, the 16-query modified block, and the 32
+# stalest r04s, exactly as the r7 handoff predicted.
+_R07_RECORDED = frozenset(
+    {
+        "token_counts_seam", "streaming_cdc_snapshot", "media_frame_plan",
+        "doc_length_outliers_approx", "salted_join_priority_revenue",
+        "salted_agg_counts", "salted_distinct_users", "ann_ivf_build",
+        "ann_ivf_topk", "semdedup_embeddings", "embedding_cosine_neardup",
+        "bpe_token_stats", "pack_sequences", "segment_cleaned_corpus",
+        "streaming_latest_per_key", "streaming_windowed_counts",
+        "streaming_interval_join", "scd2_user_intervals", "latest_per_key",
+        "dedup_key_version", "anti_join_existing", "time_range_filter",
+        "filter_status_counts", "version_selection", "kafka_date_format",
+        "json_extraction", "table_naming", "manifest_projection",
+        "rowkey_crc32", "normalize_pipeline", "pricing_summary",
+        "top_orders_by_revenue", "revenue_by_nation", "union_priorities",
+        "broadcast_dim_join", "tumbling_window_agg", "asof_join_last_event",
+        "event_sessionization", "range_join_error_after_click",
+        "text_token_counts", "text_quality_scores", "text_language_id",
+        "text_fingerprints", "dedup_exact", "dedup_fingerprint",
+        "dedup_minhash_lsh", "hll_distinct_users", "cms_heavy_hitters",
+        "bloom_anti_join_lineitem", "hash_sample_documents",
+    }
+)
+
+
+# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed after their
+# most recent driver record (README "Re-record doctrine": touched
+# call-path => same-commit modified-block entry):
+#   - media_jpeg_decode: front-loaded per the r7 verdict — its codec
+#     was REWRITTEN in r6 (numpy DCTs, bit-reader fix) and
+#     property-tested in r7, but its driver row is still the r04
+#     pre-rewrite record. The one standing stale-green-on-touched-code
+#     violation; re-records first this round.
+#   - substring_dup_spans / substring_dedup_apply: the
+#     sliding_windows/duplicate_spans/remove_duplicate_spans call path
+#     gained the hash_grams switch (2e20284). Default path is
+#     value-identical and parity-pinned; re-record on principle.
+_R08_MODIFIED_SINCE_RECORD = (
+    "media_jpeg_decode",
+    "substring_dup_spans",
+    "substring_dedup_apply",
+)
+
+
+# Round-9 handoff: round 8's window = 1 round-8 addition
+# (streaming_broadcast_enrich) + the 3-query modified block above (one
+# of which, media_jpeg_decode, is also the first of the 12 slipped
+# r04s) + the other 11 r04s + the 35 oldest r05s = 50 (verified by
+# enumeration against the ordering). SIX r05-latest queries slip to
+# round 9 (pivot_order_status, rolling_window_revenue,
+# stat_aggregates_events, null_safe_join_events, grouping_sets_pricing,
+# user_retention_cohorts — each re-verified every round by
+# tests/test_oracle_regression.py); they sort first in round 9, and
+# after r09's rotation no query's latest record should predate r06.
 
 
 def _ordered_queries():
-    """Round-7 ordering: (a) never-recorded queries first (registration
-    order — each new round-7 query gets a driver row immediately), (b)
+    """Round-8 ordering: (a) never-recorded queries first (registration
+    order — each new round-8 query gets a driver row immediately), (b)
     queries modified since their most recent driver record
-    (_R07_MODIFIED_SINCE_RECORD — a stale green row on changed semantics
-    must be refreshed before plain staleness rotation), (c) previously
-    recorded queries stalest-first (most recent driver row r04, then
-    r05, then r06). Every query pushed past index 50 already has a
-    green driver row in the r01..r06 union and is re-verified each
-    round by tests/test_oracle_regression.py."""
+    (_R08_MODIFIED_SINCE_RECORD — a stale green row on changed semantics
+    must be refreshed before plain staleness rotation; media_jpeg_decode
+    front-loaded per the r7 verdict), (c) previously recorded queries
+    stalest-first (most recent driver row r04, then r05, ...). Every
+    query pushed past index 50 already has a green driver row in the
+    r01..r07 union and is re-verified each round by
+    tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    modified_rank = {n: i for i, n in enumerate(_R07_MODIFIED_SINCE_RECORD)}
+    modified_rank = {n: i for i, n in enumerate(_R08_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (7, _R07_RECORDED),
             (6, _R06_RECORDED),
             (5, _R05_RECORDED),
             (4, _R04_RECORDED),

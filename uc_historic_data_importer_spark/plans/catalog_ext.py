@@ -4849,3 +4849,84 @@ def streaming_cdc_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "user_id BIGINT, value DOUBLE")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_broadcast_enrich",
+    """
+    WITH dim AS (
+      SELECT c_custkey, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT coalesce(n_name, 'UNKNOWN') AS nation,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events e LEFT JOIN dim ON e.user_id = dim.c_custkey
+    WHERE e.event_id % 10 < 3
+    GROUP BY nation, event_type
+    """,
+    doc="Stream-static broadcast enrichment — the last "
+    "tested-but-not-driver-checked streaming shape (r7 verdict item 6): "
+    "a micro-batched event stream left-joins a BROADCAST static "
+    "dimension (customer x nation) per batch — no stateful join, no "
+    "watermark, the dim rides the broadcast to every batch's tasks — "
+    "then the appended sink is aggregated batch-side. At 100 TB the "
+    "dim is the region/customer table (MBs against a TB/day stream); "
+    "broadcast per micro-batch is exactly how Spark runs stream-static "
+    "equi-joins, and the memory sink stands in for the real "
+    "table/Kafka sink. Enrichment is stateless, so the converged "
+    "result is batching-independent and equals the oracle's one batch "
+    "join-aggregate.",
+)
+def streaming_broadcast_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="hdi_stream_enrich_")
+    try:
+        ev = (
+            t(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 10 < 3)
+            .select("user_id", "event_type", "value")
+        )
+        in_dir = os.path.join(work, "in")
+        # two parquet files -> two micro-batches under
+        # maxFilesPerTrigger=1 (order irrelevant: map-only enrichment)
+        ev.repartition(2).write.parquet(in_dir)
+        dim = F.broadcast(
+            t(spark, sf_dir, "customer")
+            .join(
+                t(spark, sf_dir, "nation"),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select("c_custkey", "n_name")
+        )
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, event_type STRING, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        enriched = stream.join(
+            dim, stream["user_id"] == dim["c_custkey"], "left"
+        ).select(
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation"),
+            "event_type",
+            "value",
+        )
+        qn = _run_stream_to_memory(
+            spark, enriched, "bcast_enrich_", sf_dir, work, "append"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.table(qn)
+        .groupBy("nation", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
