@@ -16,16 +16,19 @@ splits = File.readlines('/bulk/out/split_keys.txt').map(&:strip).map do |hex|
   [hex].pack('H*')
 end
 
+# JRuby wraps HBase's Java exceptions inconsistently across shell
+# versions, so rescue broadly and re-raise anything that is not the
+# benign already-exists / does-not-exist case
 begin
   create_namespace namespace
-rescue RuntimeError => e
-  raise unless e.message.include?('NamespaceExistException')
+rescue Exception => e
+  raise unless e.to_s.include?('NamespaceExist')
 end
 
 begin
   disable table
   drop table
-rescue RuntimeError
+rescue Exception
   # table did not exist — fine
 end
 
