@@ -770,3 +770,30 @@ class TestSinksReviewFixes:
         assert ok is False  # exhausted, reported as failure
         assert up.calls == 3  # it retried like any client error
         assert p.exists()  # the local manifest was never deleted
+
+    def test_send_manifest_local_read_errors_retry_not_raise(self, tmp_path):
+        """A manifest path that exists but cannot be read (permission
+        change, transient NFS EIO — here an IsADirectoryError, which
+        also defeats a root test runner that ignores chmod 000) must
+        stay inside the give-up-not-raise contract: retried as
+        attempts, False when exhausted — never an exception escaping
+        into the pipeline after the KV sink wrote."""
+        p = tmp_path / "m.csv"
+        p.mkdir()  # exists, getsize > 0, open() -> IsADirectoryError
+
+        class CountingUploader:
+            def __init__(self):
+                self.calls = 0
+
+            def put_object(self, *a, **kw):
+                self.calls += 1
+
+        up = CountingUploader()
+        delays = []
+        ok = sinks.send_manifest(
+            up, str(p), "b", "p", max_attempts=3, sleep=delays.append
+        )
+        assert ok is False  # degraded, not fatal
+        assert up.calls == 0  # never reached the uploader
+        assert delays == [1.0, 2.0]  # counted as backed-off attempts
+        assert p.exists()  # path untouched for the manifest-only re-run

@@ -41,6 +41,12 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "out"))
     ap.add_argument("--n-keys", type=int, default=200)
     args = ap.parse_args(argv)
+    if not 0 < args.n_keys <= 999_999:
+        # the id is zero-padded to a FIXED 6 digits below; Spark's lpad
+        # TRUNCATES beyond the pad width, which would silently collide
+        # row keys (and break the lexicographic-vs-tuple sort agreement
+        # between expected_cells.txt and verify.rb)
+        raise SystemExit("--n-keys must be in 1..999999")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -60,7 +66,7 @@ def main(argv=None) -> int:
     ids = spark.range(args.n_keys).select(
         F.concat(
             F.lit('{"someId":"GUID-'),
-            F.lpad(F.col("id").cast("string"), 4, "0"),
+            F.lpad(F.col("id").cast("string"), 6, "0"),
             F.lit('"}'),
         ).alias("canonical_id"),
         F.col("id"),

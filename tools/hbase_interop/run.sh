@@ -32,14 +32,21 @@ TABLE="$(head -1 out/table_spec.txt)"
 echo "== [2/7] starting standalone HBase =="
 $COMPOSE up -d --build hbase
 echo -n "waiting for HBase master"
-for _ in $(seq 1 60); do
+ready=0
+for _ in $(seq 1 "${WAIT_TRIES:-90}"); do
   if $COMPOSE exec -T hbase bash -c \
       "echo \"status 'simple'\" | hbase shell -n" >/dev/null 2>&1; then
+    ready=1
     break
   fi
   echo -n "."
   sleep 2
 done
+if [ "$ready" -ne 1 ]; then
+  echo " FAILED: master never became ready (raise WAIT_TRIES for slow hosts)" >&2
+  $COMPOSE logs --tail 50 hbase >&2 || true
+  exit 1
+fi
 echo " up"
 
 echo "== [3/7] HFilePrettyPrinter over every artifact =="

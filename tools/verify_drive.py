@@ -96,9 +96,15 @@ first = open(os.path.join(mdir, mfiles[0])).readline().strip()
 assert first.count("|") >= 3, first
 print("manifest line:", first[:90])
 
-# NEW this round: GZ HFile bulk-load path end to end
+# GZ HFile bulk-load path end to end. Build the layout from the KV
+# READ-BACK, not result.putable: run() releases its cache on return
+# (r8 leak fix), so re-executing putable would re-run the encrypt UDF
+# and mint FRESH per-record IVs — HFiles that disagree cell-for-cell
+# with the kv parquet the same run wrote. The store is the source of
+# truth for bulk-load artifacts derived after the run.
 layout = sinks.hbase_bulkload_layout(
-    result.putable.select("table", "key", "key_hex", "version", "envelope"),
+    kv.select("table", "key", "key_hex", "version",
+              F.col("body").alias("envelope")),
     n_regions=2)
 hdir = os.path.join(root, "hfiles")
 paths = sinks.write_hfiles(layout, hdir)  # GZ default

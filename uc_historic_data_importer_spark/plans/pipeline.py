@@ -177,9 +177,11 @@ def run(
     a finally. Repeated run() calls therefore leave no cached frames
     behind. Consequence: ``result.records``/``putable``/``manifest``
     are still lazy plans — consuming them AFTER run() returns
-    re-executes the pipeline; a caller who needs those frames
-    materialized should use process_lines(persist=True) and own
-    result.unpersist() itself."""
+    re-executes the pipeline, and under ``encrypt=True`` that re-mints
+    the per-record random IVs, yielding ciphertext that DIFFERS from
+    what the sinks wrote. Derive post-run artifacts (e.g. an HFile
+    bulk-load layout) from the written KV store, or use
+    process_lines(persist=True) and own result.unpersist() yourself."""
     # persist the normalized frame across the sink fan-out: run_mode
     # validation happens inside process_lines (fail-loud on typos)
     result = process_lines(lines, cfg, existing=existing, persist=True)

@@ -869,6 +869,14 @@ def send_manifest(
             # already uploaded-and-deleted (or removed out of band):
             # nothing to do, and retrying cannot change that
             return True
+        except Exception:  # noqa: BLE001 - EIO/ESTALE/permission races
+            # any OTHER local read failure is retryable like a client
+            # error (give-up-not-raise: a lost manifest is degraded,
+            # not fatal — the manifest-only re-run mode recovers it)
+            attempts += 1
+            if attempts < max_attempts:
+                sleep(backoff_s * attempts)
+            continue
         try:
             uploader.put_object(
                 bucket,
