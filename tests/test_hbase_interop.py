@@ -34,13 +34,12 @@ def test_hfile_artifacts_open_under_real_hbase(spark, tmp_path):
 
     kv = spark.range(50).select(
         F.lit("t1").alias("table"),
-        row_key_col(F.concat(F.lit('{"someId":"G-'), F.col("id"), F.lit('"}'))).alias("key"),
-        F.lower(
-            F.hex(row_key_col(F.concat(F.lit('{"someId":"G-'), F.col("id"), F.lit('"}'))))
-        ).alias("key_hex"),
+        row_key_col(
+            F.concat(F.lit('{"someId":"G-'), F.col("id"), F.lit('"}'))
+        ).alias("key"),
         F.lit(1000).alias("version"),
         F.concat(F.lit('{"v":'), F.col("id"), F.lit("}")).alias("envelope"),
-    )
+    ).withColumn("key_hex", F.lower(F.hex(F.col("key"))))
     layout = sinks.hbase_bulkload_layout(kv, n_regions=2)
     paths = sinks.write_hfiles(layout, str(tmp_path / "bulk"))  # GZ + bloom
     assert paths

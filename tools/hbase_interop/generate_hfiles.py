@@ -81,7 +81,6 @@ def main(argv=None) -> int:
     kv = versions.select(
         F.lit(TABLE).alias("table"),
         row_key_col(F.col("canonical_id")).alias("key"),
-        F.lower(F.hex(row_key_col(F.col("canonical_id")))).alias("key_hex"),
         F.col("version"),
         F.concat(
             F.lit('{"message":{"db":"demo","id":'),
@@ -90,7 +89,7 @@ def main(argv=None) -> int:
             F.col("version").cast("string"),
             F.lit("}}"),
         ).alias("envelope"),
-    )
+    ).withColumn("key_hex", F.lower(F.hex(F.col("key"))))
 
     layout = sinks.hbase_bulkload_layout(
         kv, region_split_keys=SPLITS, table=TABLE,

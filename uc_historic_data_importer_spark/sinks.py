@@ -853,6 +853,15 @@ def send_manifest(
     sleep = sleep if sleep is not None else time.sleep
     name = os.path.basename(manifest_path)
     attempts = 0
+
+    def backoff() -> None:
+        # single accounting point for a failed attempt (local read OR
+        # upload): count it, then back off linearly if tries remain
+        nonlocal attempts
+        attempts += 1
+        if attempts < max_attempts:
+            sleep(backoff_s * attempts)
+
     while attempts < max_attempts:
         # the missing-LOCAL-file check wraps only the local reads: a
         # FileNotFoundError raised by uploader.put_object itself (a
@@ -873,9 +882,7 @@ def send_manifest(
             # any OTHER local read failure is retryable like a client
             # error (give-up-not-raise: a lost manifest is degraded,
             # not fatal — the manifest-only re-run mode recovers it)
-            attempts += 1
-            if attempts < max_attempts:
-                sleep(backoff_s * attempts)
+            backoff()
             continue
         try:
             uploader.put_object(
@@ -889,9 +896,7 @@ def send_manifest(
                 os.remove(manifest_path)  # raced removal = already gone
             return True
         except Exception:  # noqa: BLE001 - client errors vary
-            attempts += 1
-            if attempts < max_attempts:
-                sleep(backoff_s * attempts)
+            backoff()
     return False
 
 
