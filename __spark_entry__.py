@@ -391,23 +391,49 @@ _R07_RECORDED = frozenset(
 #     sliding_windows/duplicate_spans/remove_duplicate_spans call path
 #     gained the hash_grams switch (2e20284). Default path is
 #     value-identical and parity-pinned; re-record on principle.
+#   - temperature_mixture_sample: NULL domains are now kept at their
+#     rate on BOTH engines (null-safe join; was an equi-join that
+#     silently dropped them) — a REAL semantic change under NULL
+#     domains; fixture has none, value-identical there.
+#   - mixture_sample_documents: integer-weight fan-out no longer
+#     explodes an always-filtered extra copy (plan change, values
+#     identical); mixture_sql rebuilt (quote escaping, empty-dict
+#     case, mirrored range bound).
+#   - weighted_sample_documents: weighted_sample's ungrouped path now
+#     plans TakeOrderedAndProject instead of a single-reducer window
+#     (this query uses the grouped path — touched function, re-record
+#     on principle).
+#   - cms_heavy_hitters: cms_sql's candidate join is now LEFT +
+#     coalesce(0), mirroring cms_estimate — a NULL heavy hitter
+#     survives with cms_n=0 on both engines (fixture has none).
+#   - pack_sequences: NULL text now occupies zero tokens/chunks on
+#     both engines (coalesce in pack_concat_chunks and pack_sql;
+#     fixture text is never NULL, value-identical there).
 _R08_MODIFIED_SINCE_RECORD = (
     "media_jpeg_decode",
     "substring_dup_spans",
     "substring_dedup_apply",
+    "temperature_mixture_sample",
+    "mixture_sample_documents",
+    "weighted_sample_documents",
+    "cms_heavy_hitters",
+    "pack_sequences",
 )
 
 
 # Round-9 handoff: round 8's window = 1 round-8 addition
-# (streaming_broadcast_enrich) + the 3-query modified block above (one
-# of which, media_jpeg_decode, is also the first of the 12 slipped
-# r04s) + the other 11 r04s + the 35 oldest r05s = 50 (verified by
-# enumeration against the ordering). SIX r05-latest queries slip to
-# round 9 (pivot_order_status, rolling_window_revenue,
-# stat_aggregates_events, null_safe_join_events, grouping_sets_pricing,
-# user_retention_cohorts — each re-verified every round by
-# tests/test_oracle_regression.py); they sort first in round 9, and
-# after r09's rotation no query's latest record should predate r06.
+# (streaming_broadcast_enrich) + the 8-query modified block above
+# (one r04, one r05, four r06s, two r07s by latest record) + the
+# other 11 r04s + the 30 oldest remaining r05s = 50 (verified by
+# enumeration against the ordering: window latest-record distribution
+# {r04: 12, r05: 31, r06: 4, r07: 2, new: 1}). TEN r05-latest queries
+# slip to round 9 (rollup_pricing, scalar_string_functions,
+# window_running_totals, percentile_prices, pivot_order_status,
+# rolling_window_revenue, stat_aggregates_events, null_safe_join_events,
+# grouping_sets_pricing, user_retention_cohorts — each re-verified
+# every round by tests/test_oracle_regression.py); they sort first in
+# round 9, and after r09's rotation no query's latest record should
+# predate r06.
 
 
 def _ordered_queries():

@@ -451,6 +451,42 @@ class TestSketches:
         for v, (exact_n, cms_n) in est.items():
             assert cms_n >= exact_n, (v, exact_n, cms_n)
 
+    def test_cms_null_heavy_hitter_estimates_zero_both_engines(self, spark):
+        """A NULL among the top-k: NULL never sketches (its hash is
+        NULL), so its estimate is cms_n = 0 — and the row must SURVIVE
+        on both engines. The r8 review found cms_sql's inner join
+        silently dropped it while cms_estimate's left join kept it."""
+        import duckdb
+        import pandas as pd
+
+        vals = [None] * 50 + [1] * 30 + [2] * 20
+        df = spark.createDataFrame([(v,) for v in vals], "v int")
+        exact = (
+            df.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+            .orderBy(F.desc("exact_n"))
+            .limit(3)
+        )
+        got = {
+            r["v"]: (r["exact_n"], r["cms_n"])
+            for r in sketches.cms_estimate(
+                sketches.cms_counters(df, "v"), exact, "v"
+            ).collect()
+        }
+        assert got[None] == (50, 0)
+        assert got[1][0] == 30 and got[1][1] >= 30
+
+        con = duckdb.connect()
+        con.register("tbl", pd.DataFrame({"v": pd.array(vals, dtype="Int64")}))
+        oracle = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                sketches.cms_sql("v", "tbl", top_k=3)
+            ).fetchall()
+        }
+        # pandas NA comes back as None through duckdb
+        assert {(k if k is not None else None): v for k, v in oracle.items()} == got
+
     def test_cms_counters_merge(self, spark):
         df = spark.range(0, 1000).select("id", (F.col("id") % 53).alias("v"))
         whole = {
@@ -817,6 +853,26 @@ class TestPacking:
         assert out[3]["n_chunks"] == 2
         assert out[4]["n_tokens"] == 0 and out[4]["n_chunks"] == 0
 
+    def test_null_text_occupies_nothing(self, spark):
+        """NULL text == empty text for packing: zero tokens, zero
+        chunks, zero-width span (the r8 review found size(NULL)'s NULL
+        n_tokens dodged the n_chunks==0 branch and reported 1)."""
+        from uc_historic_data_importer_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c"), (3, "")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in packing.pack_concat_chunks(df, budget=4, n_shards=1).collect()
+        }
+        assert out[1]["n_tokens"] == 0 and out[1]["n_chunks"] == 0
+        assert out[3]["n_tokens"] == 0 and out[3]["n_chunks"] == 0
+        assert out[2]["n_chunks"] == 1
+        # offsets still consistent: the NULL doc is zero-width
+        total = sum(r["n_tokens"] for r in out.values())
+        assert total == 3
+
     def test_shard_membership_is_id_pure(self, spark):
         from uc_historic_data_importer_spark.operators import packing
 
@@ -1014,6 +1070,55 @@ class TestMixtureSample:
         with pytest.raises(ValueError):
             sampling.mixture_sample(df, {"a": -1.0})
 
+    def test_integer_weight_fanout_is_exact(self, spark):
+        """Exact-integer weights (incl. the default 1.0) must explode
+        exactly n_full copies — the r8 review found an extra
+        always-filtered candidate row per document (2x exploded rows on
+        a default-weight corpus, discarded after materialization)."""
+        from uc_historic_data_importer_spark.operators import sampling
+
+        rows = [(i, "w", "a", "x") for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+        # all-default (empty weights): one copy per doc, copy_idx == 0
+        out = sampling.mixture_sample(df, {})
+        assert out.count() == 50
+        assert {r["copy_idx"] for r in out.select("copy_idx").distinct().collect()} == {0}
+        # w = 2.0: exactly two copies (ceil(2.0) = 2, not 3 exploded)
+        out2 = sampling.mixture_sample(df, {"a": 2.0})
+        assert out2.count() == 100
+        assert {r["copy_idx"] for r in out2.select("copy_idx").distinct().collect()} == {0, 1}
+
+    def test_mixture_sql_empty_and_quoted_domains(self, spark):
+        """mixture_sql must emit valid SQL for an empty weights dict
+        (zero-branch CASE was a parser error) and for domain names
+        containing quotes — and replay mixture_sample exactly."""
+        import duckdb
+        import pandas as pd
+
+        from uc_historic_data_importer_spark.operators import sampling
+
+        rows = [
+            (i, "w", "o'reilly" if i % 2 else "plain", "x") for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(rows, columns=["doc_id", "text", "source", "lang"]),
+        )
+        for weights in ({}, {"o'reilly": 1.5}, {"o'reilly": 0.0, "plain": 2.0}):
+            got = sorted(
+                (r["doc_id"], r["copy_idx"])
+                for r in sampling.mixture_sample(df, weights).collect()
+            )
+            oracle = sorted(
+                (int(a), int(b))
+                for a, b in con.execute(
+                    f"SELECT doc_id, copy_idx FROM ({sampling.mixture_sql(weights)})"
+                ).fetchall()
+            )
+            assert got == oracle, weights
+
 
 class TestChunkSpans:
     def test_overlapping_windows(self, spark):
@@ -1180,6 +1285,21 @@ class TestWeightedSample:
         got = [r["id"] for r in
                sampling.weighted_sample(df, "id", "w", 5).collect()]
         assert got == [3]
+
+    def test_ungrouped_topn_avoids_single_reducer_window(self, spark):
+        """group_col=None must plan as TakeOrderedAndProject (per-
+        partition top-n + driver merge), never an unpartitioned window
+        that funnels every candidate through one task."""
+        from uc_historic_data_importer_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7 + 1)) for i in range(200)], "id long, w double"
+        )
+        out = sampling.weighted_sample(df, "id", "w", 10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+        assert out.count() == 10
 
 
 class TestAudit:
@@ -2383,6 +2503,37 @@ class TestRound5Operators:
         # domain (100 docs) saturates at rate 1.0 -> all 100 kept
         assert got["small"] == 100
         assert 70 <= got["big"] <= 130  # hash-thresholded ~100
+
+    def test_temperature_mixture_null_domain_is_a_domain(self, spark):
+        """NULL-domain rows are counted, rated, and KEPT at their rate —
+        the r8 review found the plain equi-join silently dropped them
+        while still deflating every other domain's rate through the
+        denominator. Both engines must agree (null-safe join on both)."""
+        import duckdb
+        import pandas as pd
+
+        from uc_historic_data_importer_spark.operators import sampling
+
+        rows = [(i, None if i < 100 else "a") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        # tau=1, target == corpus size: every domain's rate saturates at
+        # 1.0, so EVERY row must come back — including the NULL domain
+        out = sampling.temperature_mixture_sample(df, target_total=200, tau=1.0)
+        assert out.count() == 200
+        assert out.filter(F.col("source").isNull()).count() == 100
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "source"])
+        )
+        oracle_ids = sorted(
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM ("
+                + sampling.temperature_mixture_sql(200, 1.0)
+                + ")"
+            ).fetchall()
+        )
+        assert oracle_ids == sorted(r["doc_id"] for r in out.collect())
 
     def test_kfold_balanced_within_stratum(self, spark):
         from uc_historic_data_importer_spark.operators import sampling

@@ -58,6 +58,11 @@ def pack_concat_chunks(
         )
 
         toks = F.size(encoded_ids_udf(encode)(F.col(text_col)))
+    # NULL text occupies zero tokens exactly like the empty string:
+    # size(NULL) is NULL in Spark, and an un-coalesced NULL n_tokens
+    # would dodge the `n_tokens == 0` branch below and report
+    # n_chunks = 1 for a document that occupies nothing
+    toks = F.coalesce(toks, F.lit(0))
     shard = (md5_i64(F.col(id_col).cast("string")) % F.lit(n_shards)).alias("shard")
     base = df.select(F.col(id_col).alias("doc_id"), shard, toks.alias("n_tokens"))
     w = (
@@ -100,7 +105,7 @@ def pack_sql(tokens_sql: str, budget: int, n_shards: int) -> str:
     return f"""
     WITH base AS (
       SELECT doc_id, ({h} % {n_shards}) AS shard,
-             len({tokens_sql}) AS n_tokens
+             COALESCE(len({tokens_sql}), 0) AS n_tokens
       FROM documents
     ),
     offs AS (

@@ -162,8 +162,22 @@ def mixture_sample(
         thresh_col = F.when(cond, F.lit(th)).otherwise(thresh_col)
 
     out = df.withColumn("_n_full", n_full_col).withColumn("_thresh", thresh_col)
+    # fan-out exactly n_full copies plus ONE fractional candidate only
+    # when there is a fractional part (_thresh > 0): an exact-integer
+    # weight (incl. the default 1.0) must not explode an extra
+    # always-filtered row per document. The empty-array guard covers
+    # weight 0 (n_full = 0, thresh = 0): sequence(0, -1) DESCENDS in
+    # Spark rather than returning empty, and exploding the empty array
+    # drops the row outright — same result as the old filter, one row
+    # cheaper
+    upper = F.col("_n_full") - F.when(F.col("_thresh") > 0, 0).otherwise(1)
     out = out.withColumn(
-        "copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n_full")))
+        "copy_idx",
+        F.explode(
+            F.when(upper >= 0, F.sequence(F.lit(0), upper)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
     )
     frac_key = (
         md5_i64(
@@ -191,21 +205,34 @@ def mixture_sql(
 
     levels = _mixture_levels
 
-    nf_case = f"CASE {domain_col} "
-    th_case = f"CASE {domain_col} "
-    for dom, w in sorted(weights.items()):
-        nf, th = levels(w)
-        nf_case += f"WHEN '{dom}' THEN {nf} "
-        th_case += f"WHEN '{dom}' THEN {th} "
     dnf, dth = levels(default_weight)
-    nf_case += f"ELSE {dnf} END"
-    th_case += f"ELSE {dth} END"
+    if weights:
+        nf_case = f"CASE {domain_col} "
+        th_case = f"CASE {domain_col} "
+        for dom, w in sorted(weights.items()):
+            nf, th = levels(w)
+            # '' doubling: a domain name containing a quote must stay a
+            # literal, not become a syntax error (or injected SQL)
+            lit = dom.replace("'", "''")
+            nf_case += f"WHEN '{lit}' THEN {nf} "
+            th_case += f"WHEN '{lit}' THEN {th} "
+        nf_case += f"ELSE {dnf} END"
+        th_case += f"ELSE {dth} END"
+    else:
+        # zero-branch CASE is invalid SQL; an empty weights dict means
+        # every domain takes the default (mirrors mixture_sample)
+        nf_case, th_case = str(dnf), str(dth)
     h = md5_i64_sql(f"(CAST({id_expr} AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR))")
+    # range() upper bound mirrors mixture_sample's explode: n_full
+    # copies plus one fractional candidate only when _thresh > 0
+    # (range(0, 0) is empty in DuckDB, so weight-0 rows vanish here the
+    # same way the empty-array explode drops them in Spark)
     return f"""
       SELECT * EXCLUDE (_n_full, _thresh)
       FROM (
         SELECT *, {nf_case} AS _n_full, {th_case} AS _thresh,
-               unnest(range(0, ({nf_case}) + 1)) AS copy_idx
+               unnest(range(0, ({nf_case})
+                 + CASE WHEN ({th_case}) > 0 THEN 1 ELSE 0 END)) AS copy_idx
         FROM documents
       )
       WHERE copy_idx < _n_full OR ({h} % {DENOM}) < _thresh
@@ -230,9 +257,10 @@ def weighted_sample(
     differ in the last ulp across engines; the round + id tiebreak make
     the pick order total and oracle-reproducible). Non-positive weights
     are excluded — a zero-weight row must never be sampled and ln(u)/0
-    is undefined. One shuffle, partitioned by group (or a TakeOrdered-
-    style global top-n when ``group_col`` is None via a single-group
-    window over the already-filtered candidates).
+    is undefined. One shuffle, partitioned by group; when ``group_col``
+    is None the global top-n goes through orderBy().limit(n)
+    (TakeOrderedAndProject — per-partition top-n, n-way driver merge),
+    never a single-reducer window.
 
     u must be strictly INSIDE (0, 1): at u = 1.0 the key is ln(1)/w = 0
     — the global maximum REGARDLESS of weight — so the ~1/DENOM of rows
@@ -243,8 +271,17 @@ def weighted_sample(
     u = (_bucket(id_col) + 1).cast("double") / F.lit(float(DENOM + 1))
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), key_dp)
     cand = df.filter(F.col(weight_col) > 0).withColumn("_wkey", key)
-    part = [group_col] if group_col else []
-    w = Window.partitionBy(*part).orderBy(F.desc("_wkey"), F.col(id_col))
+    if group_col is None:
+        # an un-partitioned row_number window would funnel every
+        # candidate through ONE task (the kmv_distinct pitfall);
+        # orderBy().limit(n) plans as TakeOrderedAndProject —
+        # per-partition top-n then an n-way driver merge
+        return (
+            cand.orderBy(F.desc("_wkey"), F.col(id_col))
+            .limit(n_per_group)
+            .drop("_wkey")
+        )
+    w = Window.partitionBy(group_col).orderBy(F.desc("_wkey"), F.col(id_col))
     return (
         cand.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_per_group)
@@ -319,7 +356,14 @@ def temperature_mixture_sample(
     The rate is rounded to ``rate_dp`` before quantization to the
     1/DENOM integer threshold so libm pow() ulp noise can never flip a
     row across engines. The per-domain frame is bounded by the domain
-    count (broadcast side); the corpus is scanned once."""
+    count (broadcast side). Two passes over the input by construction
+    (the counts aggregate, then the filter probe) — but the aggregate
+    scan is column-pruned to ``domain_col`` alone, so at 100 TB the
+    extra pass reads one column, not the corpus. A NULL domain is a
+    domain like any other: it is counted, gets a rate, and its rows
+    are kept at that rate (null-safe join — a plain equi-join would
+    silently drop NULL-domain rows while still deflating every other
+    domain's rate through the denominator)."""
     if tau < 0:
         raise ValueError("tau must be >= 0")
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
@@ -343,7 +387,11 @@ def temperature_mixture_sample(
         ).cast("long").alias("_thresh"),
     )
     return (
-        df.join(F.broadcast(rates), domain_col)
+        df.join(
+            F.broadcast(rates.withColumnRenamed(domain_col, "_dom")),
+            F.col(domain_col).eqNullSafe(F.col("_dom")),
+        )
+        .drop("_dom")
         .filter(_bucket(id_col) < F.col("_thresh"))
         .drop("_thresh")
     )
@@ -373,7 +421,8 @@ def temperature_mixture_sql(
                  / n::DOUBLE), {rate_dp}) * {DENOM}) AS BIGINT) AS thresh
         FROM counts
       )
-      SELECT t.* FROM {table} t JOIN rates r USING ({domain_col})
+      SELECT t.* FROM {table} t
+      JOIN rates r ON t.{domain_col} IS NOT DISTINCT FROM r.{domain_col}
       WHERE ({h} % {DENOM}) < r.thresh
     """
 

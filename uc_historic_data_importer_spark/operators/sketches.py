@@ -275,6 +275,10 @@ def cms_sql(
     with their CMS estimates (same hash windows, same counters)."""
     bits = _cms_bits(d, w)
     h = md5_i64_sql(f"CAST({value_expr} AS VARCHAR)")
+    # LEFT JOIN + coalesce below mirrors cms_estimate's documented rule:
+    # a candidate whose cells are absent from every counter (a NULL
+    # heavy hitter — NULL never sketches, its hash is NULL) estimates
+    # cms_n = 0 instead of silently vanishing from the inner join
     counter_rows = " UNION ALL ".join(
         f"SELECT {j} AS row_idx, ((h >> {j * bits}) & {w - 1}) AS bucket "
         f"FROM hashed"
@@ -301,8 +305,8 @@ def cms_sql(
     cand AS (SELECT user_val, exact_n,
                     {md5_i64_sql("CAST(user_val AS VARCHAR)")} AS h
              FROM exact)
-    SELECT user_val, exact_n, min(cnt) AS cms_n
-    FROM ({cand_rows}) c JOIN counters USING (row_idx, bucket)
+    SELECT user_val, exact_n, min(coalesce(cnt, 0)) AS cms_n
+    FROM ({cand_rows}) c LEFT JOIN counters USING (row_idx, bucket)
     GROUP BY user_val, exact_n
     """
 
@@ -629,9 +633,14 @@ def kmv_distinct(
     union+re-trim AND support set operations (intersection via the
     union sketch's theta) — at 100 TB this is the sketch families'
     workhorse for 'distinct users in A AND B' style questions where
-    HLL needs inclusion-exclusion. One shuffle: distinct (group, h) is
-    map-side partial-agged into the per-group top-k via a rank window
-    over at most the distinct hash stream.
+    HLL needs inclusion-exclusion. Two exchanges, not one: the corpus
+    dedups on (group, h) — map-side partial agg bounds what the first
+    shuffle carries — then the DISTINCT hash stream re-clusters on
+    group alone for the bottom-k rank window. The second exchange
+    moves only distinct hashes (worst case all-unique = corpus-sized;
+    typical distinct-counting workloads are far below), which is the
+    honest cost of an exact bottom-k without a fixed-size aggregation
+    buffer per group.
 
     The estimate divides two exact integers inside one double division
     + floor, so DuckDB replays it bit-for-bit. Output: group cols +
