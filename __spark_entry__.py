@@ -409,6 +409,19 @@ _R07_RECORDED = frozenset(
 #   - pack_sequences: NULL text now occupies zero tokens/chunks on
 #     both engines (coalesce in pack_concat_chunks and pack_sql;
 #     fixture text is never NULL, value-identical there).
+#   - snapshot_diff_orders: the row hash is now a length-prefixed
+#     prefix code on BOTH engines (a value containing the separator
+#     can no longer collide across columns) and the key join is
+#     null-safe; oracle rewritten via diff.encoded_value_sql.
+#   - event_sessionization: sessionize drops NULL-timestamp events
+#     (they fragmented into singleton sessions; fixture ts never NULL,
+#     value-identical there).
+#   - funnel_view_click_purchase: funnel_counts validates steps
+#     (non-empty, no duplicates — behavior-neutral for valid inputs;
+#     touched code).
+#   - audit_orders_constraints: constraint_audit rejects the
+#     'row_count' constraint-name collision (behavior-neutral for
+#     valid names; touched code).
 _R08_MODIFIED_SINCE_RECORD = (
     "media_jpeg_decode",
     "substring_dup_spans",
@@ -418,22 +431,26 @@ _R08_MODIFIED_SINCE_RECORD = (
     "weighted_sample_documents",
     "cms_heavy_hitters",
     "pack_sequences",
+    "snapshot_diff_orders",
+    "event_sessionization",
+    "funnel_view_click_purchase",
+    "audit_orders_constraints",
 )
 
 
 # Round-9 handoff: round 8's window = 1 round-8 addition
-# (streaming_broadcast_enrich) + the 8-query modified block above
-# (one r04, one r05, four r06s, two r07s by latest record) + the
-# other 11 r04s + the 30 oldest remaining r05s = 50 (verified by
+# (streaming_broadcast_enrich) + the 12-query modified block above
+# (two r04s, two r05s, five r06s, three r07s by latest record) + the
+# other 10 r04s + the 27 oldest remaining r05s = 50 (verified by
 # enumeration against the ordering: window latest-record distribution
-# {r04: 12, r05: 31, r06: 4, r07: 2, new: 1}). TEN r05-latest queries
-# slip to round 9 (rollup_pricing, scalar_string_functions,
-# window_running_totals, percentile_prices, pivot_order_status,
-# rolling_window_revenue, stat_aggregates_events, null_safe_join_events,
-# grouping_sets_pricing, user_retention_cohorts — each re-verified
-# every round by tests/test_oracle_regression.py); they sort first in
-# round 9, and after r09's rotation no query's latest record should
-# predate r06.
+# {r04: 12, r05: 29, r06: 5, r07: 3, new: 1}). TWELVE r05-latest
+# queries slip to round 9 (semi_join_discounted, set_ops_customers,
+# rollup_pricing, scalar_string_functions, window_running_totals,
+# percentile_prices, pivot_order_status, rolling_window_revenue,
+# stat_aggregates_events, null_safe_join_events, grouping_sets_pricing,
+# user_retention_cohorts — each re-verified every round by
+# tests/test_oracle_regression.py); they sort first in round 9, and
+# after r09's rotation no query's latest record should predate r06.
 
 
 def _ordered_queries():

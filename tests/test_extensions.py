@@ -723,6 +723,38 @@ class TestFunnel:
         ).collect()[0]
         assert (row["n_view"], row["n_click"], row["n_purchase"]) == (3, 3, 2)
 
+    def test_funnel_step_validation(self, spark):
+        from uc_historic_data_importer_spark.operators import sessions
+
+        ev = spark.createDataFrame(
+            [(1, "view", "2021-01-01T10:00:00")],
+            "user_id long, event_type string, ts_str string",
+        ).withColumn("ts", F.to_timestamp("ts_str"))
+        with pytest.raises(ValueError, match="non-empty"):
+            sessions.funnel_counts(ev, ())
+        with pytest.raises(ValueError, match="duplicate"):
+            sessions.funnel_counts(ev, ("view", "click", "view"))
+
+    def test_sessionize_drops_null_timestamps(self, spark):
+        """NULL-ts events are excluded: left in they fragment into
+        singleton sessions AND force the first real event to open a
+        fresh session regardless of gap (NULLs sort first, lag is NULL
+        through them)."""
+        from uc_historic_data_importer_spark.operators import sessions
+
+        rows = [
+            (1, 10, None),
+            (1, 11, "2021-01-01T10:00:00"),
+            (1, 12, "2021-01-01T10:05:00"),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["user_id", "event_id", "ts_str"]
+        ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+        got = {r["event_id"]: r["session_idx"]
+               for r in sessions.sessionize(ev).collect()}
+        # the NULL-ts event is gone; the two real events share session 1
+        assert got == {11: 1, 12: 1}
+
 
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark):
@@ -821,6 +853,54 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "")], "k INT, v STRING")
         (row,) = diff.snapshot_diff(old, new, ("k",)).collect()
         assert row["status"] == "changed"
+
+    def test_separator_in_values_cannot_collide(self, spark):
+        """The r8 review's in-band-separator finding: ('a\\x1fb','c') vs
+        ('a','b\\x1fc') concatenated to identical bytes and reported
+        'unchanged'. The length-prefix encoding must see them as
+        changed, and a literal '\\x00' must differ from NULL."""
+        from uc_historic_data_importer_spark.operators import diff
+
+        old = spark.createDataFrame([(1, "a\x1fb", "c")], ["k", "v1", "v2"])
+        new = spark.createDataFrame([(1, "a", "b\x1fc")], ["k", "v1", "v2"])
+        (row,) = diff.snapshot_diff(old, new, ("k",)).collect()
+        assert row["status"] == "changed"
+        old2 = spark.createDataFrame([(1, "\x00")], "k INT, v STRING")
+        new2 = spark.createDataFrame([(1, None)], "k INT, v STRING")
+        (row2,) = diff.snapshot_diff(old2, new2, ("k",)).collect()
+        assert row2["status"] == "changed"
+
+    def test_null_key_matches_null_key(self, spark):
+        """A NULL key component is a key like any other: identical
+        snapshots must reconcile as unchanged, not added+removed."""
+        from uc_historic_data_importer_spark.operators import diff
+
+        old = spark.createDataFrame([(None, "v"), (1, "w")], "k INT, v STRING")
+        new = spark.createDataFrame([(None, "v"), (1, "w")], "k INT, v STRING")
+        got = sorted(
+            (
+                (r["k"], r["status"])
+                for r in diff.snapshot_diff(old, new, ("k",)).collect()
+            ),
+            key=str,
+        )
+        assert sorted(got, key=str) == sorted(
+            [(1, "unchanged"), (None, "unchanged")], key=str
+        )
+
+    def test_column_reorder_is_a_noop_and_schema_drift_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import diff
+
+        old = spark.createDataFrame([(1, "a", "b")], ["k", "v1", "v2"])
+        reordered = old.select("k", "v2", "v1")  # same data, new order
+        got = {r["k"]: r["status"]
+               for r in diff.snapshot_diff(old, reordered, ("k",)).collect()}
+        assert got == {1: "unchanged"}
+        import pytest as _pytest
+
+        extra = old.withColumn("v3", F.lit("x"))
+        with _pytest.raises(ValueError, match="schemas differ"):
+            diff.snapshot_diff(old, extra, ("k",))
 
 
 class TestPacking:
@@ -1323,6 +1403,25 @@ class TestAudit:
         got = [r["fk"] for r in
                audit.referential_orphans(child, parent, "fk", "pk").collect()]
         assert got == [9]
+
+    def test_null_fk_satisfies_the_constraint(self, spark):
+        """SQL FK semantics: a NULL foreign key references nothing and
+        passes — it must not be flagged as an orphan (the r8 review
+        found the unfiltered anti join failed every NULL-FK row)."""
+        from uc_historic_data_importer_spark.operators import audit
+
+        child = spark.createDataFrame([("a",), (None,), ("z",)], "fk string")
+        parent = spark.createDataFrame([("a",), ("b",)], "pk string")
+        got = [r["fk"] for r in
+               audit.referential_orphans(child, parent, "fk", "pk").collect()]
+        assert got == ["z"]
+
+    def test_row_count_constraint_name_rejected(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="row_count"):
+            audit.constraint_audit(df, {"row_count": F.col("id") > 0})
 
 
 class TestPqRecall:

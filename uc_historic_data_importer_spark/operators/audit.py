@@ -27,7 +27,15 @@ def constraint_audit(df: DataFrame, constraints: Mapping[str, Column]) -> DataFr
     ``constraints`` maps name -> predicate that GOOD rows satisfy; NULL
     predicate results count as violations (a null check result means the
     check could not pass). All counts come from one aggregate over one
-    scan — adding a constraint never adds a pass."""
+    scan — adding a constraint never adds a pass. A constraint named
+    ``row_count`` is rejected: it would emit a duplicate output column
+    and `row[name]` would silently read the total instead of the
+    violation count — a gate passing vacuously."""
+    if "row_count" in constraints:
+        raise ValueError(
+            "constraint name 'row_count' collides with the total-count "
+            "output column; rename the constraint"
+        )
     aggs = [F.count(F.lit(1)).alias("row_count")]
     for name, pred in constraints.items():
         aggs.append(
@@ -81,10 +89,16 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
 def referential_orphans(
     child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
 ) -> DataFrame:
-    """Child rows whose key has no parent — foreign-key audit as a
-    left_anti join (same scale shape as the F4 exists filter; bloom-
-    prefilter via operators/bloom.py when the parent side is huge)."""
-    return child.join(
+    """Child rows whose NON-NULL key has no parent — foreign-key audit
+    as a left_anti join (same scale shape as the F4 exists filter;
+    bloom-prefilter via operators/bloom.py when the parent side is
+    huge). SQL FK semantics: a NULL foreign key SATISFIES the
+    constraint (there is nothing to reference), so NULL-keyed child
+    rows are excluded up front — an unfiltered anti join would flag
+    every one of them, failing the audit gate on legitimately nullable
+    FKs. Audit NULL keys separately with constraint_audit
+    (`col.isNotNull()`) when the column is supposed to be mandatory."""
+    return child.filter(F.col(child_key).isNotNull()).join(
         parent.select(F.col(parent_key).alias(child_key)).distinct(),
         on=child_key,
         how="left_anti",

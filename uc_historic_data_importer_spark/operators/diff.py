@@ -14,18 +14,45 @@ without any exchange at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _keyed_hash(df: DataFrame, key_cols: tuple[str, ...], side: str) -> DataFrame:
-    value_cols = [c for c in df.columns if c not in key_cols]
-    # md5 over the concatenated values: engine-portable (oracle mirrors
-    # it); unit separator avoids ("ab","c")==("a","bc") ambiguity, and a
-    # null sentinel keeps NULL != '' distinctions
-    payload = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in value_cols]
+def _encoded_value(c: str) -> Column:
+    """Collision-free string encoding of one value for the row hash:
+    ``n`` for NULL, else ``<char-length>:<value>``. The length prefix
+    makes the concatenation a prefix code — a value CONTAINING the
+    separator (or equal to any sentinel) can no longer collide with a
+    different row that concatenates to the same bytes (the r8 review's
+    in-band-separator finding: ('a\\x1fb','c') vs ('a','b\\x1fc') hashed
+    identically under plain concat_ws). 'n' is unambiguous because every
+    non-NULL encoding starts with a digit."""
+    s = F.col(c).cast("string")
+    return F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.length(s).cast("string"), F.lit(":"), s)
     )
+
+
+def encoded_value_sql(expr: str) -> str:
+    """DuckDB expression mirroring ``_encoded_value`` (oracle parity)."""
+    v = f"CAST(({expr}) AS VARCHAR)"
+    return (
+        f"CASE WHEN {v} IS NULL THEN 'n' "
+        f"ELSE CAST(length({v}) AS VARCHAR) || ':' || {v} END"
+    )
+
+
+def _keyed_hash(
+    df: DataFrame, key_cols: tuple[str, ...], side: str, value_cols: list[str]
+) -> DataFrame:
+    # md5 over the length-prefixed value encodings: engine-portable (the
+    # oracle mirrors encoded_value_sql). value_cols comes from the
+    # CALLER in one fixed order — deriving it from each side's own
+    # df.columns would flag every key 'changed' after a harmless column
+    # reorder
+    payload = F.concat_ws("\x1f", *[_encoded_value(c) for c in value_cols])
     return df.select(*key_cols, F.md5(payload).alias(f"hash_{side}"))
 
 
@@ -38,17 +65,40 @@ def snapshot_diff(
 
     Returns (key_cols..., status) with status in
     {'added', 'removed', 'changed', 'unchanged'}.
-    """
-    o = _keyed_hash(old, key_cols, "old")
-    n = _keyed_hash(new, key_cols, "new")
-    joined = o.join(n, list(key_cols), "full_outer")
+
+    Value columns are hashed in OLD's column order on both sides (a
+    column reorder between snapshots is a no-op, not a 100%-changed
+    report); a genuine schema difference raises instead of silently
+    mis-hashing. The key join is null-safe: a NULL key component is a
+    key like any other — a plain equi-join would double-report the same
+    (NULL-keyed) row as added AND removed, a false reconciliation
+    failure on byte-identical snapshots."""
+    value_cols = [c for c in old.columns if c not in key_cols]
+    if set(new.columns) != set(old.columns):
+        raise ValueError(
+            "snapshot schemas differ: "
+            f"old-only={sorted(set(old.columns) - set(new.columns))}, "
+            f"new-only={sorted(set(new.columns) - set(old.columns))}"
+        )
+    o = _keyed_hash(old, key_cols, "old", value_cols)
+    n = _keyed_hash(new, key_cols, "new", value_cols)
+    for k in key_cols:
+        n = n.withColumnRenamed(k, f"_new_{k}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [o[k].eqNullSafe(n[f"_new_{k}"]) for k in key_cols],
+    )
+    joined = o.join(n, cond, "full_outer")
     status = (
         F.when(F.col("hash_old").isNull(), F.lit("added"))
         .when(F.col("hash_new").isNull(), F.lit("removed"))
         .when(F.col("hash_old") == F.col("hash_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
-    return joined.select(*key_cols, status.alias("status"))
+    keys_out = [
+        F.coalesce(o[k], n[f"_new_{k}"]).alias(k) for k in key_cols
+    ]
+    return joined.select(*keys_out, status.alias("status"))
 
 
 def snapshot_diff_summary(

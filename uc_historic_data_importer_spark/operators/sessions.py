@@ -36,7 +36,16 @@ def sessionize(
 
     A session starts at the first event of a key and whenever
     ts - prev_ts > gap_ms. Ordering ties break on `order_col` so the
-    assignment is deterministic."""
+    assignment is deterministic.
+
+    NULL-timestamp events are EXCLUDED (dropped from the output): a
+    gap has no meaning against an unknown time. Left in, NULLs sort
+    first and the `prev IS NULL` first-event test fires for every row
+    adjacent to one — each NULL fragments into its own singleton
+    session and the first real event always opens a fresh session
+    regardless of gap, silently inflating session counts on dirty
+    data. Route NULL-ts events through a timestamp-repair pass (or
+    constraint_audit them) if they must not be dropped silently."""
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     ts_ms = F.unix_millis(F.col(ts_col))
     prev = F.lag(ts_ms).over(w)
@@ -44,7 +53,7 @@ def sessionize(
         prev.isNull() | ((ts_ms - prev) > F.lit(gap_ms)), F.lit(1)
     ).otherwise(F.lit(0))
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return events.withColumn(
+    return events.filter(F.col(ts_col).isNotNull()).withColumn(
         "session_idx", F.sum(new_flag).over(running).cast("int")
     )
 
@@ -92,7 +101,15 @@ def funnel_counts(
     Plan shape: partitionBy-only windows need a hash exchange but NO
     sort, and all i levels share the one exchange on the key; the final
     count is a scalar agg. Per-key state is i timestamps — skew-proof.
-    """
+
+    ``steps`` must be non-empty and name each step once: a repeated
+    name would alias two output columns identically (the later count
+    unreadable through row[name]); model a revisit funnel with distinct
+    labels mapped to the same event type upstream."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate step names in {steps!r}")
     w = Window.partitionBy(key_col)
     df = events.withColumn("_ts", F.unix_millis(F.col(ts_col)))
     prev = None

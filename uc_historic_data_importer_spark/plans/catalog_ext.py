@@ -971,24 +971,25 @@ def media_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from uc_historic_data_importer_spark.operators.diff import encoded_value_sql as _enc_sql  # noqa: E402
+
+
 @register(
     "snapshot_diff_orders",
-    """
+    f"""
     WITH old AS (
       SELECT o_orderkey,
              md5(concat_ws(chr(31),
-                 coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
-                 coalesce(CAST(round(o_totalprice, 2) AS VARCHAR), chr(0))))
+                 {_enc_sql("o_orderstatus")},
+                 {_enc_sql("round(o_totalprice, 2)")}))
                AS hash_old
       FROM orders WHERE o_orderkey % 7 <> 0
     ),
     new AS (
       SELECT o_orderkey,
              md5(concat_ws(chr(31),
-                 coalesce(CAST(CASE WHEN o_orderkey % 11 = 0 THEN 'X'
-                                    ELSE o_orderstatus END AS VARCHAR),
-                          chr(0)),
-                 coalesce(CAST(round(o_totalprice, 2) AS VARCHAR), chr(0))))
+                 {_enc_sql("CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END")},
+                 {_enc_sql("round(o_totalprice, 2)")}))
                AS hash_new
       FROM orders
     )
@@ -997,7 +998,8 @@ def media_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN hash_old = hash_new THEN 'unchanged'
                 ELSE 'changed' END AS status,
            count(*) AS n_keys
-    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    FROM old FULL OUTER JOIN new
+      ON old.o_orderkey IS NOT DISTINCT FROM new.o_orderkey
     GROUP BY 1
     """,
     doc="snapshot reconciliation (operators/diff.py): per-key "
