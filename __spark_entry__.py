@@ -422,6 +422,15 @@ _R07_RECORDED = frozenset(
 #   - audit_orders_constraints: constraint_audit rejects the
 #     'row_count' constraint-name collision (behavior-neutral for
 #     valid names; touched code).
+#   - bloom_anti_join_lineitem: _check_params rejects m < one word
+#     (was silent total data loss) + derived word-layout constants
+#     (behavior-neutral for valid m; touched code).
+#   - range_join_error_after_click: interval_join rejects reserved
+#     temp-name / _r-suffix collisions (behavior-neutral for clean
+#     schemas; touched code).
+#   - scd2_user_intervals: scd2_intervals quotes column references
+#     (_qcol — dotted names resolve as flat columns; plan-identical
+#     for plain names; touched code).
 _R08_MODIFIED_SINCE_RECORD = (
     "media_jpeg_decode",
     "substring_dup_spans",
@@ -435,22 +444,28 @@ _R08_MODIFIED_SINCE_RECORD = (
     "event_sessionization",
     "funnel_view_click_purchase",
     "audit_orders_constraints",
+    "bloom_anti_join_lineitem",
+    "range_join_error_after_click",
+    "scd2_user_intervals",
 )
 
 
 # Round-9 handoff: round 8's window = 1 round-8 addition
-# (streaming_broadcast_enrich) + the 12-query modified block above
-# (two r04s, two r05s, five r06s, three r07s by latest record) + the
-# other 10 r04s + the 27 oldest remaining r05s = 50 (verified by
+# (streaming_broadcast_enrich) + the 15-query modified block above
+# (two r04s, two r05s, five r06s, six r07s by latest record) + the
+# other 10 r04s + the 24 oldest remaining r05s = 50 (verified by
 # enumeration against the ordering: window latest-record distribution
-# {r04: 12, r05: 29, r06: 5, r07: 3, new: 1}). TWELVE r05-latest
-# queries slip to round 9 (semi_join_discounted, set_ops_customers,
+# {r04: 12, r05: 26, r06: 5, r07: 6, new: 1}). FIFTEEN r05-latest
+# queries slip to round 9 (ann_pq_rerank, media_wav_features,
+# brand_revenue, semi_join_discounted, set_ops_customers,
 # rollup_pricing, scalar_string_functions, window_running_totals,
 # percentile_prices, pivot_order_status, rolling_window_revenue,
 # stat_aggregates_events, null_safe_join_events, grouping_sets_pricing,
 # user_retention_cohorts — each re-verified every round by
-# tests/test_oracle_regression.py); they sort first in round 9, and
-# after r09's rotation no query's latest record should predate r06.
+# tests/test_oracle_regression.py); they sort first in round 9. The
+# block grew because three review batches fixed 20 findings across
+# eleven operator modules and every touched call path re-records per
+# the doctrine — the staleness rotation resumes its pace in r9.
 
 
 def _ordered_queries():

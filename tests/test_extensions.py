@@ -3510,3 +3510,57 @@ class TestSegmentCleanMembershipDispatch:
 
         with pytest.raises(ValueError, match="membership"):
             T.segment_clean_docs(self._docs(spark), self.BP, membership="bloom")
+
+
+class TestRound8Guards:
+    """Pins for the round-8 third review batch (report-only findings,
+    fixed same round): bloom m-below-one-word guard, dotted-column
+    quoting in the window/SCD2 latest forms, interval_join reserved
+    names."""
+
+    def test_bloom_m_below_one_word_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import bloom
+
+        records = spark.createDataFrame([(1,)], "k long")
+        existing = spark.createDataFrame([(2,)], "k long")
+        with pytest.raises(ValueError, match="one word"):
+            bloom.bloom_anti_join(records, existing, "k", m=16, k=3)
+
+    def test_latest_window_and_scd2_handle_dotted_columns(self, spark):
+        from uc_historic_data_importer_spark.operators.latest import (
+            latest_per_key_window,
+            scd2_intervals,
+        )
+
+        df = spark.createDataFrame(
+            [("t", "k", 1, "old"), ("t", "k", 2, "new")],
+            ["table", "key_hex", "version", "payload.v1"],
+        )
+        out = latest_per_key_window(
+            df, tiebreak_cols=("payload.v1",)
+        ).collect()
+        assert len(out) == 1 and out[0]["payload.v1"] == "new"
+        iv = {r["version"]: (r["valid_to"], r["is_current"])
+              for r in scd2_intervals(df).collect()}
+        assert iv == {1: (2, False), 2: (None, True)}
+
+    def test_interval_join_reserved_names_raise(self, spark):
+        from uc_historic_data_importer_spark.operators.range_join import (
+            interval_join,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "2021-01-01T10:00:00")], ["user_id", "ts_str"]
+        ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+        with pytest.raises(ValueError, match="internal temp names"):
+            interval_join(
+                base.withColumn("_bucket", F.lit(1)), base,
+                "ts", "ts", 0, 1000,
+            )
+        # left already holds val_r while right's val needs the suffix
+        with pytest.raises(ValueError, match="rename one side"):
+            interval_join(
+                base.withColumn("val", F.lit(1)).withColumn("val_r", F.lit(2)),
+                base.withColumn("val", F.lit(3)),
+                "ts", "ts", 0, 1000,
+            )

@@ -109,7 +109,17 @@ def parse_hdi_timestamp_col(col: Column) -> Column:
     coalesce(to_timestamp(f1), to_timestamp(f2)) under UTC session TZ —
     the Spark-native twin of parse_hdi_timestamp_millis for columns that
     are known to hold plain timestamp strings.
-    """
+
+    STRICTER than the Python twin on the fraction: Spark's CORRECTED
+    parser requires exactly three fraction digits ('SSS'), while
+    parse_hdi_timestamp_millis accepts 1-6 digits as an integer
+    millisecond count (SimpleDateFormat-lenient, the reference's
+    behavior — '.5' means 5 ms and '.123456' rolls 123.456 s into the
+    seconds). Inputs with non-3-digit fractions parse to NULL here but
+    to a value there. The PIPELINE always goes through the Python twin
+    (normalize_records), so the divergence cannot split versions
+    in-pipeline; use this column form only for strictly
+    3-digit-fraction data, or pre-normalize the fraction."""
     return F.coalesce(
         F.to_timestamp(col, SPARK_FMT_Z_LITERAL),
         F.to_timestamp(col, SPARK_FMT_OFFSET),

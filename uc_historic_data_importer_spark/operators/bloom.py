@@ -60,6 +60,13 @@ def _check_params(k: int, m: int) -> int:
     bits = (m - 1).bit_length()
     if m != 1 << bits:
         raise ValueError("bloom m (bits) must be a power of two")
+    if m < WORD_BITS:
+        # m below one word makes the dense table EMPTY (m // WORD_BITS
+        # == 0): the probe of an empty bitmap literal evaluates NULL, so
+        # BOTH branch filters drop every row — silent total data loss,
+        # the exact mode the residual-join guard exists to prevent (and
+        # bloom_build would IndexError on any non-empty snapshot first)
+        raise ValueError(f"bloom m must be >= {WORD_BITS} (one word)")
     if k * bits > HASH_BITS:
         raise ValueError("k * log2(m) exceeds the 64-bit hash")
     return bits
@@ -90,7 +97,9 @@ def bloom_build(
     words = (
         existing.select(pos)
         .select(
-            F.shiftright(F.col("pos"), 5).alias("word_idx"),
+            # log2(WORD_BITS) derived, not a magic 5: a future word-size
+            # change must move build and probe addressing TOGETHER
+            F.shiftright(F.col("pos"), WORD_BITS.bit_length() - 1).alias("word_idx"),
             # python-side shiftleft only takes a literal shift; the SQL
             # builtin accepts a column
             F.call_function(
@@ -113,7 +122,10 @@ def pack_bitmap(words: list[int]) -> bytes:
     """Little-endian byte packing: global bit b lives at byte b//8,
     in-byte position b%8 — so a 32-bit word's bits land contiguously."""
     # words arrive as signed 32-bit ints (bit 31 = sign bit in the agg)
-    return b"".join((w & 0xFFFFFFFF).to_bytes(4, "little") for w in words)
+    mask = (1 << WORD_BITS) - 1
+    return b"".join(
+        (w & mask).to_bytes(WORD_BITS // 8, "little") for w in words
+    )
 
 
 def maybe_contains(
@@ -224,6 +236,14 @@ def bloom_anti_join(
     (Bloom filters have no false negatives): definitely-new rows pass
     map-side; only maybe-existing rows (true hits + ~(1-e^{-kn/m})^k
     false positives) reach the shuffle for the exact check.
+
+    DETERMINISM PRECONDITION: the two output branches are independent
+    scans of ``records`` — a NON-deterministic records plan (sample(),
+    rand()-derived columns, a directory mutating between scans) can
+    lose or duplicate rows across the branches, which a single-scan
+    left_anti cannot. Persist ``records`` first (or pass a
+    deterministic plan) when that applies; the pipeline's caller does
+    (the F4 path probes the persisted normalized frame).
 
     Cost honesty: the two filter branches are independent subtrees
     under the union, so an UNCACHED records input is SCANNED TWICE.

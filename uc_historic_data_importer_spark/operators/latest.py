@@ -66,9 +66,11 @@ def latest_per_key_window(
     """row_number() formulation returning entire rows.
 
     Deterministic when tiebreak_cols are provided; AQE handles key skew
-    (not expected here thanks to the CRC prefix)."""
-    order = [F.col(version_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
-    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    (not expected here thanks to the CRC prefix). Column references are
+    backtick-quoted (_qcol) like latest_per_key's: a bare F.col would
+    parse a name containing '.' as nested-field access."""
+    order = [_qcol(version_col).desc()] + [_qcol(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[_qcol(c) for c in key_cols]).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -104,16 +106,20 @@ def scd2_intervals(
     never match and marks an arbitrary duplicate is_current.
     """
     payload = [c for c in df.columns if c not in key_cols and c != version_col]
+    # _qcol throughout: dotted/backticked column names must resolve as
+    # flat columns here exactly as they do in latest_per_key
     dup_w = Window.partitionBy(
-        *key_cols, version_col
-    ).orderBy(*([F.col(c).desc() for c in payload] or [F.lit(1)]))
+        *[_qcol(c) for c in key_cols], _qcol(version_col)
+    ).orderBy(*([_qcol(c).desc() for c in payload] or [F.lit(1)]))
     d = (
         df.withColumn("_dup", F.row_number().over(dup_w))
         .filter(F.col("_dup") == 1)
         .drop("_dup")
     )
-    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).asc())
-    nxt = F.lead(F.col(version_col)).over(w)
+    w = Window.partitionBy(*[_qcol(c) for c in key_cols]).orderBy(
+        _qcol(version_col).asc()
+    )
+    nxt = F.lead(_qcol(version_col)).over(w)
     return d.withColumn(
         "valid_to",
         F.coalesce(nxt, F.lit(open_end).cast("long")),

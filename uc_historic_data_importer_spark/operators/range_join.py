@@ -45,9 +45,23 @@ def interval_join(
     Output columns: left columns, then right columns; ambiguous names on
     the right are suffixed `_r`. `equi_keys` must exist on both sides and
     join by equality (they keep their unsuffixed name once).
+
+    Reserved names: inputs may not carry the internal temp columns
+    (`_ms_l`, `_ms_r`, `_bucket`) — withColumn would overwrite them and
+    the final drop would silently remove the USER's column — nor may the
+    left side already hold `<c>_r` for an overlapping right column `c`
+    (the rename would create the same name on both sides and any later
+    select of it would be ambiguous). Both collisions raise up front.
     """
     if upper_ms < lower_ms:
         raise ValueError("upper_ms must be >= lower_ms")
+    reserved = {"_ms_l", "_ms_r", "_bucket"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with interval_join's "
+            "internal temp names; rename them first"
+        )
     # explicit validation, not a falsy `or`: bucket_width_ms=0 would
     # silently fall back to the default width (coarser pruning than the
     # caller asked for) and a negative width would explode descending
@@ -65,6 +79,12 @@ def interval_join(
     r_ms = F.unix_millis(F.col(right_ts))
 
     overlap = [c for c in right.columns if c in left.columns and c not in keys]
+    suffix_clash = [c for c in overlap if f"{c}_r" in left.columns]
+    if suffix_clash:
+        raise ValueError(
+            f"left already has {[c + '_r' for c in suffix_clash]} while the "
+            f"right columns {suffix_clash} need that suffix; rename one side"
+        )
     r = right
     for c in overlap:
         r = r.withColumnRenamed(c, f"{c}_r")
