@@ -450,44 +450,98 @@ _R08_MODIFIED_SINCE_RECORD = (
 )
 
 
-# Round-9 handoff: round 8's window = 1 round-8 addition
-# (streaming_broadcast_enrich) + the 15-query modified block above
-# (two r04s, two r05s, five r06s, six r07s by latest record) + the
-# other 10 r04s + the 24 oldest remaining r05s = 50 (verified by
-# enumeration against the ordering: window latest-record distribution
-# {r04: 12, r05: 26, r06: 5, r07: 6, new: 1}). FIFTEEN r05-latest
-# queries slip to round 9 (ann_pq_rerank, media_wav_features,
-# brand_revenue, semi_join_discounted, set_ops_customers,
-# rollup_pricing, scalar_string_functions, window_running_totals,
-# percentile_prices, pivot_order_status, rolling_window_revenue,
-# stat_aggregates_events, null_safe_join_events, grouping_sets_pricing,
-# user_retention_cohorts — each re-verified every round by
-# tests/test_oracle_regression.py); they sort first in round 9. The
-# block grew because three review batches fixed 20 findings across
-# eleven operator modules and every touched call path re-records per
-# the doctrine — the staleness rotation resumes its pace in r9.
+# Round-8's driver record, verified == CORRECTNESS_r08.json key set:
+# the 1 round-8 addition (streaming_broadcast_enrich), the 15-query
+# modified block, and the 34 stalest remaining queries, exactly as the
+# r8 handoff predicted.
+_R08_RECORDED = frozenset(
+    {
+        "ann_ivfpq_topk", "ann_pq_topk", "audit_orders_constraints",
+        "bloom_anti_join_lineitem", "boilerplate_segments",
+        "cms_heavy_hitters", "corpus_curation", "cube_pricing",
+        "curation_funnel_report", "curriculum_order_documents",
+        "customer_spend_segments", "dedup_apply",
+        "dedup_components_star", "dedup_ngram_jaccard",
+        "embedding_label_centroids", "embedding_norms",
+        "event_sessionization", "funnel_view_click_purchase",
+        "fuzzy_match_documents", "hist_quantile_prices",
+        "hll_incremental_daily", "jaccard_dropped_shingles",
+        "kmv_distinct_users", "media_feature_extract",
+        "media_jpeg_decode", "media_mp4_meta", "media_perceptual_keys",
+        "minhash_jaccard_estimate", "mixture_sample_documents",
+        "pack_sequences", "range_join_error_after_click",
+        "resample_daily_fill", "scd2_user_intervals",
+        "semantic_decontamination_lsh", "snapshot_diff_orders",
+        "split_assign_documents", "split_decontamination",
+        "stratified_kfold_assign", "stratified_sample_documents",
+        "streaming_broadcast_enrich", "streaming_gap_sessions",
+        "substring_dedup_apply", "substring_dup_spans",
+        "temperature_mixture_sample", "text_tfidf_top_terms",
+        "token_budget_sample_documents", "token_ngram_topk",
+        "unigram_logprob_quality", "weighted_sample_documents",
+        "winnowing_fingerprints",
+    }
+)
+
+
+# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed in round 9
+# after their most recent driver record (README "Re-record doctrine":
+# touched call-path => same-commit modified-block entry). Grows within
+# the round as code is touched; front-loaded behind the 15 slipped
+# r05-latest queries, which the r8 verdict pins as sorting FIRST.
+_R09_MODIFIED_SINCE_RECORD = (
+    "streaming_latest_per_key",
+    "streaming_windowed_counts",
+    "streaming_interval_join",
+    "streaming_cdc_snapshot",
+    "streaming_gap_sessions",
+    "streaming_broadcast_enrich",
+    "temperature_mixture_sample",
+)
+
+
+# Round-9 rotation plan: (a) the 15 r05-latest queries that slipped past
+# round 8's window sort first (verdict prescription #1): ann_pq_rerank,
+# media_wav_features, brand_revenue, semi_join_discounted,
+# set_ops_customers, rollup_pricing, scalar_string_functions,
+# window_running_totals, percentile_prices, pivot_order_status,
+# rolling_window_revenue, stat_aggregates_events, null_safe_join_events,
+# grouping_sets_pricing, user_retention_cohorts; then (b) any round-9
+# additions (never recorded); then (c) the round-9 modified block; then
+# (d) plain staleness (r05 -> r06 -> r07 -> r08). Target invariant after
+# this round: no query's latest record predates r06.
+_R09_SLIPPED_R05 = (
+    "ann_pq_rerank", "media_wav_features", "brand_revenue",
+    "semi_join_discounted", "set_ops_customers", "rollup_pricing",
+    "scalar_string_functions", "window_running_totals",
+    "percentile_prices", "pivot_order_status", "rolling_window_revenue",
+    "stat_aggregates_events", "null_safe_join_events",
+    "grouping_sets_pricing", "user_retention_cohorts",
+)
 
 
 def _ordered_queries():
-    """Round-8 ordering: (a) never-recorded queries first (registration
-    order — each new round-8 query gets a driver row immediately), (b)
-    queries modified since their most recent driver record
-    (_R08_MODIFIED_SINCE_RECORD — a stale green row on changed semantics
-    must be refreshed before plain staleness rotation; media_jpeg_decode
-    front-loaded per the r7 verdict), (c) previously recorded queries
-    stalest-first (most recent driver row r04, then r05, ...). Every
-    query pushed past index 50 already has a green driver row in the
-    r01..r07 union and is re-verified each round by
+    """Round-9 ordering: (a) the 15 r05-latest queries that slipped past
+    round 8's 50-query window (verdict prescription — they must re-record
+    this round so no latest record predates r06), (b) never-recorded
+    queries (registration order — each new round-9 query gets a driver
+    row immediately), (c) queries modified since their most recent
+    driver record (_R09_MODIFIED_SINCE_RECORD), (d) previously recorded
+    queries stalest-first (most recent driver row r05, then r06, ...).
+    Every query pushed past index 50 already has a green driver row in
+    the r01..r08 union and is re-verified each round by
     tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    modified_rank = {n: i for i, n in enumerate(_R08_MODIFIED_SINCE_RECORD)}
+    slipped_rank = {n: i for i, n in enumerate(_R09_SLIPPED_R05)}
+    modified_rank = {n: i for i, n in enumerate(_R09_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (8, _R08_RECORDED),
             (7, _R07_RECORDED),
             (6, _R06_RECORDED),
             (5, _R05_RECORDED),
@@ -501,11 +555,13 @@ def _ordered_queries():
         return None  # fresh — front of the line
 
     def sort_key(name):
+        if name in slipped_rank:
+            return (0, slipped_rank[name], reg_index[name])
         if last_recorded(name) is None:
-            return (0, 0, reg_index[name])
+            return (1, 0, reg_index[name])
         if name in modified_rank:
-            return (1, modified_rank[name], reg_index[name])
-        return (2, last_recorded(name), reg_index[name])
+            return (2, modified_rank[name], reg_index[name])
+        return (3, last_recorded(name), reg_index[name])
 
     order = sorted(QUERIES, key=sort_key)
     return [(n, QUERIES[n]) for n in order]

