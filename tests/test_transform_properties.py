@@ -133,3 +133,71 @@ def test_orjson_fast_path_equals_stdlib(body, id_obj):
     finally:
         tr.orjson = saved
     assert fast == slow
+
+
+# ---------------------------------------------------------------------------
+# Catalyst/Python timestamp-parse parity (r8 verdict prescription #3):
+# parse_hdi_timestamp_col must agree with parse_hdi_timestamp_millis on
+# EVERY input — including the SimpleDateFormat-lenient 1-6-digit integer
+# millisecond fraction ('.5' = 5 ms, '.123456' rolls into seconds) and
+# every rejection mode. One Spark job per hypothesis example, a batch of
+# candidate strings per job.
+
+_ts_fraction = st.integers(min_value=1, max_value=6).flatmap(
+    lambda n: st.text(alphabet="0123456789", min_size=n, max_size=n)
+)
+_ts_zone = st.one_of(
+    st.just("Z"),
+    st.tuples(
+        st.sampled_from("+-"),
+        st.integers(min_value=0, max_value=23),
+        st.integers(min_value=0, max_value=59),
+    ).map(lambda t: f"{t[0]}{t[1]:02d}{t[2]:02d}"),
+)
+# Deliberately over-wide field ranges: out-of-range months/days/hours
+# must be REJECTED identically by both engines (Python's range checks vs
+# Spark's CORRECTED parser).
+_ts_candidate = st.tuples(
+    st.integers(min_value=1970, max_value=2100),
+    st.integers(min_value=0, max_value=13),
+    st.integers(min_value=0, max_value=32),
+    st.integers(min_value=0, max_value=24),
+    st.integers(min_value=0, max_value=60),
+    st.integers(min_value=0, max_value=60),
+    _ts_fraction,
+    _ts_zone,
+).map(
+    lambda t: f"{t[0]:04d}-{t[1]:02d}-{t[2]:02d}T{t[3]:02d}:{t[4]:02d}:{t[5]:02d}.{t[6]}{t[7]}"
+)
+_ts_garbage = st.one_of(
+    st.text(max_size=30),
+    st.just(""),
+    st.just("2018-12-01T15:01:02Z"),            # no fraction -> reject
+    st.just("2018-12-01T15:01:02.1234567Z"),    # 7 digits -> reject
+    st.just(" 2018-12-01T15:01:02.5Z "),        # strip() leniency -> 5 ms
+    st.just("2018-12-01T15:01:02.123456+0530"),
+    st.just("2016-02-29T00:00:00.999999Z"),     # valid leap day
+    st.just("2015-02-29T00:00:00.1Z"),          # invalid leap day -> reject
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(batch=st.lists(st.one_of(_ts_candidate, _ts_garbage), min_size=1, max_size=24))
+def test_timestamp_col_matches_python_twin(spark, batch):
+    """Catalyst twin == Python twin, value for value and NULL for None."""
+    from pyspark.sql import functions as F
+
+    from uc_historic_data_importer_spark.functions.dates import (
+        hdi_timestamp_millis_col,
+        parse_hdi_timestamp_millis,
+    )
+
+    expected = [parse_hdi_timestamp_millis(s) for s in batch]
+    df = spark.createDataFrame([(s,) for s in batch], "ts string")
+    got = [
+        r["millis"]
+        for r in df.select(
+            hdi_timestamp_millis_col(F.col("ts")).alias("millis")
+        ).collect()
+    ]
+    assert got == expected, list(zip(batch, expected, got))

@@ -103,27 +103,55 @@ def millis_to_kafka(millis: int) -> str:
     )
 
 
+# Catalyst-side mirror of _TS_RE: group 1 = date-time stem, group 2 =
+# fraction digit run (1-6), group 3 = zone. Java regex syntax matches
+# Python's for this pattern.
+_TS_COL_PATTERN = (
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.(\d{1,6})(Z|[+-]\d{4})$"
+)
+
+
 def parse_hdi_timestamp_col(col: Column) -> Column:
     """Catalyst parse of the two accepted formats -> TimestampType.
 
-    coalesce(to_timestamp(f1), to_timestamp(f2)) under UTC session TZ —
-    the Spark-native twin of parse_hdi_timestamp_millis for columns that
-    are known to hold plain timestamp strings.
+    The Spark-native twin of parse_hdi_timestamp_millis, with the SAME
+    lenient fraction semantics (SimpleDateFormat 'SSS' leniency, the
+    reference's behavior — HBaseWriter.kt:598-600): the 1-6-digit
+    fraction run is an INTEGER millisecond count, so '.5' means 5 ms
+    and '.123456' rolls 123.456 s into the seconds. Implemented by
+    pre-normalization: split the string into stem/fraction/zone with
+    one regex, parse the fraction-less stem+zone with to_timestamp
+    (CORRECTED mode rejects rolled-over fields like month 13, matching
+    the Python twin's explicit range checks), and add the integer
+    millis back. Unparseable input -> NULL (the Python twin's None).
 
-    STRICTER than the Python twin on the fraction: Spark's CORRECTED
-    parser requires exactly three fraction digits ('SSS'), while
-    parse_hdi_timestamp_millis accepts 1-6 digits as an integer
-    millisecond count (SimpleDateFormat-lenient, the reference's
-    behavior — '.5' means 5 ms and '.123456' rolls 123.456 s into the
-    seconds). Inputs with non-3-digit fractions parse to NULL here but
-    to a value there. The PIPELINE always goes through the Python twin
-    (normalize_records), so the divergence cannot split versions
-    in-pipeline; use this column form only for strictly
-    3-digit-fraction data, or pre-normalize the fraction."""
-    return F.coalesce(
-        F.to_timestamp(col, SPARK_FMT_Z_LITERAL),
-        F.to_timestamp(col, SPARK_FMT_OFFSET),
+    Parity with parse_hdi_timestamp_millis is hypothesis-pinned
+    (tests/test_transform_properties.py). Requires a UTC session
+    timezone (prepare_session sets it)."""
+    s = F.trim(col)
+    # try_to_timestamp / the when-guarded casts keep ANSI mode (Spark 4
+    # default) from throwing on unparseable input — reject means NULL
+    # here, exactly the Python twin's None. The zone offset is computed
+    # arithmetically from the digit groups rather than parsed by
+    # java.time: SimpleDateFormat (and the Python twin) accept ANY
+    # hhmm digit pair (e.g. +1801, +9959) while java.time caps
+    # ZoneOffset at +-18:00.
+    matched = s.rlike(_TS_COL_PATTERN)
+    stem = F.regexp_extract(s, _TS_COL_PATTERN, 1)
+    zone = F.regexp_extract(s, _TS_COL_PATTERN, 3)
+    base = F.try_to_timestamp(stem, F.lit("yyyy-MM-dd'T'HH:mm:ss"))
+    offset_s = F.when(zone == "Z", F.lit(0).cast("long")).otherwise(
+        (
+            F.substring(zone, 2, 2).cast("long") * 3600
+            + F.substring(zone, 4, 2).cast("long") * 60
+        )
+        * F.when(F.substring(zone, 1, 1) == "-", -1).otherwise(1)
     )
+    frac_millis = F.regexp_extract(s, _TS_COL_PATTERN, 2).cast("long")
+    millis = F.when(
+        matched, F.unix_millis(base) - offset_s * 1000 + frac_millis
+    )
+    return F.timestamp_millis(millis)
 
 
 def hdi_timestamp_millis_col(col: Column) -> Column:

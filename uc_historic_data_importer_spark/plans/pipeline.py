@@ -163,6 +163,7 @@ def run(
     manifest_uploader=None,
     manifest_bucket: str = "",
     manifest_prefix: str = "",
+    collect_counts: bool = True,
 ) -> PipelineResult:
     """Materialize the sinks according to the run mode (W7).
 
@@ -172,16 +173,27 @@ def run(
 
     The normalized frame is persisted ONLY for the duration of this
     call: the sinks plus the F5 counts report are the consumers, the
-    counts rows (bounded — one per input file) are materialized here
-    and returned as a small local frame, and the cache is released in
-    a finally. Repeated run() calls therefore leave no cached frames
-    behind. Consequence: ``result.records``/``putable``/``manifest``
-    are still lazy plans — consuming them AFTER run() returns
-    re-executes the pipeline, and under ``encrypt=True`` that re-mints
-    the per-record random IVs, yielding ciphertext that DIFFERS from
-    what the sinks wrote. Derive post-run artifacts (e.g. an HFile
-    bulk-load layout) from the written KV store, or use
-    process_lines(persist=True) and own result.unpersist() yourself."""
+    counts rows (one per (db, collection, file)) are materialized here
+    while the cache is hot and returned as a small local frame, and the
+    cache is released in a finally. Repeated run() calls therefore
+    leave no cached frames behind. Consequence: ``result.records``/
+    ``putable``/``manifest`` are still lazy plans — consuming them
+    AFTER run() returns re-executes the pipeline, and under
+    ``encrypt=True`` that re-mints the per-record random IVs, yielding
+    ciphertext that DIFFERS from what the sinks wrote. Derive post-run
+    artifacts (e.g. an HFile bulk-load layout) from the written KV
+    store, or use process_lines(persist=True) and own
+    result.unpersist() yourself.
+
+    ``collect_counts=False`` skips the counts materialization (and its
+    driver round-trip) entirely for callers that never read the F5
+    report — e.g. benchmark or pure-import paths. Counts scale with the
+    FILE count, not the row count, but a 100 TB run over millions of
+    input files would still pull millions of rows through the driver on
+    every run() call; such callers should pass False and, if they later
+    need counts, aggregate ``result.counts`` themselves (it re-executes
+    the pipeline once — counts are IV-independent, so re-execution is
+    safe even under encrypt=True)."""
     # persist the normalized frame across the sink fan-out: run_mode
     # validation happens inside process_lines (fail-loud on typos)
     result = process_lines(lines, cfg, existing=existing, persist=True)
@@ -194,12 +206,13 @@ def run(
                 sinks.upload_manifests(
                     written, manifest_uploader, manifest_bucket, manifest_prefix
                 )
-        # the counts report is the last consumer of the cached frame:
-        # materialize it (bounded: one row per (db, collection, file))
-        # while the cache is still hot, hand back a driver-local frame
-        result.counts = spark.createDataFrame(
-            result.counts.collect(), schema=result.counts.schema
-        )
+        if collect_counts:
+            # the counts report is the last consumer of the cached
+            # frame: materialize it while the cache is still hot, hand
+            # back a driver-local frame
+            result.counts = spark.createDataFrame(
+                result.counts.collect(), schema=result.counts.schema
+            )
     finally:
         result.unpersist()
     return result
