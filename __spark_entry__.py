@@ -489,13 +489,16 @@ _R08_RECORDED = frozenset(
 # touched call-path => same-commit modified-block entry). Grows within
 # the round as code is touched; front-loaded behind the 15 slipped
 # r05-latest queries, which the r8 verdict pins as sorting FIRST.
+#   - temperature_mixture_sample: gained interval_join-style
+#     reserved-name guard for its internal temp columns (_dom/_thresh/
+#     _n) — behavior-neutral for clean schemas; touched code.
+# (r9 also changed run()'s counts materialization [no catalog query
+# calls run()], hbase_bulkload_layout's table= guard and
+# read_kv_stream_output's batch_id type [no catalog query calls
+# either — verified by grep], and parse_hdi_timestamp_col [zero
+# catalog callers]; none of those are on a recorded query's call
+# path, so no further block entries.)
 _R09_MODIFIED_SINCE_RECORD = (
-    "streaming_latest_per_key",
-    "streaming_windowed_counts",
-    "streaming_interval_join",
-    "streaming_cdc_snapshot",
-    "streaming_gap_sessions",
-    "streaming_broadcast_enrich",
     "temperature_mixture_sample",
 )
 

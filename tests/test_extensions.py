@@ -2634,6 +2634,26 @@ class TestRound5Operators:
         )
         assert oracle_ids == sorted(r["doc_id"] for r in out.collect())
 
+    def test_temperature_mixture_reserved_name_collision_raises(self, spark):
+        """An input frame already carrying an internal temp column
+        (_dom/_thresh/_n) must raise a clear ValueError up front, not an
+        opaque ambiguous-reference AnalysisException mid-plan (mirrors
+        interval_join's guard)."""
+        import pytest
+
+        from uc_historic_data_importer_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, "a", 0)], "doc_id long, source string, _dom int"
+        )
+        with pytest.raises(ValueError, match="_dom"):
+            sampling.temperature_mixture_sample(df, target_total=10)
+        df2 = spark.createDataFrame(
+            [(1, "a", 0)], "doc_id long, source string, _thresh int"
+        )
+        with pytest.raises(ValueError, match="_thresh"):
+            sampling.temperature_mixture_sample(df2, target_total=10)
+
     def test_kfold_balanced_within_stratum(self, spark):
         from uc_historic_data_importer_spark.operators import sampling
 

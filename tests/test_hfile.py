@@ -305,6 +305,43 @@ class TestSparkWriteHFiles:
         assert [r["table"] for r in ok] == ["t1"]
         assert ok[0]["_region_id"] == 0  # key below the single split
 
+    def test_declared_table_guards_dict_and_sampled_modes_too(self, spark):
+        """``table=`` was silently IGNORED when region_split_keys was a
+        dict or None (r8 advice): a caller passing table= for validation
+        got no single-table check at all. The guard now applies in every
+        mode as a lazy raise_error on the table column."""
+        from pyspark.sql import functions as F
+
+        kv = spark.createDataFrame(
+            [("t1", b"\x01", "01", 1, "b1"), ("t2", b"\x02", "02", 1, "b2")],
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        # sampled (None) mode: plan constructs lazily, violation at action
+        layout = sinks.hbase_bulkload_layout(kv, n_regions=2, table="t1")
+        with pytest.raises(Exception, match="holds table"):
+            layout.collect()
+        # dict mode: same
+        layout2 = sinks.hbase_bulkload_layout(
+            kv,
+            region_split_keys={"t1": [b"\x80"], "t2": [b"\x80"]},
+            table="t1",
+        )
+        with pytest.raises(Exception, match="holds table"):
+            layout2.collect()
+        # single-table frames flow through both modes
+        single = kv.filter(F.col("table") == "t1")
+        assert (
+            sinks.hbase_bulkload_layout(single, n_regions=1, table="t1").count()
+            == 1
+        )
+        assert (
+            sinks.hbase_bulkload_layout(
+                single, region_split_keys={"t1": [b"\x80"]}, table="t1"
+            ).count()
+            == 1
+        )
+
     def test_multi_table_layout_separates_directories(self, spark, tmp_path):
         """The kv model carries several HBase tables in one DataFrame;
         bulk load is per-table, so cells must land under their own

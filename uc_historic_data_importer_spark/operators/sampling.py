@@ -366,6 +366,18 @@ def temperature_mixture_sample(
     domain's rate through the denominator)."""
     if tau < 0:
         raise ValueError("tau must be >= 0")
+    # mirror interval_join's reserved-name guard: an input frame already
+    # carrying one of the internal temp columns would otherwise fail
+    # with an opaque ambiguous-reference AnalysisException (or worse,
+    # the final drop would remove the USER's column)
+    reserved = {"_dom", "_thresh", "_n"}
+    taken = reserved & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with "
+            "temperature_mixture_sample's internal temp names; rename "
+            "them first"
+        )
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
     denom = F.sum(F.pow(F.col("_n").cast("double"), F.lit(tau))).over(
         Window.partitionBy()

@@ -485,6 +485,28 @@ def hbase_bulkload_layout(
         F.col("envelope").alias("body"),
         F.col("table"),
     )
+    if table is not None:
+        # `table=` declares "this frame holds exactly this one table" in
+        # EVERY mode (previously it was silently ignored unless
+        # region_split_keys was a bare list): a lazy map-side
+        # raise_error branch on the table column itself — no eager
+        # probe, nothing executes at plan time, and every downstream
+        # consumer of `table` (partitioning, sort, write_hfiles dirs)
+        # flows through the guard.
+        cells = cells.withColumn(
+            "table",
+            F.when(F.col("table") == F.lit(table), F.col("table")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "hbase_bulkload_layout declared for table "
+                            f"{table!r} but frame holds table "
+                        ),
+                        F.col("table"),
+                    )
+                )
+            ),
+        )
     # `table` leads both the partitioning and the within-partition sort:
     # the kv model carries multiple HBase tables in one DataFrame, and a
     # bulk-load file must never mix tables (each table gets its own
@@ -534,22 +556,9 @@ def hbase_bulkload_layout(
         else:
             splits = sorted(region_split_keys)
             if table is not None:
-                # lazy single-table guard: a pure map-side raise_error
-                # branch — no eager probe, nothing executes at plan
-                # time. The preferred form at scale.
-                region_id = F.when(
-                    F.col("table") == F.lit(table), rid_for(splits)
-                ).otherwise(
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "bare region_split_keys declared for "
-                                f"table {table!r} but frame holds table "
-                            ),
-                            F.col("table"),
-                        )
-                    ).cast("int")
-                )
+                # single-table already guaranteed by the lazy table
+                # guard above (raise_error on any other table name)
+                region_id = rid_for(splits)
             else:
                 # no declared table: the single-table check needs an
                 # EAGER probe that executes the full (typically

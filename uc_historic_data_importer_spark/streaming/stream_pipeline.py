@@ -41,7 +41,7 @@ KV_STREAM_SCHEMA = T.StructType(
         T.StructField("key_hex", T.StringType()),
         T.StructField("version", T.LongType()),
         T.StructField("body", T.StringType()),
-        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("batch_id", T.LongType()),
         T.StructField("table", T.StringType()),
     ]
 )
@@ -311,7 +311,15 @@ def read_kv_stream_output(spark: SparkSession, kv_path: str) -> DataFrame:
         # whatever partial files a crash left behind
         return spark.createDataFrame([], schema=KV_STREAM_SCHEMA)
     df = spark.read.option("basePath", kv_path).parquet(kv_path)
-    return df.filter(F.col("batch_id").isin(complete))
+    # pin the discovered partition column to LongType: partition-value
+    # inference yields IntegerType until some batch_id exceeds int range
+    # and LongType after, so a very long-lived stream's read-back schema
+    # would otherwise drift from KV_STREAM_SCHEMA (and from its own
+    # earlier reads). The filter stays on the raw column (partition
+    # pruning), the cast applies after.
+    return df.filter(F.col("batch_id").isin(complete)).withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    )
 
 
 def run_to_kv_sink(
