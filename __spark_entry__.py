@@ -492,6 +492,21 @@ _R08_RECORDED = frozenset(
 #   - temperature_mixture_sample: gained interval_join-style
 #     reserved-name guard for its internal temp columns (_dom/_thresh/
 #     _n) — behavior-neutral for clean schemas; touched code.
+#   - salted_agg_counts / salted_distinct_users /
+#     salted_join_priority_revenue: skew.py gained the same reserved-
+#     name guard (_salt/_p_*/_n) — the unguarded withColumn SILENTLY
+#     OVERWROTE a user column named _salt (worst case: an aggs source
+#     col named _salt aggregated the salt itself). Behavior-neutral for
+#     clean schemas; touched code.
+#   - media_* (feature_extract, png_decode, jpeg_decode, frame_plan,
+#     wav_decode, wav_features, mp4_meta, perceptual_keys): the r9
+#     review found corrupt-but-signature-valid JPEGs could raise
+#     StopIteration (SOS naming an unknown component) or IndexError
+#     (truncated segment bodies) PAST the decode catch, killing the
+#     whole Spark task instead of yielding the stub/sentinel row —
+#     decode_jpeg now validates SOS/SOF bodies and _DECODE_ERRORS
+#     includes IndexError; frame/chunk plans validate step params at
+#     plan-build time. Value-identical for well-formed fixtures.
 # (r9 also changed run()'s counts materialization [no catalog query
 # calls run()], hbase_bulkload_layout's table= guard and
 # read_kv_stream_output's batch_id type [no catalog query calls
@@ -500,6 +515,17 @@ _R08_RECORDED = frozenset(
 # path, so no further block entries.)
 _R09_MODIFIED_SINCE_RECORD = (
     "temperature_mixture_sample",
+    "salted_agg_counts",
+    "salted_distinct_users",
+    "salted_join_priority_revenue",
+    "media_feature_extract",
+    "media_png_decode",
+    "media_jpeg_decode",
+    "media_frame_plan",
+    "media_wav_decode",
+    "media_wav_features",
+    "media_mp4_meta",
+    "media_perceptual_keys",
 )
 
 

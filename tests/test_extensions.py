@@ -237,6 +237,21 @@ class TestMultimodal:
         frames = multimodal.frame_sample_plan(media, every_n_seconds=5).collect()
         assert sorted(r["frame_ts_s"] for r in frames) == [0, 5, 10]
 
+    def test_plan_params_validated_at_build_time(self, media):
+        """r9 review: step 0 raised inside F.sequence MID-JOB (after
+        upstream stages already ran); a negative step planned descending
+        sequences. Both must fail at plan-build time with ValueError."""
+        import pytest
+
+        with pytest.raises(ValueError, match="every_n_seconds"):
+            multimodal.frame_sample_plan(media, every_n_seconds=0)
+        with pytest.raises(ValueError, match="every_n_seconds"):
+            multimodal.frame_sample_plan(media, every_n_seconds=-5)
+        with pytest.raises(ValueError, match="chunk_s"):
+            multimodal.audio_chunk_plan(media, chunk_s=0, overlap_s=-1)
+        with pytest.raises(ValueError, match="overlap_s"):
+            multimodal.audio_chunk_plan(media, chunk_s=30, overlap_s=-1)
+
     def test_audio_chunk_plan(self, spark):
         rows = [
             (10, "audio", bytearray(b"pcm"), "audio/wav",
@@ -362,6 +377,33 @@ class TestSkew:
         )
         out = {r["k"]: r["n_distinct_v"] for r in salted_distinct_count(df, ["k"], "v").collect()}
         assert out == {0: 123, 1: 123}
+
+    def test_reserved_temp_name_collisions_raise(self, spark):
+        """r9 review: the unguarded withColumn SILENTLY OVERWROTE a user
+        column named `_salt` (worst case an aggs source column named
+        _salt aggregated the salt itself). All three salted operators
+        must raise the interval_join-style ValueError up front."""
+        import pytest
+
+        from uc_historic_data_importer_spark.operators import skew
+
+        df = spark.createDataFrame([(1, 2, 3)], "k int, v int, _salt int")
+        with pytest.raises(ValueError, match="_salt"):
+            skew.salted_agg(df, ["k"], {"n": ("count", "sum", None)})
+        with pytest.raises(ValueError, match="_salt"):
+            skew.salted_distinct_count(df, ["k"], "v")
+        clean = spark.createDataFrame([(1, 2)], "k int, v int")
+        with pytest.raises(ValueError, match="_salt"):
+            skew.salted_join(clean, df, "k")
+        with pytest.raises(ValueError, match="_salt"):
+            skew.salted_join(df, clean, "k")
+        # the phase-1 partial names are reserved too
+        df2 = spark.createDataFrame([(1, 2)], "k int, _p_n int")
+        with pytest.raises(ValueError, match="_p_n"):
+            skew.salted_agg(df2, ["k"], {"n": ("count", "sum", None)})
+        df3 = spark.createDataFrame([(1, 2)], "k int, _n int")
+        with pytest.raises(ValueError, match="_n"):
+            skew.salted_distinct_count(df3, ["k"], "k")
 
 
 class TestRangeJoin:

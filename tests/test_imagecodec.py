@@ -462,6 +462,41 @@ class TestJpegCodec:
         with pytest.raises(ic.UnsupportedImageError):
             ic.decode_jpeg(p[: len(p) // 2])
 
+    def test_sos_unknown_component_rejected_not_stopiteration(self):
+        """r9 review: a SOS naming a component id absent from SOF raised
+        StopIteration out of next(...) — NOT a _DECODE_ERRORS member, so
+        one corrupt-but-signature-valid payload killed the whole Spark
+        task instead of falling back to the stub."""
+        import struct as st
+
+        p = bytearray(ic.encode_jpeg_gray(8, 8, bytes(64)))
+        # the SOS segment is ...FFDA <len=8> <ns=1> <cs=1> <tdta> ...;
+        # corrupt the component selector byte (cs 1 -> 9)
+        i = bytes(p).find(b"\xff\xda")
+        assert i > 0
+        p[i + 5] = 9
+        with pytest.raises(ic.UnsupportedImageError, match="unknown component"):
+            ic.decode_jpeg(bytes(p))
+
+    def test_truncated_sos_and_sof_bodies_rejected(self):
+        """Truncated segment bodies must raise UnsupportedImageError,
+        not IndexError, from byte-indexed parsing."""
+        import struct as st
+
+        # SOF0 with an empty body
+        short_sof = (
+            b"\xff\xd8" + b"\xff\xc0" + st.pack(">H", 2) + b"\xff\xd9"
+        )
+        with pytest.raises(ic.UnsupportedImageError):
+            ic.decode_jpeg(short_sof)
+        # valid SOF, then a SOS whose body is cut mid component list
+        p = bytearray(ic.encode_jpeg_gray(8, 8, bytes(64)))
+        i = bytes(p).find(b"\xff\xda")
+        # claim 2 scan components but provide bytes for one
+        p[i + 4] = 2
+        with pytest.raises(ic.UnsupportedImageError):
+            ic.decode_jpeg(bytes(p))
+
     def test_fill_bytes_before_markers_parse(self):
         # T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
         # marker; some encoders pad with them (round-5 advice)

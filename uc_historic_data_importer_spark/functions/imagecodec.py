@@ -828,6 +828,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 huffs[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1: sequential Huffman
+            if len(body) < 6:
+                raise UnsupportedImageError("truncated SOF segment")
             prec = body[0]
             if prec != 8:
                 raise UnsupportedImageError("non-8-bit precision")
@@ -850,12 +852,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if not comps or width == 0:
                 raise UnsupportedImageError("SOS before SOF")
+            if not body:
+                raise UnsupportedImageError("empty SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise UnsupportedImageError("truncated SOS segment")
             scan: list[tuple[int, _HuffTable, _HuffTable, list[int]]] = []
             for s in range(ns):
                 cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
                 td, ta = tdta >> 4, tdta & 15
-                comp = next(c for c in comps if c[0] == cs)
+                # explicit lookup, not next(...): a SOS naming a component
+                # absent from SOF would raise StopIteration, which is NOT
+                # a _DECODE_ERRORS member — one corrupt-but-signature-
+                # valid payload would kill the whole Spark task instead
+                # of falling back to the stub
+                matches = [c for c in comps if c[0] == cs]
+                if not matches:
+                    raise UnsupportedImageError(
+                        f"SOS references unknown component {cs}"
+                    )
+                comp = matches[0]
                 if (0, td) not in huffs or (1, ta) not in huffs:
                     raise UnsupportedImageError("missing Huffman table")
                 if comp[3] not in qts:

@@ -58,10 +58,12 @@ FEATURE_SCHEMA = T.StructType(
 
 # every error a corrupt-but-signature-valid payload can raise out of the
 # stdlib codecs: the Unsupported*Error classes subclass ValueError, but
-# zlib.error (bad IDAT deflate) and struct.error (short fixed-layout
-# reads) do NOT — a decode catch that misses them lets one corrupt row
-# kill the whole Spark task instead of yielding the sentinel/stub
-_DECODE_ERRORS = (ValueError, zlib.error, struct.error)
+# zlib.error (bad IDAT deflate), struct.error (short fixed-layout
+# reads) and IndexError (short variable-layout reads, e.g. a truncated
+# JPEG segment body indexed byte-by-byte) do NOT — a decode catch that
+# misses them lets one corrupt row kill the whole Spark task instead of
+# yielding the sentinel/stub
+_DECODE_ERRORS = (ValueError, zlib.error, struct.error, IndexError)
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
@@ -171,6 +173,11 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     (no rows emitted) rather than planned as zero-length work items
     (ADVICE r1); route them through a metadata-repair pass if they must
     not be dropped silently."""
+    # validate at plan-build time: step 0 would raise inside F.sequence
+    # MID-JOB (after upstream stages already ran), a negative step would
+    # plan descending sequences instead of erroring
+    if every_n_seconds < 1:
+        raise ValueError("every_n_seconds must be >= 1")
     # try_cast DOUBLE then floor, not try_cast INT: an int cast turns a
     # FRACTIONAL duration string ('12.5') into NULL and silently skips
     # media with valid positive duration — the documented skip rule
@@ -301,6 +308,10 @@ def audio_chunk_plan(
     that must not double-process should drop chunks whose
     ``chunk_start_s >= duration_s - overlap_s`` when ``chunk_start_s >
     0``."""
+    if chunk_s < 1:
+        raise ValueError("chunk_s must be >= 1")
+    if overlap_s < 0:
+        raise ValueError("overlap_s must be >= 0")
     if overlap_s >= chunk_s:
         raise ValueError("overlap_s must be < chunk_s")
     # floor(double), not int-cast: see frame_sample_plan — a fractional

@@ -40,6 +40,19 @@ def _row_salt_hash(df: DataFrame) -> F.Column:
     return F.xxhash64(F.spark_partition_id(), *hashable)
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
+    """interval_join-style reserved-name guard: withColumn would
+    SILENTLY OVERWRITE an input column named like an internal temp —
+    worst case an aggs source column named `_salt` aggregates the salt
+    values instead of the user's data. Raise with a rename hint."""
+    taken = reserved & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with {op}'s internal "
+            "temp names; rename them first"
+        )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -71,6 +84,9 @@ def salted_agg(
     keeps identical duplicate rows spread across (at worst) their map
     partitions, so an undeduplicated hot key still fans out.
     """
+    _check_reserved(
+        df, {"_salt", *(f"_p_{out}" for out in aggs)}, "salted_agg"
+    )
     salt = F.pmod(_row_salt_hash(df), F.lit(n_salts))
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[
@@ -97,6 +113,7 @@ def salted_distinct_count(
     semantics (and the paired SQL oracle) ignore NULLs, but the
     (key, salt, NULL) group would otherwise survive dropDuplicates and
     count(lit(1)) would count it as a distinct value."""
+    _check_reserved(df, {"_salt", "_n"}, "salted_distinct_count")
     salt = F.pmod(F.hash(F.col(value_col)), F.lit(n_salts))
     per_bucket = (
         df.filter(F.col(value_col).isNotNull())
@@ -139,6 +156,8 @@ def salted_join(
     explicit form is for when you must pin the strategy (e.g. a skewed
     key feeding a downstream co-partitioned stage).
     """
+    _check_reserved(fact, {"_salt"}, "salted_join")
+    _check_reserved(dim, {"_salt"}, "salted_join")
     salt_src = (
         F.hash(F.col(salt_col)) if salt_col else _row_salt_hash(fact)
     )
