@@ -539,6 +539,24 @@ _R09_MODIFIED_SINCE_RECORD = (
 # additions (never recorded); then (c) the round-9 modified block; then
 # (d) plain staleness (r05 -> r06 -> r07 -> r08). Target invariant after
 # this round: no query's latest record predates r06.
+#
+# Round-10 handoff (DERIVED, and pinned by tests/test_rotation.py — the
+# enumeration below is computed from the record sets, not hand-counted):
+# round 9's window = the 15 slipped r05s + the modified block's 4
+# r07-latest (salted_agg_counts, salted_distinct_users,
+# salted_join_priority_revenue, media_frame_plan) and 5 r08-latest
+# (temperature_mixture_sample, media_feature_extract, media_jpeg_decode,
+# media_mp4_meta, media_perceptual_keys) entries — its other 3 entries
+# are already in the r05/r06 groups — + the 26 stalest r06s; window
+# latest-record distribution {r05: 15, r06: 26, r07: 4, r08: 5}. TEN
+# r06-latest
+# queries slip to round 10 (semantic_decontamination, bm25_retrieval,
+# hll_intersection_users, indoc_segment_dedup, content_defined_chunks,
+# chunk_dup_ratio, doc_length_outliers, l_diversity_customers,
+# percentile_prices_approx, histogram_prices — each re-verified every
+# round by tests/test_oracle_regression.py); they sort first in round
+# 10. Steady state: max staleness stays <= 3 rounds (the
+# test_post_round_staleness_bound invariant).
 _R09_SLIPPED_R05 = (
     "ann_pq_rerank", "media_wav_features", "brand_revenue",
     "semi_join_discounted", "set_ops_customers", "rollup_pricing",

@@ -124,16 +124,19 @@ def test_post_round_staleness_bound():
     )
 
 
+# The handoff comment's claimed window distribution (update BOTH when
+# the modified block changes — the test exists to catch exactly the
+# divergence between ordering code and handoff comment).
+CLAIMED_DISTRIBUTION = {5: 15, 6: 26, 7: 4, 8: 5}
+
+
 def test_handoff_comment_distribution():
     """The handoff comment's claimed latest-record distribution of the
     round-9 window, derived instead of hand-computed."""
     sets = _record_sets()
     ordered = [n for n, _ in entry._ordered_queries()]
     dist = Counter(_last_recorded(n, sets) for n in ordered[:WINDOW])
-    # 15 slipped r05s + modified block (r07/r08-latest) + stalest r06s
-    # fill the remainder of the 50.
-    assert dist[5] == 15
-    assert dist[None] == 0 or dist[None] >= 0  # new queries allowed
+    assert dict(dist) == CLAIMED_DISTRIBUTION
     assert sum(dist.values()) == WINDOW
     # Nothing in the window should be r04-or-older (those were all
     # cleared by r07/r08) and nothing OUTSIDE the window may be r05.
