@@ -526,6 +526,15 @@ _R09_MODIFIED_SINCE_RECORD = (
     "media_wav_features",
     "media_mp4_meta",
     "media_perceptual_keys",
+    # r9 review batch 2: empty-corpus/NULL-first-embedding dim probes
+    # crashed with TypeError int(None) — pq_fit raises a clear
+    # ValueError, hyperplane_lsh_buckets returns the empty frame.
+    # Behavior-neutral for non-empty fixtures; touched code.
+    "embedding_lsh_buckets",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_audit",
+    "ann_pq_rerank",
 )
 
 
@@ -544,18 +553,19 @@ _R09_MODIFIED_SINCE_RECORD = (
 # enumeration below is computed from the record sets, not hand-counted):
 # round 9's window = the 15 slipped r05s + the modified block's 4
 # r07-latest (salted_agg_counts, salted_distinct_users,
-# salted_join_priority_revenue, media_frame_plan) and 5 r08-latest
+# salted_join_priority_revenue, media_frame_plan) and 7 r08-latest
 # (temperature_mixture_sample, media_feature_extract, media_jpeg_decode,
-# media_mp4_meta, media_perceptual_keys) entries — its other 3 entries
-# are already in the r05/r06 groups — + the 26 stalest r06s; window
-# latest-record distribution {r05: 15, r06: 26, r07: 4, r08: 5}. TEN
-# r06-latest
-# queries slip to round 10 (semantic_decontamination, bm25_retrieval,
-# hll_intersection_users, indoc_segment_dedup, content_defined_chunks,
-# chunk_dup_ratio, doc_length_outliers, l_diversity_customers,
-# percentile_prices_approx, histogram_prices — each re-verified every
-# round by tests/test_oracle_regression.py); they sort first in round
-# 10. Steady state: max staleness stays <= 3 rounds (the
+# media_mp4_meta, media_perceptual_keys, ann_pq_topk, ann_ivfpq_topk)
+# entries — its other 6 entries are already in the r05/r06 groups — +
+# the 24 stalest r06s; window latest-record distribution
+# {r05: 15, r06: 24, r07: 4, r08: 7}. TWELVE r06-latest queries slip to
+# round 10 (profile_drift_orders, shard_assign_tokens,
+# semantic_decontamination, bm25_retrieval, hll_intersection_users,
+# indoc_segment_dedup, content_defined_chunks, chunk_dup_ratio,
+# doc_length_outliers, l_diversity_customers, percentile_prices_approx,
+# histogram_prices — each re-verified every round by
+# tests/test_oracle_regression.py); they sort first in round 10.
+# Steady state: max staleness stays <= 3 rounds (the
 # test_post_round_staleness_bound invariant).
 _R09_SLIPPED_R05 = (
     "ann_pq_rerank", "media_wav_features", "brand_revenue",

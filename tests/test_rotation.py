@@ -127,7 +127,7 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {5: 15, 6: 26, 7: 4, 8: 5}
+CLAIMED_DISTRIBUTION = {5: 15, 6: 24, 7: 4, 8: 7}
 
 
 def test_handoff_comment_distribution():

@@ -90,3 +90,38 @@ def test_lsh_empty_train_guard(spark):
     assert dict(out.dtypes)["contaminated"] == "int"
     assert dict(out.dtypes)["max_cand_sim"] == "double"
     assert out.count() == 0
+
+
+def test_hyperplane_lsh_empty_corpus_returns_empty_frame(spark):
+    """r9 review: an empty corpus crashed the dim probe with
+    TypeError int(None); bucketing nothing is well-defined — the empty
+    (vec_id, bucket) frame with the normal schema."""
+    from uc_historic_data_importer_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    out = hyperplane_lsh_buckets(df)
+    assert out.columns == ["vec_id", "bucket"]
+    assert dict(out.dtypes)["bucket"] == "bigint"
+    assert out.count() == 0
+
+
+def test_pq_fit_empty_or_null_first_embedding_raises_clearly(spark):
+    """r9 review: pq_fit over an empty corpus (or a NULL first
+    embedding) crashed with TypeError int(None) — a fit over nothing is
+    a caller error and must say so."""
+    import pytest
+
+    from uc_historic_data_importer_spark.operators.pq import pq_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_fit(empty)
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL first embedding"):
+        pq_fit(nulls)

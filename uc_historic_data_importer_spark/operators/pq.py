@@ -121,6 +121,15 @@ def pq_fit(
     vectors keep their previous centroid (mirrored in the oracle with a
     coalesce join)."""
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None or dim_row["d"] < 0:
+        # r9 review: an empty corpus (first() -> None) or a NULL first
+        # embedding (d NULL; size() of NULL is -1 under legacy conf)
+        # crashed with TypeError int(None) — a fit over nothing is a
+        # caller error, fail naming it
+        raise ValueError(
+            f"pq_fit: cannot infer embedding dim from {vec_col!r} "
+            "(empty corpus or NULL first embedding)"
+        )
     dim = int(dim_row["d"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -171,6 +171,19 @@ def hyperplane_lsh_buckets(
     import hashlib
 
     dim_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_probe is None:
+        # r9 review: an empty corpus crashed with TypeError int(None);
+        # bucketing nothing is well-defined — return the empty
+        # (vec_id, bucket) frame with the normal schema
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).cast("long").alias("bucket"),
+        ).limit(0)
+    if dim_probe["d"] is None or dim_probe["d"] < 0:
+        raise ValueError(
+            f"hyperplane_lsh_buckets: cannot infer embedding dim from "
+            f"{vec_col!r} (NULL first embedding)"
+        )
     dim = int(dim_probe["d"])
 
     def coeff(p: int, i: int) -> float:
