@@ -145,3 +145,38 @@ def test_handoff_comment_distribution():
         n for n in ordered[WINDOW:] if _last_recorded(n, sets) == 5
     ]
     assert outside == []
+
+
+def test_soak_tool_state_metrics_shape():
+    """tools/soak_stream_state.py's metric extraction: one row per
+    (progress, state operator), tolerating absent/None stateOperators —
+    the shape BENCH_sf1_r09's streaming_state_soak evidence relies on."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "soak_stream_state",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "soak_stream_state.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class FakeQ:
+        recentProgress = [
+            {"batchId": 0, "stateOperators": [
+                {"operatorName": "sessionWindow", "numRowsTotal": 10,
+                 "numRowsUpdated": 10, "numRowsRemoved": 0,
+                 "numRowsDroppedByWatermark": 0}]},
+            {"batchId": 1, "stateOperators": None},
+            {"batchId": 2},
+            {"batchId": 3, "stateOperators": [
+                {"operatorName": "sessionWindow", "numRowsTotal": 2,
+                 "numRowsUpdated": 1, "numRowsRemoved": 9,
+                 "numRowsDroppedByWatermark": 4}]},
+        ]
+
+    rows = mod.state_metrics(FakeQ())
+    assert [r["batch"] for r in rows] == [0, 3]
+    assert rows[1]["rows_removed"] == 9
+    assert rows[1]["dropped_by_watermark"] == 4
