@@ -1222,3 +1222,49 @@ class TestAdversarialCraftedInputs:
             sinks.write_hfiles(layout, str(tmp_path / "x"), compression="snappy")
         with pytest.raises(ValueError, match="bloom"):
             sinks.write_hfiles(layout, str(tmp_path / "y"), bloom="rowcol")
+
+
+class TestRegionIdBinarySearch:
+    def test_tree_matches_filter_count_on_random_keys(self, spark):
+        """r9 scale fix: rid_for is now a balanced binary-search CASE
+        tree (O(log regions) per row, HBase's own lookup shape) instead
+        of size(filter(literal array)) (O(regions) per row — thousands
+        of byte comparisons per cell on a real multi-thousand-region
+        table). Property pin: identical region assignment to the
+        reference filter-count on random binary keys, including
+        key == split, below-first, above-last, and empty keys."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        rng = random.Random(99)
+        splits = sorted(
+            {bytes(rng.randrange(256) for _ in range(rng.randrange(1, 6)))
+             for _ in range(31)}
+        )
+        keys = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 7)))
+                for _ in range(300)]
+        keys += list(splits)  # exact boundary hits
+        keys += [b"", b"\xff" * 8]
+        rows = [("t", bytearray(k), k.hex(), 1, "v") for k in keys]
+        kv = spark.createDataFrame(
+            rows,
+            "table string, key binary, key_hex string, version long, "
+            "envelope string",
+        )
+        layout = sinks.hbase_bulkload_layout(
+            kv, region_split_keys=list(splits), table="t"
+        )
+        got = {bytes(r["key"]): r["_region_id"] for r in layout.collect()}
+        # reference: the O(n) filter-count form
+        ref_expr = F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in splits]),
+                lambda s: s <= F.col("key"),
+            )
+        ).alias("rid")
+        ref = {
+            bytes(r["key"]): r["rid"]
+            for r in kv.select("key", ref_expr).collect()
+        }
+        assert got == ref

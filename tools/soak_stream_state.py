@@ -232,6 +232,53 @@ def main() -> None:
         "files_per_region": round(len(files) / n_regions, 2),
         "compression": "gz",
         "bloom": "row",
+        "mode": "sampled (repartitionByRange — fresh/empty table)",
+    }
+
+    # --- bulk load against an EXISTING table's region boundaries — the
+    # dominant 100 TB mode (LoadIncrementalHFiles is a pure rename only
+    # when every file fits one region). Split keys = the row-key
+    # percentiles a RegionLocator would return; derived here from the
+    # same kv frame, then the layout runs the size(filter(literal
+    # array)) region-id expression + one hash shuffle per region.
+    # percentile split keys via ntile boundaries (exact, one job; the
+    # global-order window is fine for a measurement tool — production
+    # split keys come from RegionLocator.getStartKeys(), not a sort).
+    # Derivation is timed SEPARATELY: it is tool scaffolding, not part
+    # of the write path being measured.
+    from pyspark.sql import Window as _W
+
+    t_der = time.time()
+    bounds = (
+        kv.select("key")
+        .withColumn("_nt", F.ntile(n_regions).over(_W.orderBy("key")))
+        .groupBy("_nt")
+        .agg(F.min("key").alias("k"))
+        .orderBy("_nt")
+        .collect()
+    )
+    splits = [bytes(r["k"]) for r in bounds[1:]]  # first region start implicit
+    split_derivation_s = round(time.time() - t_der, 3)
+    t0 = time.time()
+    out_dir2 = os.path.join(work3, "hfiles_aligned")
+    layout2 = sinks.hbase_bulkload_layout(
+        kv, region_split_keys=splits, table="events_db:soak"
+    )
+    files2 = sinks.write_hfiles(layout2, out_dir2)
+    secs2 = round(time.time() - t0, 3)
+    bytes2 = sum(os.path.getsize(f) for f in files2)
+    report["bulkload_sf1_split_aligned"] = {
+        "rows": n_rows,
+        "seconds": secs2,
+        "rows_per_sec": round(n_rows / secs2),
+        "bytes_out": bytes2,
+        "files": len(files2),
+        "regions": len(splits) + 1,
+        "files_per_region": round(len(files2) / (len(splits) + 1), 2),
+        "compression": "gz",
+        "bloom": "row",
+        "mode": "split-key aligned (existing-table boundaries)",
+        "split_derivation_s_untimed": split_derivation_s,
     }
 
     for w in works:

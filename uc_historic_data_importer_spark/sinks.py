@@ -515,12 +515,28 @@ def hbase_bulkload_layout(
     if region_split_keys is not None:
 
         def rid_for(splits: list[bytes]):
-            return F.size(
-                F.filter(
-                    F.array(*[F.lit(s) for s in sorted(splits)]),
-                    lambda s: s <= F.col("key"),
-                )
-            )
+            """Region id = count of split keys <= row key, as a BALANCED
+            binary-search CASE tree: O(log n) byte comparisons per row.
+            The previous size(filter(literal array)) form was O(n) per
+            row — immaterial at 32 regions, but a real 100 TB table has
+            THOUSANDS of regions and that put thousands of byte
+            comparisons on every cell's map path (HBase's own
+            getStartKeys() lookup is a binary search for the same
+            reason). Semantics identical to the filter-count, including
+            key == split (counts) and NULL/empty keys (region 0);
+            parity is property-pinned in tests/test_hfile.py."""
+            srt = sorted(splits)
+
+            def tree(lo: int, hi: int) -> F.Column:
+                # invariant: splits[:lo] <= key, splits[hi:] > key
+                if lo == hi:
+                    return F.lit(lo)
+                mid = (lo + hi) // 2
+                return F.when(
+                    F.lit(srt[mid]) <= F.col("key"), tree(mid + 1, hi)
+                ).otherwise(tree(lo, mid))
+
+            return tree(0, len(srt))
 
         if isinstance(region_split_keys, dict):
             if not region_split_keys:
