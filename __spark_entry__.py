@@ -484,120 +484,120 @@ _R08_RECORDED = frozenset(
 )
 
 
-# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed in round 9
-# after their most recent driver record (README "Re-record doctrine":
-# touched call-path => same-commit modified-block entry). Grows within
-# the round as code is touched; front-loaded behind the 15 slipped
-# r05-latest queries, which the r8 verdict pins as sorting FIRST.
-#   - temperature_mixture_sample: gained interval_join-style
-#     reserved-name guard for its internal temp columns (_dom/_thresh/
-#     _n) — behavior-neutral for clean schemas; touched code.
-#   - salted_agg_counts / salted_distinct_users /
-#     salted_join_priority_revenue: skew.py gained the same reserved-
-#     name guard (_salt/_p_*/_n) — the unguarded withColumn SILENTLY
-#     OVERWROTE a user column named _salt (worst case: an aggs source
-#     col named _salt aggregated the salt itself). Behavior-neutral for
-#     clean schemas; touched code.
-#   - media_* (feature_extract, png_decode, jpeg_decode, frame_plan,
-#     wav_decode, wav_features, mp4_meta, perceptual_keys): the r9
-#     review found corrupt-but-signature-valid JPEGs could raise
-#     StopIteration (SOS naming an unknown component) or IndexError
-#     (truncated segment bodies) PAST the decode catch, killing the
-#     whole Spark task instead of yielding the stub/sentinel row —
-#     decode_jpeg now validates SOS/SOF bodies and _DECODE_ERRORS
-#     includes IndexError; frame/chunk plans validate step params at
-#     plan-build time. Value-identical for well-formed fixtures.
-# (r9 also changed run()'s counts materialization [no catalog query
-# calls run()], hbase_bulkload_layout's table= guard and
-# read_kv_stream_output's batch_id type [no catalog query calls
-# either — verified by grep], and parse_hdi_timestamp_col [zero
-# catalog callers]; none of those are on a recorded query's call
-# path, so no further block entries.)
-_R09_MODIFIED_SINCE_RECORD = (
-    "temperature_mixture_sample",
-    "salted_agg_counts",
-    "salted_distinct_users",
-    "salted_join_priority_revenue",
-    "media_feature_extract",
-    "media_png_decode",
-    "media_jpeg_decode",
-    "media_frame_plan",
-    "media_wav_decode",
-    "media_wav_features",
-    "media_mp4_meta",
-    "media_perceptual_keys",
-    # r9 review batch 2: empty-corpus/NULL-first-embedding dim probes
-    # crashed with TypeError int(None) — pq_fit raises a clear
-    # ValueError, hyperplane_lsh_buckets returns the empty frame.
-    # Behavior-neutral for non-empty fixtures; touched code.
-    "embedding_lsh_buckets",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_recall_audit",
-    "ann_pq_rerank",
+# Round-9's driver record, verified == CORRECTNESS_r09.json key set:
+# the 15 slipped r05-latest queries, the 11-query modified block, and
+# the 24 stalest r06s, exactly as the r9 handoff predicted.
+_R09_RECORDED = frozenset(
+    {
+        "ann_cosine_topk", "ann_ivfpq_topk", "ann_pq_rerank",
+        "ann_pq_topk", "ann_recall_audit", "binary_media_keys",
+        "brand_revenue", "cdc_merge_orders", "chunk_spans_documents",
+        "curation_pipeline_v2", "dedup_apply_best",
+        "dedup_best_representative", "dedup_components",
+        "dedup_incremental_lsh", "dedup_simhash",
+        "embedding_lsh_buckets", "embedding_quantize_int8",
+        "grouping_sets_pricing", "k_anonymity_customers",
+        "media_feature_extract", "media_frame_plan",
+        "media_jpeg_decode", "media_mp4_meta", "media_perceptual_keys",
+        "media_png_decode", "media_wav_decode", "media_wav_features",
+        "ngram_decontamination", "null_safe_join_events",
+        "percentile_prices", "pii_redaction", "pivot_order_status",
+        "profile_orders_columns", "relative_quality_filter",
+        "rolling_window_revenue", "rollup_pricing", "salted_agg_counts",
+        "salted_distinct_users", "salted_join_priority_revenue",
+        "scalar_string_functions", "segment_dup_ratio",
+        "semi_join_discounted", "set_ops_customers",
+        "source_overlap_matrix", "stat_aggregates_events",
+        "temperature_mixture_sample", "text_repetition_scores",
+        "user_retention_cohorts", "window_running_totals",
+        "zorder_stats_lineitem",
+    }
 )
 
 
-# Round-9 rotation plan: (a) the 15 r05-latest queries that slipped past
-# round 8's window sort first (verdict prescription #1): ann_pq_rerank,
-# media_wav_features, brand_revenue, semi_join_discounted,
-# set_ops_customers, rollup_pricing, scalar_string_functions,
-# window_running_totals, percentile_prices, pivot_order_status,
-# rolling_window_revenue, stat_aggregates_events, null_safe_join_events,
-# grouping_sets_pricing, user_retention_cohorts; then (b) any round-9
-# additions (never recorded); then (c) the round-9 modified block; then
-# (d) plain staleness (r05 -> r06 -> r07 -> r08). Target invariant after
-# this round: no query's latest record predates r06.
-#
-# Round-10 handoff (DERIVED, and pinned by tests/test_rotation.py — the
-# enumeration below is computed from the record sets, not hand-counted):
-# round 9's window = the 15 slipped r05s + the modified block's 4
-# r07-latest (salted_agg_counts, salted_distinct_users,
-# salted_join_priority_revenue, media_frame_plan) and 7 r08-latest
-# (temperature_mixture_sample, media_feature_extract, media_jpeg_decode,
-# media_mp4_meta, media_perceptual_keys, ann_pq_topk, ann_ivfpq_topk)
-# entries — its other 6 entries are already in the r05/r06 groups — +
-# the 24 stalest r06s; window latest-record distribution
-# {r05: 15, r06: 24, r07: 4, r08: 7}. TWELVE r06-latest queries slip to
-# round 10 (profile_drift_orders, shard_assign_tokens,
-# semantic_decontamination, bm25_retrieval, hll_intersection_users,
-# indoc_segment_dedup, content_defined_chunks, chunk_dup_ratio,
-# doc_length_outliers, l_diversity_customers, percentile_prices_approx,
-# histogram_prices — each re-verified every round by
-# tests/test_oracle_regression.py); they sort first in round 10.
-# Steady state: max staleness stays <= 3 rounds (the
+# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed in round 10
+# after their most recent driver record (README "Re-record doctrine":
+# touched call-path => same-commit modified-block entry). Grows within
+# the round as code is touched; front-loaded behind the 12 slipped
+# r06-latest queries, which the r9 verdict pins as sorting FIRST.
+#   - kafka_date_format / time_range_filter / filter_status_counts /
+#     normalize_pipeline / version_selection: dates.py's Python twin
+#     narrowed its padding strip from Unicode str.strip() to the exact
+#     Java-\s ASCII set so parse_hdi_timestamp_millis and
+#     parse_hdi_timestamp_col accept byte-identical inputs (ADVICE r9:
+#     tab-padded input parsed in Python but NULLed in Catalyst; NBSP
+#     now rejects on both sides). Value-identical for the fixtures
+#     (no exotic whitespace); touched code via transforms/filters.
+#   - media_feature_extract / media_png_decode / media_jpeg_decode:
+#     the extract_features dispatcher was refactored to carry a
+#     decode_status category and the corrupt-payload fallback now LOGS
+#     (rate-capped) instead of failing silently (ADVICE r9) — the
+#     3-tuple decoder contract and all emitted values are unchanged.
+# (r10 also rejects proleptic year 0000 in parse_hdi_timestamp_col's
+# pattern — zero catalog callers, hypothesis-pinned only.)
+_R10_MODIFIED_SINCE_RECORD = (
+    "kafka_date_format",
+    "time_range_filter",
+    "filter_status_counts",
+    "normalize_pipeline",
+    "version_selection",
+    "media_feature_extract",
+    "media_png_decode",
+    "media_jpeg_decode",
+)
+
+
+# Round-10 rotation plan: (a) the 12 r06-latest queries that slipped
+# past round 9's window sort first (r9 verdict prescription #1); then
+# (b) round-10 additions (never recorded — media_decode_health); then
+# (c) the round-10 modified block; then (d) plain staleness
+# (r06 -> r07 -> r08 -> r09). Target invariant after this round: no
+# query's latest record predates r07 (max staleness <= 3 rounds, the
 # test_post_round_staleness_bound invariant).
-_R09_SLIPPED_R05 = (
-    "ann_pq_rerank", "media_wav_features", "brand_revenue",
-    "semi_join_discounted", "set_ops_customers", "rollup_pricing",
-    "scalar_string_functions", "window_running_totals",
-    "percentile_prices", "pivot_order_status", "rolling_window_revenue",
-    "stat_aggregates_events", "null_safe_join_events",
-    "grouping_sets_pricing", "user_retention_cohorts",
+#
+# Round-11 handoff (DERIVED, pinned by tests/test_rotation.py): round
+# 10's window = the 12 slipped r06s + 1 round-10 addition
+# (media_decode_health) + the modified block's 3 r09-latest media
+# queries + the 34 stalest r07s (the block's other 5 entries are
+# r07-latest and land inside that group); window latest-record
+# distribution {r06: 12, new: 1, r07: 34, r09: 3}. SIX r07-latest
+# queries slip to round 11 (streaming_windowed_counts,
+# streaming_interval_join, semdedup_embeddings,
+# doc_length_outliers_approx, token_counts_seam,
+# streaming_cdc_snapshot — each re-verified every round by
+# tests/test_oracle_regression.py); they sort first in round 11.
+_R10_SLIPPED_R06 = (
+    "profile_drift_orders", "shard_assign_tokens",
+    "semantic_decontamination", "bm25_retrieval",
+    "hll_intersection_users", "indoc_segment_dedup",
+    "content_defined_chunks", "chunk_dup_ratio",
+    "doc_length_outliers", "l_diversity_customers",
+    "percentile_prices_approx", "histogram_prices",
 )
 
 
 def _ordered_queries():
-    """Round-9 ordering: (a) the 15 r05-latest queries that slipped past
-    round 8's 50-query window (verdict prescription — they must re-record
-    this round so no latest record predates r06), (b) never-recorded
-    queries (registration order — each new round-9 query gets a driver
+    """Round-10 ordering: (a) the 12 r06-latest queries that slipped past
+    round 9's 50-query window (verdict prescription — they must re-record
+    this round so no latest record predates r07), (b) never-recorded
+    queries (registration order — each new round-10 query gets a driver
     row immediately), (c) queries modified since their most recent
-    driver record (_R09_MODIFIED_SINCE_RECORD), (d) previously recorded
-    queries stalest-first (most recent driver row r05, then r06, ...).
+    driver record (_R10_MODIFIED_SINCE_RECORD), (d) previously recorded
+    queries stalest-first (most recent driver row r06, then r07, ...).
     Every query pushed past index 50 already has a green driver row in
-    the r01..r08 union and is re-verified each round by
+    the r01..r09 union and is re-verified each round by
     tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    slipped_rank = {n: i for i, n in enumerate(_R09_SLIPPED_R05)}
-    modified_rank = {n: i for i, n in enumerate(_R09_MODIFIED_SINCE_RECORD)}
+    slipped_rank = {n: i for i, n in enumerate(_R10_SLIPPED_R06)}
+    modified_rank = {n: i for i, n in enumerate(_R10_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (9, _R09_RECORDED),
             (8, _R08_RECORDED),
             (7, _R07_RECORDED),
             (6, _R06_RECORDED),

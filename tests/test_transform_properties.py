@@ -158,7 +158,11 @@ _ts_zone = st.one_of(
 # must be REJECTED identically by both engines (Python's range checks vs
 # Spark's CORRECTED parser).
 _ts_candidate = st.tuples(
-    st.integers(min_value=1970, max_value=2100),
+    # full 4-digit space: year 0000 must be REJECTED identically
+    # (datetime.date vs the Catalyst pattern's (?!0000) guard), and
+    # pre-1970 / pre-Gregorian years must parse identically (both
+    # engines are proleptic Gregorian).
+    st.integers(min_value=0, max_value=2100),
     st.integers(min_value=0, max_value=13),
     st.integers(min_value=0, max_value=32),
     st.integers(min_value=0, max_value=24),
@@ -174,7 +178,11 @@ _ts_garbage = st.one_of(
     st.just(""),
     st.just("2018-12-01T15:01:02Z"),            # no fraction -> reject
     st.just("2018-12-01T15:01:02.1234567Z"),    # 7 digits -> reject
-    st.just(" 2018-12-01T15:01:02.5Z "),        # strip() leniency -> 5 ms
+    st.just(" 2018-12-01T15:01:02.5Z "),        # ASCII-ws leniency -> 5 ms
+    st.just("\t2018-12-01T15:01:02.5Z\n"),      # tab/LF padding -> 5 ms
+    st.just("\x0b2018-12-01T15:01:02.5Z\f\r"),  # VT/FF/CR padding -> 5 ms
+    st.just("\xa02018-12-01T15:01:02.5Z"),      # NBSP is NOT padding -> reject
+    st.just("0000-01-01T00:00:00.0Z"),          # proleptic year 0 -> reject
     st.just("2018-12-01T15:01:02.123456+0530"),
     st.just("2016-02-29T00:00:00.999999Z"),     # valid leap day
     st.just("2015-02-29T00:00:00.1Z"),          # invalid leap day -> reject

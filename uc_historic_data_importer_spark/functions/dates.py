@@ -36,6 +36,11 @@ _TS_RE = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})\.(\d{1,6})(Z|[+-]\d{4})$"
 )
 _EPOCH_ORDINAL = 719163  # date(1970, 1, 1).toordinal()
+# Exactly the character class Java regex \s matches: keeps the Python
+# twin's padding leniency byte-identical to the Catalyst twin's
+# regexp_replace trim (Python's bare .strip() would also strip Unicode
+# whitespace the Catalyst side cannot see).
+_ASCII_WS = " \t\n\x0b\f\r"
 
 
 def parse_hdi_timestamp_millis(value: str | None) -> int | None:
@@ -56,10 +61,16 @@ def parse_hdi_timestamp_millis(value: str | None) -> int | None:
     SimpleDateFormat has no notion of sub-pattern decimal scaling, and
     scaling here would silently shift versions/filter bounds against
     the reference for any non-3-digit input.
+
+    Padding leniency is pinned to the ASCII whitespace set Java's regex
+    ``\\s`` matches (space, tab, LF, VT, FF, CR) — NOT Python's full
+    Unicode ``str.strip()`` — so this twin and parse_hdi_timestamp_col
+    accept and reject byte-identical input sets (Unicode whitespace
+    like NBSP is a rejection on both sides).
     """
     if not value or not isinstance(value, str):
         return None
-    m = _TS_RE.match(value.strip())
+    m = _TS_RE.match(value.strip(_ASCII_WS))
     if m is None:
         return None
     y, mo, d, h, mi, s, frac, tz = m.groups()
@@ -105,9 +116,12 @@ def millis_to_kafka(millis: int) -> str:
 
 # Catalyst-side mirror of _TS_RE: group 1 = date-time stem, group 2 =
 # fraction digit run (1-6), group 3 = zone. Java regex syntax matches
-# Python's for this pattern.
+# Python's for this pattern. The (?!0000) lookahead rejects proleptic
+# year 0, which try_to_timestamp would otherwise accept but the Python
+# twin's datetime.date() rejects (ValueError -> None) — the one field
+# where the two engines' "valid date" notions differ.
 _TS_COL_PATTERN = (
-    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.(\d{1,6})(Z|[+-]\d{4})$"
+    r"^(?!0000)(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.(\d{1,6})(Z|[+-]\d{4})$"
 )
 
 
@@ -126,9 +140,13 @@ def parse_hdi_timestamp_col(col: Column) -> Column:
     millis back. Unparseable input -> NULL (the Python twin's None).
 
     Parity with parse_hdi_timestamp_millis is hypothesis-pinned
-    (tests/test_transform_properties.py). Requires a UTC session
-    timezone (prepare_session sets it)."""
-    s = F.trim(col)
+    (tests/test_transform_properties.py), including the two historical
+    edge divergences: padding is trimmed with the Java-\\s character
+    class (F.trim strips only spaces — a tab-padded input would parse
+    in Python but NULL here) and proleptic year 0000 is rejected by
+    the pattern (try_to_timestamp accepts it; datetime.date does not).
+    Requires a UTC session timezone (prepare_session sets it)."""
+    s = F.regexp_replace(col, r"^\s+|\s+$", "")
     # try_to_timestamp / the when-guarded casts keep ANSI mode (Spark 4
     # default) from throwing on unparseable input — reject means NULL
     # here, exactly the Python twin's None. The zone offset is computed

@@ -22,6 +22,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import logging
 import struct
 import zlib
 from typing import Iterator
@@ -82,34 +83,92 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+# decode_status values, coarse by design so a mixed-corpus oracle can
+# pin them deterministically (the exception class varies with HOW a
+# payload is corrupt; the category does not):
+#   real     — actual pixel decode (PNG, baseline JPEG)
+#   header   — real dims from the header, stub features (GIF, JPEGs
+#              outside the baseline codec's scope)
+#   stub     — no known container signature; deterministic fake
+#   fallback — a signature-VALID payload raised a decode error and the
+#              stub was substituted. THE degradation signal: at scale,
+#              a rising fallback rate means corrupt inputs (expected on
+#              crawl data) or a codec bug (not expected) — either way
+#              it must be observable, not silent (ADVICE r9).
+_STATUS_REAL = "real"
+_STATUS_HEADER = "header"
+_STATUS_STUB = "stub"
+_STATUS_FALLBACK = "fallback"
+
+# fallback observability: warn with the exception class for the first
+# few occurrences per worker (full detail without per-row log spam),
+# then stay silent — decode_health() is the queryable path.
+_FALLBACK_LOG_CAP = 5
+_fallback_logged = 0
+
+
+def _log_fallback(exc: BaseException) -> None:
+    global _fallback_logged
+    if _fallback_logged < _FALLBACK_LOG_CAP:
+        _fallback_logged += 1
+        logging.getLogger(__name__).warning(
+            "media decode fallback -> stub (%s: %s)%s",
+            type(exc).__name__,
+            exc,
+            " [further fallbacks suppressed; query decode_health()]"
+            if _fallback_logged == _FALLBACK_LOG_CAP
+            else "",
+        )
+
+
+def _decode_image_with_status(
+    payload: bytes,
+) -> tuple[int, int, list[float], str]:
     """Decode dispatcher: real PNG decode and real baseline-JPEG decode
     (dims + 8-bin luminance histogram from actual pixels — JPEG via the
     stdlib Huffman+IDCT codec in functions/imagecodec.py), header-real
     dims for GIF and for JPEGs outside the baseline scope (progressive /
     subsampled: stub features, explicit fallback), stub for everything
-    else."""
+    else. The 4th element is the decode_status category above."""
     if not payload:
         raise ValueError("empty media payload")
     container = imagecodec.sniff(payload)
     try:
         if container == "png":
             w, h, ch, px = imagecodec.decode_png(payload)
-            return w, h, imagecodec.luminance_histogram(ch, px, bins=8)
+            return (
+                w, h,
+                imagecodec.luminance_histogram(ch, px, bins=8),
+                _STATUS_REAL,
+            )
         if container == "jpeg":
             try:
                 w, h, ch, px = imagecodec.decode_jpeg(payload)
-                return w, h, imagecodec.luminance_histogram(ch, px, bins=8)
+                return (
+                    w, h,
+                    imagecodec.luminance_histogram(ch, px, bins=8),
+                    _STATUS_REAL,
+                )
             except imagecodec.UnsupportedImageError:
                 # outside baseline scope — keep header-real dims
                 w, h = imagecodec.jpeg_dims(payload)
-                return w, h, _decode_image_stub(payload)[2]
+                return w, h, _decode_image_stub(payload)[2], _STATUS_HEADER
         if container == "gif":
             w, h = imagecodec.gif_dims(payload)
-            return w, h, _decode_image_stub(payload)[2]
-    except _DECODE_ERRORS:
-        pass
-    return _decode_image_stub(payload)
+            return w, h, _decode_image_stub(payload)[2], _STATUS_HEADER
+    except _DECODE_ERRORS as exc:
+        _log_fallback(exc)
+        w, h, feat = _decode_image_stub(payload)
+        return w, h, feat, _STATUS_FALLBACK
+    w, h, feat = _decode_image_stub(payload)
+    return w, h, feat, _STATUS_STUB
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """3-tuple seam kept for the pluggable-decoder contract (see
+    extract_features): the status-carrying dispatcher minus the status."""
+    w, h, feat, _status = _decode_image_with_status(payload)
+    return w, h, feat
 
 
 def extract_features(
@@ -159,6 +218,74 @@ def extract_features(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+HEALTH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("decode_status", T.StringType()),
+    ]
+)
+
+
+def decode_health(media: DataFrame, decoder=None) -> DataFrame:
+    """Per-asset decode-status audit: which payloads decode for real,
+    which only yield header dims, which are unrecognized stubs, and —
+    the degradation signal — which carry a VALID container signature
+    but raise out of the codec (decode_status='fallback'). Makes the
+    extract_features stub substitution queryable instead of silent
+    (ADVICE r9): at 100 TB, `decode_health(media).groupBy(
+    'decode_status').count()` is the corpus-health dashboard and a
+    rising fallback share flags corrupt shards or codec regressions.
+
+    Same Arrow/mapInPandas shape as extract_features (payloads never
+    return to the JVM; only 4 tiny columns do). With a custom
+    ``decoder`` (the PIL/torchvision seam) statuses collapse to
+    'real'/'fallback' — a 3-tuple decoder has no header/stub notion."""
+    decode_status = (
+        _decode_image_with_status
+        if decoder is None
+        else _wrap_custom_decoder_status(decoder)
+    )
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                try:
+                    status = decode_status(payload)[3]
+                except _DECODE_ERRORS:
+                    # undecodable by contract (e.g. empty payload) —
+                    # extract_features maps this to width=-1, not stub
+                    status = "undecodable"
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "kind": row.kind,
+                        "n_bytes": len(payload),
+                        "decode_status": status,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_audit, schema=HEALTH_SCHEMA)
+
+
+def _wrap_custom_decoder_status(decoder):
+    def decode_status(payload: bytes):
+        try:
+            w, h, feat = decoder(payload)
+        except _DECODE_ERRORS as exc:
+            if not payload:
+                raise
+            _log_fallback(exc)
+            return -1, -1, None, _STATUS_FALLBACK
+        return w, h, feat, _STATUS_REAL
+
+    return decode_status
 
 
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:

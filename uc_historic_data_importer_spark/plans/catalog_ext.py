@@ -3917,6 +3917,70 @@ def media_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_decode_health",
+    """
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'real'
+                           WHEN 1 THEN 'header'
+                           WHEN 2 THEN 'stub'
+                           ELSE 'fallback' END AS decode_status,
+           count(*) AS n_assets,
+           min(doc_id) AS min_media_id,
+           max(doc_id) AS max_media_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="the decode_health audit (multimodal.py decode_health: per-asset "
+    "decode_status over the same mapInPandas shape as extract_features) "
+    "under a full value-hash oracle. The fixture derives each payload "
+    "CLASS from doc_id % 4 — a real baseline JPEG ('real'), a GIF whose "
+    "header parses but whose pixels are stubbed ('header'), raw document "
+    "text with no container signature ('stub'), and a JPEG-signature "
+    "payload with a garbage body that raises out of the codec "
+    "('fallback' — the silent-degradation signal ADVICE r9 asked to "
+    "make observable). One wrong status category anywhere mismatches "
+    "the per-class counts and id ranges.",
+)
+def media_decode_health_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import multimodal
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_payload(ids: pd.Series) -> pd.Series:
+        from uc_historic_data_importer_spark.functions import imagecodec as ic
+
+        def build(i: int) -> bytes:
+            cls = i % 4
+            if cls == 0:
+                w, h = 1 + i % 16, 1 + i % 9
+                return ic.encode_jpeg_gray(w, h, bytes([i % 256]) * (w * h))
+            if cls == 1:
+                return (
+                    b"GIF89a"
+                    + (1 + i % 32).to_bytes(2, "little")
+                    + (1 + i % 24).to_bytes(2, "little")
+                    + b"\x00" * 10
+                )
+            if cls == 2:
+                return f"doc-{i} plain text payload".encode()
+            # JPEG SOI/APP0 signature, garbage body: sniff says jpeg,
+            # the codec raises, the stub substitutes -> 'fallback'
+            return b"\xff\xd8\xff\xe0" + bytes([(i * 7 + j) % 256 for j in range(40)])
+
+        return ids.map(build)
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_payload(F.col("doc_id")).alias("payload"),
+    )
+    health = multimodal.decode_health(media)
+    return health.groupBy("decode_status").agg(
+        F.count("*").alias("n_assets"),
+        F.min("media_id").alias("min_media_id"),
+        F.max("media_id").alias("max_media_id"),
+    )
+
+
 def _stream_events_fixture(
     spark: SparkSession, sf_dir: str, event_types: tuple[str, ...] | None,
     subdir: str, work: str | None = None,
