@@ -533,6 +533,12 @@ _R09_RECORDED = frozenset(
 #     decode_status category and the corrupt-payload fallback now LOGS
 #     (rate-capped) instead of failing silently (ADVICE r9) — the
 #     3-tuple decoder contract and all emitted values are unchanged.
+#   - ann_ivf_build / ann_ivf_topk / semdedup_embeddings: kmeans_fit
+#     gained the declared k*dim driver/broadcast ceiling (raises past
+#     KMEANS_MAX_DRIVER_FLOATS, r9 verdict caveat #1) with the new
+#     bounded-k sample-trained kmeans_fit_sampled as the scale route —
+#     value-identical below the budget (the fixtures are); touched code
+#     via _ivf_fit.
 # (r10 also rejects proleptic year 0000 in parse_hdi_timestamp_col's
 # pattern — zero catalog callers, hypothesis-pinned only.)
 _R10_MODIFIED_SINCE_RECORD = (
@@ -544,6 +550,9 @@ _R10_MODIFIED_SINCE_RECORD = (
     "media_feature_extract",
     "media_png_decode",
     "media_jpeg_decode",
+    "ann_ivf_build",
+    "ann_ivf_topk",
+    "semdedup_embeddings",
 )
 
 
@@ -561,8 +570,8 @@ _R10_MODIFIED_SINCE_RECORD = (
 # queries + the 34 stalest r07s (the block's other 5 entries are
 # r07-latest and land inside that group); window latest-record
 # distribution {r06: 12, new: 1, r07: 34, r09: 3}. SIX r07-latest
-# queries slip to round 11 (streaming_windowed_counts,
-# streaming_interval_join, semdedup_embeddings,
+# queries slip to round 11 (segment_cleaned_corpus,
+# streaming_windowed_counts, streaming_interval_join,
 # doc_length_outliers_approx, token_counts_seam,
 # streaming_cdc_snapshot — each re-verified every round by
 # tests/test_oracle_regression.py); they sort first in round 11.

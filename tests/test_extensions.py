@@ -2823,6 +2823,109 @@ class TestCellDispatch:
         assert out[0] == 0 and out[1] == -1 and out[2] == -1
 
 
+class TestKmeansSampledFit:
+    """Parity pins for the bounded-k sample-trained quantizer fit
+    (r10 verdict item 2: kmeans_fit's k*dim driver/broadcast ceiling
+    and its declared scale route)."""
+
+    @pytest.fixture()
+    def clustered(self, spark):
+        # 4 well-separated orthogonal clusters x 32 members each, ids
+        # interleaved across clusters so any hash-sample covers all 4;
+        # tiny deterministic jitter keeps members distinct.
+        dirs = [
+            (1.0, 0.0, 0.0, 0.0),
+            (0.0, 1.0, 0.0, 0.0),
+            (0.0, 0.0, 1.0, 0.0),
+            (0.0, 0.0, 0.0, 1.0),
+        ]
+        rows = []
+        vid = 0
+        for _ in range(32):
+            for c, d in enumerate(dirs):
+                eps = ((vid * 37) % 7 - 3) / 1000.0
+                v = [
+                    x + (eps if i == (c + 1) % 4 else 0.0)
+                    for i, x in enumerate(d)
+                ]
+                rows.append((vid, v))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_mod1_is_exactly_the_full_fit(self, clustered):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        assert sim.kmeans_fit_sampled(
+            clustered, k=4, iters=2, sample_mod=1
+        ) == sim.kmeans_fit(clustered, k=4, iters=2)
+
+    def test_sampled_fit_assigns_identical_partitions(self, clustered):
+        """On cluster-structured data (the regime the quantizer exists
+        for) a 1/4 hash-sample reproduces the full fit's partition of
+        the corpus exactly — cells may be relabeled (init order differs
+        between the sample and the full corpus), the grouping may not.
+        Unclustered/random corpora are deliberately NOT pinned: k-means
+        on noise is unstable under ANY perturbation, sampling included —
+        there the quantizer is balancing load, not finding structure."""
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        full = sim.kmeans_fit(clustered, k=4, iters=2)
+        samp = sim.kmeans_fit_sampled(clustered, k=4, iters=2, sample_mod=4)
+        fa = {r["vec_id"]: r["cell"]
+              for r in sim.assign_cells(clustered, full).collect()}
+        sa = {r["vec_id"]: r["cell"]
+              for r in sim.assign_cells(clustered, samp).collect()}
+
+        def partition(assign):
+            cells = {}
+            for vid, cell in assign.items():
+                cells.setdefault(cell, set()).add(vid)
+            return sorted(
+                (frozenset(s) for s in cells.values()),
+                key=lambda s: min(s),
+            )
+
+        assert partition(fa) == partition(sa)
+
+    def test_budget_ceiling_raises_and_cap_applies(self, clustered):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        # full fit past the budget: fail loud, name the route
+        with pytest.raises(ValueError, match="kmeans_fit_sampled"):
+            sim.kmeans_fit(clustered, k=4, iters=1, max_driver_floats=8)
+        # sampled fit CAPS k to budget // dim (8 // 4 = 2 cells)
+        cents = sim.kmeans_fit_sampled(
+            clustered, k=4, iters=1, sample_mod=1, max_driver_floats=8
+        )
+        assert len(cents) == 2
+
+    def test_sample_smaller_than_k_raises(self, clustered):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        with pytest.raises(ValueError, match="lower sample_mod"):
+            sim.kmeans_fit_sampled(
+                clustered, k=4, iters=1, sample_mod=10**6
+            )
+
+    def test_sampled_fit_is_deterministic(self, spark):
+        # xxhash64 sampling has no RNG: same corpus, same sample, same
+        # centroids — retry/rerun-stable like the full fit.
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        a = sim.kmeans_fit_sampled(emb, k=4, iters=2, sample_mod=2)
+        b = sim.kmeans_fit_sampled(emb, k=4, iters=2, sample_mod=2)
+        assert a == b
+        assert all(
+            sum(x * x for x in c) == pytest.approx(1.0, abs=1e-9)
+            for c in a
+        )
+
+
 class TestNeardupDispatch:
     def test_matmul_path_matches_exact_path(self, spark):
         # the per-cell BLAS path must produce the same pair set and
