@@ -565,12 +565,13 @@ _R10_MODIFIED_SINCE_RECORD = (
 # test_post_round_staleness_bound invariant).
 #
 # Round-11 handoff (DERIVED, pinned by tests/test_rotation.py): round
-# 10's window = the 12 slipped r06s + 1 round-10 addition
-# (media_decode_health) + the modified block's 3 r09-latest media
-# queries + the 34 stalest r07s (the block's other 5 entries are
-# r07-latest and land inside that group); window latest-record
-# distribution {r06: 12, new: 1, r07: 34, r09: 3}. SIX r07-latest
-# queries slip to round 11 (segment_cleaned_corpus,
+# 10's window = the 12 slipped r06s + 2 round-10 additions
+# (media_decode_health, streaming_latest_per_key_ttl) + the modified
+# block's 3 r09-latest media queries + the 33 stalest r07s (the
+# block's other 8 entries are r07-latest and land inside that group);
+# window latest-record distribution
+# {r06: 12, new: 2, r07: 33, r09: 3}. SEVEN r07-latest queries slip
+# to round 11 (bpe_token_stats, segment_cleaned_corpus,
 # streaming_windowed_counts, streaming_interval_join,
 # doc_length_outliers_approx, token_counts_seam,
 # streaming_cdc_snapshot — each re-verified every round by

@@ -127,13 +127,14 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {6: 12, None: 1, 7: 34, 9: 3}
+CLAIMED_DISTRIBUTION = {6: 12, None: 2, 7: 33, 9: 3}
 
 
 def test_handoff_comment_distribution():
     """The handoff comment's claimed latest-record distribution of the
-    round-10 window, derived instead of hand-computed (None = the one
-    never-recorded round-10 addition, media_decode_health)."""
+    round-10 window, derived instead of hand-computed (None = the two
+    never-recorded round-10 additions, media_decode_health and
+    streaming_latest_per_key_ttl)."""
     sets = _record_sets()
     ordered = [n for n, _ in entry._ordered_queries()]
     dist = Counter(_last_recorded(n, sets) for n in ordered[:WINDOW])

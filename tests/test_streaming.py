@@ -88,6 +88,90 @@ def test_stateful_latest_per_key(spark, stream_dirs):
     assert mismatch.count() == 0
 
 
+def _ttl_record(some_id: str, iso_ts: str) -> str:
+    return json.dumps(
+        {
+            "_id": {"someId": some_id},
+            "payload": f"{some_id}@{iso_ts}",
+            "_lastModifiedDateTime": {"$date": iso_ts},
+        }
+    )
+
+
+def test_latest_per_key_ttl_evicts_idle_keys_and_converges(spark, tmp_path):
+    """The TTL variant's contract: a key idle past its business-time
+    horizon is evicted ONCE (final=true, carrying its last state) when
+    the watermark passes; still-active keys keep their state; the last
+    emission per key (final or not) equals the batch ground truth."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # key A lives only in file 1 (Jan 1); key B advances through Jan 10
+    # across four files -> four micro-batches with maxFilesPerTrigger=1,
+    # so the watermark (max event time - 1 minute) passes A's horizon
+    # (Jan 1 + 1 hour) while data is still flowing.
+    days = ["2020-01-01", "2020-01-04", "2020-01-07", "2020-01-10"]
+    for i, day in enumerate(days, start=1):
+        lines = [_ttl_record("B", f"{day}T00:00:00.000Z")]
+        if i == 1:
+            lines.append(_ttl_record("A", f"{day}T00:05:00.000Z"))
+        p = inp / f"database-1.collection-1.{i:04d}.json"
+        p.write_text("\n".join(lines) + "\n")
+        # the file source orders micro-batches by MODIFICATION TIME, not
+        # filename — pin ascending mtimes so the watermark advances in
+        # business-time order (equal mtimes let file 4 lead, the
+        # watermark jumps to Jan 10 first, and A enters as
+        # already-past-horizon data whose clamped timeout can never
+        # fire: the disorder case the docstring routes to batch/CDC)
+        os.utime(p, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    lines_df = sp.read_jsonl_stream(spark, str(inp), max_files_per_trigger=1)
+    latest = sp.latest_per_key_stream_ttl(
+        sp.normalized_stream(lines_df), ttl="1 hour",
+        watermark_delay="1 minute",
+    )
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    out = spark.table("latest_ttl").collect()
+    by_key = {}
+    finals = []
+    for r in out:
+        by_key.setdefault(r["key_hex"], []).append(r)
+        if r["final"]:
+            finals.append(r)
+    batch = {
+        r["key_hex"]: r["version"]
+        for r in sp.normalized_stream_batch_keys(spark, str(inp)).collect()
+    }
+    assert len(batch) == 2
+    key_a = next(k for k, v in batch.items() if min(batch.values()) == v)
+    key_b = next(k for k in batch if k != key_a)
+    # A was evicted exactly once, carrying its final state
+    assert [r["key_hex"] for r in finals] == [key_a]
+    assert finals[0]["version"] == batch[key_a]
+    assert finals[0]["record_json"] is not None
+    # B stayed live (its horizon outruns the final watermark): no final
+    assert all(not r["final"] for r in by_key[key_b])
+    # convergence: last emission per key == batch max version
+    for k, v in batch.items():
+        assert max(r["version"] for r in by_key[k]) == v
+
+
+def test_latest_per_key_ttl_duration_parse_rejects_garbage():
+    with pytest.raises(ValueError, match="duration"):
+        sp._duration_ms("soon")
+    with pytest.raises(ValueError, match="unit"):
+        sp._duration_ms("3 fortnights")
+    assert sp._duration_ms("90 seconds") == 90_000
+    assert sp._duration_ms("1 hour") == 3_600_000
+    assert sp._duration_ms(250) == 250
+
+
 def test_session_window_stream_matches_batch(spark, tmp_path):
     from uc_historic_data_importer_spark.operators import sessions
 

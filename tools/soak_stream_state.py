@@ -141,6 +141,38 @@ def main() -> None:
         "input_events": n_events,
     }
 
+    # --- TTL variant (r9 verdict caveat #2): same fixture, but keys
+    # idle past a business-time TTL are EVICTED once the watermark
+    # passes their horizon — the evidence that executor state no longer
+    # tracks total key cardinality is nonzero rows_removed and
+    # final_state_rows << distinct_keys. The fixture's files are
+    # hash-partitioned (not time-ordered), so the watermark races ahead
+    # in batch 1 and most clamped horizons fire in the following
+    # batches — the disorder regime the operator's docstring describes.
+    t0 = time.time()
+    stream2b = sp.latest_per_key_stream_ttl(
+        sp.normalized_stream(sp.read_jsonl_stream(spark, in_dir2)),
+        ttl="6 hours",
+        watermark_delay="1 hour",
+    )
+    q2b = (
+        stream2b.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work2, "chk_latest_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2b.awaitTermination(900)
+    q2b.stop()
+    ttl_m = state_metrics(q2b)
+    report["streaming_latest_per_key_ttl"] = {
+        "seconds": round(time.time() - t0, 3),
+        "batches": ttl_m,
+        "final_state_rows": ttl_m[-1]["rows_total"] if ttl_m else None,
+        "total_removed": sum(s["rows_removed"] or 0 for s in ttl_m),
+        "distinct_keys": distinct_keys,
+    }
+
     # --- CDC merge sink: state lives in PARQUET snapshots, not executor
     # memory — the evidence is snapshot row count == distinct live keys
     # while input changes are 10x that, and executor state stays zero.

@@ -1591,6 +1591,49 @@ def streaming_latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_latest_per_key_ttl",
+    _streaming_oracle_sql(),
+    doc="the TTL/eviction variant of the stateful latest-per-key "
+    "(latest_per_key_stream_ttl: EventTimeTimeout — keys idle past a "
+    "business-time horizon are evicted with a final=true emission once "
+    "the watermark passes, bounding executor state for unbounded key "
+    "spaces; r9 verdict caveat #2). Convergence statement: per-key max "
+    "over ALL emissions (live updates + eviction finals) equals the "
+    "batch ground truth, independent of WHEN each key was evicted — "
+    "eviction re-emits the key's last state, it never invents or drops "
+    "one, so the same DuckDB oracle as the no-TTL shape applies while "
+    "the state store holds only recently-active keys (evidence: the "
+    "sf1 soak's rows_removed / final_state_rows << distinct_keys).",
+)
+def streaming_latest_per_key_ttl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from uc_historic_data_importer_spark.streaming.stream_pipeline import (
+        latest_per_key_stream_ttl,
+        normalized_stream,
+        read_jsonl_stream,
+    )
+
+    work, in_dir = _stream_dump_fixture(spark, sf_dir)
+    try:
+        stream = latest_per_key_stream_ttl(
+            normalized_stream(read_jsonl_stream(spark, in_dir)),
+            ttl="6 hours",
+            watermark_delay="1 hour",
+        )
+        qn = _run_stream_to_memory(
+            spark, stream, "latest_ttl_stream_", sf_dir, work, "update"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.table(qn)
+        .groupBy("table", "key_hex")
+        .agg(F.max("version").alias("version"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2 widening: packing / PII / repetition / quantization / LSH /
 # n-gram decontamination

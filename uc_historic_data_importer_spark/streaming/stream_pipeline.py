@@ -212,13 +212,148 @@ def latest_per_key_stream(norm: DataFrame) -> DataFrame:
     versioned-KV current-state view (SURVEY.md §1.4) via
     applyInPandasWithState. State per key = one (version, body) pair;
     output mode 'update' emits the new current row whenever a key
-    advances."""
+    advances.
+
+    STATE CONTRACT (r9 verdict caveat #2): state = exactly one row per
+    LIVE key, by definition of a current-state view — it never evicts,
+    so memory tracks key cardinality, not event count (the sf1 soak
+    measures this: 193,950 keys -> 193,950 state rows, zero removed).
+    That is the right contract when the key space fits the state store
+    (a current-state view of a dead key is still an answerable query).
+    For UNBOUNDED key spaces choose one of the declared scale routes:
+    - batch: operators/latest.latest_per_key or the CDC merge sink
+      (cdc.py) — state lives in the snapshot table, not executors;
+    - streaming with bounded state: latest_per_key_stream_ttl below —
+      keys idle past a business-time TTL are EVICTED once the watermark
+      passes their horizon, emitting their final state."""
     return norm.groupBy("table", "key_hex").applyInPandasWithState(
         _latest_state_fn,
         outputStructType=_LATEST_OUT_SCHEMA,
         stateStructType=_LATEST_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_LATEST_TTL_OUT_SCHEMA = T.StructType(
+    list(_LATEST_OUT_SCHEMA.fields)
+    + [T.StructField("final", T.BooleanType())]
+)
+
+_DURATION_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _duration_ms(spec: str | int) -> int:
+    """'30 minutes' / '1 hour' -> millis (the subset of Spark's
+    CalendarInterval grammar the streaming ops use)."""
+    if isinstance(spec, int):
+        return spec
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"duration must be '<n> <unit>': {spec!r}")
+    n, unit = int(parts[0]), parts[1].rstrip("s").lower()
+    if unit not in _DURATION_UNITS_MS:
+        raise ValueError(f"unknown duration unit: {spec!r}")
+    return n * _DURATION_UNITS_MS[unit]
+
+
+def latest_per_key_stream_ttl(
+    norm: DataFrame,
+    ttl: str | int = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """latest_per_key_stream with a state-EVICTION contract for
+    unbounded key spaces (r9 verdict caveat #2).
+
+    Each key's state carries an event-time timeout at
+    ``last_version + ttl`` (business time — versions are epoch millis).
+    When the watermark (max seen event time minus ``watermark_delay``)
+    passes that horizon, the key times out: its final (version, body)
+    row is emitted once with ``final = true`` and the state row is
+    REMOVED — so executor state holds only keys updated within the
+    last ``ttl`` of business time, regardless of total key cardinality.
+    Downstream, final=true rows are complete: a key's current value is
+    its last emission, final or not (the eviction re-emits, it never
+    invents), so a consumer maintaining a compacted table can treat
+    final rows as ordinary upserts and the TTL purely as a memory
+    contract. A key that reappears AFTER eviction starts fresh — its
+    first new record wins even if the evicted version was higher; pick
+    ttl to cover the business-time disorder of the source (for ordered
+    CDC feeds that is the out-of-orderness bound, for unordered
+    historic dumps prefer the batch/CDC route, as the base operator's
+    contract says)."""
+    ttl_ms = _duration_ms(ttl)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (v, b) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "table": [key[0]],
+                    "key_hex": [key[1]],
+                    "version": [v],
+                    "record_json": [b],
+                    "final": [True],
+                }
+            )
+            return
+        cur_version: int | None
+        if state.exists:
+            (cur_version, cur_body) = state.get
+        else:
+            cur_version, cur_body = None, None
+        advanced = False
+        for pdf in pdfs:
+            vmax = int(pdf["version"].max())
+            bodies = pdf.loc[pdf["version"] == vmax, "record_json"]
+            body = max((b for b in bodies if b is not None), default=None)
+            if (
+                cur_version is None
+                or vmax > cur_version
+                or (vmax == cur_version and (body or "") > (cur_body or ""))
+            ):
+                cur_version = vmax
+                cur_body = body
+                advanced = True
+        state.update((cur_version, cur_body))
+        # horizon = business-time TTL past the newest record; clamp above
+        # the current watermark (Spark rejects a timeout already in the
+        # past — a key whose records arrive later than its own horizon
+        # evicts at the next possible boundary instead of erroring)
+        state.setTimeoutTimestamp(
+            max(cur_version + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if advanced:
+            yield pd.DataFrame(
+                {
+                    "table": [key[0]],
+                    "key_hex": [key[1]],
+                    "version": [cur_version],
+                    "record_json": [cur_body],
+                    "final": [False],
+                }
+            )
+
+    with_event_time = norm.withColumn(
+        "event_time", F.timestamp_millis(F.col("version"))
+    )
+    return (
+        with_event_time.withWatermark("event_time", watermark_delay)
+        .groupBy("table", "key_hex")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_LATEST_TTL_OUT_SCHEMA,
+            stateStructType=_LATEST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
