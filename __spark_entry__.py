@@ -553,6 +553,14 @@ _R10_MODIFIED_SINCE_RECORD = (
     "ann_ivf_build",
     "ann_ivf_topk",
     "semdedup_embeddings",
+    # r10 review batch (stalest-audited modules, verdict item 5):
+    # latest.py / sessions.py gained the skew.py reserved-name guard —
+    # an input column named _rn/_dup/session_idx/_ts/_t<i>/valid_to/
+    # is_current was silently overwritten (then dropped) instead of
+    # raising. Behavior-neutral for clean schemas; touched code.
+    "event_sessionization",
+    "funnel_view_click_purchase",
+    "scd2_user_intervals",
 )
 
 
@@ -567,15 +575,17 @@ _R10_MODIFIED_SINCE_RECORD = (
 # Round-11 handoff (DERIVED, pinned by tests/test_rotation.py): round
 # 10's window = the 12 slipped r06s + 2 round-10 additions
 # (media_decode_health, streaming_latest_per_key_ttl) + the modified
-# block's 3 r09-latest media queries + the 33 stalest r07s (the
-# block's other 8 entries are r07-latest and land inside that group);
-# window latest-record distribution
-# {r06: 12, new: 2, r07: 33, r09: 3}. SEVEN r07-latest queries slip
-# to round 11 (bpe_token_stats, segment_cleaned_corpus,
-# streaming_windowed_counts, streaming_interval_join,
-# doc_length_outliers_approx, token_counts_seam,
-# streaming_cdc_snapshot — each re-verified every round by
-# tests/test_oracle_regression.py); they sort first in round 11.
+# block's 3 r09-latest media queries and 3 r08-latest review-batch
+# queries + the 30 stalest r07s (the block's other 8 entries are
+# r07-latest and land inside that group); window latest-record
+# distribution {r06: 12, new: 2, r07: 30, r08: 3, r09: 3}. TEN
+# r07-latest queries slip to round 11 (hash_sample_documents,
+# embedding_cosine_neardup, streaming_latest_per_key, bpe_token_stats,
+# segment_cleaned_corpus, streaming_windowed_counts,
+# streaming_interval_join, doc_length_outliers_approx,
+# token_counts_seam, streaming_cdc_snapshot — each re-verified every
+# round by tests/test_oracle_regression.py); they sort first in
+# round 11.
 _R10_SLIPPED_R06 = (
     "profile_drift_orders", "shard_assign_tokens",
     "semantic_decontamination", "bm25_retrieval",

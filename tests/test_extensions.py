@@ -3709,6 +3709,58 @@ class TestRound8Guards:
               for r in scd2_intervals(df).collect()}
         assert iv == {1: (2, False), 2: (None, True)}
 
+    def test_latest_and_scd2_reserved_names_raise(self, spark):
+        """r10 review batch: the skew.py reserved-name class applied to
+        latest.py — an input column literally named like an internal
+        temp was silently overwritten then dropped."""
+        from uc_historic_data_importer_spark.operators.latest import (
+            latest_per_key,
+            latest_per_key_window,
+            scd2_intervals,
+        )
+
+        df = spark.createDataFrame(
+            [("t", "k", 1, "a")],
+            ["table", "key_hex", "version", "envelope"],
+        )
+        with pytest.raises(ValueError, match="internal temp names"):
+            latest_per_key_window(df.withColumn("_rn", F.lit(9)))
+        with pytest.raises(ValueError, match="internal temp names"):
+            scd2_intervals(df.withColumn("_dup", F.lit(9)))
+        # scd2's OUTPUT names are reserved too (re-running scd2 over its
+        # own output would silently overwrite, not extend)
+        with pytest.raises(ValueError, match="internal temp names"):
+            scd2_intervals(df.withColumn("valid_to", F.lit(9)))
+        with pytest.raises(ValueError, match="_picked"):
+            latest_per_key(
+                df.withColumnRenamed("table", "_picked"),
+                key_cols=("_picked", "key_hex"),
+            )
+        # a PAYLOAD column named _picked is fine — it rides inside the
+        # struct and is re-aliased on the way out
+        out = latest_per_key(
+            df.withColumnRenamed("envelope", "_picked"),
+            payload_cols=("_picked",),
+        ).collect()
+        assert out[0]["_picked"] == "a"
+
+    def test_sessionize_and_funnel_reserved_names_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import sessions
+
+        ev = spark.createDataFrame(
+            [(1, 1, "view", 1.0)], ["user_id", "event_id", "event_type", "value"]
+        ).withColumn("ts", F.to_timestamp(F.lit("2021-01-01T10:00:00")))
+        with pytest.raises(ValueError, match="internal temp names"):
+            sessions.sessionize(ev.withColumn("session_idx", F.lit(1)))
+        with pytest.raises(ValueError, match="internal temp names"):
+            sessions.funnel_counts(
+                ev.withColumn("_ts", F.lit(1)), ("view", "click")
+            )
+        with pytest.raises(ValueError, match="internal temp names"):
+            sessions.funnel_counts(
+                ev.withColumn("_t1", F.lit(1)), ("view", "click")
+            )
+
     def test_interval_join_reserved_names_raise(self, spark):
         from uc_historic_data_importer_spark.operators.range_join import (
             interval_join,

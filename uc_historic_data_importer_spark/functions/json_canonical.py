@@ -50,9 +50,15 @@ def canonicalize_id(id_value: Any) -> str:
 
 
 def _render_number(n: int | float) -> str:
-    """Render a JSON number the way Gson's JsonPrimitive.getAsString does:
-    JSON ints stay ints, JSON floats keep their decimal point
-    (MessageUtils.kt:94-98 stringifies the primitive id)."""
+    """Render a JSON number the way Gson's JsonPrimitive.getAsString does
+    for the realistic range: JSON ints stay ints, JSON floats keep their
+    decimal point (MessageUtils.kt:94-98 stringifies the primitive id).
+
+    DOCUMENTED DIVERGENCE (r10 review): floats that render in exponent
+    form differ — Python repr gives '1e+20' where Java Double.toString
+    gives '1.0E20'. A float id at that magnitude has already lost
+    integer precision and no fixture or observed dump uses one; if such
+    ids ever appear, key parity needs a Java-Double renderer here."""
     if isinstance(n, int):
         return str(n)
     return repr(n)

@@ -24,6 +24,20 @@ def _qcol(name: str) -> Column:
     return F.col("`" + name.replace("`", "``") + "`")
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
+    """skew.py-style reserved-name guard (r9 review class): withColumn /
+    an agg alias would SILENTLY capture an input column named like an
+    internal temp — latest_per_key_window(df_with_a_'_rn'_column) would
+    overwrite and then DROP the user's column. Raise with a rename
+    hint instead."""
+    taken = reserved & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with {op}'s internal "
+            "temp names; rename them first"
+        )
+
+
 def latest_per_key(
     df: DataFrame,
     key_cols: tuple[str, ...] = ("table", "key_hex"),
@@ -43,6 +57,16 @@ def latest_per_key(
     payload is extracted with getField (literal name resolution), so
     names containing '.' or '`' — which a bare F.col would parse as
     nested-field access — work end to end."""
+    # only the grouping columns collide: the agg output is
+    # key_cols + version_col + the internal "_picked" struct, so a key
+    # or version column literally named _picked would alias-clash;
+    # a PAYLOAD column named _picked is fine (it lives inside the
+    # struct and is re-aliased on the way out).
+    if "_picked" in key_cols or version_col == "_picked":
+        raise ValueError(
+            "key/version column '_picked' collides with latest_per_key's "
+            "internal aggregate name; rename it first"
+        )
     picked = F.max_by(
         F.struct(*[_qcol(c).alias(c) for c in payload_cols]),
         _qcol(version_col),
@@ -69,6 +93,7 @@ def latest_per_key_window(
     (not expected here thanks to the CRC prefix). Column references are
     backtick-quoted (_qcol) like latest_per_key's: a bare F.col would
     parse a name containing '.' as nested-field access."""
+    _check_reserved(df, {"_rn"}, "latest_per_key_window")
     order = [_qcol(version_col).desc()] + [_qcol(c).desc() for c in tiebreak_cols]
     w = Window.partitionBy(*[_qcol(c) for c in key_cols]).orderBy(*order)
     return (
@@ -105,6 +130,10 @@ def scd2_intervals(
     version ordering emits zero-width intervals that as-of queries can
     never match and marks an arbitrary duplicate is_current.
     """
+    # valid_to / is_current are OUTPUT columns: an input column with
+    # either name (e.g. re-running scd2 over its own output) would be
+    # silently overwritten, not extended
+    _check_reserved(df, {"_dup", "valid_to", "is_current"}, "scd2_intervals")
     payload = [c for c in df.columns if c not in key_cols and c != version_col]
     # _qcol throughout: dotted/backticked column names must resolve as
     # flat columns here exactly as they do in latest_per_key

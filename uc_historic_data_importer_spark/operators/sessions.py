@@ -25,6 +25,20 @@ from pyspark.sql.window import Window
 DEFAULT_GAP_MS = 30 * 60 * 1000  # the classic 30-minute web-session gap
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
+    """skew.py-style reserved-name guard (r9 review class): withColumn
+    would SILENTLY OVERWRITE an input column named like an internal
+    temp or output column — sessionize(df_with_a_'session_idx'_column)
+    would replace the user's data, funnel_counts would fold a user '_ts'
+    into its own step logic. Raise with a rename hint instead."""
+    taken = reserved & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with {op}'s internal "
+            "temp names; rename them first"
+        )
+
+
 def sessionize(
     events: DataFrame,
     gap_ms: int = DEFAULT_GAP_MS,
@@ -46,6 +60,7 @@ def sessionize(
     regardless of gap, silently inflating session counts on dirty
     data. Route NULL-ts events through a timestamp-repair pass (or
     constraint_audit them) if they must not be dropped silently."""
+    _check_reserved(events, {"session_idx"}, "sessionize")
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     ts_ms = F.unix_millis(F.col(ts_col))
     prev = F.lag(ts_ms).over(w)
@@ -110,6 +125,11 @@ def funnel_counts(
         raise ValueError("steps must be non-empty")
     if len(set(steps)) != len(steps):
         raise ValueError(f"duplicate step names in {steps!r}")
+    _check_reserved(
+        events,
+        {"_ts"} | {f"_t{i}" for i in range(len(steps))},
+        "funnel_counts",
+    )
     w = Window.partitionBy(key_col)
     df = events.withColumn("_ts", F.unix_millis(F.col(ts_col)))
     prev = None
