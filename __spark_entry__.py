@@ -561,6 +561,15 @@ _R10_MODIFIED_SINCE_RECORD = (
     "event_sessionization",
     "funnel_view_click_purchase",
     "scd2_user_intervals",
+    # r10 sf1-tail rework (verdict item 6): duplicate_spans and
+    # chunk_dup_stats now compute their expensive exploded relation
+    # ONCE (partition-count window over the content key instead of the
+    # groupBy+join-back double-compute) — value-identical (oracle-green
+    # at sf0.001/sf0.01), sf1 wall clock ~halved. chunk_dup_ratio is
+    # already in the slipped-r06 block; these two carry the spans
+    # family.
+    "substring_dup_spans",
+    "substring_dedup_apply",
 )
 
 
@@ -575,17 +584,18 @@ _R10_MODIFIED_SINCE_RECORD = (
 # Round-11 handoff (DERIVED, pinned by tests/test_rotation.py): round
 # 10's window = the 12 slipped r06s + 2 round-10 additions
 # (media_decode_health, streaming_latest_per_key_ttl) + the modified
-# block's 3 r09-latest media queries and 3 r08-latest review-batch
-# queries + the 30 stalest r07s (the block's other 8 entries are
-# r07-latest and land inside that group); window latest-record
-# distribution {r06: 12, new: 2, r07: 30, r08: 3, r09: 3}. TEN
-# r07-latest queries slip to round 11 (hash_sample_documents,
-# embedding_cosine_neardup, streaming_latest_per_key, bpe_token_stats,
-# segment_cleaned_corpus, streaming_windowed_counts,
-# streaming_interval_join, doc_length_outliers_approx,
-# token_counts_seam, streaming_cdc_snapshot — each re-verified every
-# round by tests/test_oracle_regression.py); they sort first in
-# round 11.
+# block's 3 r09-latest media queries and 5 r08-latest entries (the
+# review-batch trio + the spans-family rework pair) + the 28 stalest
+# r07s (the block's other 8 entries are r07-latest and land inside
+# that group); window latest-record distribution
+# {r06: 12, new: 2, r07: 28, r08: 5, r09: 3}. TWELVE r07-latest
+# queries slip to round 11 (dedup_minhash_lsh, hll_distinct_users,
+# hash_sample_documents, embedding_cosine_neardup,
+# streaming_latest_per_key, bpe_token_stats, segment_cleaned_corpus,
+# streaming_windowed_counts, streaming_interval_join,
+# doc_length_outliers_approx, token_counts_seam,
+# streaming_cdc_snapshot — each re-verified every round by
+# tests/test_oracle_regression.py); they sort first in round 11.
 _R10_SLIPPED_R06 = (
     "profile_drift_orders", "shard_assign_tokens",
     "semantic_decontamination", "bm25_retrieval",

@@ -127,7 +127,7 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {6: 12, None: 2, 7: 30, 8: 3, 9: 3}
+CLAIMED_DISTRIBUTION = {6: 12, None: 2, 7: 28, 8: 5, 9: 3}
 
 
 def test_handoff_comment_distribution():

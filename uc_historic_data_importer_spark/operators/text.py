@@ -567,14 +567,16 @@ def sliding_windows(
     switch that bounds NETWORK shuffle bytes per window at 8 instead of
     ~8 tokens of text, with identical plan shape and collision rate
     ~ n^2/2^64 (a collision can only merge two spans, never drop one).
-    The default stays the string form: external oracles can replay
-    exact semantics, and MEASURED (round 7, sf1, local[32], min-of-2)
-    md5_i64-hashed grams ran 16.3 s vs 15.2 s for strings with
-    identical span output — per-window hashing costs more than a LOCAL
-    (memory/disk) shuffle saves, so the swap only pays on a real
-    cluster where shuffle crosses the network; don't "optimize" the
-    local path with it. Parity between the two forms is pinned by
-    tests/test_extensions.py::test_duplicate_spans_hash_gram_parity."""
+    The default stays the string form so external oracles can replay
+    exact semantics. Measurement history: the r7 note 'strings beat
+    hashed grams locally' was taken when the gram hash was md5_i64
+    (16.3 vs 15.2 s at sf1); with xxhash64 it INVERTED — r10 measured
+    14.1 s hashed vs 17.2 s strings under the old join plan and 9.35
+    vs 9.61 s under duplicate_spans' current window plan (sf1,
+    local[32]) — so the hashed form now wins everywhere and is the
+    unambiguous cluster default. Parity between the two forms is
+    pinned by tests/test_extensions.py::
+    test_duplicate_spans_hash_gram_parity."""
     toks = with_tokens(df, text_col)
     nwin = F.col("n_tokens") - F.lit(k) + 1
 
@@ -610,30 +612,42 @@ def duplicate_spans(
     gaps-and-islands pass, so spans never overlap and a duplicated run
     of any length >= k is reported once.
 
-    Plan shape at scale: linear explode -> partial-agg groupBy(gram)
-    occurrence count -> equi-join back on the content-uniform gram key
-    -> one window + groupBy per (doc, island), both on the doc_id
-    partitioning (single exchange). Nothing is all-pairs: join fan-out
-    equals the true occurrence count of each duplicated gram. This is
-    the suffix-array dedup's distributed approximation — at k-token
-    window resolution the detected spans are exactly the suffix-array
-    duplicates of length >= k.
+    Plan shape at scale (r10 rework): linear explode -> ONE shuffle on
+    the content-uniform gram key with a partition-count window
+    (count(*) OVER (PARTITION BY gram)) -> filter -> one window +
+    groupBy per (doc, island) on the doc_id partitioning. The previous
+    groupBy(gram)+join-back shape computed AND shuffled the exploded
+    window relation twice (the aggregate branch and the probe branch
+    are different subtrees, so ReuseExchange cannot merge them);
+    the window form halved the sf1 wall clock (17.2 -> 9.6 s,
+    local[32], min-of-1 on a like-for-like box). Nothing is all-pairs:
+    a gram's window group is its true occurrence list, and a
+    degenerate hot gram (one window text repeated across the corpus)
+    sorts/spills inside one partition — the same key-locality the old
+    join had. This is the suffix-array dedup's distributed
+    approximation — at k-token window resolution the detected spans
+    are exactly the suffix-array duplicates of length >= k.
 
-    ``hash_grams=True`` runs the gram count/join on xxhash64 gram keys
-    (8 shuffle bytes per window instead of the gram text) — the cluster
-    switch; see sliding_windows for the measured local-vs-network
-    tradeoff and the parity pin."""
+    ``hash_grams=True`` runs the gram shuffle on xxhash64 gram keys
+    (8 shuffle bytes per window instead of the gram text) — the
+    cluster switch; re-measured r10 under the window plan: 9.35 s
+    hashed vs 9.61 s strings at sf1 local[32] (and the old join shape:
+    14.1 s hashed vs 17.2 s strings — the r7 md5-era 'strings win
+    locally' note inverted when the gram hash became xxhash64).
+    Strings stay the default for oracle replayability; the hashed form
+    is value-identical (parity-pinned) and strictly fewer shuffle
+    bytes for a real network."""
     from pyspark.sql import Window
 
     wins = sliding_windows(
         df, k=k, text_col=text_col, id_col=id_col, hash_grams=hash_grams
     )
-    dup = (
-        wins.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= min_occurrences)
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    dwin = (
+        wins.withColumn("_n_occ", n_occ)
+        .filter(F.col("_n_occ") >= min_occurrences)
+        .select(id_col, "pos")
     )
-    dwin = wins.join(dup, "gram").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     # stride-1 windows sorted by pos: the covered prefix ends at
     # lag(pos)+k, so a new span starts exactly when pos > lag(pos)+k

@@ -3373,13 +3373,15 @@ spans AS (
     "Better' ExactSubstr): maximal token runs whose stride-1 "
     f"{_SUBSTR_K}-token windows each occur >=2 times corpus-wide, "
     "merged by a gaps-and-islands pass so spans never overlap. Linear "
-    "explode -> groupBy(gram) -> join-back on the content-uniform gram "
-    "key -> one doc_id window+agg; at 100 TB pass hash_grams=True to "
-    "run the count/join on xxhash64 gram keys (8 shuffle bytes per "
-    "window, same plan, value-identical — parity-pinned; the measured "
-    "local-mode tradeoff in sliding_windows explains why the STRING "
-    "form stays the default here). The distributed approximation of "
-    "suffix-array dedup at k-token resolution.",
+    "explode -> ONE gram-key shuffle with a partition-count window "
+    "(r10 rework: the old groupBy+join-back computed the exploded "
+    "relation twice; sf1 wall clock halved, 17.2 -> 9.6 s) -> one "
+    "doc_id window+agg; at 100 TB pass hash_grams=True to shuffle "
+    "8-byte xxhash64 gram keys instead of gram text (value-identical, "
+    "parity-pinned, and since the xxhash64 switch it wins locally too "
+    "— see sliding_windows' measurement history; strings stay the "
+    "default for oracle replayability). The distributed approximation "
+    "of suffix-array dedup at k-token resolution.",
 )
 def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.duplicate_spans(t(spark, sf_dir, "documents"), k=_SUBSTR_K)
@@ -3799,9 +3801,12 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(packing.chunk_dup_stats): per doc, chunks whose content hash also "
     "appears in another document — the edit-robust complement of "
     "segment_dup_ratio (shifted copies still collide because boundaries "
-    "resynchronize). Two-pass: explode -> distinct-doc counts on the "
-    "content-uniform chunk_hash -> join back -> per-doc rollup; nothing "
-    "all-pairs.",
+    "resynchronize). r10 rework: the chunk explode (per-gram md5 — the "
+    "expensive map stage) is computed ONCE and folded to "
+    "(chunk_hash, doc_id, occurrences); a window over that small pair "
+    "relation counts distinct docs per chunk (the old join-back shape "
+    "computed the explode twice — sf1 wall clock 18.9 -> 8.3 s). "
+    "Nothing all-pairs.",
 )
 def chunk_dup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uc_historic_data_importer_spark.operators import packing
