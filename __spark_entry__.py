@@ -582,15 +582,15 @@ _R10_MODIFIED_SINCE_RECORD = (
 # test_post_round_staleness_bound invariant).
 #
 # Round-11 handoff (DERIVED, pinned by tests/test_rotation.py): round
-# 10's window = the 12 slipped r06s + 2 round-10 additions
-# (media_decode_health, streaming_latest_per_key_ttl) + the modified
-# block's 3 r09-latest media queries and 5 r08-latest entries (the
-# review-batch trio + the spans-family rework pair) + the 28 stalest
-# r07s (the block's other 8 entries are r07-latest and land inside
-# that group); window latest-record distribution
-# {r06: 12, new: 2, r07: 28, r08: 5, r09: 3}. TWELVE r07-latest
-# queries slip to round 11 (dedup_minhash_lsh, hll_distinct_users,
-# hash_sample_documents, embedding_cosine_neardup,
+# 10's window = the 12 slipped r06s + 3 round-10 additions
+# (media_decode_health, streaming_latest_per_key_ttl, ann_ivf2_build)
+# + the modified block's 3 r09-latest media queries and 5 r08-latest
+# entries (the review-batch trio + the spans-family rework pair) +
+# the 27 stalest r07s (the block's other 8 entries are r07-latest and
+# land inside that group); window latest-record distribution
+# {r06: 12, new: 3, r07: 27, r08: 5, r09: 3}. THIRTEEN r07-latest
+# queries slip to round 11 (dedup_fingerprint, dedup_minhash_lsh,
+# hll_distinct_users, hash_sample_documents, embedding_cosine_neardup,
 # streaming_latest_per_key, bpe_token_stats, segment_cleaned_corpus,
 # streaming_windowed_counts, streaming_interval_join,
 # doc_length_outliers_approx, token_counts_seam,

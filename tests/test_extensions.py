@@ -2926,6 +2926,109 @@ class TestKmeansSampledFit:
         )
 
 
+class TestIvf2:
+    """Two-level IVF: distributed fine centroids (no k*dim broadcast),
+    r10 extension past the kmeans_fit driver-budget ceiling."""
+
+    @pytest.fixture()
+    def clustered(self, spark):
+        # 4 orthogonal coarse clusters; inside each, two sub-clusters
+        # offset along the next axis — enough structure for k1=2..4,
+        # k2=2 fits to be stable under any deterministic init.
+        # id order (rep, s, c): the 4 lowest ids are one member of EACH
+        # coarse cluster (clean k1=4 init — init = lowest ids), and a
+        # cell's two lowest members are one of each sub-cluster (clean
+        # k2=2 init).
+        rows, vid = [], 0
+        for _ in range(16):
+            for s in range(2):
+                for c in range(4):
+                    v = [0.0] * 4
+                    v[c] = 1.0
+                    v[(c + 1) % 4] = 0.35 if s else -0.35
+                    eps = ((vid * 13) % 5 - 2) / 1000.0
+                    v[(c + 2) % 4] += eps
+                    rows.append((vid, v))
+                    vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_k1_equals_1_reduces_to_kmeans_fit(self, spark):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        full = sim.kmeans_fit(emb, k=4, iters=2)
+        ref = {r["vec_id"]: r["cell"]
+               for r in sim.assign_cells(emb, full).collect()}
+        coarse = sim.kmeans_fit(emb, k=1, iters=0)
+        fine = sim.ivf2_fit(emb, coarse, k2=4, iters=2)
+        got = {r["vec_id"]: r["fine"]
+               for r in sim.ivf2_assign(emb, coarse, fine).collect()}
+        assert ref == got
+
+    def test_two_level_partitions_clusters(self, clustered):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        coarse = sim.kmeans_fit(clustered, k=4, iters=2)
+        fine = sim.ivf2_fit(clustered, coarse, k2=2, iters=2)
+        assert fine.count() == 8  # 4 cells x 2 fine
+        out = sim.ivf2_assign(clustered, coarse, fine).collect()
+        # bucket = cell * k2 + fine, unique per (cell, fine)
+        assert all(r["bucket"] == r["cell"] * 2 + r["fine"] for r in out)
+        # each (cell, fine) bucket holds exactly one sub-cluster's 16
+        # members: the same true sub-cluster id for every member
+        by_bucket = {}
+        for r in out:
+            vid = r["vec_id"]
+            true_sub = (vid % 4) * 2 + (vid // 4) % 2
+            by_bucket.setdefault(r["bucket"], set()).add(true_sub)
+        assert len(by_bucket) == 8
+        assert all(len(s) == 1 for s in by_bucket.values()), by_bucket
+
+    def test_fit_is_deterministic_and_unit_normalized(self, clustered):
+        import math
+
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        coarse = sim.kmeans_fit(clustered, k=2, iters=1)
+        a = sim.ivf2_fit(clustered, coarse, k2=2, iters=1).collect()
+        b = sim.ivf2_fit(clustered, coarse, k2=2, iters=1).collect()
+        key = lambda r: (r["cell"], r["fine"])  # noqa: E731
+        assert sorted([(key(r), r["centroid"]) for r in a]) == sorted(
+            [(key(r), r["centroid"]) for r in b]
+        )
+        for r in a:
+            assert math.fsum(x * x for x in r["centroid"]) == pytest.approx(
+                1.0, abs=1e-9
+            )
+
+    def test_topk_composes_via_bucket(self, clustered):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        coarse = sim.kmeans_fit(clustered, k=4, iters=2)
+        fine = sim.ivf2_fit(clustered, coarse, k2=2, iters=2)
+        assigned = sim.ivf2_assign(
+            clustered, coarse, fine, keep_cols=("embedding",)
+        )
+        out = sim.ivf_topk(assigned, k=1, cell_col="bucket").collect()
+        # every query's neighbor is in its own bucket (two-level cell)
+        bucket_of = {r["vec_id"]: r["bucket"]
+                     for r in assigned.collect()}
+        assert len(out) == 128
+        for r in out:
+            assert bucket_of[r["neighbor_id"]] == bucket_of[r["query_id"]]
+
+    def test_bad_params_raise(self, clustered):
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        coarse = sim.kmeans_fit(clustered, k=2, iters=1)
+        with pytest.raises(ValueError, match="k2"):
+            sim.ivf2_fit(clustered, coarse, k2=0)
+
+
 class TestNeardupDispatch:
     def test_matmul_path_matches_exact_path(self, spark):
         # the per-cell BLAS path must produce the same pair set and

@@ -127,14 +127,14 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {6: 12, None: 2, 7: 28, 8: 5, 9: 3}
+CLAIMED_DISTRIBUTION = {6: 12, None: 3, 7: 27, 8: 5, 9: 3}
 
 
 def test_handoff_comment_distribution():
     """The handoff comment's claimed latest-record distribution of the
-    round-10 window, derived instead of hand-computed (None = the two
-    never-recorded round-10 additions, media_decode_health and
-    streaming_latest_per_key_ttl)."""
+    round-10 window, derived instead of hand-computed (None = the three
+    never-recorded round-10 additions: media_decode_health,
+    streaming_latest_per_key_ttl, ann_ivf2_build)."""
     sets = _record_sets()
     ordered = [n for n, _ in entry._ordered_queries()]
     dist = Counter(_last_recorded(n, sets) for n in ordered[:WINDOW])

@@ -568,6 +568,190 @@ def kmeans_fit_sampled(
     )
 
 
+def ivf2_fit(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    k2: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    centroid_dp: int = 12,
+) -> DataFrame:
+    """Two-level IVF fine-quantizer fit with DISTRIBUTED centroids —
+    the declared route past kmeans_fit's k*dim driver/broadcast
+    ceiling (r9 verdict caveat #1, beyond what kmeans_fit_sampled's
+    k cap covers).
+
+    Level 1 (caller-provided ``coarse_centroids``, from kmeans_fit or
+    kmeans_fit_sampled) stays a broadcast literal — k1 is small by
+    design. Level 2 trains k1*k2 sub-centroids WITHOUT ever collecting
+    them: centroids live in the returned DataFrame (cell, fine,
+    centroid array<double>), each iteration is one distributed job for
+    ALL cells at once (members join their cell's fine centroids →
+    argmax → posexplode → per-(cell, fine, dim) means), and lineage is
+    localCheckpoint-truncated per round. Total quantizer size k1*k2
+    can exceed any driver budget because nothing k1*k2-sized ever
+    crosses to the driver or into a broadcast.
+
+    Math is BIT-IDENTICAL to kmeans_fit run per cell: init = the k2
+    lowest-id member vectors of each cell (unit-normalized), the
+    assignment key is round(dot(v, c) / |c|, round_dp) with ties to
+    the lowest fine id (the _cell_expr rule), means round
+    half-away-from-zero at centroid_dp (F.round == DuckDB round ==
+    _round_away), and empty / all-zero sub-cells keep their previous
+    centroid. With k1=1 the fine fit IS kmeans_fit of the whole corpus
+    — pinned against the same unrolled-SQL oracle as ann_ivf_build
+    (ann_ivf2_build) and by TestIvf2's reduction test.
+
+    Scale shape: each iteration shuffles (a) the member->centroid
+    score join on the uniform cell key with k2-fold fan-out and (b)
+    one posexplode aggregate of the winners — both linear in corpus
+    size, state bounded by k1*k2*dim ROWS of a DataFrame, never a
+    literal. iters is small and fixed, like kmeans_fit's."""
+    if k2 < 1 or iters < 0:
+        raise ValueError("k2 must be >= 1 and iters >= 0")
+    assigned = assign_cells(
+        corpus, coarse_centroids, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp, keep_cols=(vec_col,),
+    )
+    assigned = _ensure_parallel(assigned)
+
+    def unit_arr(c: Column) -> Column:
+        n = F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+        n = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+        return F.transform(c, lambda x: x / n)
+
+    w_init = Window.partitionBy("cell").orderBy("vec_id")
+    fine = (
+        assigned.withColumn("_rn", F.row_number().over(w_init))
+        .filter(F.col("_rn") <= k2)
+        .select(
+            "cell",
+            (F.col("_rn") - 1).cast("int").alias("fine"),
+            unit_arr(F.col(vec_col)).alias("centroid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def assign_fine(cents: DataFrame) -> DataFrame:
+        c_norm = F.sqrt(
+            F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        scored = assigned.join(cents, "cell").select(
+            "vec_id",
+            "cell",
+            "fine",
+            F.col(vec_col),
+            F.round(
+                dot_col(F.col(vec_col), F.col("centroid"))
+                / F.when(c_norm == 0.0, F.lit(1.0)).otherwise(c_norm),
+                round_dp,
+            ).alias("_score"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("_score"), F.asc("fine")
+        )
+        return (
+            scored.withColumn("_best", F.row_number().over(w))
+            .filter(F.col("_best") == 1)
+            .select("vec_id", "cell", "fine", vec_col)
+        )
+
+    for _ in range(iters):
+        members = assign_fine(fine)
+        sums = (
+            members.select(
+                "cell", "fine", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("cell", "fine", "dim")
+            .agg(
+                F.round(
+                    F.sum("x") / F.count(F.lit(1)), centroid_dp
+                ).alias("mx")
+            )
+            .groupBy("cell", "fine")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("_mean")
+            )
+        )
+        fine = (
+            fine.join(sums, ["cell", "fine"], "left")
+            .select(
+                "cell",
+                "fine",
+                F.when(
+                    F.col("_mean").isNull()
+                    | ~F.exists(F.col("_mean"), lambda x: x != 0.0),
+                    F.col("centroid"),
+                )
+                .otherwise(unit_arr(F.col("_mean")))
+                .alias("centroid"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return fine
+
+
+def ivf2_assign(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    fine: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Two-level assignment: coarse cell by broadcast argmax (k1 small),
+    fine id by a JOIN against the distributed centroid table — per
+    vector the probe cost is k1 + k2 comparisons, not k1*k2, and the
+    centroids never materialize driver-side. ``bucket`` = the composite
+    (cell, fine) id as one long — feed it to ivf_topk(cell_col=
+    'bucket') for two-level IVF search (partition-prune the corpus on
+    it at 100 TB). Ties break (score desc, fine asc), the _cell_expr
+    rule."""
+    assigned = assign_cells(
+        corpus, coarse_centroids, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp, keep_cols=(vec_col,) + tuple(keep_cols),
+    )
+    c_norm = F.sqrt(
+        F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    scored = assigned.join(fine, "cell").select(
+        "vec_id",
+        "cell",
+        "fine",
+        *[F.col(c) for c in keep_cols],
+        F.round(
+            dot_col(F.col(vec_col), F.col("centroid"))
+            / F.when(c_norm == 0.0, F.lit(1.0)).otherwise(c_norm),
+            round_dp,
+        ).alias("_score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_score"), F.asc("fine"))
+    # bucket stride = max fine id + 1, a broadcast one-row aggregate
+    # (the repo's standing crossJoin pattern) — NOT a global window,
+    # which would funnel every row through one partition
+    k2n = F.broadcast(fine.agg((F.max("fine") + 1).alias("_k2n")))
+    return (
+        scored.withColumn("_best", F.row_number().over(w))
+        .filter(F.col("_best") == 1)
+        .crossJoin(k2n)
+        .select(
+            "vec_id",
+            "cell",
+            "fine",
+            (
+                F.col("cell").cast("long") * F.col("_k2n") + F.col("fine")
+            ).alias("bucket"),
+            *[F.col(c) for c in keep_cols],
+        )
+    )
+
+
 def _round_away(x: float, dp: int) -> float:
     """round-half-away-from-zero — matches Spark/DuckDB `round()`;
     Python's builtin rounds half-even and would diverge from the

@@ -1370,6 +1370,34 @@ def ann_ivf_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf2_build",
+    _ivf_build_oracle(k=_IVF_K_SQL, iters=2),
+    doc="two-level IVF fit with DISTRIBUTED fine centroids "
+    "(similarity.ivf2_fit/ivf2_assign: centroids live in a DataFrame, "
+    "joined per cell — never a k*dim broadcast literal or driver "
+    "collect, the declared route past kmeans_fit's "
+    "KMEANS_MAX_DRIVER_FLOATS ceiling). Run at k1=1 the fine level IS "
+    "the single-level k-means by construction, so the SAME unrolled "
+    "deterministic k-means SQL oracle as ann_ivf_build value-hash-"
+    "checks the distributed fit's joins, window argmaxes, rounded "
+    "means, and tie rule bit-for-bit; the k1>1 composition (bucket "
+    "ids, per-cell init, reduction and partition pins) is covered by "
+    "tests/test_extensions.py::TestIvf2.",
+)
+def ann_ivf2_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    k_cells = _ivf_cells_for(_table_n_rows(sf_dir, "embeddings"))
+    coarse = _memo(
+        ("kmeans_fit_k1", sf_dir),
+        lambda: similarity.kmeans_fit(emb, k=1, iters=0),
+    )
+    fine = similarity.ivf2_fit(emb, coarse, k2=k_cells, iters=2)
+    return similarity.ivf2_assign(emb, coarse, fine).select(
+        "vec_id", F.col("fine").alias("cell")
+    )
+
+
+@register(
     "ann_ivf_topk",
     _ivf_build_oracle(k=_IVF_K_SQL, iters=2).replace(
         "\n    SELECT vec_id, CAST(cell AS INT) AS cell FROM af",
