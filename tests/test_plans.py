@@ -148,6 +148,9 @@ def test_no_query_plans_scale_antipatterns(spark):
                 # restricted corpus (ann_cosine_topk shape, bounded by
                 # the PQ candidate budget)
                 "ann_pq_rerank",
+                # broadcasts the 1-row max(fine)+1 bucket-stride
+                # aggregate onto the assignment (tfidf shape)
+                "ann_ivf2_build",
             )
         ):
             bad.append("BroadcastNestedLoopJoin")
