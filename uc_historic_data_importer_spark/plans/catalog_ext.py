@@ -1369,9 +1369,12 @@ def ann_ivf_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.assign_cells(emb, cents)
 
 
+_IVF2_K2 = 8
+
+
 @register(
     "ann_ivf2_build",
-    _ivf_build_oracle(k=_IVF_K_SQL, iters=2),
+    _ivf_build_oracle(k=_IVF2_K2, iters=2),
     doc="two-level IVF fit with DISTRIBUTED fine centroids "
     "(similarity.ivf2_fit/ivf2_assign: centroids live in a DataFrame, "
     "joined per cell — never a k*dim broadcast literal or driver "
@@ -1379,19 +1382,22 @@ def ann_ivf_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "KMEANS_MAX_DRIVER_FLOATS ceiling). Run at k1=1 the fine level IS "
     "the single-level k-means by construction, so the SAME unrolled "
     "deterministic k-means SQL oracle as ann_ivf_build value-hash-"
-    "checks the distributed fit's joins, window argmaxes, rounded "
-    "means, and tie rule bit-for-bit; the k1>1 composition (bucket "
-    "ids, per-cell init, reduction and partition pins) is covered by "
-    "tests/test_extensions.py::TestIvf2.",
+    f"checks the distributed fit (k2={_IVF2_K2}) joins, window "
+    "argmaxes, rounded means, and tie rule bit-for-bit; the k1>1 "
+    "composition (bucket ids, per-cell init, reduction and partition "
+    "pins) is covered by tests/test_extensions.py::TestIvf2. k2 is "
+    "FIXED, not corpus-scaled: with k1=1 every vector probes all k2 "
+    "fine centroids (the deliberate degenerate case that exposes the "
+    "math to the oracle) — in two-level production use the per-vector "
+    "probe cost is k1 + k2 because the coarse cell prunes first.",
 )
 def ann_ivf2_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    k_cells = _ivf_cells_for(_table_n_rows(sf_dir, "embeddings"))
     coarse = _memo(
         ("kmeans_fit_k1", sf_dir),
         lambda: similarity.kmeans_fit(emb, k=1, iters=0),
     )
-    fine = similarity.ivf2_fit(emb, coarse, k2=k_cells, iters=2)
+    fine = similarity.ivf2_fit(emb, coarse, k2=_IVF2_K2, iters=2)
     return similarity.ivf2_assign(emb, coarse, fine).select(
         "vec_id", F.col("fine").alias("cell")
     )
