@@ -570,6 +570,15 @@ _R10_MODIFIED_SINCE_RECORD = (
     # family.
     "substring_dup_spans",
     "substring_dedup_apply",
+    # r10 review batch 2 (cdc/layout/diff/audit/keying): cdc.py now
+    # resolves struct fields with getField + backticked columns (dotted
+    # payload names work; key '_w' raises), diff.py guards a key named
+    # status/hash_old/hash_new, layout.py guards an input _z.
+    # Behavior-neutral for clean schemas; touched code (audit.py and
+    # keying.py were clean audits — no block entries).
+    "snapshot_diff_orders",
+    "cdc_merge_orders",
+    "streaming_cdc_snapshot",
 )
 
 
@@ -584,18 +593,20 @@ _R10_MODIFIED_SINCE_RECORD = (
 # Round-11 handoff (DERIVED, pinned by tests/test_rotation.py): round
 # 10's window = the 12 slipped r06s + 3 round-10 additions
 # (media_decode_health, streaming_latest_per_key_ttl, ann_ivf2_build)
-# + the modified block's 3 r09-latest media queries and 5 r08-latest
-# entries (the review-batch trio + the spans-family rework pair) +
-# the 27 stalest r07s (the block's other 8 entries are r07-latest and
-# land inside that group); window latest-record distribution
-# {r06: 12, new: 3, r07: 27, r08: 5, r09: 3}. THIRTEEN r07-latest
-# queries slip to round 11 (dedup_fingerprint, dedup_minhash_lsh,
+# + the modified block's 4 r09-latest (the media trio +
+# cdc_merge_orders) and 6 r08-latest entries (the review-batch trio,
+# the spans-family rework pair, snapshot_diff_orders) + the 25
+# stalest r07s (the block's other 9 entries are r07-latest and land
+# inside that group); window latest-record distribution
+# {r06: 12, new: 3, r07: 25, r08: 6, r09: 4}. FIFTEEN r07-latest
+# queries slip to round 11 (text_language_id, text_fingerprints,
+# dedup_exact, dedup_fingerprint, dedup_minhash_lsh,
 # hll_distinct_users, hash_sample_documents, embedding_cosine_neardup,
 # streaming_latest_per_key, bpe_token_stats, segment_cleaned_corpus,
 # streaming_windowed_counts, streaming_interval_join,
-# doc_length_outliers_approx, token_counts_seam,
-# streaming_cdc_snapshot — each re-verified every round by
-# tests/test_oracle_regression.py); they sort first in round 11.
+# doc_length_outliers_approx, token_counts_seam — each re-verified
+# every round by tests/test_oracle_regression.py); they sort first in
+# round 11.
 _R10_SLIPPED_R06 = (
     "profile_drift_orders", "shard_assign_tokens",
     "semantic_decontamination", "bm25_retrieval",

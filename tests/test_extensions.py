@@ -3864,6 +3864,46 @@ class TestRound8Guards:
                 ev.withColumn("_t1", F.lit(1)), ("view", "click")
             )
 
+    def test_cdc_layout_diff_reserved_and_dotted_names(self, spark):
+        """r10 review batch 2 (cdc/layout/diff/audit modules): the same
+        reserved-name / dotted-name classes as latest.py."""
+        from uc_historic_data_importer_spark.operators import cdc, diff, layout
+
+        # cdc: dotted payload/key names resolve as FLAT columns end to end
+        ch = spark.createDataFrame(
+            [(1, 1, "P", "a"), (1, 2, "P", "b")],
+            ["k", "seq", "op", "pay.load"],
+        )
+        lat = cdc.latest_changes(ch, ["k"]).collect()
+        assert len(lat) == 1 and lat[0]["pay.load"] == "b"
+        snap = spark.createDataFrame([(1, "old"), (2, "keep")], ["k", "pay.load"])
+        merged = {
+            r["k"]: r["pay.load"]
+            for r in cdc.merge_changelog(snap, ch, ["k"]).collect()
+        }
+        assert merged == {1: "b", 2: "keep"}
+        # cdc: a key named _w alias-clashes with the internal aggregate
+        with pytest.raises(ValueError, match="_w"):
+            cdc.latest_changes(
+                ch.withColumnRenamed("k", "_w"), ["_w"]
+            )
+        # layout: input column named like the key output must not be
+        # silently replaced
+        with pytest.raises(ValueError, match="_z"):
+            layout.zorder_layout(
+                spark.createDataFrame([(1, 2, 3)], ["a", "b", "_z"]),
+                ["a", "b"],
+                num_files=2,
+            )
+        # diff: a KEY named status would emit two status columns
+        d = spark.createDataFrame([(1, "s", "x")], ["k", "status", "v"])
+        with pytest.raises(ValueError, match="status"):
+            diff.snapshot_diff(d, d, key_cols=("k", "status"))
+        # ...but status as a VALUE column is fine
+        assert {
+            r["status"] for r in diff.snapshot_diff(d, d, key_cols=("k",)).collect()
+        } == {"unchanged"}
+
     def test_interval_join_reserved_names_raise(self, spark):
         from uc_historic_data_importer_spark.operators.range_join import (
             interval_join,

@@ -127,7 +127,7 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {6: 12, None: 3, 7: 27, 8: 5, 9: 3}
+CLAIMED_DISTRIBUTION = {6: 12, None: 3, 7: 25, 8: 6, 9: 4}
 
 
 def test_handoff_comment_distribution():

@@ -31,11 +31,17 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 OP_PUT = "P"
 OP_DELETE = "D"
+
+
+def _qcol(name: str) -> Column:
+    """Column reference by EXACT name (backtick-quoted) — '.'/'`' in a
+    column name must not parse as nested-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def latest_changes(
@@ -54,18 +60,29 @@ def latest_changes(
     (partition, key), not the raw log."""
     keys = list(key_cols)
     payload = [c for c in changes.columns if c not in (*keys, seq_col, op_col)]
+    # _qcol/getField throughout (r10 review — the latest_per_key rule):
+    # dotted/backticked column names must resolve as FLAT columns, not
+    # nested-field paths, both when packing the struct and when
+    # unpacking it; and a key column literally named _w would
+    # alias-clash with the internal aggregate
+    if "_w" in keys:
+        raise ValueError(
+            "key column '_w' collides with latest_changes' internal "
+            "aggregate name; rename it first"
+        )
     packed = F.max(
         F.struct(
-            F.col(seq_col).alias(seq_col),
-            F.col(op_col).alias(op_col),
-            *[F.col(c).alias(c) for c in payload],
+            _qcol(seq_col).alias(seq_col),
+            _qcol(op_col).alias(op_col),
+            *[_qcol(c).alias(c) for c in payload],
         )
     ).alias("_w")
-    return changes.groupBy(*keys).agg(packed).select(
-        *keys,
-        F.col(f"_w.{seq_col}").alias(seq_col),
-        F.col(f"_w.{op_col}").alias(op_col),
-        *[F.col(f"_w.{c}").alias(c) for c in payload],
+    w = F.col("_w")
+    return changes.groupBy(*[_qcol(k) for k in keys]).agg(packed).select(
+        *[_qcol(k) for k in keys],
+        w.getField(seq_col).alias(seq_col),
+        w.getField(op_col).alias(op_col),
+        *[w.getField(c).alias(c) for c in payload],
     )
 
 
@@ -89,20 +106,26 @@ def merge_changelog(
     keys = list(key_cols)
     latest = latest_changes(changes, keys, seq_col, op_col)
     change_payload = {c for c in latest.columns if c not in (*keys, seq_col, op_col)}
+
+    def side(alias: str, name: str) -> Column:
+        # alias-qualified EXACT reference: "c.`a.b`" resolves the flat
+        # column `a.b` on side c, never a nested-field path (r10 review)
+        return F.col(f"{alias}.`" + name.replace("`", "``") + "`")
+
     joined = snapshot.alias("s").join(latest.alias("c"), on=keys, how="full_outer")
     live = joined.filter(
-        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != OP_DELETE)
+        side("c", op_col).isNull() | (side("c", op_col) != OP_DELETE)
     )
     out = []
     for c in snapshot.columns:
         if c in keys:
-            out.append(F.col(c))
+            out.append(_qcol(c))
         elif c in change_payload:
             out.append(
-                F.when(F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{c}"))
-                .otherwise(F.col(f"s.{c}"))
+                F.when(side("c", op_col).isNotNull(), side("c", c))
+                .otherwise(side("s", c))
                 .alias(c)
             )
         else:
-            out.append(F.col(f"s.{c}").alias(c))
+            out.append(side("s", c).alias(c))
     return live.select(*out)

@@ -73,6 +73,19 @@ def snapshot_diff(
     key like any other — a plain equi-join would double-report the same
     (NULL-keyed) row as added AND removed, a false reconciliation
     failure on byte-identical snapshots."""
+    # reserved-name guard (r10 review): a KEY named 'status' would emit
+    # TWO status columns (silent downstream ambiguity); keys named
+    # hash_old/hash_new or _new_<key> collide with the internal
+    # hash/rename columns (analysis errors at best)
+    reserved = {"status", "hash_old", "hash_new"} | {
+        f"_new_{k}" for k in key_cols
+    }
+    taken = reserved & set(key_cols)
+    if taken:
+        raise ValueError(
+            f"key columns {sorted(taken)} collide with snapshot_diff's "
+            "output/internal names; rename them first"
+        )
     value_cols = [c for c in old.columns if c not in key_cols]
     if set(new.columns) != set(old.columns):
         raise ValueError(

@@ -82,6 +82,13 @@ def zorder_layout(
     At a 20%-NULL column that is 20% of the table in one skewed
     unclustered file, silently defeating the data skipping this write
     exists for."""
+    # reserved-name guard (r10 review, the skew.py class): withColumn
+    # would silently REPLACE an input column named like the key output
+    if key_name in df.columns:
+        raise ValueError(
+            f"input column {key_name!r} collides with zorder_layout's "
+            "key output; pass a different key_name or rename the column"
+        )
     mask = (1 << bits) - 1
     key = zorder_key(
         [
