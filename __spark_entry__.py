@@ -617,27 +617,99 @@ _R10_SLIPPED_R06 = (
 )
 
 
+# Round-10's driver record, verified == CORRECTNESS_r10.json key set
+# (all 50 green): the 12 slipped r06s, the 3 round-10 additions, the
+# modified block, and the stalest r07s, exactly as the r10 handoff
+# predicted.
+_R10_RECORDED = frozenset(
+    {
+        "ann_ivf2_build", "ann_ivf_build", "ann_ivf_topk",
+        "anti_join_existing", "asof_join_last_event", "bm25_retrieval",
+        "broadcast_dim_join", "cdc_merge_orders", "chunk_dup_ratio",
+        "content_defined_chunks", "dedup_key_version",
+        "doc_length_outliers", "event_sessionization",
+        "filter_status_counts", "funnel_view_click_purchase",
+        "histogram_prices", "hll_intersection_users",
+        "indoc_segment_dedup", "json_extraction", "kafka_date_format",
+        "l_diversity_customers", "latest_per_key",
+        "manifest_projection", "media_decode_health",
+        "media_feature_extract", "media_jpeg_decode",
+        "media_png_decode", "normalize_pipeline",
+        "percentile_prices_approx", "pricing_summary",
+        "profile_drift_orders", "revenue_by_nation", "rowkey_crc32",
+        "scd2_user_intervals", "semantic_decontamination",
+        "semdedup_embeddings", "shard_assign_tokens",
+        "snapshot_diff_orders", "streaming_cdc_snapshot",
+        "streaming_latest_per_key_ttl", "substring_dedup_apply",
+        "substring_dup_spans", "table_naming", "text_quality_scores",
+        "text_token_counts", "time_range_filter",
+        "top_orders_by_revenue", "tumbling_window_agg",
+        "union_priorities", "version_selection",
+    }
+)
+
+
+# Round-11 rotation plan (r10 verdict prescription #1): (a) the 15
+# r07-latest queries that slipped past round 10's window sort FIRST;
+# then (b) round-11 additions (never recorded); then (c) the round-11
+# modified block; then (d) plain staleness (r07 -> r08 -> r09 -> r10).
+# Target invariant after this round: no query's latest record predates
+# r08 (max staleness <= 3 rounds, test_post_round_staleness_bound).
+_R11_SLIPPED_R07 = (
+    "text_language_id", "text_fingerprints",
+    "dedup_exact", "dedup_fingerprint", "dedup_minhash_lsh",
+    "hll_distinct_users", "hash_sample_documents",
+    "embedding_cosine_neardup", "streaming_latest_per_key",
+    "bpe_token_stats", "segment_cleaned_corpus",
+    "streaming_windowed_counts", "streaming_interval_join",
+    "doc_length_outliers_approx", "token_counts_seam",
+)
+
+
+# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed in round 11
+# after their most recent driver record (README "Re-record doctrine").
+# Grows within the round as code is touched; front-loaded behind the
+# 15 slipped r07-latest queries, which the r10 verdict pins first.
+_R11_MODIFIED_SINCE_RECORD = (
+    # similarity.py ADVICE fixes (r10): kmeans_fit checks its k*dim
+    # driver budget BEFORE take(k) (probe dim via take(1)),
+    # kmeans_fit_sampled raises clearly on a NULL probe embedding,
+    # ivf2_assign left-joins fine centroids with a -1 sentinel instead
+    # of silently dropping unmatched cells. Value-identical for the
+    # fixtures; touched code via _ivf_fit / ivf2 paths.
+    "ann_ivf_build",
+    "ann_ivf_topk",
+    "semdedup_embeddings",
+    "ann_ivf2_build",
+    # stream_pipeline.py ADVICE fix: _duration_ms rejects non-positive
+    # durations (ValueError) instead of clamping every key's timeout to
+    # watermark+1. Behavior-neutral for valid configs; touched code.
+    "streaming_latest_per_key_ttl",
+)
+
+
 def _ordered_queries():
-    """Round-10 ordering: (a) the 12 r06-latest queries that slipped past
-    round 9's 50-query window (verdict prescription — they must re-record
-    this round so no latest record predates r07), (b) never-recorded
-    queries (registration order — each new round-10 query gets a driver
+    """Round-11 ordering: (a) the 15 r07-latest queries that slipped past
+    round 10's 50-query window (verdict prescription — they must re-record
+    this round so no latest record predates r08), (b) never-recorded
+    queries (registration order — each new round-11 query gets a driver
     row immediately), (c) queries modified since their most recent
-    driver record (_R10_MODIFIED_SINCE_RECORD), (d) previously recorded
-    queries stalest-first (most recent driver row r06, then r07, ...).
+    driver record (_R11_MODIFIED_SINCE_RECORD), (d) previously recorded
+    queries stalest-first (most recent driver row r07, then r08, ...).
     Every query pushed past index 50 already has a green driver row in
-    the r01..r09 union and is re-verified each round by
+    the r01..r10 union and is re-verified each round by
     tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    slipped_rank = {n: i for i, n in enumerate(_R10_SLIPPED_R06)}
-    modified_rank = {n: i for i, n in enumerate(_R10_MODIFIED_SINCE_RECORD)}
+    slipped_rank = {n: i for i, n in enumerate(_R11_SLIPPED_R07)}
+    modified_rank = {n: i for i, n in enumerate(_R11_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (10, _R10_RECORDED),
             (9, _R09_RECORDED),
             (8, _R08_RECORDED),
             (7, _R07_RECORDED),

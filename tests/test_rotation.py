@@ -14,7 +14,7 @@ from collections import Counter
 
 import __spark_entry__ as entry
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 WINDOW = 50
 # Steady-state bar from the r7/r8 verdicts: after this round's window is
 # recorded, no query's latest driver record may be more than 3 rounds
@@ -56,32 +56,32 @@ def test_slipped_and_modified_blocks_resolve_to_real_queries():
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    for name in entry._R10_SLIPPED_R06:
+    for name in entry._R11_SLIPPED_R07:
         assert name in QUERIES, f"slipped-block name not in catalog: {name}"
-    for name in entry._R10_MODIFIED_SINCE_RECORD:
+    for name in entry._R11_MODIFIED_SINCE_RECORD:
         assert name in QUERIES, f"modified-block name not in catalog: {name}"
 
 
-def test_slipped_r06_queries_sort_first():
-    """The r9 verdict pins the 12 slipped r06-latest queries to the very
-    front of the round-10 window."""
+def test_slipped_r07_queries_sort_first():
+    """The r10 verdict pins the 15 slipped r07-latest queries to the very
+    front of the round-11 window."""
     ordered = [n for n, _ in entry._ordered_queries()]
-    assert tuple(ordered[: len(entry._R10_SLIPPED_R06)]) == entry._R10_SLIPPED_R06
+    assert tuple(ordered[: len(entry._R11_SLIPPED_R07)]) == entry._R11_SLIPPED_R07
 
 
-def test_slipped_block_is_exactly_the_r06_latest_stragglers():
-    """Every slipped entry's latest record is r06, and every query whose
-    latest record is r06 is in the slipped block (nothing older exists)."""
+def test_slipped_block_is_exactly_the_r07_latest_stragglers():
+    """Every slipped entry's latest record is r07, and every query whose
+    latest record is r07 is in the slipped block (nothing older exists)."""
     sets = _record_sets()
     ordered = [n for n, _ in entry._ordered_queries()]
-    r06_latest = {n for n in ordered if _last_recorded(n, sets) == 6}
+    r07_latest = {n for n in ordered if _last_recorded(n, sets) == 7}
     older = {
         n
         for n in ordered
-        if (_last_recorded(n, sets) or CURRENT_ROUND) < 6
+        if (_last_recorded(n, sets) or CURRENT_ROUND) < 7
     }
-    assert older == set(), f"queries with latest record older than r06: {older}"
-    assert r06_latest == set(entry._R10_SLIPPED_R06)
+    assert older == set(), f"queries with latest record older than r07: {older}"
+    assert r07_latest == set(entry._R11_SLIPPED_R07)
 
 
 def test_modified_block_lands_inside_the_window():
@@ -89,7 +89,7 @@ def test_modified_block_lands_inside_the_window():
     must re-record this round — i.e. appear inside the first 50."""
     ordered = [n for n, _ in entry._ordered_queries()]
     window = set(ordered[:WINDOW])
-    missing = [n for n in entry._R10_MODIFIED_SINCE_RECORD if n not in window]
+    missing = [n for n in entry._R11_MODIFIED_SINCE_RECORD if n not in window]
     assert missing == [], (
         f"modified-since-record queries pushed past the window: {missing}"
     )
@@ -127,24 +127,22 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {6: 12, None: 3, 7: 25, 8: 6, 9: 4}
+CLAIMED_DISTRIBUTION = {7: 15, 8: 30, 10: 5}
 
 
 def test_handoff_comment_distribution():
     """The handoff comment's claimed latest-record distribution of the
-    round-10 window, derived instead of hand-computed (None = the three
-    never-recorded round-10 additions: media_decode_health,
-    streaming_latest_per_key_ttl, ann_ivf2_build)."""
+    round-11 window, derived instead of hand-computed."""
     sets = _record_sets()
     ordered = [n for n, _ in entry._ordered_queries()]
     dist = Counter(_last_recorded(n, sets) for n in ordered[:WINDOW])
     assert dict(dist) == CLAIMED_DISTRIBUTION
     assert sum(dist.values()) == WINDOW
-    # Nothing in the window should be r05-or-older (those were all
-    # cleared by r08/r09) and nothing OUTSIDE the window may be r06.
-    assert all(k is None or k >= 6 for k in dist)
+    # Nothing in the window should be r06-or-older (those were all
+    # cleared by r09/r10) and nothing OUTSIDE the window may be r07.
+    assert all(k is None or k >= 7 for k in dist)
     outside = [
-        n for n in ordered[WINDOW:] if _last_recorded(n, sets) == 6
+        n for n in ordered[WINDOW:] if _last_recorded(n, sets) == 7
     ]
     assert outside == []
 
