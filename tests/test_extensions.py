@@ -3924,3 +3924,80 @@ class TestRound8Guards:
                 base.withColumn("val", F.lit(3)),
                 "ts", "ts", 0, 1000,
             )
+
+
+class TestRound11Advice:
+    """Pins for the round-11 ADVICE fixes: kmeans_fit's pre-take(k)
+    budget probe, kmeans_fit_sampled's NULL-probe contract error,
+    ivf2_assign's unmatched-cell sentinel, and the streaming
+    _duration_ms non-positive rejection."""
+
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_kmeans_fit_budget_raises_without_collecting_k(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        corpus = self._corpus(
+            spark, [(i, [float(i), 1.0]) for i in range(10)]
+        )
+        with pytest.raises(ValueError, match="driver/broadcast"):
+            similarity.kmeans_fit(corpus, k=4, max_driver_floats=7)
+        # under the budget the fit is unchanged
+        cents = similarity.kmeans_fit(
+            corpus, k=2, iters=1, max_driver_floats=1000
+        )
+        assert len(cents) == 2
+
+    def test_kmeans_fit_null_first_embedding_raises_clearly(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        corpus = self._corpus(spark, [(1, None), (2, [1.0, 0.0])])
+        with pytest.raises(ValueError, match="NULL"):
+            similarity.kmeans_fit(corpus, k=1)
+
+    def test_kmeans_fit_sampled_null_first_embedding_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        corpus = self._corpus(spark, [(1, None), (2, [1.0, 0.0])])
+        with pytest.raises(ValueError, match="NULL"):
+            similarity.kmeans_fit_sampled(corpus, k=1, sample_mod=1)
+
+    def test_ivf2_assign_unmatched_cell_keeps_row_with_sentinel(self, spark):
+        """A vector (outside the fit corpus) landing in a coarse cell
+        with no fine centroids must survive assignment with the -1
+        sentinel, not vanish in the join (ADVICE r10)."""
+        from uc_historic_data_importer_spark.operators import similarity
+
+        fit = self._corpus(
+            spark,
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0]),
+             (4, [-0.9, -0.1])],
+        )
+        coarse = similarity.kmeans_fit(fit, k=2, iters=1)
+        fine = similarity.ivf2_fit(fit, coarse, k2=2, iters=1)
+        # drop one coarse cell's fine centroids to simulate a cell empty
+        # at fit time
+        cells = [r["cell"] for r in fine.select("cell").distinct().collect()]
+        assert len(cells) == 2
+        fine_missing = fine.filter(F.col("cell") == cells[0])
+        out = similarity.ivf2_assign(fit, coarse, fine_missing)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert len(rows) == 4, "assignment dropped rows"
+        sentinels = [r for r in rows.values() if r["fine"] == -1]
+        assert sentinels and all(r["bucket"] == -1 for r in sentinels)
+        matched = [r for r in rows.values() if r["fine"] != -1]
+        assert matched and all(r["bucket"] >= 0 for r in matched)
+
+    def test_duration_ms_rejects_non_positive(self):
+        from uc_historic_data_importer_spark.streaming import (
+            stream_pipeline as sp,
+        )
+
+        for bad in (0, -250, "0 seconds", "-5 minutes"):
+            with pytest.raises(ValueError, match=">= 1 ms"):
+                sp._duration_ms(bad)
+        assert sp._duration_ms(250) == 250
+        assert sp._duration_ms("1 millisecond") == 1

@@ -407,3 +407,44 @@ class TestSourcesReviewFixes:
         rows = read_jsonl_lines(spark, str(tmp_path)).collect()
         assert len(rows) == 1
         assert rows[0]["db"] == "db" and rows[0]["file_number"] == 1
+
+
+class TestMetadataProbeBounded:
+    """r10 verdict hardening #1: the sidecar validation probe must not
+    collect a row per file on the happy path; the error paths stay
+    byte-equivalent in shape (blank-field detail, missing-content list)."""
+
+    def _mk(self, tree, stem, meta):
+        _write(os.path.join(tree, f"{stem}.json.gz.enc"), b"payload")
+        with open(os.path.join(tree, f"{stem}.json.encryption.json"), "w") as fh:
+            fh.write(meta)
+
+    def test_blank_error_names_offenders_sorted(self, spark, tree):
+        good = json.dumps({
+            "keyEncryptionKeyId": "kek", "encryptedEncryptionKey": "E",
+            "initialisationVector": "IV",
+        })
+        bad = json.dumps({
+            "keyEncryptionKeyId": " ", "encryptedEncryptionKey": "E",
+            "initialisationVector": "IV",
+        })
+        self._mk(tree, "db.c.0001", bad)
+        self._mk(tree, "db.c.0002", good)
+        self._mk(tree, "db.c.0003", bad)
+        with pytest.raises(M.MetadataValidationError) as ei:
+            M.parse_metadata(L.pair_files(L.list_local_objects(spark, tree)))
+        msg = str(ei.value)
+        assert "keyEncryptionKeyId" in msg
+        assert "0001" in msg and "0003" in msg and "0002" not in msg
+
+    def test_empty_sidecar_reports_missing_content(self, spark, tree):
+        good = json.dumps({
+            "keyEncryptionKeyId": "kek", "encryptedEncryptionKey": "E",
+            "initialisationVector": "IV",
+        })
+        self._mk(tree, "db.c.0001", good)
+        self._mk(tree, "db.c.0002", "")
+        with pytest.raises(M.MetadataValidationError) as ei:
+            M.parse_metadata(L.pair_files(L.list_local_objects(spark, tree)))
+        msg = str(ei.value)
+        assert "no parseable sidecar content" in msg and "0002" in msg

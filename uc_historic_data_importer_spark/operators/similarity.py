@@ -453,11 +453,32 @@ def kmeans_fit(
     ``max_driver_floats`` raises rather than silently building an
     OOM-scale plan — use kmeans_fit_sampled (bounded k, sample-trained)
     for corpora that want more cells than the budget allows."""
+    # probe dim with a single take(1) and enforce the budget BEFORE
+    # take(k) executes (ADVICE r10): in the exact regime the guard
+    # targets (k*dim >> budget) the k-row collect itself is the OOM,
+    # so raising after it would be raising too late
+    probe = corpus.select(vec_col).first()
+    if probe is not None:
+        pv = probe[vec_col]
+        if pv is None:
+            raise ValueError(
+                "kmeans_fit: first embedding is NULL; filter null "
+                f"{vec_col} rows before fitting"
+            )
+        if k * len(pv) > max_driver_floats:
+            raise ValueError(
+                f"k*dim = {k}*{len(pv)} exceeds the driver/broadcast "
+                f"budget of {max_driver_floats} floats; use "
+                "kmeans_fit_sampled (k capped to the budget) or a "
+                "two-level quantizer"
+            )
     first = [
         [float(x) for x in r[vec_col]]
         for r in corpus.select(vec_col, id_col).orderBy(id_col).take(k)
     ]
     if first and k * len(first[0]) > max_driver_floats:
+        # mixed-dim corpora: the lowest-id row may be wider than the
+        # probed row; re-check on the materialized init vectors too
         raise ValueError(
             f"k*dim = {k}*{len(first[0])} exceeds the driver/broadcast "
             f"budget of {max_driver_floats} floats; use "
@@ -533,6 +554,13 @@ def kmeans_fit_sampled(
     probe = corpus.select(vec_col).first()
     if probe is None:
         raise ValueError("kmeans_fit_sampled: empty corpus")
+    if probe[vec_col] is None:
+        # mirror the pq_fit/hyperplane_lsh_buckets r9 fix: a NULL first
+        # embedding must raise a clear contract error, not len(None)
+        raise ValueError(
+            "kmeans_fit_sampled: first embedding is NULL; filter null "
+            f"{vec_col} rows before fitting"
+        )
     dim = len(probe[vec_col])
     if dim == 0 or dim > max_driver_floats:
         raise ValueError(
@@ -720,7 +748,12 @@ def ivf2_assign(
     c_norm = F.sqrt(
         F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
     )
-    scored = assigned.join(fine, "cell").select(
+    # LEFT join: a vector assigned (outside the fit corpus) to a coarse
+    # cell that was empty at fit time has no fine centroids — an inner
+    # join would silently DROP it, breaking "assignment never drops
+    # rows" (ADVICE r10). It keeps one row with fine = -1 / bucket = -1,
+    # the assign_cells malformed-vector sentinel convention.
+    scored = assigned.join(fine, "cell", "left").select(
         "vec_id",
         "cell",
         "fine",
@@ -743,10 +776,12 @@ def ivf2_assign(
         .select(
             "vec_id",
             "cell",
-            "fine",
-            (
+            F.coalesce(F.col("fine"), F.lit(-1)).alias("fine"),
+            F.when(F.col("fine").isNull(), F.lit(-1).cast("long"))
+            .otherwise(
                 F.col("cell").cast("long") * F.col("_k2n") + F.col("fine")
-            ).alias("bucket"),
+            )
+            .alias("bucket"),
             *[F.col(c) for c in keep_cols],
         )
     )

@@ -139,17 +139,37 @@ def parse_metadata(pairs: DataFrame) -> DataFrame:
             ]
         )
     )
-    probe = raw.select("meta_path", blank.alias("_blank")).collect()
-    bad = [r for r in probe if r["_blank"]][:5]
-    if bad:
+    # the probe is ONE aggregate row on the happy path (r10 verdict
+    # hardening #1): counting violations + distinct parsed paths never
+    # materializes a row per sidecar on the driver; the bounded
+    # limit(5) example collects run only on the error paths
+    flagged = raw.select("meta_path", blank.alias("_blank"))
+    stats = flagged.agg(
+        F.sum((F.size("_blank") > 0).cast("long")).alias("n_bad"),
+        F.count_distinct("meta_path").alias("n_paths"),
+    ).first()
+    if stats["n_bad"]:
+        bad = (
+            flagged.filter(F.size("_blank") > 0)
+            .orderBy("meta_path")
+            .limit(5)
+            .collect()
+        )
         detail = "; ".join(
             f"blank {list(r['_blank'])} in {r['meta_path']}" for r in bad
         )
         raise MetadataValidationError(
             f"Failed to parse encryption metadata: {detail}"
         )
-    missing = sorted(set(meta_paths) - {r["meta_path"] for r in probe})[:5]
-    if missing:
+    if stats["n_paths"] != len(set(meta_paths)):
+        # error path only: name up to 5 sidecars that produced no
+        # parseable row (empty files); the full-path set is the same
+        # order of driver memory as the meta_paths argument itself
+        present = {
+            r["meta_path"]
+            for r in raw.select("meta_path").distinct().collect()
+        }
+        missing = sorted(set(meta_paths) - present)[:5]
         raise MetadataValidationError(
             "Failed to parse encryption metadata: no parseable sidecar "
             "content in " + "; ".join(missing)

@@ -253,14 +253,21 @@ def _duration_ms(spec: str | int) -> int:
     """'30 minutes' / '1 hour' -> millis (the subset of Spark's
     CalendarInterval grammar the streaming ops use)."""
     if isinstance(spec, int):
-        return spec
-    parts = spec.strip().split()
-    if len(parts) != 2:
-        raise ValueError(f"duration must be '<n> <unit>': {spec!r}")
-    n, unit = int(parts[0]), parts[1].rstrip("s").lower()
-    if unit not in _DURATION_UNITS_MS:
-        raise ValueError(f"unknown duration unit: {spec!r}")
-    return n * _DURATION_UNITS_MS[unit]
+        ms = spec
+    else:
+        parts = spec.strip().split()
+        if len(parts) != 2:
+            raise ValueError(f"duration must be '<n> <unit>': {spec!r}")
+        n, unit = int(parts[0]), parts[1].rstrip("s").lower()
+        if unit not in _DURATION_UNITS_MS:
+            raise ValueError(f"unknown duration unit: {spec!r}")
+        ms = n * _DURATION_UNITS_MS[unit]
+    if ms < 1:
+        # a non-positive TTL would clamp every key's timeout to
+        # watermark+1 — immediate-eviction churn masquerading as
+        # configuration (ADVICE r10); make it an explicit error
+        raise ValueError(f"duration must be >= 1 ms: {spec!r}")
+    return ms
 
 
 def latest_per_key_stream_ttl(
