@@ -1403,6 +1403,157 @@ def ann_ivf2_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-level IVF search fixture: fine k2 fixed, coarse k1 scaled so
+# composite buckets keep ~_IVF_OCC occupancy at any sf (the same
+# scale-honesty rule as _ivf_cells_for) -- k1*k2 cells total.
+_IVF2_TOPK_K2 = 4
+_IVF2_K1_SQL = (
+    f"(SELECT greatest(2, CAST(ceil(count(*) / "
+    f"{_IVF_OCC * _IVF2_TOPK_K2}.0) AS INT)) FROM embeddings)"
+)
+
+
+def _ivf2_k1_for(n: int) -> int:
+    return max(2, -(-n // (_IVF_OCC * _IVF2_TOPK_K2)))
+
+
+def _ivf2_topk_oracle(
+    k1: int | str, k2: int, coarse_iters: int, fine_iters: int
+) -> str:
+    """Unrolled two-level IVF fit + composite-bucket search as pure
+    DuckDB SQL: the coarse level is _ivf_build_oracle's k-means; the
+    fine level replays similarity.ivf2_fit bit-for-bit (per-cell
+    lowest-id init, join-scored argmax with (score desc, fine asc)
+    ties at round_dp=6, per-dim means rounded half-away at dp=12,
+    empty/all-zero sub-cells keep their previous centroid); the search
+    replays ivf2_assign's composite bucket (cell * (max fine + 1) +
+    fine) and ivf_topk's within-bucket rank."""
+    ip = "list_inner_product"
+
+    def unit(e: str) -> str:
+        n = (
+            f"(CASE WHEN sqrt({ip}({e}, {e})) = 0 THEN 1.0 "
+            f"ELSE sqrt({ip}({e}, {e})) END)"
+        )
+        return f"list_transform({e}, x -> x / {n})"
+
+    cn = (
+        f"(CASE WHEN sqrt({ip}(c.c, c.c)) = 0 THEN 1.0 "
+        f"ELSE sqrt({ip}(c.c, c.c)) END)"
+    )
+
+    def assign_fine(cent: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT vec_id, cell, fine, v FROM (
+        SELECT t.vec_id, t.cell, c.fine, t.v, row_number() OVER (
+          PARTITION BY t.vec_id ORDER BY
+            round({ip}(t.v, c.c) / {cn}, 6) DESC,
+            c.fine ASC) AS rn
+        FROM av t JOIN {cent} c USING (cell)
+      ) WHERE rn = 1
+    )"""
+
+    def update_fine(prev_assign: str, prev_cent: str, out: str) -> str:
+        return f"""{out}_l AS (
+      SELECT cell, fine, list(mx ORDER BY dim) AS l FROM (
+        SELECT cell, fine, dim, round(sum(x) / count(*), 12) AS mx FROM (
+          SELECT cell, fine, generate_subscripts(v, 1) AS dim,
+                 unnest(v) AS x
+          FROM {prev_assign}
+        ) GROUP BY cell, fine, dim
+      ) GROUP BY cell, fine
+    ),
+    {out} AS (
+      SELECT p.cell, p.fine,
+             CASE WHEN m.l IS NULL
+                    OR len(list_filter(m.l, x -> x != 0)) = 0
+                  THEN p.c ELSE {unit('m.l')} END AS c
+      FROM {prev_cent} p LEFT JOIN {out}_l m USING (cell, fine)
+    )"""
+
+    parts = [
+        f"""av AS (
+      SELECT af.vec_id, CAST(af.cell AS INT) AS cell, v.v
+      FROM af JOIN v USING (vec_id)
+    ),
+    f0 AS (
+      SELECT cell, CAST(rn - 1 AS INT) AS fine, {unit('v')} AS c
+      FROM (
+        SELECT cell, vec_id, v, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id) AS rn
+        FROM av
+      ) WHERE rn <= {k2}
+    )"""
+    ]
+    for i in range(fine_iters):
+        parts.append(assign_fine(f"f{i}", f"fa{i}"))
+        parts.append(update_fine(f"fa{i}", f"f{i}", f"f{i + 1}"))
+    parts.append(assign_fine(f"f{fine_iters}", "faf"))
+    joined = ",\n    ".join(parts)
+    tail = f""",
+    {joined},
+    k2n AS (SELECT max(fine) + 1 AS n FROM f{fine_iters}),
+    eb AS (
+      SELECT vec_id,
+             (CAST(cell AS BIGINT) * (SELECT n FROM k2n) + fine) AS bucket,
+             v
+      FROM faf
+    ),
+    sims AS (
+      SELECT a.vec_id AS query_id, a.bucket AS cell,
+             b.vec_id AS neighbor_id,
+             round({ip}(a.v, b.v) /
+               (sqrt({ip}(a.v, a.v)) * sqrt({ip}(b.v, b.v))), 6) AS cos_sim
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, cell, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT)
+        AS rank
+      FROM sims
+    ) WHERE rank <= 1"""
+    return _ivf_build_oracle(k=k1, iters=coarse_iters).replace(
+        "\n    SELECT vec_id, CAST(cell AS INT) AS cell FROM af", tail
+    )
+
+
+@register(
+    "ann_ivf2_topk",
+    _ivf2_topk_oracle(
+        k1=_IVF2_K1_SQL, k2=_IVF2_TOPK_K2, coarse_iters=1, fine_iters=2
+    ),
+    doc="two-level IVF SEARCH at k1>1 (r10 verdict residual #1): coarse "
+    "k-means (k1 scaled to corpus size so composite buckets keep "
+    f"~{_IVF_OCC} occupancy, 1 round) -> distributed fine fit "
+    f"(ivf2_fit, k2={_IVF2_TOPK_K2}, 2 rounds, centroids in a joined "
+    "DataFrame -- never a broadcast literal) -> ivf2_assign's composite "
+    "bucket (cell * (max fine + 1) + fine, probe cost k1 + k2) -> "
+    "ivf_topk within the bucket. The whole fit+assign+search chain is "
+    "replayed as unrolled DuckDB SQL, so the k1>1 composition -- per-"
+    "cell init, join-scored argmax ties, bucket arithmetic, within-"
+    "bucket rank -- is value-hash-checked end-to-end (ann_ivf2_build "
+    "covers the k1=1 reduction; TestIvf2 pins the partition/reduction "
+    "invariants).",
+)
+def ann_ivf2_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    k1 = _ivf2_k1_for(_table_n_rows(sf_dir, "embeddings"))
+    coarse = _memo(
+        ("kmeans_fit_ivf2_topk", sf_dir, k1),
+        lambda: similarity.kmeans_fit(emb, k=k1, iters=1),
+    )
+    fine = _memo(
+        ("ivf2_fine_topk", sf_dir, k1),
+        lambda: similarity.ivf2_fit(
+            emb, coarse, k2=_IVF2_TOPK_K2, iters=2
+        ),
+    )
+    assigned = similarity.ivf2_assign(
+        emb, coarse, fine, keep_cols=("embedding",)
+    )
+    return similarity.ivf_topk(assigned, k=1, cell_col="bucket")
+
+
 @register(
     "ann_ivf_topk",
     _ivf_build_oracle(k=_IVF_K_SQL, iters=2).replace(
