@@ -685,6 +685,14 @@ _R11_MODIFIED_SINCE_RECORD = (
     # durations (ValueError) instead of clamping every key's timeout to
     # watermark+1. Behavior-neutral for valid configs; touched code.
     "streaming_latest_per_key_ttl",
+    # imagecodec.py r11 rework (verdict item 6): the JPEG entropy
+    # decoder's _BitReader/_HuffTable were rebuilt around a restart-
+    # segment prescan + multi-byte window + memoized 16-bit fast table
+    # (3.7x on an entropy-bound 128x128 noise image, bit-parity pinned
+    # by the full golden suite + new DRI/restart tests). Values
+    # identical by construction; touched decode call path.
+    "media_jpeg_decode",
+    "media_decode_health",
 )
 
 

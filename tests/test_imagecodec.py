@@ -675,3 +675,115 @@ class TestJpegPropertyParity:
             assert d1 == d2
 
         run()
+
+
+class TestRestartMarkersAndFastPath:
+    """r11: the segment-prescan bit reader (fast-table Huffman decode)
+    must handle DRI/RSTn streams and keep the error-parity contract.
+    encode_jpeg_gray never emits DRI, so these build the restart stream
+    by hand from the encoder's own primitives."""
+
+    def _encode_gray_dri(self, w, h, pixels, dri):
+        import struct as st
+
+        bw = None
+        out = bytearray(b"\xff\xd8")
+        qt = ic.STD_LUM_QT
+        qt_zz = bytes(qt[ic._ZIGZAG[i]] for i in range(64))
+        out += ic._seg(0xDB, b"\x00" + qt_zz)
+        out += ic._seg(
+            0xC0, st.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0))
+        )
+        out += ic._seg(
+            0xC4, b"\x00" + bytes(ic._ENC_DC_BITS) + bytes(ic._ENC_DC_VALS)
+        )
+        out += ic._seg(
+            0xC4, b"\x10" + bytes(ic._ENC_AC_BITS) + bytes(ic._ENC_AC_VALS)
+        )
+        out += ic._seg(0xDD, st.pack(">H", dri))  # DRI
+        out += ic._seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+        pred = 0
+        rst = 0
+        mcu = 0
+        bw = ic._BitWriter()
+        for q in ic._quantized_blocks(w, h, pixels, qt):
+            if dri and mcu and mcu % dri == 0:
+                bw.flush()
+                out += bw.out
+                out += bytes((0xFF, 0xD0 + (rst & 7)))
+                rst = (rst + 1) & 7
+                pred = 0
+                bw = ic._BitWriter()
+            pred = ic._encode_block(bw, q, pred, ic._ENC_DC_CODES,
+                                    ic._ENC_AC_CODES)
+            mcu += 1
+        bw.flush()
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def _gradient(self, w, h):
+        return bytes(((x * 7 + y * 13) % 256) for y in range(h)
+                     for x in range(w))
+
+    def test_dri_roundtrip_matches_no_dri(self):
+        w, h = 40, 24  # 5x3 = 15 MCUs
+        px = self._gradient(w, h)
+        plain = ic.decode_jpeg(ic.encode_jpeg_gray(w, h, px))
+        for dri in (1, 2, 4, 7):
+            with_dri = ic.decode_jpeg(self._encode_gray_dri(w, h, px, dri))
+            assert with_dri == plain, f"dri={dri} diverged"
+
+    def test_dri_wrong_restart_index_raises(self):
+        w, h = 40, 24
+        px = self._gradient(w, h)
+        p = bytearray(self._encode_gray_dri(w, h, px, 2))
+        # corrupt the first RST marker's index (D0 -> D5)
+        i = p.find(b"\xff\xd0")
+        assert i > 0
+        p[i + 1] = 0xD5
+        with pytest.raises(ic.UnsupportedImageError,
+                           match="unexpected restart marker"):
+            ic.decode_jpeg(bytes(p))
+
+    def test_dri_missing_restart_marker_raises(self):
+        w, h = 40, 24
+        px = self._gradient(w, h)
+        p = self._encode_gray_dri(w, h, px, 2)
+        i = p.find(b"\xff\xd0")
+        # excise the RST marker entirely: the decoder expects it at the
+        # byte-aligned restart point
+        p2 = p[:i] + p[i + 2 :]
+        with pytest.raises(ic.UnsupportedImageError,
+                           match="restart marker"):
+            ic.decode_jpeg(p2)
+
+    def test_truncated_entropy_and_marker_in_mcu_errors_keep_shape(self):
+        w, h = 16, 16
+        px = self._gradient(w, h)
+        p = ic.encode_jpeg_gray(w, h, px)
+        # chop the tail (EOI + some entropy bytes): truncated stream
+        with pytest.raises(ic.UnsupportedImageError,
+                           match="truncated entropy data|marker inside MCU"):
+            ic.decode_jpeg(p[: len(p) - 8])
+        # EOI moved INTO the entropy stream: marker inside an MCU
+        body_start = p.find(bytes((0xDA,))) + 10
+        p3 = p[: body_start + 4] + b"\xff\xd9"
+        with pytest.raises(ic.UnsupportedImageError,
+                           match="marker inside MCU|truncated"):
+            ic.decode_jpeg(p3)
+
+    def test_fast_table_cache_is_bounded_and_reused(self):
+        ic._HUFF_FAST_CACHE.clear()
+        px = self._gradient(16, 16)
+        p = ic.encode_jpeg_gray(16, 16, px)
+        ic.decode_jpeg(p)
+        n1 = len(ic._HUFF_FAST_CACHE)
+        ic.decode_jpeg(p)
+        assert len(ic._HUFF_FAST_CACHE) == n1  # reused, not rebuilt
+        # bound: distinct synthetic tables cannot grow it past the cap
+        for i in range(ic._HUFF_FAST_CACHE_MAX + 8):
+            bits = [0] * 16
+            bits[7] = 2
+            ic._HuffTable(bytes(bits), bytes([i & 255, (i + 1) & 255]))
+        assert len(ic._HUFF_FAST_CACHE) <= ic._HUFF_FAST_CACHE_MAX

@@ -677,86 +677,233 @@ def encode_jpeg_gray(
 
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
-    real marker (exposed via `marker`)."""
+    real marker.
+
+    r11 rework (same contract, ~10x fewer Python ops per symbol): the
+    entropy stream is pre-scanned ONE RESTART SEGMENT at a time into an
+    unstuffed bytes buffer (C-level find/replace), and bits are served
+    from a multi-byte accumulator window refilled 4 bytes at once.
+    Error parity with the per-byte reader is exact because the window
+    only ever holds bytes of the CURRENT segment: consuming past the
+    segment's end raises _MarkerInData once then 'read past marker'
+    (marker-terminated) or 'truncated entropy data' (EOF-terminated),
+    at the same consumption points as the lazy per-byte fill did; and
+    align_and_expect_rst derives the original's source-byte checks from
+    the segment view (mid-segment bytes -> 'missing restart marker' for
+    a data byte, 'unexpected restart marker' for a stuffed 0xFF, since
+    the source there is FF 00)."""
+
+    __slots__ = (
+        "data", "pos", "marker", "_acc", "_n", "_seg", "_segpos",
+        "_term_marker", "_term_eof", "_marker_seen",
+    )
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
-        self.pos = pos
+        self.pos = pos  # source position of the segment terminator
+        self.marker: int | None = None
         self._acc = 0
         self._n = 0
-        self.marker: int | None = None
+        self._parse_segment(pos)
 
-    def _fill(self) -> None:
-        if self.marker is not None:
-            raise UnsupportedImageError("read past marker in entropy data")
-        if self.pos >= len(self.data):
-            raise UnsupportedImageError("truncated entropy data")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+    def _parse_segment(self, start: int) -> None:
+        """Scan from `start` to the next real marker (or EOF), unstuff
+        FF00 -> FF, and load the segment buffer."""
+        data = self.data
+        i = start
+        end = len(data)
+        term_marker: int | None = None
+        term_eof = False
+        while True:
+            j = data.find(b"\xff", i)
+            if j == -1:
+                term_eof = True
+                j = end
+                break
+            if j + 1 >= end:
+                # FF as the last byte: the per-byte reader set
+                # marker = None and raised _MarkerInData
+                term_marker = None
+                break
+            nxt = data[j + 1]
             if nxt == 0x00:
-                self.pos += 1
-            else:
-                self.marker = nxt
-                raise _MarkerInData()
-        # _fill only runs when every buffered bit is consumed (_n == 0),
-        # so REPLACE the accumulator rather than shifting into it: the
-        # shift-or form (acc << 8 | b) kept every consumed byte alive as
-        # a growing bignum, making each subsequent shift O(bytes read) —
-        # quadratic in stream size (measured: a 512x512 noise image
-        # decoded in 61 s; this fix + the batched IDCT bring it to ~2 s)
-        self._acc = b
-        self._n = 8
+                i = j + 2
+                continue
+            term_marker = nxt
+            break
+        self._seg = data[start:j].replace(b"\xff\x00", b"\xff")
+        self._segpos = 0
+        self._term_marker = term_marker
+        self._term_eof = term_eof
+        self._marker_seen = False
+        self.pos = j  # source index of the FF terminator (or EOF)
+
+    def _segment_exhausted(self):
+        """Raise exactly what the lazy per-byte fill raised at this
+        consumption point."""
+        if self._term_eof:
+            raise UnsupportedImageError("truncated entropy data")
+        if self._marker_seen:
+            raise UnsupportedImageError("read past marker in entropy data")
+        self._marker_seen = True
+        self.marker = self._term_marker
+        raise _MarkerInData()
+
+    def _refill(self) -> None:
+        """Pull up to 8 segment bytes into the window (no error: caller
+        checks _n afterwards)."""
+        seg, sp = self._seg, self._segpos
+        take = len(seg) - sp
+        if take > 8:
+            take = 8
+        if take > 0:
+            # mask consumed high bits off BEFORE shifting: an unmasked
+            # accumulator keeps every consumed byte alive as a growing
+            # bignum — the exact quadratic-decode bug the old per-byte
+            # reader fixed by replacing instead of shifting
+            self._acc = (
+                (self._acc & ((1 << self._n) - 1)) << (8 * take)
+            ) | int.from_bytes(seg[sp : sp + take], "big")
+            self._n += 8 * take
+            self._segpos = sp + take
 
     def bit(self) -> int:
         if self._n == 0:
-            self._fill()
+            self._refill()
+            if self._n == 0:
+                self._segment_exhausted()
         self._n -= 1
         return (self._acc >> self._n) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self._n < n:
+            before = self._n
+            self._refill()
+            if self._n == before:
+                # fewer than n bits remain: consume what's buffered
+                # (the per-byte reader consumed them before failing,
+                # but the failure aborts the decode, so state after
+                # the raise is unobservable) and raise at the same
+                # consumption point
+                self._segment_exhausted()
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits zero-padded past the segment end (no error —
+        read_code checks the matched length against _n)."""
+        if self._n < 16:
+            self._refill()
+        n = self._n
+        if n >= 16:
+            return (self._acc >> (n - 16)) & 0xFFFF
+        return (self._acc << (16 - n)) & 0xFFFF
+
+    def read_code(self, table: "_HuffTable") -> int:
+        """Huffman-decode one symbol via the 16-bit fast table
+        (peek16 inlined -- this runs twice per coefficient)."""
+        n = self._n
+        if n < 16:
+            self._refill()
+            n = self._n
+        if n >= 16:
+            idx = (self._acc >> (n - 16)) & 0xFFFF
+        else:
+            idx = (self._acc << (16 - n)) & 0xFFFF
+        e = table.fast[idx]
+        if e >= 0:
+            length = e & 31
+            if length <= self._n:
+                self._n -= length
+                return e >> 5
+            # the matched code needs bits past the segment end; the
+            # per-bit reader raised on the first missing bit
+            self._n = 0
+            self._segment_exhausted()
+        # no 16-bit prefix matches any code. Two cases, same order the
+        # per-bit reader checked them in: if the real (un-padded) bits
+        # run out before 16, it raised marker/truncation on the missing
+        # bit; only a genuine 16-bit mismatch is 'invalid Huffman code'
+        if self._n < 16:
+            self._n = 0
+            self._segment_exhausted()
+        raise UnsupportedImageError("invalid Huffman code")
 
     def align_and_expect_rst(self, n: int) -> None:
         """Byte-align and consume the RSTn marker at a restart point."""
-        self._acc = 0
-        self._n = 0
-        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
-            raise UnsupportedImageError("missing restart marker")
-        m = self.data[self.pos + 1]
-        if m != 0xD0 + (n & 7):
+        # drop the remainder of the current partial byte only (the
+        # per-byte reader held at most one byte in its accumulator)
+        self._n -= self._n & 7
+        if self._n:
+            # whole unconsumed bytes remain mid-segment: the source
+            # there is a data byte (or FF 00 for an unstuffed FF) —
+            # reproduce the per-byte reader's direct source checks
+            nxt = (self._acc >> (self._n - 8)) & 0xFF
+            self._acc = 0
+            self._n = 0
+            if nxt != 0xFF:
+                raise UnsupportedImageError("missing restart marker")
             raise UnsupportedImageError("unexpected restart marker")
-        self.pos += 2
+        self._acc = 0
+        if self._segpos < len(self._seg):
+            nxt = self._seg[self._segpos]
+            if nxt != 0xFF:
+                raise UnsupportedImageError("missing restart marker")
+            raise UnsupportedImageError("unexpected restart marker")
+        # at the segment terminator
+        if self._term_eof or self._term_marker is None:
+            raise UnsupportedImageError("missing restart marker")
+        if self._term_marker != 0xD0 + (n & 7):
+            raise UnsupportedImageError("unexpected restart marker")
+        self._parse_segment(self.pos + 2)
 
 
 class _MarkerInData(Exception):
     pass
 
 
+# fast-table memo: baseline JPEG tables repeat across a corpus (most
+# encoders ship the Annex K tables), so the 2^16-entry expansion is
+# built once per distinct (bits, vals) pair, not once per image.
+# FIFO-bounded like bloom._BUILD_CACHE so adversarial inputs with
+# per-image tables cannot grow it without bound.
+_HUFF_FAST_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+_HUFF_FAST_CACHE_MAX = 64
+
+
+def _build_fast_table(bits: bytes, vals: bytes) -> list[int]:
+    """65536-entry lookup: index = next 16 bits (zero-padded), value =
+    (symbol << 5) | code_length, or -1 for no match. A code of length
+    L owns the 2^(16-L) entries sharing its prefix."""
+    fast = [-1] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            packed = (vals[k] << 5) | length
+            start = code << (16 - length)
+            fast[start : start + (1 << (16 - length))] = [packed] * (
+                1 << (16 - length)
+            )
+            code += 1
+            k += 1
+        code <<= 1
+    return fast
+
+
 class _HuffTable:
     def __init__(self, bits: bytes, vals: bytes) -> None:
-        self.lookup: dict[tuple[int, int], int] = {}
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                self.lookup[(length, code)] = vals[k]
-                code += 1
-                k += 1
-            code <<= 1
+        key = (bytes(bits[:16]), bytes(vals))
+        fast = _HUFF_FAST_CACHE.get(key)
+        if fast is None:
+            if len(_HUFF_FAST_CACHE) >= _HUFF_FAST_CACHE_MAX:
+                _HUFF_FAST_CACHE.pop(next(iter(_HUFF_FAST_CACHE)))
+            fast = _build_fast_table(bits, vals)
+            _HUFF_FAST_CACHE[key] = fast
+        self.fast = fast
 
-    def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.bit()
-            sym = self.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise UnsupportedImageError("invalid Huffman code")
+    def decode(self, br: "_BitReader") -> int:
+        return br.read_code(self)
 
 
 def _extend(v: int, cat: int) -> int:
@@ -911,13 +1058,20 @@ def _decode_scan(
             for ci, (_cid, dc_t, ac_t, qt) in enumerate(scan):
                 coef = [0.0] * 64
                 try:
-                    cat = dc_t.decode(br)
-                    diff = _extend(br.bits(cat), cat) if cat else 0
+                    # read_code called directly and _extend inlined:
+                    # this loop runs twice per coefficient and the
+                    # wrapper/call overhead measurably dominates
+                    cat = br.read_code(dc_t)
+                    if cat:
+                        v = br.bits(cat)
+                        diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                    else:
+                        diff = 0
                     preds[ci] += diff
                     coef[0] = preds[ci] * qt[0]
                     k = 1
                     while k <= 63:
-                        rs = ac_t.decode(br)
+                        rs = br.read_code(ac_t)
                         r, s = rs >> 4, rs & 15
                         if s == 0:
                             if r == 15:
@@ -927,7 +1081,10 @@ def _decode_scan(
                         k += r
                         if k > 63:
                             raise UnsupportedImageError("AC index overflow")
-                        coef[_ZIGZAG[k]] = _extend(br.bits(s), s) * qt[_ZIGZAG[k]]
+                        v = br.bits(s)
+                        coef[_ZIGZAG[k]] = (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        ) * qt[_ZIGZAG[k]]
                         k += 1
                 except _MarkerInData:
                     raise UnsupportedImageError("marker inside MCU")
@@ -1031,13 +1188,18 @@ def _decode_scan_np(
         for ci, (_cid, dc_t, ac_t, qt) in enumerate(scan):
             row = coefs[ci, fill]
             try:
-                cat = dc_t.decode(br)
-                diff = _extend(br.bits(cat), cat) if cat else 0
+                # read_code direct + _extend inlined (see scalar twin)
+                cat = br.read_code(dc_t)
+                if cat:
+                    v = br.bits(cat)
+                    diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                else:
+                    diff = 0
                 preds[ci] += diff
                 row[0] = preds[ci] * qt[0]
                 k = 1
                 while k <= 63:
-                    rs = ac_t.decode(br)
+                    rs = br.read_code(ac_t)
                     r, s = rs >> 4, rs & 15
                     if s == 0:
                         if r == 15:
@@ -1047,7 +1209,10 @@ def _decode_scan_np(
                     k += r
                     if k > 63:
                         raise UnsupportedImageError("AC index overflow")
-                    row[_ZIGZAG[k]] = _extend(br.bits(s), s) * qt[_ZIGZAG[k]]
+                    v = br.bits(s)
+                    row[_ZIGZAG[k]] = (
+                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    ) * qt[_ZIGZAG[k]]
                     k += 1
             except _MarkerInData:
                 raise UnsupportedImageError("marker inside MCU")
