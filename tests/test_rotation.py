@@ -127,12 +127,13 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {7: 15, 8: 30, 10: 5}
+CLAIMED_DISTRIBUTION = {7: 15, None: 1, 10: 7, 8: 27}
 
 
 def test_handoff_comment_distribution():
     """The handoff comment's claimed latest-record distribution of the
-    round-11 window, derived instead of hand-computed."""
+    round-11 window, derived instead of hand-computed (None = the
+    never-recorded round-11 addition ann_ivf2_topk)."""
     sets = _record_sets()
     ordered = [n for n, _ in entry._ordered_queries()]
     dist = Counter(_last_recorded(n, sets) for n in ordered[:WINDOW])
