@@ -858,3 +858,82 @@ class TestStreamingReviewFixes:
             "db", "collection", "file_number"
         ).collect()[0]
         assert tuple(batch) == tuple(stream) == ("mydb", "mycoll", 42)
+
+
+def test_latest_per_key_ttl_reappearance_semantics(spark, tmp_path):
+    """Executable contract for keys reappearing AFTER TTL eviction
+    (r10 verdict item 7). The watermark late-filter bounds what a
+    reappearance can do:
+
+    (a) a record older than the watermark is DROPPED even when it is
+        newer than the evicted version — the one reachable divergence
+        vs batch (batch counts it, the stream's last word for the key
+        stays the final=true eviction row);
+    (b) a record newer than the watermark reaches fresh state and is
+        necessarily newer than the evicted version (at eviction the
+        watermark already exceeded version + ttl), so the stream
+        converges with batch.
+
+    The docstring's old 'first new record wins even if the evicted
+    version was higher' case is UNREACHABLE: any record surviving the
+    late-filter post-eviction is newer than the evicted version."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    files = [
+        # A and C start at Jan 1; B carries the watermark forward
+        [_ttl_record("A", "2020-01-01T00:00:00.000Z"),
+         _ttl_record("C", "2020-01-01T00:00:00.000Z"),
+         _ttl_record("B", "2020-01-01T00:00:00.000Z")],
+        # watermark -> ~Jan 7: A's and C's horizons (Jan 1 + 1h) pass
+        [_ttl_record("B", "2020-01-07T00:00:00.000Z")],
+        [_ttl_record("B", "2020-01-08T00:00:00.000Z")],
+        # (a) A reappears at Jan 3: newer than its evicted Jan 1 state,
+        #     older than the watermark -> dropped.
+        # (b) C reappears at Jan 9: newer than the watermark -> fresh
+        #     state, final=false emission, converges with batch.
+        [_ttl_record("A", "2020-01-03T00:00:00.000Z"),
+         _ttl_record("C", "2020-01-09T00:00:00.000Z"),
+         _ttl_record("B", "2020-01-08T00:01:00.000Z")],
+    ]
+    for i, lines in enumerate(files, start=1):
+        p = inp / f"database-1.collection-1.{i:04d}.json"
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    lines_df = sp.read_jsonl_stream(spark, str(inp), max_files_per_trigger=1)
+    latest = sp.latest_per_key_stream_ttl(
+        sp.normalized_stream(lines_df), ttl="1 hour",
+        watermark_delay="1 minute",
+    )
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_ttl_reappear")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    out = spark.table("latest_ttl_reappear").collect()
+    batch = {
+        r["key_hex"]: r["version"]
+        for r in sp.normalized_stream_batch_keys(spark, str(inp)).collect()
+    }
+    jan = {d: 1577836800000 + (d - 1) * 86400000 for d in (1, 3, 7, 9)}
+    key_a = next(k for k, v in batch.items() if v == jan[3])
+    key_c = next(k for k, v in batch.items() if v == jan[9])
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key_hex"], []).append(r)
+    # (a) A: evicted once at Jan 1; the Jan 3 reappearance was dropped
+    # by the late-filter — the stream's last word for A stays the
+    # eviction row, DIVERGING from batch (which says Jan 3)
+    a_rows = by_key[key_a]
+    assert [r["version"] for r in a_rows] == [jan[1], jan[1]]
+    assert [r["final"] for r in a_rows] == [False, True]
+    assert batch[key_a] == jan[3]  # the divergence, pinned
+    # (b) C: evicted at Jan 1, then fresh state at Jan 9 — converges
+    c_rows = sorted(by_key[key_c], key=lambda r: (r["version"], r["final"]))
+    assert [(r["version"], r["final"]) for r in c_rows] == [
+        (jan[1], False), (jan[1], True), (jan[9], False)
+    ]
+    assert max(r["version"] for r in c_rows) == batch[key_c] == jan[9]

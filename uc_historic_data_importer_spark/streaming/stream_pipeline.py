@@ -289,12 +289,18 @@ def latest_per_key_stream_ttl(
     its last emission, final or not (the eviction re-emits, it never
     invents), so a consumer maintaining a compacted table can treat
     final rows as ordinary upserts and the TTL purely as a memory
-    contract. A key that reappears AFTER eviction starts fresh — its
-    first new record wins even if the evicted version was higher; pick
-    ttl to cover the business-time disorder of the source (for ordered
-    CDC feeds that is the out-of-orderness bound, for unordered
-    historic dumps prefer the batch/CDC route, as the base operator's
-    contract says)."""
+    contract. A key that reappears AFTER eviction is governed by the
+    watermark late-filter (executable pin:
+    tests/test_streaming.py::test_latest_per_key_ttl_reappearance_semantics):
+    a record older than the watermark is DROPPED even when it is newer
+    than the evicted version — the one reachable divergence vs batch —
+    while a record newer than the watermark starts fresh state and is
+    necessarily newer than the evicted version (at eviction the
+    watermark already exceeded version + ttl), so it converges with
+    batch. Pick watermark_delay to cover the business-time disorder of
+    the source (for ordered CDC feeds that is the out-of-orderness
+    bound, for unordered historic dumps prefer the batch/CDC route, as
+    the base operator's contract says)."""
     ttl_ms = _duration_ms(ttl)
 
     def fn(key, pdfs, state):
