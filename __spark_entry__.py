@@ -693,6 +693,42 @@ _R11_MODIFIED_SINCE_RECORD = (
     # identical by construction; touched decode call path.
     "media_jpeg_decode",
     "media_decode_health",
+    # r11 review batch (stalest-audited modules, verdict item 8):
+    # sketches.py / sampling.py / packing.py / bloom.py gained the
+    # skew.py reserved-name guard class (inputs named like internal
+    # sketch/sampler temp columns raised instead of silently shadowing)
+    # plus degenerate-parameter probes (hll p bounds, cms d >= 1,
+    # kmv k >= 1, bloom k >= 1, n_shards/n_buckets >= 1, finite
+    # mixture weights, non-negative split fractions). Behavior-neutral
+    # for clean schemas (TestRound11Guards pins both sides); touched
+    # code — every catalog query whose call path enters those modules
+    # re-records (derived by source scan; hll_distinct_users,
+    # hash_sample_documents, doc_length_outliers_approx are already in
+    # the slipped block).
+    "cms_heavy_hitters",
+    "bloom_anti_join_lineitem",
+    "split_assign_documents",
+    "stratified_sample_documents",
+    "hist_quantile_prices",
+    "corpus_curation",
+    "split_decontamination",
+    "hll_incremental_daily",
+    "pack_sequences",
+    "ngram_decontamination",
+    "mixture_sample_documents",
+    "chunk_spans_documents",
+    "weighted_sample_documents",
+    "token_budget_sample_documents",
+    "curation_funnel_report",
+    "shard_assign_tokens",
+    "hll_intersection_users",
+    "content_defined_chunks",
+    "chunk_dup_ratio",
+    "kmv_distinct_users",
+    "temperature_mixture_sample",
+    "stratified_kfold_assign",
+    "percentile_prices_approx",
+    "doc_length_outliers",
 )
 
 

@@ -4001,3 +4001,125 @@ class TestRound11Advice:
                 sp._duration_ms(bad)
         assert sp._duration_ms(250) == 250
         assert sp._duration_ms("1 millisecond") == 1
+
+
+class TestRound11Guards:
+    """r11 review batch over the stalest-audited modules (sketches /
+    sampling / bloom / packing): the skew.py reserved-name guard class
+    plus degenerate-parameter probes."""
+
+    def test_sketches_reserved_names_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [("a", 1, 2)], ["bucket", "user_val", "x"]
+        )
+        with pytest.raises(ValueError, match="internal temp names"):
+            sketches.hll_registers(df, "x", group_cols=("bucket",))
+        with pytest.raises(ValueError, match="internal temp names"):
+            sketches.hist_counts(df, "x", group_cols=("bucket",))
+        with pytest.raises(ValueError, match="internal temp names"):
+            sketches.kmv_distinct(
+                df.withColumnRenamed("bucket", "n_kept"), "x",
+                group_cols=("n_kept",),
+            )
+        with pytest.raises(ValueError, match="internal temp names"):
+            sketches.cms_estimate(
+                spark.createDataFrame([(1,)], "x long"),
+                spark.createDataFrame([(1, 1)], ["cms_n", "x"]),
+                "x",
+            )
+        with pytest.raises(ValueError, match="rename it first"):
+            sketches.hll_pairwise_intersection(
+                df.withColumnRenamed("bucket", "type_a"), "x", "type_a"
+            )
+
+    def test_sketches_degenerate_params_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import sketches
+
+        df = spark.createDataFrame([(1,)], "x long")
+        for p in (0, 60, -1):
+            with pytest.raises(ValueError, match="hll p"):
+                sketches.hll_registers(df, "x", p=p)
+        with pytest.raises(ValueError, match="cms depth"):
+            sketches.cms_counters(df, "x", d=0)
+        with pytest.raises(ValueError, match="kmv k"):
+            sketches.kmv_distinct(df, "x", k=0)
+
+    def test_sampling_reserved_names_and_params_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, "s", 1.0, 10)], ["doc_id", "source", "w", "n_tokens"]
+        )
+        with pytest.raises(ValueError, match="internal temp names"):
+            sampling.stratified_sample(
+                df.withColumn("_rk", F.lit(1)), "doc_id", "source", 1
+            )
+        with pytest.raises(ValueError, match="n_per_stratum"):
+            sampling.stratified_sample(df, "doc_id", "source", 0)
+        with pytest.raises(ValueError, match="internal temp names"):
+            sampling.weighted_sample(
+                df.withColumn("_wkey", F.lit(1.0)), "doc_id", "w", 1
+            )
+        with pytest.raises(ValueError, match="n_per_group"):
+            sampling.weighted_sample(df, "doc_id", "w", 0)
+        with pytest.raises(ValueError, match="internal temp names"):
+            sampling.mixture_sample(
+                df.withColumn("copy_idx", F.lit(1)), {"s": 1.0}
+            )
+        with pytest.raises(ValueError, match="finite"):
+            sampling.mixture_sample(df, {"s": float("inf")})
+        with pytest.raises(ValueError, match="finite"):
+            sampling.mixture_sample(df, {}, default_weight=float("nan"))
+        with pytest.raises(ValueError, match="internal temp names"):
+            sampling.token_budget_sample(
+                df.withColumn("cum_tokens", F.lit(1)), 100, "n_tokens"
+            )
+        with pytest.raises(ValueError, match="internal temp names"):
+            sampling.kfold_assign(
+                df.withColumn("fold", F.lit(0)), n_folds=2
+            )
+        with pytest.raises(ValueError, match="internal temp names"):
+            sampling.split_assign(df.withColumn("split", F.lit("x")), "doc_id")
+        with pytest.raises(ValueError, match=">= 0"):
+            sampling.split_assign(df, "doc_id", val_fraction=-0.1)
+
+    def test_packing_and_bloom_degenerate_params_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import bloom, packing
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", 3)], ["doc_id", "text", "n_tokens"]
+        )
+        with pytest.raises(ValueError, match="n_shards"):
+            packing.pack_concat_chunks(docs, n_shards=0)
+        with pytest.raises(ValueError, match="n_buckets"):
+            packing.shard_assign_by_tokens(docs, 100, n_buckets=0)
+        with pytest.raises(ValueError, match="internal temp names"):
+            packing.shard_assign_by_tokens(
+                docs.withColumn("_bucket", F.lit(1)), 100
+            )
+        with pytest.raises(ValueError, match="bloom k"):
+            bloom.bloom_anti_join(
+                docs, docs, "doc_id", k=0
+            )
+
+    def test_guarded_ops_unchanged_on_clean_schemas(self, spark):
+        """the guards are behavior-neutral for clean inputs: spot-check
+        one operator per module against its pre-guard semantics."""
+        from uc_historic_data_importer_spark.operators import (
+            bloom, packing, sampling, sketches,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 2}", float(i + 1), 5) for i in range(20)],
+            ["doc_id", "source", "w", "n_tokens"],
+        )
+        est = sketches.hll_distinct(df, "doc_id").collect()
+        assert len(est) == 1 and est[0]["hll_distinct"] > 0
+        assert sampling.stratified_sample(df, "doc_id", "source", 3).count() == 6
+        out = packing.shard_assign_by_tokens(df, 25, n_buckets=4)
+        assert out.count() == 20
+        words = bloom.bloom_build(df.select("doc_id"), "doc_id")
+        probe = bloom.maybe_contains(F.lit(1).cast("long"), words)
+        assert spark.range(1).select(probe.alias("hit")).first()["hit"]

@@ -57,6 +57,11 @@ def _hash64(value: Column) -> Column:
 
 
 def _check_params(k: int, m: int) -> int:
+    if k < 1:
+        # k = 0 probes an empty conjunction: maybe_contains returns
+        # None and BOTH bloom_anti_join branch filters drop every row —
+        # silent total data loss (the m-mismatch failure mode)
+        raise ValueError(f"bloom k (hash count) must be >= 1: {k}")
     bits = (m - 1).bit_length()
     if m != 1 << bits:
         raise ValueError("bloom m (bits) must be a power of two")

@@ -50,6 +50,10 @@ def pack_concat_chunks(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if n_shards < 1:
+        # % 0 is NULL in Spark: every shard would be NULL and the
+        # window would fold the whole corpus into one partition
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
     if encode is None:
         toks = F.size(tokens_col(F.col(text_col)))
     else:
@@ -233,6 +237,20 @@ def shard_assign_by_tokens(
     """
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    reserved = {"_hkey", "_bucket", "_btot", "_boff", "_cum",
+                "global_start", "shard_id"}
+    taken = reserved & set(df.columns)
+    if taken:
+        # the skew.py reserved-name class (r11 review batch):
+        # withColumn would silently overwrite, and the offsets
+        # broadcast-join would become ambiguous
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with "
+            "shard_assign_by_tokens's internal temp names; rename them "
+            "first"
+        )
     d = df.withColumn(
         "_hkey", md5_i64(F.col(id_col).cast("string"))
     ).withColumn("_bucket", F.pmod(F.col("_hkey"), F.lit(n_buckets)))

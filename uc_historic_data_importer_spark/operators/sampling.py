@@ -38,6 +38,18 @@ from uc_historic_data_importer_spark.functions.hashes import md5_i64
 DENOM = 1_000_000
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
+    """skew.py-style reserved-name guard (r11 review batch): withColumn
+    silently OVERWRITES an input column named like an internal temp (or
+    a documented output) — raise with a rename hint instead."""
+    taken = reserved & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with {op}'s internal "
+            "temp names; rename them first"
+        )
+
+
 def _bucket(id_col: str):
     return md5_i64(F.col(id_col).cast("string")) % F.lit(DENOM)
 
@@ -72,8 +84,11 @@ def split_assign(
     rows never moves a document across the val/test boundary (the
     train-test contamination guarantee a growing corpus needs).
     """
+    if val_fraction < 0 or test_fraction < 0:
+        raise ValueError("val/test fractions must be >= 0")
     if val_fraction + test_fraction >= 1.0:
         raise ValueError("val + test fractions must leave room for train")
+    _check_reserved(df, {out_col}, "split_assign")
     b = _bucket(id_col)
     val_hi = int(val_fraction * DENOM)
     test_hi = val_hi + int(test_fraction * DENOM)
@@ -96,6 +111,9 @@ def stratified_sample(
     skewed strata are bounded by the same salting approach as
     operators/skew.py if a stratum outgrows an executor.
     """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1: {n_per_stratum}")
+    _check_reserved(df, {"_rk"}, "stratified_sample")
     w = Window.partitionBy(stratum_col).orderBy(
         md5_i64(F.col(id_col).cast("string")), F.col(id_col)
     )
@@ -148,8 +166,15 @@ def mixture_sample(
     thresholds at plan build — no float comparison at runtime (float to
     int casts round in some engines and truncate in others).
     """
+    if any(
+        not math.isfinite(w) for w in list(weights.values()) + [default_weight]
+    ):
+        # floor(nan/inf) raises deep inside _mixture_levels otherwise —
+        # surface the configuration error at the API boundary
+        raise ValueError("mixture weights must be finite")
     if any(w < 0 for w in weights.values()) or default_weight < 0:
         raise ValueError("mixture weights must be >= 0")
+    _check_reserved(df, {"_n_full", "_thresh", "copy_idx"}, "mixture_sample")
 
     levels = _mixture_levels
 
@@ -268,6 +293,9 @@ def weighted_sample(
     review fix: the denominator is DENOM + 1, putting u in
     [1/(DENOM+1), DENOM/(DENOM+1)]).
     """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1: {n_per_group}")
+    _check_reserved(df, {"_wkey", "_rk"}, "weighted_sample")
     u = (_bucket(id_col) + 1).cast("double") / F.lit(float(DENOM + 1))
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), key_dp)
     cand = df.filter(F.col(weight_col) > 0).withColumn("_wkey", key)
@@ -326,6 +354,7 @@ def token_budget_sample(
     samplers' `_wkey`/`_rk`, which are internal ranks and are dropped."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
+    _check_reserved(df, {cum_tokens_col}, "token_budget_sample")
     w = (
         Window.partitionBy(by)
         .orderBy(md5_i64(F.col(id_col).cast("string")), F.col(id_col))
@@ -463,6 +492,7 @@ def kfold_assign(
     balanced within +-n_shards while the window parallelizes."""
     if n_folds < 2:
         raise ValueError("n_folds must be >= 2")
+    _check_reserved(df, {out_col}, "kfold_assign")
     part = [stratum_col] if stratum_col else []
     w = Window.partitionBy(*part).orderBy(
         md5_i64(F.col(id_col).cast("string")), F.col(id_col)

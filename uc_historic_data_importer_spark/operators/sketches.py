@@ -32,6 +32,27 @@ from uc_historic_data_importer_spark.functions.hashes import md5_i64, md5_i64_sq
 HASH_BITS = 60
 
 
+def _check_reserved(cols, reserved: set[str], op: str) -> None:
+    """skew.py-style reserved-name guard (r11 review batch): an input /
+    group column literally named like an internal sketch column would be
+    silently shadowed by the select (worst case a group column named
+    `bucket` groups by the REGISTER index instead of the user's data).
+    Raise with a rename hint."""
+    taken = reserved & set(cols)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with {op}'s internal "
+            "temp names; rename them first"
+        )
+
+
+def _check_p(p: int) -> None:
+    """2 <= m and >= 1 remainder bit: outside this the bit-slicing
+    produces negative shifts / empty remainders silently."""
+    if not 1 <= p <= HASH_BITS - 1:
+        raise ValueError(f"hll p must be in [1, {HASH_BITS - 1}]: {p}")
+
+
 def _alpha(m: int) -> float:
     # the standard HLL bias constant; embedded at full precision in both
     # the Spark plan and the SQL oracle so the engines share the double
@@ -59,6 +80,9 @@ def hll_registers(
 
     This is the sketch you persist / union / re-aggregate: merging two
     register tables is groupBy(bucket).max(rho) again."""
+    _check_p(p)
+    _check_reserved(group_cols, {"_h", "bucket", "rho", "max_rho"},
+                    "hll_registers")
     rem_bits = HASH_BITS - p
     # NULL values must not sketch: md5_i64(NULL) is NULL, and the
     # (bucket=NULL, rho=rem_bits+1) phantom register it would create
@@ -92,6 +116,9 @@ def hll_estimate(
     correction: raw = alpha * m^2 / sum(2^-M_j) (empty registers
     contribute 2^0 = 1); if raw <= 2.5m and V empty registers remain,
     estimate = m * ln(m / V)."""
+    _check_p(p)
+    _check_reserved(group_cols, {"_present_pow", "_nonempty", "hll_distinct"},
+                    "hll_estimate")
     m = 1 << p
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_present_pow"),
@@ -183,6 +210,11 @@ def hll_sql(
 # ---------------------------------------------------------------------------
 
 def _cms_bits(d: int, w: int) -> int:
+    if d < 1:
+        # d = 0 builds an EMPTY cell array: every row explodes to
+        # nothing, the counter table is empty, and cms_estimate's min
+        # aggregates nothing — silent zero estimates for everything
+        raise ValueError(f"cms depth d must be >= 1: {d}")
     bits = (w - 1).bit_length()
     if w != 1 << bits:
         raise ValueError("cms width must be a power of two")
@@ -244,6 +276,9 @@ def cms_estimate(
     `candidates` is small by construction (the values you suspect are
     heavy), so the join broadcasts it against the d*w counter table.
     CMS guarantees cms_n >= true count (collisions only inflate)."""
+    _check_reserved(candidates.columns,
+                    {"_h", "e", "row_idx", "bucket", "cnt", "cms_n"},
+                    "cms_estimate")
     hashed = candidates.withColumn(
         "_h", md5_i64(F.col(value_col).cast("string"))
     )
@@ -347,6 +382,7 @@ def hist_counts(
     streaming micro-batches. DDSketch's bucket rule, kept to pure
     ln/floor so any engine reproduces it bit-for-bit.
     """
+    _check_reserved(group_cols, {"bucket", "cnt"}, "hist_counts")
     bucket = log_bucket(F.col(value_col), scale).alias("bucket")
     # a NULL bucket (NULL value, or value <= -1 outside ln's domain)
     # must not become sketch state: Spark's cumulative window sorts
@@ -380,6 +416,12 @@ def hist_quantiles(
     be ulp-fragile."""
     from pyspark.sql import Window
 
+    _check_reserved(
+        group_cols,
+        {"bucket", "cnt", "cum", "total"}
+        | {f"_b{i}" for i in range(len(qs))},
+        "hist_quantiles",
+    )
     w_cum = (
         Window.partitionBy(*[F.col(c) for c in group_cols])
         .orderBy("bucket")
@@ -481,6 +523,13 @@ def hll_pairwise_intersection(
     days); the per-set estimate sides broadcast. At 100 TB the same
     register tables answer membership-overlap questions all quarter —
     persist them, re-merge at will."""
+    if set_col in {"_other", "type_a", "type_b", "est_a", "est_b",
+                   "est_union", "est_intersection"}:
+        raise ValueError(
+            f"set_col {set_col!r} collides with "
+            "hll_pairwise_intersection's output/internal names; rename "
+            "it first"
+        )
     regs = hll_registers(df, value_col, (set_col,), p)
     # Distinct set keys come from the REGISTER table (2^p rows per set),
     # not from df — a df.select(set_col).distinct() here would be a
@@ -647,6 +696,11 @@ def kmv_distinct(
     (n_kept, kth_min_hash, kmv_estimate)."""
     from pyspark.sql.window import Window
 
+    if k < 1:
+        raise ValueError(f"kmv k must be >= 1: {k}")
+    _check_reserved(group_cols,
+                    {"_h", "_rn", "n_kept", "kth_min_hash", "kmv_estimate"},
+                    "kmv_distinct")
     g = list(group_cols)
     # NULL values don't sketch (HLL rule), and NULL would also break
     # engine parity: Spark's window sorts NULLS FIRST (consuming a
