@@ -151,6 +151,9 @@ def test_no_query_plans_scale_antipatterns(spark):
                 # broadcasts the 1-row max(fine)+1 bucket-stride
                 # aggregate onto the assignment (tfidf shape)
                 "ann_ivf2_build",
+                # same ivf2_assign bucket-stride 1-row broadcast, then
+                # the within-bucket equi-join search
+                "ann_ivf2_topk",
             )
         ):
             bad.append("BroadcastNestedLoopJoin")
