@@ -651,10 +651,28 @@ _R10_RECORDED = frozenset(
 
 # Round-11 rotation plan (r10 verdict prescription #1): (a) the 15
 # r07-latest queries that slipped past round 10's window sort FIRST;
-# then (b) round-11 additions (never recorded); then (c) the round-11
-# modified block; then (d) plain staleness (r07 -> r08 -> r09 -> r10).
-# Target invariant after this round: no query's latest record predates
-# r08 (max staleness <= 3 rounds, test_post_round_staleness_bound).
+# then (b) round-11 additions (never recorded — ann_ivf2_topk); then
+# (c) the round-11 modified block; then (d) plain staleness
+# (r07 -> r08 -> r09 -> r10). Target invariant after this round: no
+# query's latest record predates r08 (max staleness <= 3 rounds,
+# test_post_round_staleness_bound).
+#
+# Round-12 handoff (DERIVED, pinned by tests/test_rotation.py): round
+# 11's window = the 15 slipped r07s + ann_ivf2_topk + the 31-query
+# modified block (13 r10-latest, 3 r09-latest, 15 r08-latest) + the 3
+# stalest remaining r08s (range_join_error_after_click,
+# dedup_ngram_jaccard, jaccard_dropped_shingles); window distribution
+# {r07: 15, new: 1, r10: 13, r09: 3, r08: 18}. NINETEEN r08-latest
+# queries slip to round 12 (audit_orders_constraints,
+# boilerplate_segments, cube_pricing, curriculum_order_documents,
+# customer_spend_segments, dedup_apply, dedup_components_star,
+# embedding_label_centroids, embedding_norms, fuzzy_match_documents,
+# minhash_jaccard_estimate, resample_daily_fill,
+# semantic_decontamination_lsh, streaming_broadcast_enrich,
+# streaming_gap_sessions, text_tfidf_top_terms, token_ngram_topk,
+# unigram_logprob_quality, winnowing_fingerprints — each re-verified
+# every round by tests/test_oracle_regression.py); they MUST all sort
+# first in round 12 or the r12 staleness bound (floor r09) breaks.
 _R11_SLIPPED_R07 = (
     "text_language_id", "text_fingerprints",
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_lsh",
