@@ -133,7 +133,7 @@ def main() -> None:
     # ann_ivf_build entry — timing it here again would record a warm
     # full-query run and double-count it with the extras number
     ann_builds: dict[str, float] = {}
-    for name in ("ann_ivf_build", "ann_pq_topk"):
+    for name in ("ann_ivf_build", "ann_pq_topk", "ann_ivf2_topk"):
         t0 = time.time()
         try:
             force(QUERIES[name].fn(spark, SF_DIR))
