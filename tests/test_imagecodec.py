@@ -787,3 +787,22 @@ class TestRestartMarkersAndFastPath:
             bits[7] = 2
             ic._HuffTable(bytes(bits), bytes([i & 255, (i + 1) & 255]))
         assert len(ic._HUFF_FAST_CACHE) <= ic._HUFF_FAST_CACHE_MAX
+
+    def test_overfull_huffman_table_keeps_shortest_match(self):
+        """A corrupt non-prefix-free DHT must decode like the per-bit
+        reader did: shortest code wins, and codes past a length's bit
+        capacity are unreachable (never let longer codes overwrite or
+        extend the 2^16 fast table)."""
+        ic._HUFF_FAST_CACHE.clear()
+        # length-1 code 0 -> symbol 7; then FOUR length-2 codes (only
+        # codes 2,3 are legal after one 1-bit code; the extra two
+        # overlap code 0's half and overflow 2-bit capacity)
+        bits = [1, 4] + [0] * 14
+        tab = ic._HuffTable(bytes(bits), bytes([7, 20, 21, 22, 23]))
+        assert len(tab.fast) == 65536
+        # prefix 0... still decodes to the length-1 symbol 7
+        e = tab.fast[0x0000]
+        assert e >> 5 == 7 and (e & 31) == 1
+        # legal length-2 codes 10/11 decode to the first two vals
+        assert tab.fast[0b10 << 14] >> 5 == 20
+        assert tab.fast[0b11 << 14] >> 5 == 21

@@ -880,11 +880,22 @@ def _build_fast_table(bits: bytes, vals: bytes) -> list[int]:
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            packed = (vals[k] << 5) | length
-            start = code << (16 - length)
-            fast[start : start + (1 << (16 - length))] = [packed] * (
-                1 << (16 - length)
-            )
+            # CORRUPT-TABLE PARITY: a non-prefix-free (overfull) DHT can
+            # (a) grow `code` past the length's bit capacity — such
+            # codes were unreachable in the per-bit reader (reading
+            # `length` bits can never yield >= 2^length), so skip them —
+            # and (b) overlap a shorter code's slots — the per-bit
+            # reader checked lengths ascending, so the SHORTEST match
+            # won; keep that by never overwriting an owned block
+            # (ranges are power-of-two aligned: if this block's first
+            # slot is owned by a shorter code, the whole block is).
+            if code < (1 << length):
+                packed = (vals[k] << 5) | length
+                start = code << (16 - length)
+                if fast[start] == -1:
+                    fast[start : start + (1 << (16 - length))] = [
+                        packed
+                    ] * (1 << (16 - length))
             code += 1
             k += 1
         code <<= 1
