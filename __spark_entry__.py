@@ -706,7 +706,7 @@ _R11_MODIFIED_SINCE_RECORD = (
     # imagecodec.py r11 rework (verdict item 6): the JPEG entropy
     # decoder's _BitReader/_HuffTable were rebuilt around a restart-
     # segment prescan + multi-byte window + memoized 16-bit fast table
-    # (3.7x on an entropy-bound 128x128 noise image, bit-parity pinned
+    # (4.8x on an entropy-bound 128x128 noise image, bit-parity pinned
     # by the full golden suite + new DRI/restart tests). Values
     # identical by construction; touched decode call path.
     "media_jpeg_decode",
