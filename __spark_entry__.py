@@ -658,12 +658,13 @@ _R10_RECORDED = frozenset(
 # test_post_round_staleness_bound).
 #
 # Round-12 handoff (DERIVED, pinned by tests/test_rotation.py): round
-# 11's window = the 15 slipped r07s + ann_ivf2_topk + the 31-query
-# modified block (13 r10-latest, 3 r09-latest, 15 r08-latest) + the 3
-# stalest remaining r08s (range_join_error_after_click,
-# dedup_ngram_jaccard, jaccard_dropped_shingles); window distribution
-# {r07: 15, new: 1, r10: 13, r09: 3, r08: 18}. NINETEEN r08-latest
-# queries slip to round 12 (audit_orders_constraints,
+# 11's window = the 15 slipped r07s + ann_ivf2_topk + the 34-query
+# modified block (13 r10-latest, 6 r09-latest, 15 r08-latest) — the
+# skew.py follow-on audit consumed the window's last 3 staleness
+# slots; window distribution {r07: 15, new: 1, r10: 13, r09: 6,
+# r08: 15}. TWENTY-TWO r08-latest queries slip to round 12
+# (range_join_error_after_click, dedup_ngram_jaccard,
+# jaccard_dropped_shingles, audit_orders_constraints,
 # boilerplate_segments, cube_pricing, curriculum_order_documents,
 # customer_spend_segments, dedup_apply, dedup_components_star,
 # embedding_label_centroids, embedding_norms, fuzzy_match_documents,
@@ -747,6 +748,15 @@ _R11_MODIFIED_SINCE_RECORD = (
     "stratified_kfold_assign",
     "percentile_prices_approx",
     "doc_length_outliers",
+    # r11 follow-on audit (skew.py): n_salts = 0 was silent corruption
+    # (NULL salt bucket; salted_join returned an EMPTY result — the
+    # dim-side sequence(0, -1) descends rather than being empty). All
+    # three salted ops validate n_salts >= 1 now; behavior-neutral for
+    # valid configs (TestSkewDegenerateSalts pins both sides); touched
+    # code.
+    "salted_join_priority_revenue",
+    "salted_agg_counts",
+    "salted_distinct_users",
 )
 
 

@@ -4123,3 +4123,36 @@ class TestRound11Guards:
         words = bloom.bloom_build(df.select("doc_id"), "doc_id")
         probe = bloom.maybe_contains(F.lit(1).cast("long"), words)
         assert spark.range(1).select(probe.alias("hit")).first()["hit"]
+
+
+class TestSkewDegenerateSalts:
+    """r11 follow-on audit of skew.py: n_salts = 0 was silent
+    corruption — pmod(h, 0) is NULL, so salted_agg degraded to
+    un-salted and salted_join returned an EMPTY join (the dim side's
+    sequence(0, -1) descends instead of being empty)."""
+
+    def test_n_salts_zero_raises_everywhere(self, spark):
+        from uc_historic_data_importer_spark.operators import skew
+
+        df = spark.createDataFrame([(1, "a", 2)], ["k", "v", "x"])
+        with pytest.raises(ValueError, match="n_salts"):
+            skew.salted_agg(df, ["k"], {"n": ("count", "sum", None)},
+                            n_salts=0)
+        with pytest.raises(ValueError, match="n_salts"):
+            skew.salted_distinct_count(df, ["k"], "v", n_salts=0)
+        with pytest.raises(ValueError, match="n_salts"):
+            skew.salted_join(df, df.select("k", "v"), "k", n_salts=0)
+
+    def test_n_salts_one_is_plain(self, spark):
+        from uc_historic_data_importer_spark.operators import skew
+
+        fact = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], ["k", "v"]
+        )
+        dim = spark.createDataFrame([(1, "X"), (2, "Y")], ["k", "d"])
+        out = skew.salted_join(fact, dim, "k", n_salts=1)
+        assert out.count() == 3
+        agg = skew.salted_agg(
+            fact, ["k"], {"n": ("count", "sum", None)}, n_salts=1
+        ).collect()
+        assert {r["k"]: r["n"] for r in agg} == {1: 2, 2: 1}

@@ -127,7 +127,7 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {7: 15, None: 1, 10: 13, 9: 3, 8: 18}
+CLAIMED_DISTRIBUTION = {7: 15, None: 1, 10: 13, 9: 6, 8: 15}
 
 
 def test_handoff_comment_distribution():

@@ -84,6 +84,11 @@ def salted_agg(
     keeps identical duplicate rows spread across (at worst) their map
     partitions, so an undeduplicated hot key still fans out.
     """
+    if n_salts < 1:
+        # pmod(h, 0) is NULL: every row lands in one NULL salt bucket —
+        # silently un-salted (and salted_join with the same input is
+        # outright data loss, see below)
+        raise ValueError(f"n_salts must be >= 1: {n_salts}")
     _check_reserved(
         df, {"_salt", *(f"_p_{out}" for out in aggs)}, "salted_agg"
     )
@@ -113,6 +118,8 @@ def salted_distinct_count(
     semantics (and the paired SQL oracle) ignore NULLs, but the
     (key, salt, NULL) group would otherwise survive dropDuplicates and
     count(lit(1)) would count it as a distinct value."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1: {n_salts}")
     _check_reserved(df, {"_salt", "_n"}, "salted_distinct_count")
     salt = F.pmod(F.hash(F.col(value_col)), F.lit(n_salts))
     per_bucket = (
@@ -156,6 +163,12 @@ def salted_join(
     explicit form is for when you must pin the strategy (e.g. a skewed
     key feeding a downstream co-partitioned stage).
     """
+    if n_salts < 1:
+        # fact pmod(h, 0) is NULL while the dim side's sequence(0, -1)
+        # DESCENDS to [0, -1] (it does not return empty): the join keys
+        # can never match and the result is silently EMPTY — total data
+        # loss from a configuration typo
+        raise ValueError(f"n_salts must be >= 1: {n_salts}")
     _check_reserved(fact, {"_salt"}, "salted_join")
     _check_reserved(dim, {"_salt"}, "salted_join")
     salt_src = (
