@@ -806,3 +806,42 @@ class TestRestartMarkersAndFastPath:
         # legal length-2 codes 10/11 decode to the first two vals
         assert tab.fast[0b10 << 14] >> 5 == 20
         assert tab.fast[0b11 << 14] >> 5 == 21
+
+
+class TestBitReaderPropertyParity:
+    """r11: the segment-prescan bit reader feeds BOTH scan decoders
+    (numpy-batched and scalar). Property-pin that arbitrary content
+    round-trips identically through the two, so the shared entropy
+    decode cannot drift between them."""
+
+    def test_random_images_roundtrip_np_equals_scalar(self, monkeypatch):
+        import random
+
+        rng = random.Random(20260816)
+        for trial in range(12):
+            w = rng.randrange(1, 25)
+            h = rng.randrange(1, 25)
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+            p = ic.encode_jpeg_gray(w, h, px)
+            via_np = ic.decode_jpeg(p)
+            monkeypatch.setattr(ic, "_np", None)
+            via_scalar = ic.decode_jpeg(p)
+            monkeypatch.undo()
+            assert via_np == via_scalar, f"trial {trial} dims {w}x{h}"
+            assert via_np[:3] == (w, h, 1)
+
+    def test_random_rgb_roundtrip_np_equals_scalar(self, monkeypatch):
+        import random
+
+        rng = random.Random(99)
+        for trial in range(4):
+            w = rng.randrange(1, 17)
+            h = rng.randrange(1, 17)
+            px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            p = ic.encode_jpeg_rgb(w, h, px)
+            via_np = ic.decode_jpeg(p)
+            monkeypatch.setattr(ic, "_np", None)
+            via_scalar = ic.decode_jpeg(p)
+            monkeypatch.undo()
+            assert via_np == via_scalar, f"trial {trial} dims {w}x{h}"
+            assert via_np[:3] == (w, h, 3)
