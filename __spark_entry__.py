@@ -694,7 +694,12 @@ _R11_MODIFIED_SINCE_RECORD = (
     # driver budget BEFORE take(k) (probe dim via take(1)),
     # kmeans_fit_sampled raises clearly on a NULL probe embedding,
     # ivf2_assign left-joins fine centroids with a -1 sentinel instead
-    # of silently dropping unmatched cells. Value-identical for the
+    # of silently dropping unmatched cells. kmeans_fit also gained the
+    # past-oracle-scale fit-iteration seam (one Arrow-batched matmul
+    # per iteration instead of re-analyzing the k*dim _cell_column
+    # tree; 2.8-3.2x on the sf0.1/sf1 builds, parity pinned by
+    # TestKmeansNpSeam; oracle scales stay on the bit-exact Catalyst
+    # route, n <= exact_max_rows=1000). Value-identical for the
     # fixtures; touched code via _ivf_fit / ivf2 paths.
     "ann_ivf_build",
     "ann_ivf_topk",

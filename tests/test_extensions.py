@@ -4156,3 +4156,71 @@ class TestSkewDegenerateSalts:
             fact, ["k"], {"n": ("count", "sum", None)}, n_salts=1
         ).collect()
         assert {r["k"]: r["n"] for r in agg} == {1: 2, 2: 1}
+
+
+class TestKmeansNpSeam:
+    """r11: kmeans_fit's past-oracle-scale fit-iteration seam (one
+    Arrow-batched matmul per iteration instead of the k*dim
+    _cell_column tree). Pins centroid EQUALITY between the routes on
+    cluster-structured fixtures — the rounding at round_dp/centroid_dp
+    collapses float sum-order differences, the same tolerance the
+    Catalyst path already needs for Spark's own partial-agg order."""
+
+    def _corpus(self, spark, n=60, dim=8):
+        rows = []
+        for i in range(n):
+            base = [0.0] * dim
+            base[i % 3] = 10.0 + (i % 5)  # 3 clear clusters
+            base[(i % 3) + 3] = 1.0 + (i % 7) * 0.25
+            rows.append((i, base))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_np_route_matches_catalyst_route(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        corpus = self._corpus(spark)
+        exact = similarity.kmeans_fit(corpus, k=3, iters=2)
+        via_np = similarity.kmeans_fit(
+            corpus, k=3, iters=2, n_rows=60, exact_max_rows=0
+        )
+        assert via_np == exact
+
+    def test_np_route_tolerates_malformed_rows(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        corpus = self._corpus(spark).withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 17 == 5, F.lit(None)).otherwise(
+                F.col("embedding")
+            ),
+        ).filter(F.col("vec_id") > 5).unionByName(
+            self._corpus(spark).filter(F.col("vec_id") <= 5)
+        )
+        clean = corpus.filter(F.col("embedding").isNotNull())
+        exact = similarity.kmeans_fit(clean, k=3, iters=1)
+        via_np = similarity.kmeans_fit(
+            clean, k=3, iters=1, n_rows=60, exact_max_rows=0
+        )
+        assert via_np == exact
+
+    def test_assignments_identical_on_fixture(self, spark):
+        """end-to-end: assign_cells over both routes' centroids gives
+        the same cells (what downstream partition pruning keys on)."""
+        from uc_historic_data_importer_spark.operators import similarity
+
+        corpus = self._corpus(spark, n=90)
+        a = similarity.assign_cells(
+            corpus, similarity.kmeans_fit(corpus, k=3, iters=2)
+        )
+        b = similarity.assign_cells(
+            corpus,
+            similarity.kmeans_fit(
+                corpus, k=3, iters=2, n_rows=90, exact_max_rows=0
+            ),
+        )
+        am = {r["vec_id"]: r["cell"] for r in a.collect()}
+        bm = {r["vec_id"]: r["cell"] for r in b.collect()}
+        assert am == bm

@@ -425,6 +425,61 @@ def assign_cells(
 KMEANS_MAX_DRIVER_FLOATS = 4_000_000
 
 
+def _fit_partials_np(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """One fit iteration's (cell, dim, sx, n) partials via an
+    Arrow-batched mapInPandas matmul — the past-oracle-scale twin of
+    the _cell_column + posexplode shape (same dispatch doctrine as
+    cosine_neardup_pairs: bit-exact Catalyst at driver-oracle scales,
+    numpy beyond). Assignment parity with _cell_expr: score =
+    round-half-away(dot(v, c) / |c|, round_dp) with |0| -> 1, ties to
+    the LOWEST cell (np.argmax returns the first max, the
+    array_position rule), malformed rows (None / wrong dim) excluded —
+    they fold into the ignored -1 sentinel cell on the Catalyst side.
+    Per batch the emitted state is k x dim rows, so the downstream
+    groupBy moves partials, never the corpus; and no k*dim expression
+    tree ever reaches the analyzer (at k=400 x dim=64 the Catalyst
+    tree's per-job ANALYSIS, not evaluation, dominated the fit)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k_n, dim = C.shape
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0.0] = 1.0
+    m = 10.0**round_dp
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ok, V = _stack_valid(pdf[vec_col].tolist(), dim=dim)
+            if V is None:
+                continue
+            scores = (V @ C.T) / cn
+            scores = np.copysign(np.floor(np.abs(scores) * m + 0.5), scores) / m
+            cells = scores.argmax(axis=1)
+            sums = np.zeros((k_n, dim), dtype=np.float64)
+            np.add.at(sums, cells, V)
+            counts = np.bincount(cells, minlength=k_n)
+            live = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(live, dim).astype("int32"),
+                    "dim": np.tile(np.arange(dim, dtype="int32"), len(live)),
+                    "sx": sums[live].reshape(-1),
+                    "n": np.repeat(counts[live], dim).astype("int64"),
+                }
+            )
+
+    return corpus.select(vec_col).mapInPandas(
+        fn, schema="cell int, dim int, sx double, n long"
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,
@@ -434,6 +489,8 @@ def kmeans_fit(
     round_dp: int = 6,
     centroid_dp: int = 12,
     max_driver_floats: int = KMEANS_MAX_DRIVER_FLOATS,
+    n_rows: int | None = None,
+    exact_max_rows: int = 1000,
 ) -> list[list[float]]:
     """Deterministic spherical k-means fit for the IVF quantizer.
 
@@ -489,16 +546,42 @@ def kmeans_fit(
     # a single-file corpus scans as ONE partition; the per-iteration
     # explode+aggregate is CPU-bound and must parallelize
     corpus = _ensure_parallel(corpus)
+    # past-oracle-scale seam (cosine_neardup_pairs doctrine): when the
+    # caller declares the corpus size and it exceeds exact_max_rows,
+    # each iteration's partials come from one Arrow-batched matmul
+    # instead of the k*dim _cell_column tree — the tree's per-job
+    # ANALYSIS cost (k=400 x dim=64 = 25,600 terms, re-analyzed every
+    # iteration because the centroid literals change) dominated the
+    # sf1 fit. Value-parity modulo float sum order, which the
+    # round-half-away at round_dp/centroid_dp collapses exactly as it
+    # already must for Spark's own nondeterministic partial-agg order
+    # (TestKmeansNpSeam pins centroid equality on the fixtures).
+    use_np = False
+    if n_rows is not None and n_rows > exact_max_rows:
+        try:
+            import numpy  # noqa: F401
+
+            use_np = True
+        except ImportError:
+            pass
     for _ in range(iters):
-        sums = (
-            corpus.select(
-                _cell_column(centroids, vec_col, round_dp).alias("cell"),
-                F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        if use_np:
+            sums = (
+                _fit_partials_np(corpus, centroids, vec_col, round_dp)
+                .groupBy("cell", "dim")
+                .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+                .collect()
             )
-            .groupBy("cell", "dim")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        else:
+            sums = (
+                corpus.select(
+                    _cell_column(centroids, vec_col, round_dp).alias("cell"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"),
+                )
+                .groupBy("cell", "dim")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         dim = len(centroids[0])
         acc: dict[int, list[float]] = {}
         for r in sums:
@@ -593,6 +676,7 @@ def kmeans_fit_sampled(
         round_dp=round_dp,
         centroid_dp=centroid_dp,
         max_driver_floats=max_driver_floats,
+        n_rows=n_sample,
     )
 
 

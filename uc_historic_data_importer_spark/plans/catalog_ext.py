@@ -1278,10 +1278,11 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     ann_ivf_topk — at 100 TB the fit is a once-per-corpus build
     artifact, so the pair must not refit per query."""
     emb = t(spark, sf_dir, "embeddings")
-    k_cells = _ivf_cells_for(_table_n_rows(sf_dir, "embeddings"))
+    n = _table_n_rows(sf_dir, "embeddings")
+    k_cells = _ivf_cells_for(n)
     cents = _memo(
         ("kmeans_fit", sf_dir, k_cells, 2),
-        lambda: similarity.kmeans_fit(emb, k=k_cells, iters=2),
+        lambda: similarity.kmeans_fit(emb, k=k_cells, iters=2, n_rows=n),
     )
     return emb, cents
 
@@ -1538,10 +1539,11 @@ def _ivf2_topk_oracle(
 )
 def ann_ivf2_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    k1 = _ivf2_k1_for(_table_n_rows(sf_dir, "embeddings"))
+    n = _table_n_rows(sf_dir, "embeddings")
+    k1 = _ivf2_k1_for(n)
     coarse = _memo(
         ("kmeans_fit_ivf2_topk", sf_dir, k1),
-        lambda: similarity.kmeans_fit(emb, k=k1, iters=1),
+        lambda: similarity.kmeans_fit(emb, k=k1, iters=1, n_rows=n),
     )
     fine = _memo(
         ("ivf2_fine_topk", sf_dir, k1),
