@@ -765,27 +765,98 @@ _R11_MODIFIED_SINCE_RECORD = (
 )
 
 
+# Round-11's driver record, verified == CORRECTNESS_r11.json key set
+# (all 50 green: rows/schema/hash matches, zero errors): the 15 slipped
+# r07s, ann_ivf2_topk (the one round-11 addition), and the 34-query
+# modified block, exactly as the r11 handoff predicted.
+_R11_RECORDED = frozenset(
+    {
+        "ann_ivf2_build", "ann_ivf2_topk", "ann_ivf_build",
+        "ann_ivf_topk", "bloom_anti_join_lineitem", "bpe_token_stats",
+        "chunk_dup_ratio", "chunk_spans_documents", "cms_heavy_hitters",
+        "content_defined_chunks", "corpus_curation",
+        "curation_funnel_report", "dedup_exact", "dedup_fingerprint",
+        "dedup_minhash_lsh", "doc_length_outliers",
+        "doc_length_outliers_approx", "embedding_cosine_neardup",
+        "hash_sample_documents", "hist_quantile_prices",
+        "hll_distinct_users", "hll_incremental_daily",
+        "hll_intersection_users", "kmv_distinct_users",
+        "media_decode_health", "media_jpeg_decode",
+        "mixture_sample_documents", "ngram_decontamination",
+        "pack_sequences", "percentile_prices_approx",
+        "salted_agg_counts", "salted_distinct_users",
+        "salted_join_priority_revenue", "segment_cleaned_corpus",
+        "semdedup_embeddings", "shard_assign_tokens",
+        "split_assign_documents", "split_decontamination",
+        "stratified_kfold_assign", "stratified_sample_documents",
+        "streaming_interval_join", "streaming_latest_per_key",
+        "streaming_latest_per_key_ttl", "streaming_windowed_counts",
+        "temperature_mixture_sample", "text_fingerprints",
+        "text_language_id", "token_budget_sample_documents",
+        "token_counts_seam", "weighted_sample_documents",
+    }
+)
+
+
+# Round-12 rotation plan (r11 verdict prescription #1): (a) the 22
+# r08-latest queries that slipped past round 11's window sort FIRST;
+# then (b) round-12 additions (never recorded); then (c) the round-12
+# modified block; then (d) plain staleness (r09 -> r10 -> r11). Target
+# invariant after this round: no query's latest record predates r09
+# (max staleness <= 3 rounds, test_post_round_staleness_bound).
+#
+# Round-13 handoff (DERIVED, pinned by tests/test_rotation.py): round
+# 12's window = the 22 slipped r08s + 28 stalest others; window
+# latest-record distribution pinned in test_rotation.CLAIMED_DISTRIBUTION.
+# Queries whose latest record is r09 and that slip past round 12's
+# window MUST sort first in round 13 or the r13 staleness bound
+# (floor r10) breaks; derive the exact slip list from
+# _ordered_queries()[50:] filtered to last-recorded == 9.
+_R12_SLIPPED_R08 = (
+    "range_join_error_after_click", "dedup_ngram_jaccard",
+    "jaccard_dropped_shingles", "audit_orders_constraints",
+    "boilerplate_segments", "cube_pricing",
+    "curriculum_order_documents", "customer_spend_segments",
+    "dedup_apply", "dedup_components_star",
+    "embedding_label_centroids", "embedding_norms",
+    "fuzzy_match_documents", "minhash_jaccard_estimate",
+    "resample_daily_fill", "semantic_decontamination_lsh",
+    "streaming_broadcast_enrich", "streaming_gap_sessions",
+    "text_tfidf_top_terms", "token_ngram_topk",
+    "unigram_logprob_quality", "winnowing_fingerprints",
+)
+
+
+# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed in round 12
+# after their most recent driver record (README "Re-record doctrine").
+# Grows within the round as code is touched; front-loaded behind the
+# 22 slipped r08-latest queries, which the r11 verdict pins first.
+_R12_MODIFIED_SINCE_RECORD = (
+)
+
+
 def _ordered_queries():
-    """Round-11 ordering: (a) the 15 r07-latest queries that slipped past
-    round 10's 50-query window (verdict prescription — they must re-record
-    this round so no latest record predates r08), (b) never-recorded
-    queries (registration order — each new round-11 query gets a driver
+    """Round-12 ordering: (a) the 22 r08-latest queries that slipped past
+    round 11's 50-query window (verdict prescription — they must re-record
+    this round so no latest record predates r09), (b) never-recorded
+    queries (registration order — each new round-12 query gets a driver
     row immediately), (c) queries modified since their most recent
-    driver record (_R11_MODIFIED_SINCE_RECORD), (d) previously recorded
-    queries stalest-first (most recent driver row r07, then r08, ...).
+    driver record (_R12_MODIFIED_SINCE_RECORD), (d) previously recorded
+    queries stalest-first (most recent driver row r08, then r09, ...).
     Every query pushed past index 50 already has a green driver row in
-    the r01..r10 union and is re-verified each round by
+    the r01..r11 union and is re-verified each round by
     tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    slipped_rank = {n: i for i, n in enumerate(_R11_SLIPPED_R07)}
-    modified_rank = {n: i for i, n in enumerate(_R11_MODIFIED_SINCE_RECORD)}
+    slipped_rank = {n: i for i, n in enumerate(_R12_SLIPPED_R08)}
+    modified_rank = {n: i for i, n in enumerate(_R12_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (11, _R11_RECORDED),
             (10, _R10_RECORDED),
             (9, _R09_RECORDED),
             (8, _R08_RECORDED),
