@@ -806,12 +806,19 @@ _R11_RECORDED = frozenset(
 # (max staleness <= 3 rounds, test_post_round_staleness_bound).
 #
 # Round-13 handoff (DERIVED, pinned by tests/test_rotation.py): round
-# 12's window = the 22 slipped r08s + 28 stalest others; window
-# latest-record distribution pinned in test_rotation.CLAIMED_DISTRIBUTION.
-# Queries whose latest record is r09 and that slip past round 12's
-# window MUST sort first in round 13 or the r13 staleness bound
+# 12's window = the 22 slipped r08s + the 26-query modified block
+# (similarity n_rows seam + text.py review batch 4) + 2 staleness
+# slots; window latest-record distribution pinned in
+# test_rotation.CLAIMED_DISTRIBUTION ({r08: 22, r11: 15, r10: 6,
+# r09: 7}). THIRTY-THREE r09-latest queries slip to round 13 (each
+# re-verified every round by tests/test_oracle_regression.py); they
+# MUST all sort first in round 13 or the r13 staleness bound
 # (floor r10) breaks; derive the exact slip list from
-# _ordered_queries()[50:] filtered to last-recorded == 9.
+# _ordered_queries()[50:] filtered to last-recorded == 9. That leaves
+# 17 round-13 slots for modified/new queries — budget review-batch-5
+# guard work accordingly (the r12 batch deliberately POSTPONED
+# dedup.py/envelope.py/naming.py/json_canonical.py guard additions for
+# exactly this reason).
 _R12_SLIPPED_R08 = (
     "range_join_error_after_click", "dedup_ngram_jaccard",
     "jaccard_dropped_shingles", "audit_orders_constraints",
@@ -832,6 +839,54 @@ _R12_SLIPPED_R08 = (
 # Grows within the round as code is touched; front-loaded behind the
 # 22 slipped r08-latest queries, which the r11 verdict pins first.
 _R12_MODIFIED_SINCE_RECORD = (
+    # similarity.py r12 rework (verdict item 2): assign_cells gained the
+    # past-oracle-scale n_rows dispatch to the Arrow matmul (analysis of
+    # the k*dim literal argmax tree — not its evaluation — was ~10 s of
+    # the 15 s ann_ivf2_topk build); ivf2_fit/ivf2_assign share ONE
+    # checkpointed coarse assignment; kmeans_fit's budget probe is gated
+    # on k > _PROBE_FREE_K and raises clearly on empty corpora / NULL
+    # init vectors (ADVICE r11). Values identical at oracle scales (the
+    # Catalyst route still dispatches there; TestRound12Guards +
+    # TestIvf2 pin parity); touched call-path code.
+    "ann_ivf_build",
+    "ann_ivf_topk",
+    "ann_ivf2_build",
+    "ann_ivf2_topk",
+    "semdedup_embeddings",
+    # text.py r12 review batch 4: reserved-name guards (_segs/_kept,
+    # pr, robust_z family, pii columns, tokens/n_tokens) + degenerate-
+    # param raises (k/n/topk/min_docs/min_occurrences >= 1, drop_frac
+    # in [0,1], z_cut >= 0, top_n >= 1). The probes found real silent
+    # corruption: token_ngram_topk(n=0) emitted empty-gram counts,
+    # segment_clean_docs emitted its internal temp under a colliding
+    # user column, relative_quality_filter(drop_frac>1) dropped every
+    # row. Behavior-neutral for clean schemas (TestRound12Guards pins
+    # both sides); touched code — every catalog query whose call path
+    # enters the changed text.py functions re-records (derived by call-
+    # graph scan; boilerplate_segments, text_tfidf_top_terms,
+    # token_ngram_topk, winnowing_fingerprints are already in the
+    # slipped block).
+    "text_token_counts",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "text_repetition_scores",
+    "pii_redaction",
+    "bm25_retrieval",
+    "corpus_curation",
+    "curation_funnel_report",
+    "curation_pipeline_v2",
+    "dedup_fingerprint",
+    "doc_length_outliers",
+    "doc_length_outliers_approx",
+    "indoc_segment_dedup",
+    "relative_quality_filter",
+    "segment_cleaned_corpus",
+    "segment_dup_ratio",
+    "shard_assign_tokens",
+    "split_decontamination",
+    "substring_dedup_apply",
+    "substring_dup_spans",
 )
 
 

@@ -89,6 +89,40 @@ def force(df) -> int:
     return 0
 
 
+# Box-speed calibration (r11 verdict task 3): a FIXED workload measured
+# min-of-5 at the bench scale, recorded in every bench/soak JSON so
+# cross-round totals normalize by division instead of a session-opening
+# noise investigation. The reference value was pinned from the round-12
+# measurement on the round-12 box (BASELINE.md "Calibration rule");
+# normalized_value = value * (CAL_REF / calibration) estimates what this
+# run's total would read on the reference box. Queries chosen for
+# plan-shape diversity (window/top-1, multi-join agg, LSH CPU) and
+# >=0.2 s each so task-dispatch noise stays proportionally small.
+CALIBRATION_QUERIES = (
+    "latest_per_key",
+    "revenue_by_nation",
+    "dedup_minhash_lsh",
+)
+CALIBRATION_TRIES = 5
+# sum of min-of-5 seconds for CALIBRATION_QUERIES at sf0.1 on the
+# round-12 box (the first box measured under this protocol):
+# latest_per_key 0.197 + revenue_by_nation 0.863 + dedup_minhash_lsh
+# 1.225 (r12 in-round run). See BASELINE.md "Calibration rule".
+CAL_REF_SF01 = 2.285
+
+
+def run_calibration(queries, spark, sf_dir) -> dict:
+    cal: dict[str, float] = {}
+    for name in CALIBRATION_QUERIES:
+        best = float("inf")
+        for _ in range(CALIBRATION_TRIES):
+            t0 = time.time()
+            force(queries[name].fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        cal[name] = round(best, 3)
+    return cal
+
+
 def main() -> None:
     from uc_historic_data_importer_spark.session import get_spark
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
@@ -132,6 +166,12 @@ def main() -> None:
     # ann_ivf_build (shared _ivf_fit), so its build cost is already the
     # ann_ivf_build entry — timing it here again would record a warm
     # full-query run and double-count it with the extras number
+    # calibration runs FIRST among the measured legs (after warmup, before
+    # the cold ANN builds) so its value reflects the same box state the
+    # headline timings see
+    calibration = run_calibration(QUERIES, spark, SF_DIR)
+    cal_total = round(sum(calibration.values()), 3)
+
     ann_builds: dict[str, float] = {}
     for name in ("ann_ivf_build", "ann_pq_topk", "ann_ivf2_topk"):
         t0 = time.time()
@@ -227,14 +267,33 @@ def main() -> None:
     # first (may be head-truncated), then the ANN build-cost metric,
     # then a compact hottest-extras line, then the spec-compliant
     # headline line LAST so it always survives.
-    headline = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf),
-        }
+    cal_ref = CAL_REF_SF01 if sf == "0.1" else None
+    headline_rec = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "calibration": cal_total,
+    }
+    if cal_ref and cal_total > 0:
+        # what this total would read on the reference box
+        headline_rec["normalized_value"] = round(
+            total * (cal_ref / cal_total), 3
+        )
+        headline_rec["box_speed"] = round(cal_total / cal_ref, 3)
+    headline = json.dumps(headline_rec)
+    print(
+        json.dumps(
+            {
+                "metric": "calibration",
+                "value": cal_total,
+                "unit": "sec",
+                "queries": calibration,
+                "ref": cal_ref,
+            }
+        ),
+        flush=True,
     )
     by_time = dict(sorted(extras.items(), key=lambda kv: -kv[1]))
     print(json.dumps({"metric": "extras_detail", "extras": by_time}), flush=True)

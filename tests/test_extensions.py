@@ -4224,3 +4224,144 @@ class TestKmeansNpSeam:
         am = {r["vec_id"]: r["cell"] for r in a.collect()}
         bm = {r["vec_id"]: r["cell"] for r in b.collect()}
         assert am == bm
+
+
+class TestRound12Guards:
+    """r12 review batch 4: text.py reserved-name / degenerate-param
+    probes (the r11 class that found bloom k=0 and n_salts=0), plus the
+    kmeans probe-gating and ivf2 assigned-sharing seams."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta", "a"),
+                (2, "alpha beta", "a"),
+                (3, "", "b"),
+            ],
+            "doc_id long, text string, source string",
+        )
+
+    def test_text_reserved_names_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import text
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="tokens"):
+            text.token_counts(docs.withColumn("tokens", F.lit("x")))
+        with pytest.raises(ValueError, match="_segs"):
+            # pre-guard this case EMITTED the internal segment array
+            # under the user's _segs column (probed r12)
+            text.segment_clean_docs(
+                docs.withColumn("_segs", F.lit("user data")), ["alpha beta"],
+                k=2,
+            )
+        with pytest.raises(ValueError, match="redacted"):
+            text.pii_scrub(docs.withColumn("redacted", F.lit("x")))
+        with pytest.raises(ValueError, match="robust_z"):
+            text.length_outliers(
+                docs.withColumn("robust_z", F.lit(1.0)),
+                value_col="doc_id",
+            )
+        with pytest.raises(ValueError, match="_spans"):
+            text.remove_duplicate_spans(
+                docs.withColumn("_spans", F.lit("x"))
+            )
+        with pytest.raises(ValueError, match="pr"):
+            text.relative_quality_filter(docs.withColumn("pr", F.lit(0.0)))
+
+    def test_text_degenerate_params_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import text
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            # pre-guard: DIVIDE_BY_ZERO deep inside the distributed job
+            text.word_segments(docs, k=0)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            # pre-guard: empty-string grams with real-looking counts
+            text.token_ngram_topk(docs, n=0)
+        with pytest.raises(ValueError, match="topk"):
+            text.token_ngram_topk(docs, n=2, topk=0)
+        with pytest.raises(ValueError, match="drop_frac"):
+            # pre-guard: drop_frac=1.5 silently dropped EVERY document
+            text.relative_quality_filter(docs, drop_frac=1.5)
+        with pytest.raises(ValueError, match="z_cut"):
+            # pre-guard: a negative cut silently flagged the whole corpus
+            text.length_outliers(docs, value_col="doc_id", z_cut=-1.0)
+        with pytest.raises(ValueError, match="top_n"):
+            text.tf_idf_top_terms(docs, top_n=0)
+        with pytest.raises(ValueError, match="min_occurrences"):
+            text.duplicate_spans(docs, k=2, min_occurrences=0)
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            text.sliding_windows(docs, k=0)
+        with pytest.raises(ValueError, match="min_docs"):
+            text.boilerplate_segments(docs, min_docs=0)
+
+    def test_text_guarded_ops_unchanged_on_clean_schemas(self, spark):
+        from uc_historic_data_importer_spark.operators import text
+
+        docs = self._docs(spark)
+        assert text.word_segments(docs, k=2).count() == 3
+        top = text.token_ngram_topk(docs, n=2, topk=5).collect()
+        assert [r["gram"] for r in top][0] == "alpha beta"
+        assert text.relative_quality_filter(docs, drop_frac=0.5).count() == 2
+        cleaned = text.segment_clean_docs(docs, ["alpha beta"], k=2)
+        got = {r["doc_id"]: r["n_removed"] for r in cleaned.collect()}
+        assert got == {1: 1, 2: 1, 3: 0}
+
+    def test_kmeans_fit_empty_corpus_raises_clearly(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        # small k (probe gated off) and large k (probe path) both name
+        # the condition instead of IndexError (ADVICE r11)
+        with pytest.raises(ValueError, match="empty corpus"):
+            similarity.kmeans_fit(empty, k=2)
+        with pytest.raises(ValueError, match="empty corpus"):
+            similarity.kmeans_fit(empty, k=100)
+
+    def test_kmeans_fit_small_k_null_init_vector_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        corpus = spark.createDataFrame(
+            [(1, None), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        # probe is gated off at k<=_PROBE_FREE_K; the init collect must
+        # still raise the clear contract error, not TypeError
+        with pytest.raises(ValueError, match="NULL"):
+            similarity.kmeans_fit(corpus, k=1)
+
+    def test_ivf2_shared_assignment_matches_default(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        rows = [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(40)]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        coarse = similarity.kmeans_fit(corpus, k=2, iters=1)
+        fine_default = similarity.ivf2_fit(corpus, coarse, k2=2, iters=1)
+        shared = similarity.assign_cells(
+            corpus, coarse, keep_cols=("embedding",)
+        ).localCheckpoint(eager=False)
+        fine_shared = similarity.ivf2_fit(
+            corpus, coarse, k2=2, iters=1, assigned=shared
+        )
+        a = {
+            (r["cell"], r["fine"]): tuple(r["centroid"])
+            for r in fine_default.collect()
+        }
+        b = {
+            (r["cell"], r["fine"]): tuple(r["centroid"])
+            for r in fine_shared.collect()
+        }
+        assert a == b
+        asg_default = similarity.ivf2_assign(corpus, coarse, fine_default)
+        asg_shared = similarity.ivf2_assign(
+            corpus, coarse, fine_shared, assigned=shared
+        )
+        am = {r["vec_id"]: (r["cell"], r["fine"], r["bucket"])
+              for r in asg_default.collect()}
+        bm = {r["vec_id"]: (r["cell"], r["fine"], r["bucket"])
+              for r in asg_shared.collect()}
+        assert am == bm

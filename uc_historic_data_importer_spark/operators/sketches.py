@@ -37,7 +37,16 @@ def _check_reserved(cols, reserved: set[str], op: str) -> None:
     group column literally named like an internal sketch column would be
     silently shadowed by the select (worst case a group column named
     `bucket` groups by the REGISTER index instead of the user's data).
-    Raise with a rename hint."""
+    Raise with a rename hint.
+
+    Deliberately ASYMMETRIC (ADVICE r11): only group/candidate columns
+    are checked, not value_col. A value_col named 'bucket'/'rho'/'_h'
+    is safe here because every sketch select computes its temps FROM
+    the input row before projecting — the value column is consumed by
+    name inside an expression (md5_i64(col(value_col))), never carried
+    alongside the temps, so a collision cannot shadow or corrupt it.
+    Group columns DO ride next to the temps through groupBy/select,
+    which is where shadowing bites."""
     taken = reserved & set(cols)
     if taken:
         raise ValueError(

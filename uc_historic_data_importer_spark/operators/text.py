@@ -31,12 +31,40 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
+    """skew.py-style reserved-name guard (r12 review batch 4): a
+    withColumn over an input column named like an internal temp would
+    SILENTLY replace it — segment_clean_docs(df_with_a_'_segs'_column)
+    emitted the internal segment array under the user's column name
+    (probed r12). Guards cover the LOSS cases (collisions that corrupt
+    an emitted column or a computation input); temps that are computed
+    and dropped without touching output values are not guarded, same
+    asymmetry as sketches.py's value_col note."""
+    taken = reserved & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with {op}'s internal "
+            "temp names; rename them first"
+        )
+
+
+def _check_k(k: int, op: str, name: str = "k") -> None:
+    """Degenerate window/segment widths corrupt silently rather than
+    failing loudly: k=0 segment math divides by zero deep inside a
+    distributed job (word_segments) or emits empty-string grams with
+    real-looking counts (token_ngram_topk n=0, probed r12). Raise at
+    the API boundary instead."""
+    if k < 1:
+        raise ValueError(f"{op}: {name} must be >= 1, got {k}")
+
+
 def tokens_col(text: Column) -> Column:
     """lowercased alphanumeric tokens, empties removed."""
     return F.array_remove(F.split(F.lower(text), TOKEN_SPLIT_RE), "")
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    _check_reserved(df, {"tokens", "n_tokens"}, "with_tokens")
     return df.withColumn("tokens", tokens_col(F.col(text_col))).withColumn(
         "n_tokens", F.size("tokens")
     )
@@ -117,6 +145,8 @@ def tf_idf_top_terms(
     """
     from pyspark.sql import Window
 
+    if top_n < 1:
+        raise ValueError(f"tf_idf_top_terms: top_n must be >= 1, got {top_n}")
     toks = with_tokens(df, text_col)
     tf = (
         toks.select(id_col, F.explode("tokens").alias("token"))
@@ -178,6 +208,9 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     DuckDB oracle reproduces counts and redacted text byte-for-byte.
     Adds n_<kind> count columns and a `redacted` column; original text
     column is preserved for audit."""
+    _check_reserved(
+        df, {f"n_{k}" for k in PII_ORDER} | {"redacted"}, "pii_scrub"
+    )
     out = df
     red = F.col(text_col)
     for kind in PII_ORDER:
@@ -352,6 +385,7 @@ def word_segments(
     Pure codegen segmentation (sequence + transform + slice) followed by
     one posexplode; output rows ≈ tokens/k, so the blow-up is bounded
     and linear in corpus size."""
+    _check_k(k, "word_segments")
     toks = with_tokens(df, text_col)
     nseg = F.ceil(F.col("n_tokens") / F.lit(float(k))).cast("int")
     # guard: sequence(0, -1) DESCENDS in Spark rather than returning
@@ -424,6 +458,9 @@ def boilerplate_segments(
     'boilerplate'), and the sf1 soak showed exactly that blow-up.
 
     Single groupBy on the content-uniform segment key; no joins."""
+    _check_k(min_docs, "boilerplate_segments", "min_docs")
+    if top_n is not None:
+        _check_k(top_n, "boilerplate_segments", "top_n")
     segs = word_segments(df, k=k, text_col=text_col, id_col=id_col)
     out = (
         segs.groupBy("segment")
@@ -461,6 +498,13 @@ def relative_quality_filter(
     source shard, not the document."""
     from pyspark.sql import Window
 
+    if not (0.0 <= drop_frac <= 1.0):
+        # drop_frac=1.5 silently dropped EVERY document (probed r12)
+        raise ValueError(
+            f"relative_quality_filter: drop_frac must be in [0, 1], "
+            f"got {drop_frac}"
+        )
+    _check_reserved(df, {"pr"}, "relative_quality_filter")
     d = with_tokens(df, text_col)
     w = Window.partitionBy(by).orderBy(F.col(score_col), F.col(id_col))
     ranked = d.withColumn("pr", F.percent_rank().over(w))
@@ -515,6 +559,10 @@ def segment_clean_docs(
         membership = "literal" if len(set(boilerplate)) <= 64 else "set_udf"
     if membership not in ("literal", "set_udf"):
         raise ValueError(f"unknown membership mode {membership!r}")
+    _check_k(k, "segment_clean_docs")
+    # the output re-selects *df.columns, so a collision here EMITS the
+    # internal temp under the user's column name (probed r12)
+    _check_reserved(df, {"_segs", "_kept"}, "segment_clean_docs")
     toks = with_tokens(df, text_col)
     nseg = F.ceil(F.col("n_tokens") / F.lit(float(k))).cast("int")
     segs = F.when(
@@ -577,6 +625,7 @@ def sliding_windows(
     unambiguous cluster default. Parity between the two forms is
     pinned by tests/test_extensions.py::
     test_duplicate_spans_hash_gram_parity."""
+    _check_k(k, "sliding_windows")
     toks = with_tokens(df, text_col)
     nwin = F.col("n_tokens") - F.lit(k) + 1
 
@@ -639,6 +688,7 @@ def duplicate_spans(
     bytes for a real network."""
     from pyspark.sql import Window
 
+    _check_k(min_occurrences, "duplicate_spans", "min_occurrences")
     wins = sliding_windows(
         df, k=k, text_col=text_col, id_col=id_col, hash_grams=hash_grams
     )
@@ -693,6 +743,9 @@ def remove_duplicate_spans(
     by n_tokens/k), so the reconstruction is an array-HOF filter over
     token positions — pure codegen, no Python, no extra shuffle beyond
     the span aggregation's doc_id exchange (reused by the join)."""
+    _check_reserved(
+        df, {"_spans", "_dup", "_kept_idx"}, "remove_duplicate_spans"
+    )
     spans = duplicate_spans(
         df, k=k, min_occurrences=min_occurrences, text_col=text_col,
         id_col=id_col, hash_grams=hash_grams,
@@ -816,6 +869,7 @@ def dedup_segments_within_doc(
     cross-document complement is segment_dup_stats / boilerplate.
     Per-doc cost is O(n_segments²) comparisons inside codegen — bounded
     by (tokens/k)², negligible against the scan."""
+    _check_k(k, "dedup_segments_within_doc")
     toks = with_tokens(df, text_col)
     nseg = F.ceil(F.col("n_tokens") / F.lit(float(k))).cast("int")
     segs = F.when(
@@ -1130,6 +1184,10 @@ def token_ngram_topk(
     re-tokenize the document once per (gram, position) — O(n_tokens^2)
     regex work per doc that profiled at 7 s where the materialized
     form runs in well under 1 s at bench scale."""
+    # n=0 emitted empty-string grams with REAL-looking occurrence
+    # counts (probed r12) — silent garbage, not an error
+    _check_k(n, "token_ngram_topk", "n")
+    _check_k(topk, "token_ngram_topk", "topk")
     toks = F.col("_toks")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
@@ -1193,6 +1251,15 @@ def length_outliers(
     preserved, NULL in degenerate groups."""
     from uc_historic_data_importer_spark.operators import sketches
 
+    if z_cut < 0:
+        # abs(z) > negative is TRUE everywhere: a negative cut silently
+        # flags the whole corpus (probed r12)
+        raise ValueError(f"length_outliers: z_cut must be >= 0, got {z_cut}")
+    _check_reserved(
+        df,
+        {"_med", "_mad", "_adev", "robust_z", "_med_bucket"},
+        "length_outliers",
+    )
     x = F.col(value_col).cast("double")
     if exact:
         med = df.groupBy(group_col).agg(

@@ -1394,14 +1394,28 @@ _IVF2_K2 = 8
 )
 def ann_ivf2_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
+    n = _table_n_rows(sf_dir, "embeddings")
     coarse = _memo(
         ("kmeans_fit_k1", sf_dir),
         lambda: similarity.kmeans_fit(emb, k=1, iters=0),
     )
-    fine = similarity.ivf2_fit(emb, coarse, k2=_IVF2_K2, iters=2)
-    return similarity.ivf2_assign(emb, coarse, fine).select(
-        "vec_id", F.col("fine").alias("cell")
+    # one shared coarse pass for fit + assign (ivf2_fit's ``assigned``
+    # contract); checkpointed so the fine fit's per-round planning
+    # references a LogicalRDD instead of re-analyzing the assignment
+    # tree — at 100 TB this is the persisted coarse-assignment table
+    assigned_coarse = _memo(
+        ("ivf2_coarse_assigned_k1", sf_dir),
+        lambda: similarity.assign_cells(
+            emb, coarse, keep_cols=("embedding",), n_rows=n
+        ).localCheckpoint(eager=False),
     )
+    fine = similarity.ivf2_fit(
+        emb, coarse, k2=_IVF2_K2, iters=2, assigned=assigned_coarse,
+        n_rows=n,
+    )
+    return similarity.ivf2_assign(
+        emb, coarse, fine, assigned=assigned_coarse, n_rows=n
+    ).select("vec_id", F.col("fine").alias("cell"))
 
 
 # Two-level IVF search fixture: fine k2 fixed, coarse k1 scaled so
@@ -1545,14 +1559,28 @@ def ann_ivf2_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("kmeans_fit_ivf2_topk", sf_dir, k1),
         lambda: similarity.kmeans_fit(emb, k=k1, iters=1, n_rows=n),
     )
+    # ONE coarse pass shared by the fine fit and the final assignment
+    # (r11 verdict item 2: the build recomputed — and, worse,
+    # re-ANALYZED per checkpoint round — the k1 x dim assignment tree
+    # in every stage; the checkpoint collapses it to a LogicalRDD).
+    # At 100 TB this is the persisted coarse-assignment table both
+    # stages would read anyway.
+    assigned_coarse = _memo(
+        ("ivf2_coarse_assigned_topk", sf_dir, k1),
+        lambda: similarity.assign_cells(
+            emb, coarse, keep_cols=("embedding",), n_rows=n
+        ).localCheckpoint(eager=False),
+    )
     fine = _memo(
         ("ivf2_fine_topk", sf_dir, k1),
         lambda: similarity.ivf2_fit(
-            emb, coarse, k2=_IVF2_TOPK_K2, iters=1
+            emb, coarse, k2=_IVF2_TOPK_K2, iters=1,
+            assigned=assigned_coarse, n_rows=n,
         ),
     )
     assigned = similarity.ivf2_assign(
-        emb, coarse, fine, keep_cols=("embedding",)
+        emb, coarse, fine, keep_cols=("embedding",),
+        assigned=assigned_coarse, n_rows=n,
     ).localCheckpoint(eager=False)
     # the search self-joins the assignment (two scan branches); without
     # the checkpoint each branch would recompute the whole fit+assign
