@@ -25,52 +25,22 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: events -> dump-record
     JSONL -> full normalization pipeline -> latest-version-per-key ->
     per-type counts. Exercises T1-T7/T10, K1-K3, W4 and the latest
-    operator end to end."""
-    from pyspark.sql import functions as F
+    operator end to end.
 
+    Delegates to the `entry_counts` catalog query (r11 verdict item 5)
+    so the flagship is value-hash-checked against a DuckDB oracle by
+    the same driver gate as every other operator — the smoke check and
+    the oracle check exercise THE SAME code path."""
     from uc_historic_data_importer_spark.session import prepare_session
     from uc_historic_data_importer_spark.shipping import ensure_shipped
-    from uc_historic_data_importer_spark.operators.keying import flatten_normalized
-    from uc_historic_data_importer_spark.operators.latest import latest_per_key_window
-    from uc_historic_data_importer_spark.operators.naming import with_table_names
-    from uc_historic_data_importer_spark.operators.transforms import normalize_records
-    from uc_historic_data_importer_spark.plans.catalog import t
+
+    import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401
+    import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
+    from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
     ensure_shipped(spark)
     prepare_session(spark)
-    ev = t(spark, "/root/testdata/sf0.001", "events")
-    # each event becomes one Mongo-dump line; ~20% get the $oid id shape,
-    # deletes come from the 'error' type
-    raw = ev.select(
-        F.lit("events-db").alias("db"),
-        F.col("event_type").alias("collection"),
-        F.lit(1).alias("file_number"),
-        F.col("event_id").cast("int").alias("line_no"),
-        F.concat(
-            F.lit('{"_id":'),
-            F.when(
-                F.col("event_id") % 5 == 0,
-                F.concat(F.lit('{"$oid":"oid-'), F.col("user_id"), F.lit('"}')),
-            ).otherwise(
-                F.concat(F.lit('{"userId":"u-'), F.col("user_id"), F.lit('"}'))
-            ),
-            F.lit(',"value":'),
-            F.col("value"),
-            F.lit(',"_lastModifiedDateTime":{"$date":"'),
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-            F.lit('"}}'),
-        ).alias("raw_json"),
-    )
-    norm = with_table_names(
-        flatten_normalized(normalize_records(raw, min_partitions=8))
-    )
-    latest = latest_per_key_window(
-        norm.filter(F.col("valid")), key_cols=("table", "key_hex")
-    )
-    return latest.groupBy("collection").agg(
-        F.count(F.lit(1)).alias("n_current_keys"),
-        F.max("version").alias("max_version"),
-    )
+    return QUERIES["entry_counts"].fn(spark, "/root/testdata/sf0.001")
 
 
 # Round-1 forensics: the driver's correctness harness records exactly the

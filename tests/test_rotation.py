@@ -127,7 +127,7 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {8: 22, 11: 15, 10: 6, 9: 7}
+CLAIMED_DISTRIBUTION = {8: 22, None: 1, 11: 15, 10: 6, 9: 6}
 
 
 def test_handoff_comment_distribution():

@@ -5264,3 +5264,89 @@ def streaming_broadcast_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "entry_counts",
+    """
+    WITH n AS (
+      SELECT event_type AS collection,
+             CASE WHEN event_id % 5 = 0
+                  THEN '{"id":"oid-' || user_id || '"}'
+                  ELSE '{"userId":"u-' || user_id || '"}' END AS canonical_id,
+             epoch_ms(ts) AS version
+      FROM events
+    ),
+    latest AS (
+      SELECT collection, canonical_id, max(version) AS version
+      FROM n GROUP BY collection, canonical_id
+    )
+    SELECT collection,
+           count(*) AS n_current_keys,
+           max(version) AS max_version
+    FROM latest
+    GROUP BY collection
+    """,
+    doc="the __spark_entry__.entry() FLAGSHIP, oracle-closed (r11 verdict "
+    "item 5): events -> dump-record JSONL (two id shapes cycling on "
+    "event_id % 5: $oid flattening vs compound-object canonicalization) "
+    "-> REAL normalization UDF (T1-T7/T10, K1) -> table naming (W4) -> "
+    "row key (K2) -> latest-per-key window (K3) -> per-collection "
+    "current-key counts. The oracle replays the chain value-for-value: "
+    "the canonical id is injective in (shape, user_id), the CRC32 row "
+    "key is injective in the canonical id, and the table name is "
+    "injective in the collection here (constant db, no coalescing "
+    "suffixes), so latest-per-(table,key_hex) == max-version-per-"
+    "(collection, canonical) and the counts/maxes match exactly. "
+    "entry(spark) delegates to this fn at sf0.001, so the driver's "
+    "smoke check and this value-hash check exercise THE SAME code.",
+)
+def entry_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators.keying import (
+        flatten_normalized,
+    )
+    from uc_historic_data_importer_spark.operators.latest import (
+        latest_per_key_window,
+    )
+    from uc_historic_data_importer_spark.operators.naming import (
+        with_table_names,
+    )
+    from uc_historic_data_importer_spark.operators.transforms import (
+        normalize_records,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.lit("events-db").alias("db"),
+        F.col("event_type").alias("collection"),
+        F.lit(1).alias("file_number"),
+        F.col("event_id").cast("int").alias("line_no"),
+        F.concat(
+            F.lit('{"_id":'),
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.concat(
+                    F.lit('{"$oid":"oid-'), F.col("user_id"), F.lit('"}')
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('{"userId":"u-'), F.col("user_id"), F.lit('"}')
+                )
+            ),
+            F.lit(',"value":'),
+            F.col("value"),
+            F.lit(',"_lastModifiedDateTime":{"$date":"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.lit('"}}'),
+        ).alias("raw_json"),
+    )
+    norm = with_table_names(
+        flatten_normalized(normalize_records(raw, min_partitions=8))
+    )
+    latest = latest_per_key_window(
+        norm.filter(F.col("valid")), key_cols=("table", "key_hex")
+    )
+    return latest.groupBy("collection").agg(
+        F.count(F.lit(1)).alias("n_current_keys"),
+        F.max("version").alias("max_version"),
+    )
