@@ -168,8 +168,10 @@ def main() -> None:
     # full-query run and double-count it with the extras number
     # calibration runs FIRST among the measured legs (after warmup, before
     # the cold ANN builds) so its value reflects the same box state the
-    # headline timings see
-    calibration = run_calibration(QUERIES, spark, SF_DIR)
+    # headline timings see. It ALWAYS measures at sf0.1 — one fixed
+    # workload at one fixed scale is what makes box_speed comparable
+    # across bench legs AND sf1 soaks (BASELINE.md "Calibration rule").
+    calibration = run_calibration(QUERIES, spark, "/root/testdata/sf0.1")
     cal_total = round(sum(calibration.values()), 3)
 
     ann_builds: dict[str, float] = {}
@@ -267,7 +269,7 @@ def main() -> None:
     # first (may be head-truncated), then the ANN build-cost metric,
     # then a compact hottest-extras line, then the spec-compliant
     # headline line LAST so it always survives.
-    cal_ref = CAL_REF_SF01 if sf == "0.1" else None
+    cal_ref = CAL_REF_SF01  # calibration is always the sf0.1 workload
     headline_rec = {
         "metric": "headline_queries_total",
         "value": total,
