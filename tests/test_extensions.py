@@ -4365,3 +4365,88 @@ class TestRound12Guards:
         bm = {r["vec_id"]: (r["cell"], r["fine"], r["bucket"])
               for r in asg_shared.collect()}
         assert am == bm
+
+
+class TestAssignSeamParity:
+    """r12: assign_cells' past-oracle-scale n_rows dispatch (the ivf2
+    build analysis-cut). Bench scales route the assignment through the
+    Arrow matmul, which the DuckDB oracle never sees (oracle scales
+    stay Catalyst by design) — so pin route equality by test: the
+    seam and the literal-argmax tree must assign identical cells, and
+    the full ivf2 fit+assign chain must be value-identical through
+    either route, malformed rows included."""
+
+    def _corpus(self, spark, n=120, dim=6):
+        rows = []
+        for i in range(n):
+            v = [0.0] * dim
+            v[i % 3] = 5.0 + (i % 11) * 0.5
+            v[3 + (i % 2)] = 1.0 + (i % 7) * 0.25
+            rows.append((i, v))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_assign_cells_routes_agree(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        corpus = self._corpus(spark)
+        cents = similarity.kmeans_fit(corpus, k=3, iters=1)
+        exact = similarity.assign_cells(corpus, cents)
+        # n_rows past the exact_max_rows threshold forces the Arrow route
+        seam = similarity.assign_cells(corpus, cents, n_rows=10**9)
+        em = {r["vec_id"]: r["cell"] for r in exact.collect()}
+        sm = {r["vec_id"]: r["cell"] for r in seam.collect()}
+        assert em == sm
+
+    def test_assign_cells_seam_sentinels_malformed(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        corpus = self._corpus(spark).withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 13 == 4, F.lit(None))
+            .when(
+                F.col("vec_id") % 13 == 5,
+                F.expr("slice(embedding, 1, 2)"),  # wrong dim
+            )
+            .otherwise(F.col("embedding")),
+        )
+        cents = similarity.kmeans_fit(
+            corpus.filter(F.col("embedding").isNotNull()), k=2, iters=0
+        )
+        exact = similarity.assign_cells(corpus, cents)
+        seam = similarity.assign_cells(corpus, cents, n_rows=10**9)
+        em = {r["vec_id"]: r["cell"] for r in exact.collect()}
+        sm = {r["vec_id"]: r["cell"] for r in seam.collect()}
+        assert em == sm
+        assert set(
+            v for k, v in em.items() if k % 13 in (4, 5)
+        ) == {-1}, "malformed rows must sentinel on both routes"
+
+    def test_ivf2_chain_identical_through_seam(self, spark):
+        from uc_historic_data_importer_spark.operators import similarity
+
+        corpus = self._corpus(spark)
+        coarse = similarity.kmeans_fit(corpus, k=2, iters=1)
+        fine_exact = similarity.ivf2_fit(corpus, coarse, k2=2, iters=1)
+        asg_exact = similarity.ivf2_assign(corpus, coarse, fine_exact)
+        shared = similarity.assign_cells(
+            corpus, coarse, keep_cols=("embedding",), n_rows=10**9
+        ).localCheckpoint(eager=False)
+        fine_seam = similarity.ivf2_fit(
+            corpus, coarse, k2=2, iters=1, assigned=shared
+        )
+        asg_seam = similarity.ivf2_assign(
+            corpus, coarse, fine_seam, assigned=shared
+        )
+        fe = {(r["cell"], r["fine"]): tuple(r["centroid"])
+              for r in fine_exact.collect()}
+        fs = {(r["cell"], r["fine"]): tuple(r["centroid"])
+              for r in fine_seam.collect()}
+        assert fe == fs
+        ae = {r["vec_id"]: (r["cell"], r["fine"], r["bucket"])
+              for r in asg_exact.collect()}
+        asq = {r["vec_id"]: (r["cell"], r["fine"], r["bucket"])
+               for r in asg_seam.collect()}
+        assert ae == asq
