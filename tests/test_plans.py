@@ -338,3 +338,32 @@ def test_maponly_text_ops_have_no_shuffle(spark):
         plan = plan_of(spark, name)
         assert "Exchange" not in plan, name
         assert "Join" not in plan, name
+
+
+def test_ivf2_search_reads_checkpointed_assignment_once(spark):
+    """r12: ann_ivf2_topk's fit and final assignment share ONE
+    localCheckpointed coarse assignment, which collapses the search
+    plan from 9 exchanges / 5 joins (every branch recomputing the fit
+    chain) to ~3 exchanges / 1 join over LogicalRDD scans. Regressing
+    to the recomputed shape would be invisible at test scale and pay
+    the whole corpus-scan chain several times at 100 TB."""
+    plan = plan_of(spark, "ann_ivf2_topk")
+    # the search self-join reads the checkpointed assignment, not the
+    # parquet scan + fit chain
+    assert "Scan ExistingRDD" in plan
+    # count shuffle exchanges precisely — "Exchange" alone also matches
+    # BroadcastExchange (the bucket-stride one-row broadcast)
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles <= 3, n_shuffles
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_entry_counts_single_python_stage(spark):
+    """the flagship plans exactly one Python boundary (the normalize
+    UDF); keying, naming, latest-per-key and the final aggregate stay
+    JVM-side."""
+    plan = plan_of(spark, "entry_counts")
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
