@@ -328,16 +328,23 @@ def test_bm25_stats_broadcast_no_explode(spark):
 def test_maponly_text_ops_have_no_shuffle(spark):
     """indoc segment dedup, content-defined chunking, and winnowing are
     pure per-row array-HOF work + a local explode: their plans must
-    contain NO exchange of any kind — the property that makes them
-    streaming-safe and free at 100 TB."""
-    for name in (
-        "indoc_segment_dedup",
-        "content_defined_chunks",
-        "winnowing_fingerprints",
-    ):
+    contain NO data-dependent exchange — the property that makes them
+    streaming-safe and free at 100 TB. winnowing (r12) additionally
+    carries dedup.py's single-file-corpus guard, which plans ONE
+    round-robin repartition at test scale (input partitions <
+    defaultParallelism) and is a no-op on a real corpus's thousands of
+    splits — so for it the lint forbids hash/range/single-partition
+    exchanges specifically, not the guard."""
+    for name in ("indoc_segment_dedup", "content_defined_chunks"):
         plan = plan_of(spark, name)
         assert "Exchange" not in plan, name
         assert "Join" not in plan, name
+    plan = plan_of(spark, "winnowing_fingerprints")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange roundrobin") <= 1
 
 
 def test_ivf2_search_reads_checkpointed_assignment_once(spark):

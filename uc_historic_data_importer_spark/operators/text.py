@@ -58,6 +58,23 @@ def _check_k(k: int, op: str, name: str = "k") -> None:
         raise ValueError(f"{op}: {name} must be >= 1, got {k}")
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """dedup.py's single-file-corpus guard, applied to the CPU-heavy
+    text operators whose plans already shuffle downstream (r12: the
+    sf1 documents table scans as ONE partition, so winnowing's entire
+    map phase ran on one core — 13.1 s -> 3.0 s repartitioned). A
+    round-robin repartition when under the session's default
+    parallelism; a no-op at real scale where the input already has
+    thousands of splits. NOT applied to the map-only contract
+    operators (pii_scrub, repetition/quality scores, the segment
+    cleaners): their zero-Exchange plans are a pinned 100 TB property
+    (tests/test_plans.py) and a streaming-safety feature."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def tokens_col(text: Column) -> Column:
     """lowercased alphanumeric tokens, empties removed."""
     return F.array_remove(F.split(F.lower(text), TOKEN_SPLIT_RE), "")
@@ -147,7 +164,7 @@ def tf_idf_top_terms(
 
     if top_n < 1:
         raise ValueError(f"tf_idf_top_terms: top_n must be >= 1, got {top_n}")
-    toks = with_tokens(df, text_col)
+    toks = with_tokens(_ensure_parallel(df), text_col)
     tf = (
         toks.select(id_col, F.explode("tokens").alias("token"))
         .groupBy(id_col, "token")
@@ -626,7 +643,7 @@ def sliding_windows(
     pinned by tests/test_extensions.py::
     test_duplicate_spans_hash_gram_parity."""
     _check_k(k, "sliding_windows")
-    toks = with_tokens(df, text_col)
+    toks = with_tokens(_ensure_parallel(df), text_col)
     nwin = F.col("n_tokens") - F.lit(k) + 1
 
     def gram_of(i):
@@ -815,7 +832,7 @@ def bm25_topk(
         raise ValueError(
             f"query terms must match [a-z0-9]+ (tokenizer output form): {bad}"
         )
-    toks = with_tokens(df, text_col)
+    toks = with_tokens(_ensure_parallel(df), text_col)
     aggs = [
         F.count(F.lit(1)).cast("double").alias("_N"),
         F.avg("n_tokens").alias("_avgdl"),
@@ -919,7 +936,7 @@ def winnowing_fingerprints(
     groupBy(fingerprint) is the plagiarism/overlap join key."""
     if k <= 0 or w <= 0:
         raise ValueError("k and w must be positive")
-    toks = with_tokens(df, text_col)
+    toks = with_tokens(_ensure_parallel(df), text_col)
     m = F.col("n_tokens") - F.lit(k) + 1  # gram count
     grams = F.when(
         m > 0,
@@ -1037,7 +1054,7 @@ def fuzzy_match_pairs(
     Output: (id_a, id_b, dist), id_a < id_b, dist <= max_dist."""
     if max_dist < 0 or q <= 0:
         raise ValueError("max_dist must be >= 0 and q positive")
-    keys = df.select(
+    keys = _ensure_parallel(df).select(
         F.col(id_col).alias("_id"),
         F.col(key_col).alias("_k"),
         F.length(key_col).alias("_len"),
@@ -1136,7 +1153,7 @@ def unigram_logprob_scores(
     "almost" is not a contract). One double division at the end.
 
     Output: (doc_id, n_tokens, avg_logprob)."""
-    toks = df.select(
+    toks = _ensure_parallel(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
@@ -1188,6 +1205,7 @@ def token_ngram_topk(
     # counts (probed r12) — silent garbage, not an error
     _check_k(n, "token_ngram_topk", "n")
     _check_k(topk, "token_ngram_topk", "topk")
+    df = _ensure_parallel(df)
     toks = F.col("_toks")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
