@@ -788,7 +788,13 @@ _R11_RECORDED = frozenset(
 # 17 round-13 slots for modified/new queries — budget review-batch-5
 # guard work accordingly (the r12 batch deliberately POSTPONED
 # dedup.py/envelope.py/naming.py/json_canonical.py guard additions for
-# exactly this reason).
+# exactly this reason). Known r13 guard candidates from the r12
+# read-only audit: dedup.shingles_col n < 1 gives EVERY doc the ""
+# shingle (silent all-pairs — the token_ngram_topk n=0 class; guard in
+# shingles_col hits the whole minhash/jaccard family, ~8 queries);
+# naming.with_table_names overwrites input 'table'/'collection_out'
+# columns; pq_fit could take the kmeans n_rows-seam treatment
+# (ann_pq_topk build ~4 s at sf0.1; pq family is 4 queries).
 _R12_SLIPPED_R08 = (
     "range_join_error_after_click", "dedup_ngram_jaccard",
     "jaccard_dropped_shingles", "audit_orders_constraints",
