@@ -4450,3 +4450,38 @@ class TestAssignSeamParity:
         asq = {r["vec_id"]: (r["cell"], r["fine"], r["bucket"])
                for r in asg_seam.collect()}
         assert ae == asq
+
+
+class TestBandSignaturePaths:
+    """r12: minhash_jaccard_estimates bands a checkpointed signature
+    frame via _band_signatures_of_sig instead of recomputing the
+    shingle chain through minhash_band_signatures (13.7 -> ~8 s at
+    sf1). The two banding expressions must stay bit-identical — this
+    pin makes drift impossible to ship silently (r13 unifies them,
+    see the __spark_entry__ handoff)."""
+
+    def test_band_signature_paths_agree(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i % 7} epsilon zeta " * 3)
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        via_full = dedup.minhash_band_signatures(docs, 16, 4)
+        sig = dedup.minhash_signatures(docs, 16)
+        via_sig = dedup._band_signatures_of_sig(sig, 16, 4)
+        a = {(r["doc_id"], r["band_idx"]): r["band_sig"]
+             for r in via_full.collect()}
+        b = {(r["doc_id"], r["band_idx"]): r["band_sig"]
+             for r in via_sig.collect()}
+        assert a == b
+
+    def test_band_of_sig_validates_bands(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        sig = spark.createDataFrame(
+            [(1, 1, 2, 3)], "doc_id long, mh0 long, mh1 long, mh2 long"
+        )
+        with pytest.raises(ValueError, match="must divide"):
+            dedup._band_signatures_of_sig(sig, 3, 2)

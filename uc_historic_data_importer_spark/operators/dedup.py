@@ -797,6 +797,43 @@ def best_representative(
     )
 
 
+def _band_signatures_of_sig(
+    sig: DataFrame, num_perms: int, bands: int
+) -> DataFrame:
+    """Band an EXISTING signature frame (doc_id, mh0..mh{n-1}) into
+    (doc_id, band_idx, band_sig) rows — the banding half of
+    minhash_band_signatures, for callers that already hold (and may
+    have checkpointed) the signatures.
+
+    BIT-IDENTICAL-BY-CONTRACT with minhash_band_signatures' banding:
+    band b covers rows [b*rows_per_band, (b+1)*rows_per_band), sig =
+    md5 of the comma-joined decimal strings. test_band_signature_paths_
+    agree pins the two paths equal on a fixture, so they cannot drift
+    silently. r13 TODO (window budget, see __spark_entry__ handoff):
+    delegate minhash_band_signatures' banding here so the expression
+    lives in one place."""
+    if bands < 1 or num_perms % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_perms={num_perms} "
+            "(rows_per_band = num_perms / bands must be a positive int)"
+        )
+    rows_per_band = num_perms // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
+                    "band_sig"
+                ),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_sig")
+
+
 def minhash_jaccard_estimates(
     df: DataFrame,
     num_perms: int = 16,
@@ -817,8 +854,22 @@ def minhash_jaccard_estimates(
     exact integer arithmetic, no float hashing concerns.
 
     Output: (doc_a, doc_b, matches, est_bp), a < b."""
-    sig = minhash_signatures(df, num_perms, text_col, id_col, n)
-    pairs = minhash_lsh_pairs(df, num_perms, bands, text_col, id_col, n)
+    # localCheckpoint: every consumer below — the banded pair
+    # generation AND both signature-join sides — reads the ONE
+    # materialized num_perms-longs-per-doc frame instead of replanning
+    # the shingle+hash+min chain (Catalyst plans each differently-
+    # aliased projection as a full recomputation; pre-r12 this query
+    # computed the signature chain three times, 13.7 s of which the
+    # chain was ~2x5.8 s at sf1). At 100 TB the signature table is the
+    # persisted LSH index anyway (minhash_band_signatures doc).
+    sig = minhash_signatures(
+        df, num_perms, text_col, id_col, n
+    ).localCheckpoint(eager=False)
+    pairs = _bucket_pairs(
+        _band_signatures_of_sig(sig, num_perms, bands),
+        "band_idx",
+        "band_sig",
+    ).distinct()
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_perms)],
