@@ -792,9 +792,12 @@ _R11_RECORDED = frozenset(
 # read-only audit: dedup.shingles_col n < 1 gives EVERY doc the ""
 # shingle (silent all-pairs — the token_ngram_topk n=0 class; guard in
 # shingles_col hits the whole minhash/jaccard family, ~8 queries);
-# naming.with_table_names overwrites input 'table'/'collection_out'
-# columns; pq_fit could take the kmeans n_rows-seam treatment
-# (ann_pq_topk build ~4 s at sf0.1; pq family is 4 queries).
+# pq_fit could take the kmeans n_rows-seam treatment (ann_pq_topk
+# build ~4 s at sf0.1; pq family is 4 queries); unify the banding
+# expression (_band_signatures_of_sig <- minhash_band_signatures,
+# equality-pinned until then). envelope.py/naming.py guards LANDED in
+# r12 after all (no catalog queries of their own; with_table_names's
+# only catalog consumer is entry_counts, in the r12 window).
 _R12_SLIPPED_R08 = (
     "range_join_error_after_click", "dedup_ngram_jaccard",
     "jaccard_dropped_shingles", "audit_orders_constraints",

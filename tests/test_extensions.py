@@ -4485,3 +4485,63 @@ class TestBandSignaturePaths:
         )
         with pytest.raises(ValueError, match="must divide"):
             dedup._band_signatures_of_sig(sig, 3, 2)
+
+
+class TestEnvelopeNamingGuards:
+    """r12 review batch 4 follow-on: envelope.py / naming.py have no
+    catalog queries of their own (pipeline + pytest surface; the only
+    catalog consumer of with_table_names is entry_counts, in this
+    round's window), so their guard hardening lands now rather than
+    r13."""
+
+    def test_encrypt_body_reserved_enc_raises(self, spark):
+        from uc_historic_data_importer_spark.operators.envelope import (
+            encrypt_body,
+        )
+
+        df = spark.createDataFrame(
+            [("x", "k")], "record_json string, _enc string"
+        )
+        with pytest.raises(ValueError, match="_enc"):
+            encrypt_body(df, data_key_b64="a" * 24)
+
+    def test_encrypt_body_null_body_raises_clearly(self, spark):
+        import base64
+        from uc_historic_data_importer_spark.operators.envelope import (
+            encrypt_body,
+        )
+
+        key = base64.b64encode(b"0" * 16).decode()
+        df = spark.createDataFrame(
+            [("ok",), (None,)], "record_json string"
+        )
+        out = encrypt_body(df, data_key_b64=key)
+        with pytest.raises(Exception, match="NULL record_json"):
+            out.collect()
+
+    def test_with_table_names_output_collision_raises(self, spark):
+        from uc_historic_data_importer_spark.operators.naming import (
+            with_table_names,
+        )
+
+        df = spark.createDataFrame(
+            [("d", "c", "t")], "db string, collection string, table string"
+        )
+        with pytest.raises(ValueError, match="table"):
+            with_table_names(df)
+
+    def test_with_table_names_clean_schema_unchanged(self, spark):
+        from uc_historic_data_importer_spark.operators.naming import (
+            with_table_names,
+        )
+
+        df = spark.createDataFrame(
+            [("my-db", "coll-two"), ("agent_core", "agentToDoArchive")],
+            "db string, collection string",
+        )
+        rows = {r["collection"]: (r["table"], r["collection_out"])
+                for r in with_table_names(df).collect()}
+        assert rows["coll-two"] == ("my_db:coll", "coll")
+        assert rows["agentToDoArchive"] == (
+            "agent_core:agentToDo", "agentToDo"
+        )

@@ -146,6 +146,14 @@ def _encrypt_series(
     keys = (
         [key_b64] * len(body) if isinstance(key_b64, str) else key_b64
     )
+    if body.isnull().any():
+        # a NULL body reaching the cipher is a pipeline bug (the valid
+        # filter runs upstream); text.encode(None) would surface as an
+        # opaque AttributeError deep in an executor — name it instead
+        raise ValueError(
+            "encrypt_body: NULL record_json in batch; filter invalid "
+            "records before encryption"
+        )
     ivs, cts = [], []
     for text, kb64 in zip(body, keys):
         iv = fixed_iv if fixed_iv is not None else os.urandom(16)
@@ -179,6 +187,14 @@ def encrypt_body(
     if (data_key_b64_col is None) == (data_key_b64 is None):
         raise ValueError(
             "pass exactly one of data_key_b64_col / data_key_b64"
+        )
+    if "_enc" in df.columns:
+        # skew.py-style reserved-name guard (r12 review batch 4): the
+        # withColumn below would silently REPLACE a user column named
+        # _enc and then DROP it
+        raise ValueError(
+            "input column '_enc' collides with encrypt_body's internal "
+            "temp name; rename it first"
         )
 
     if data_key_b64 is not None:

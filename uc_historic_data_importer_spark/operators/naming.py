@@ -65,6 +65,15 @@ def with_table_names(
     ROW uses the coalesced one. Archive detection tests the map
     directly on the shared base expression — not a re-derived copy
     compared for inequality."""
+    taken = {"table", "collection_out"} & set(df.columns)
+    if taken:
+        # r12 review batch 4: the pipeline derives these exactly once;
+        # an input frame already carrying them means a caller bug, and
+        # withColumn would silently REPLACE the existing values
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with "
+            "with_table_names's output columns; rename them first"
+        )
     base = _base_table(F.col(db_col), F.col(collection_col))
     tbl = base
     archived = F.lit(False)
