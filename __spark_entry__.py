@@ -775,25 +775,24 @@ _R11_RECORDED = frozenset(
 # invariant after this round: no query's latest record predates r09
 # (max staleness <= 3 rounds, test_post_round_staleness_bound).
 #
-# Round-13 handoff (DERIVED, pinned by tests/test_rotation.py): round
-# 12's window = the 22 slipped r08s + the 26-query modified block
-# (similarity n_rows seam + text.py review batch 4) + 2 staleness
-# slots; window latest-record distribution pinned in
-# test_rotation.CLAIMED_DISTRIBUTION ({r08: 22, r11: 15, r10: 6,
-# r09: 7}). THIRTY-THREE r09-latest queries slip to round 13 (each
-# re-verified every round by tests/test_oracle_regression.py); they
-# MUST all sort first in round 13 or the r13 staleness bound
-# (floor r10) breaks; derive the exact slip list from
-# _ordered_queries()[50:] filtered to last-recorded == 9. That leaves
-# 17 round-13 slots for modified/new queries — budget review-batch-5
-# guard work accordingly (the r12 batch deliberately POSTPONED
-# dedup.py/envelope.py/naming.py/json_canonical.py guard additions for
-# exactly this reason). Known r13 guard candidates from the r12
-# read-only audit: dedup.shingles_col n < 1 gives EVERY doc the ""
-# shingle (silent all-pairs — the token_ngram_topk n=0 class; guard in
-# shingles_col hits the whole minhash/jaccard family, ~8 queries);
-# pq_fit could take the kmeans n_rows-seam treatment (ann_pq_topk
-# build ~4 s at sf0.1; pq family is 4 queries); unify the banding
+# Round-13 handoff (DERIVED, was pinned by the r12
+# test_rotation.CLAIMED_DISTRIBUTION): round 12's window = the 22
+# slipped r08s + the never-recorded entry_counts (1 slot) + the
+# 26-query modified block (similarity n_rows seam + text.py review
+# batch 4) + 1 staleness slot; window latest-record distribution was
+# {r08: 22, never: 1, r11: 15, r10: 6, r09: 6}. (ADVICE r12 flagged an
+# earlier version of this comment for misquoting the distribution —
+# corrected here to the tested numbers.) THIRTY-FOUR r09-latest
+# queries slipped to round 13 (each re-verified every round by
+# tests/test_oracle_regression.py); they sort first in round 13
+# (_R13_SLIPPED_R09) or the r13 staleness bound (floor r10) breaks.
+# That leaves 16 round-13 slots for modified/new queries — the
+# review-batch-5 guard budget. Known r13 guard candidates from the
+# r12 read-only audit: dedup.shingles_col n < 1 gives EVERY doc the
+# "" shingle (silent all-pairs — the token_ngram_topk n=0 class;
+# guard in shingles_col hits the whole minhash/jaccard family);
+# pq_fit could take the kmeans n_rows-seam treatment (pq.py-local —
+# all 4 pq consumers are r9-latest, so slot-free); unify the banding
 # expression (_band_signatures_of_sig <- minhash_band_signatures,
 # equality-pinned until then). envelope.py/naming.py guards LANDED in
 # r12 after all (no catalog queries of their own; with_table_names's
@@ -869,27 +868,130 @@ _R12_MODIFIED_SINCE_RECORD = (
 )
 
 
+# Round-12's driver record, verified == CORRECTNESS_r12.json key set
+# (all 50 green: rows/schema/hash matches, zero errors): the 22 slipped
+# r08s, entry_counts (the one never-recorded r12 addition), the 26-query
+# modified block, and 1 staleness slot — exactly as the (corrected) r12
+# handoff predicted.
+_R12_RECORDED = frozenset(
+    {
+        "ann_ivf2_build", "ann_ivf2_topk", "ann_ivf_build",
+        "ann_ivf_topk", "audit_orders_constraints", "bm25_retrieval",
+        "boilerplate_segments", "corpus_curation", "cube_pricing",
+        "curation_funnel_report", "curation_pipeline_v2",
+        "curriculum_order_documents", "customer_spend_segments",
+        "dedup_apply", "dedup_components_star", "dedup_fingerprint",
+        "dedup_ngram_jaccard", "doc_length_outliers",
+        "doc_length_outliers_approx", "embedding_label_centroids",
+        "embedding_norms", "entry_counts", "fuzzy_match_documents",
+        "indoc_segment_dedup", "jaccard_dropped_shingles",
+        "media_frame_plan", "minhash_jaccard_estimate", "pii_redaction",
+        "range_join_error_after_click", "relative_quality_filter",
+        "resample_daily_fill", "segment_cleaned_corpus",
+        "segment_dup_ratio", "semantic_decontamination_lsh",
+        "semdedup_embeddings", "shard_assign_tokens",
+        "split_decontamination", "streaming_broadcast_enrich",
+        "streaming_gap_sessions", "substring_dedup_apply",
+        "substring_dup_spans", "text_fingerprints", "text_language_id",
+        "text_quality_scores", "text_repetition_scores",
+        "text_tfidf_top_terms", "text_token_counts", "token_ngram_topk",
+        "unigram_logprob_quality", "winnowing_fingerprints",
+    }
+)
+
+
+# Round-13 rotation plan (r12 verdict prescription #1): (a) the 34
+# r09-latest queries that slipped past round 12's window sort FIRST;
+# then (b) never-recorded queries (none expected — all 150 have a green
+# driver row in the r01..r12 union); then (c) the round-13 modified
+# block; then (d) plain staleness (r10 -> r11 -> r12). Target invariant
+# after this round: no query's latest record predates r10 (max
+# staleness <= 3 rounds, test_post_round_staleness_bound).
+_R13_SLIPPED_R09 = (
+    "ann_cosine_topk", "ann_ivfpq_topk", "ann_pq_rerank",
+    "ann_pq_topk", "ann_recall_audit", "binary_media_keys",
+    "brand_revenue", "dedup_apply_best", "dedup_best_representative",
+    "dedup_components", "dedup_incremental_lsh", "dedup_simhash",
+    "embedding_lsh_buckets", "embedding_quantize_int8",
+    "grouping_sets_pricing", "k_anonymity_customers", "media_mp4_meta",
+    "media_perceptual_keys", "media_wav_decode", "media_wav_features",
+    "null_safe_join_events", "percentile_prices", "pivot_order_status",
+    "profile_orders_columns", "rolling_window_revenue",
+    "rollup_pricing", "scalar_string_functions", "semi_join_discounted",
+    "set_ops_customers", "source_overlap_matrix",
+    "stat_aggregates_events", "user_retention_cohorts",
+    "window_running_totals", "zorder_stats_lineitem",
+)
+
+
+# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed in round 13
+# after their most recent driver record (README "Re-record doctrine").
+# Grows within the round as code is touched; front-loaded behind the
+# 34 slipped r09-latest queries, which the r12 verdict pins first.
+# Budget: exactly 16 slots (50 - 34). The round-13 worklist's
+# module->consumer ledger (derived by AST call-graph scan over
+# catalog_ext + catalog_classic; r9-latest consumers are already in the
+# slipped block and therefore free):
+#   dedup.py  guard batch + banding unification -> 8 non-slipped
+#   audit.py  review batch 5                    -> 3
+#   cdc.py    review batch 5                    -> 1
+#   diff.py   review batch 5 + plan-diff        -> 1
+#   latest.py review batch 5                    -> 2
+#   sessions.py review batch 5                  -> 1
+# listing.py (review batch 5) and pq.py (n_rows seam) have zero
+# catalog consumers outside the slipped block -> slot-free.
+_R13_MODIFIED_SINCE_RECORD = (
+    # dedup.py r13 guard batch (r12 verdict prescription #2): shingles_col
+    # raises on n < 1 (was: every doc shares the "" shingle -> silent
+    # all-pairs fan-out in jaccard_pairs/minhash); degenerate-param +
+    # reserved-name guards across the jaccard/minhash/CC family; banding
+    # expression unified (minhash_band_signatures delegates to
+    # _band_signatures_of_sig). Behavior-neutral for valid configs
+    # (TestRound13Guards pins both sides); touched call-path code.
+    "dedup_apply",
+    "dedup_components_star",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "jaccard_dropped_shingles",
+    "minhash_jaccard_estimate",
+    "ngram_decontamination",
+    # review batch 5 (r12 verdict prescription #5): audit.py, cdc.py,
+    # diff.py, latest.py, sessions.py, listing.py — reserved-name guards
+    # + degenerate-param probes. Non-slipped consumers re-record.
+    "audit_orders_constraints",
+    "l_diversity_customers",
+    "profile_drift_orders",
+    "cdc_merge_orders",
+    "snapshot_diff_orders",
+    "entry_counts",
+    "scd2_user_intervals",
+    "funnel_view_click_purchase",
+)
+
+
 def _ordered_queries():
-    """Round-12 ordering: (a) the 22 r08-latest queries that slipped past
-    round 11's 50-query window (verdict prescription — they must re-record
-    this round so no latest record predates r09), (b) never-recorded
-    queries (registration order — each new round-12 query gets a driver
+    """Round-13 ordering: (a) the 34 r09-latest queries that slipped past
+    round 12's 50-query window (verdict prescription — they must re-record
+    this round so no latest record predates r10), (b) never-recorded
+    queries (registration order — each new round-13 query gets a driver
     row immediately), (c) queries modified since their most recent
-    driver record (_R12_MODIFIED_SINCE_RECORD), (d) previously recorded
-    queries stalest-first (most recent driver row r08, then r09, ...).
+    driver record (_R13_MODIFIED_SINCE_RECORD), (d) previously recorded
+    queries stalest-first (most recent driver row r09, then r10, ...).
     Every query pushed past index 50 already has a green driver row in
-    the r01..r11 union and is re-verified each round by
+    the r01..r12 union and is re-verified each round by
     tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    slipped_rank = {n: i for i, n in enumerate(_R12_SLIPPED_R08)}
-    modified_rank = {n: i for i, n in enumerate(_R12_MODIFIED_SINCE_RECORD)}
+    slipped_rank = {n: i for i, n in enumerate(_R13_SLIPPED_R09)}
+    modified_rank = {n: i for i, n in enumerate(_R13_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (12, _R12_RECORDED),
             (11, _R11_RECORDED),
             (10, _R10_RECORDED),
             (9, _R09_RECORDED),
