@@ -4545,3 +4545,103 @@ class TestEnvelopeNamingGuards:
         assert rows["agentToDoArchive"] == (
             "agent_core:agentToDo", "agentToDo"
         )
+
+
+class TestRound13Guards:
+    """r13 review batch: dedup.py degenerate-param / reserved-name
+    probes (r12 verdict prescription #2 — the class that found
+    token_ngram_topk n=0, bloom k=0, n_salts=0). Each raise case was
+    probed pre-guard and produced SILENT corruption: n=0 gave every doc
+    the "" shingle (all-pairs jaccard=1.0), caps of 0 silently emptied
+    the result, quality_col="rn" ranked clusters by the internal
+    row_number."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta", "a"),
+                (2, "alpha beta", "a"),
+                (3, "totally different words here", "b"),
+            ],
+            "doc_id long, text string, source string",
+        )
+
+    def test_shingle_n_below_one_raises_across_family(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        docs = self._docs(spark)
+        # pre-guard: every doc shared the single "" shingle -> C(N,2)
+        # pairs all reporting jaccard=1.0 (probed: (1,3) came back as
+        # an exact near-dup)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            dedup.jaccard_pairs(docs, threshold=0.0, n=0)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            dedup.minhash_signatures(docs, n=0)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            dedup.minhash_lsh_pairs(docs, n=-1)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            dedup.doc_shingle_hashes(docs, n=0)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            dedup.ngram_contamination(docs, docs, n=0)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            dedup.source_minhash_overlap(docs, n=0)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            dedup.shingle_coverage_stats(docs, n=0)
+
+    def test_degenerate_caps_and_params_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        docs = self._docs(spark)
+        # pre-guard: a cap of 0 dropped EVERY bucket -> silently empty
+        with pytest.raises(ValueError, match="max_shingle_freq"):
+            dedup.jaccard_pairs(docs, max_shingle_freq=0)
+        with pytest.raises(ValueError, match="max_shingle_freq"):
+            dedup.jaccard_bucket_stats(docs, max_shingle_freq=0)
+        with pytest.raises(ValueError, match="max_bucket_docs"):
+            dedup.minhash_lsh_pairs(docs, max_bucket_docs=0)
+        with pytest.raises(ValueError, match="max_bucket_docs"):
+            dedup.lsh_bucket_stats(docs, max_bucket_docs=0)
+        # pre-guard: threshold > 1 silently returned zero pairs
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.jaccard_pairs(docs, threshold=1.5)
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.jaccard_pairs(docs, threshold=-0.1)
+        # pre-guard: bare `AssertionError: exprs should not be empty`
+        with pytest.raises(ValueError, match="num_perms must be >= 1"):
+            dedup.minhash_signatures(docs, num_perms=0)
+        # pre-guard: ZeroDivisionError on the 10000 % num_perms check
+        with pytest.raises(ValueError, match="num_perms must be >= 1"):
+            dedup.source_minhash_overlap(docs, num_perms=0)
+        with pytest.raises(ValueError, match="bits must be in"):
+            dedup.simhash(docs, bits=0)
+        with pytest.raises(ValueError, match="60 usable bits"):
+            dedup.simhash(docs, bits=61)
+
+    def test_best_representative_reserved_names_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        docs = self._docs(spark).withColumn("rn", F.lit(99))
+        # pre-guard: quality ranked by the INTERNAL row_number column
+        # (probed: silently wrong representatives)
+        with pytest.raises(ValueError, match="quality_col"):
+            dedup.best_representative(docs, quality_col="rn")
+        with pytest.raises(ValueError, match="id_col"):
+            dedup.best_representative(docs, id_col="fingerprint")
+        with pytest.raises(ValueError, match="text_col"):
+            dedup.best_representative(docs, text_col="cluster_size")
+
+    def test_guarded_ops_unchanged_on_clean_params(self, spark):
+        from uc_historic_data_importer_spark.operators import dedup
+
+        docs = self._docs(spark)
+        # valid configs behave exactly as before the guards
+        pairs = dedup.jaccard_pairs(docs, threshold=0.0, n=2).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+        assert dedup.minhash_lsh_pairs(docs, max_bucket_docs=5).count() >= 0
+        assert dedup.jaccard_bucket_stats(docs, n=2).collect()[0][
+            "dropped_buckets"
+        ] == 0
+        br = dedup.best_representative(
+            docs.withColumn("n_chars", F.length("text"))
+        )
+        assert br.count() == 0  # no exact-fingerprint dup clusters here

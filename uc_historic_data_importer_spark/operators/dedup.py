@@ -60,6 +60,16 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     element_at throw under ANSI mode — a crash that only a sub-n-token
     document triggers, i.e. invisible until real-corpus stragglers hit
     it at scale."""
+    if n < 1:
+        # n = 0 emits the EMPTY gram ("") at every position -> after
+        # array_distinct EVERY document shares the single "" shingle:
+        # jaccard_pairs reports jaccard=1.0 for all C(N,2) pairs and the
+        # minhash/LSH family puts the whole corpus in one bucket — a
+        # silent all-pairs fan-out (probed r13; the token_ngram_topk
+        # n=0 class). This guard covers the entire shingle family:
+        # doc_shingle_hashes, jaccard_*, minhash_*, lsh_*,
+        # ngram_contamination, source_minhash_overlap all route here.
+        raise ValueError(f"n must be >= 1 (got {n})")
     toks = tokens_col(text)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
@@ -117,6 +127,16 @@ def shingle_coverage_stats(
     )
 
 
+def _validate_freq_cap(name: str, value: int | None) -> None:
+    """df-cut / bucket caps are >= 1 or None: a cap of 0 drops EVERY
+    bucket (all dfs are >= 1), so the pair/candidate result was silently
+    EMPTY — the same degenerate-param class as max_iters=0 (probed r13).
+    Shared by jaccard_pairs / jaccard_bucket_stats / _bucket_pairs /
+    _cap_stats so the pairs path and its accounting twin cannot drift."""
+    if value is not None and value < 1:
+        raise ValueError(f"{name} must be >= 1 or None (got {value})")
+
+
 def _sorted_pairs_expr() -> Column:
     """All (doc_a < doc_b) pairs from a SORTED id-array column named
     `_ids`, as one in-array expression (per-bucket fan-out is the same
@@ -159,6 +179,7 @@ def _bucket_pairs(
     jaccard_pairs' df-cut it filters rows by a count window BEFORE the
     list aggregation, so an over-cap bucket never materializes; use
     lsh_bucket_stats to make the drop observable (no silent caps)."""
+    _validate_freq_cap("max_bucket_docs", max_bucket_docs)
     if max_bucket_docs is not None:
         from pyspark.sql.window import Window
 
@@ -189,6 +210,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
 
+    threshold must lie in [0, 1] (jaccard's range — a threshold above 1
+    silently returned an EMPTY pair set, probed r13) and
+    max_shingle_freq, when given, must be >= 1 (0 drops EVERY shingle —
+    every document has df >= 1 — so the result was silently empty).
+
     |A ∩ B| via shared-shingle buckets; |A|,|B| via per-doc counts over the
     kept shingles; jaccard = common / (na + nb - common). `max_shingle_freq`
     drops ultra-common shingles (df-cut, from numerator AND denominator) —
@@ -209,6 +235,9 @@ def jaccard_pairs(
     threshold may therefore land on either side — but it lands on the
     SAME side in Spark and the oracle, which is the property that
     matters."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1] (got {threshold})")
+    _validate_freq_cap("max_shingle_freq", max_shingle_freq)
     sh = doc_shingle_hashes(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         from pyspark.sql.window import Window
@@ -279,14 +308,17 @@ def jaccard_bucket_stats(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    return _cap_stats(bs, max_shingle_freq)
+    return _cap_stats(bs, max_shingle_freq, "max_shingle_freq")
 
 
-def _cap_stats(bs: DataFrame, cap_value: int | None) -> DataFrame:
+def _cap_stats(
+    bs: DataFrame, cap_value: int | None, cap_name: str = "cap"
+) -> DataFrame:
     """Shared no-silent-caps aggregate over a (bucket -> df) frame:
     (kept_buckets, dropped_buckets, dropped_pair_fanout,
     max_bucket_docs) — used by both the shingle and the LSH-band
     accounting so the cap semantics cannot drift between them."""
+    _validate_freq_cap(cap_name, cap_value)
     cap = F.lit(cap_value if cap_value is not None else (1 << 62))
     dropped = F.col("df") > cap
     return bs.agg(
@@ -311,6 +343,11 @@ def minhash_signatures(
     (a_j * h + b_j) mod (2^61 - 1). One groupBy over the exploded
     shingle hashes; all num_perms mins computed in the same aggregation
     (map-side partial agg keeps shuffle payload = num_perms longs/doc)."""
+    if num_perms < 1:
+        # 0 permutations -> zero aggregate exprs; pre-guard this crashed
+        # as a bare `AssertionError: exprs should not be empty` deep in
+        # GroupedData.agg instead of naming the misconfiguration
+        raise ValueError(f"num_perms must be >= 1 (got {num_perms})")
     sh = doc_shingle_hashes(df, text_col, id_col, n)
     aggs = [
         F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{j}")
@@ -364,7 +401,7 @@ def lsh_bucket_stats(
         .groupBy("band_idx", "band_sig")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    return _cap_stats(bs, max_bucket_docs)
+    return _cap_stats(bs, max_bucket_docs, "max_bucket_docs")
 
 
 def minhash_band_signatures(
@@ -381,31 +418,17 @@ def minhash_band_signatures(
     bucketed by band_sig): incoming batches compute THEIR bands with the
     same constants and equi-join — dedup-against-corpus without ever
     re-reading corpus text (see lsh_join_incremental)."""
-    # a non-divisor silently discards trailing permutations, and
+    # The banding expression lives in ONE place (_band_signatures_of_sig,
+    # r13 unification of the r12 TODO; the former twin implementations
+    # were equality-pinned by test_band_signature_paths_agree, which
+    # still pins the contract). Its guard rejects bands < 1 and
+    # non-divisors before any Spark job runs (signature construction is
+    # lazy): a non-divisor silently discards trailing permutations, and
     # bands > num_perms makes rows_per_band 0 — every band signature
     # becomes md5('') and EVERY doc shares one bucket per band (C(n,2)
-    # pair fan-out, silently wrong candidates)
-    if bands < 1 or num_perms % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide num_perms={num_perms} "
-            "(rows_per_band = num_perms / bands must be a positive int)"
-        )
-    rows_per_band = num_perms // bands
+    # pair fan-out, silently wrong candidates).
     sig = minhash_signatures(df, num_perms, text_col, id_col, n)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
-                    "band_sig"
-                ),
-            )
-        )
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_sig")
+    return _band_signatures_of_sig(sig, num_perms, bands)
 
 
 def lsh_join_incremental(
@@ -451,8 +474,10 @@ def simhash(
     aggregation (map-side partial agg; shuffle payload = bits ints/doc).
     The token hash is the shared md5_i64 (60 usable bits), so bits <= 60.
     Returns (doc_id, simhash)."""
-    if bits > 60:
-        raise ValueError("md5_i64 provides 60 usable bits")
+    if not 1 <= bits <= 60:
+        # bits = 0 crashed as a bare AssertionError in GroupedData.agg
+        # (zero vote exprs); the upper bound is md5_i64's usable width
+        raise ValueError(f"bits must be in [1, 60] (got {bits}): md5_i64 provides 60 usable bits")
     tok = _ensure_parallel(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("w"),
@@ -707,6 +732,10 @@ def source_minhash_overlap(
     Returns (source_a, source_b, agreeing_perms, jaccard_e4) with
     source_a < source_b; jaccard_e4 is the integer-scaled estimate
     (exact when num_perms divides 10000, as 16 does)."""
+    if num_perms < 1:
+        # pre-guard: num_perms = 0 crashed as ZeroDivisionError on the
+        # modulus below instead of naming the misconfiguration
+        raise ValueError(f"num_perms must be >= 1 (got {num_perms})")
     if 10000 % num_perms:
         raise ValueError("num_perms must divide 10000 for exact jaccard_e4")
     sh = _ensure_parallel(df).select(
@@ -774,6 +803,22 @@ def best_representative(
 
     from uc_historic_data_importer_spark.operators.text import tokens_col
 
+    # fingerprint/rn/cluster_size are computed INTERNALLY before the
+    # final select: a caller parameter naming one of them reads the
+    # computed column instead of the user's data (probed r13:
+    # quality_col="rn" ranked clusters by the row_number itself and
+    # silently returned wrong representatives) — the segment_clean_docs
+    # collision class from review batch 4.
+    reserved = {"fingerprint", "rn", "cluster_size"}
+    for pname, v in (("text_col", text_col), ("id_col", id_col),
+                     ("quality_col", quality_col)):
+        if v in reserved:
+            raise ValueError(
+                f"{pname}={v!r} collides with an internal column of "
+                f"best_representative ({sorted(reserved)}); rename the "
+                "input column"
+            )
+
     fp = F.md5(
         F.concat_ws(
             " ", F.array_sort(F.array_distinct(tokens_col(F.col(text_col))))
@@ -805,13 +850,12 @@ def _band_signatures_of_sig(
     minhash_band_signatures, for callers that already hold (and may
     have checkpointed) the signatures.
 
-    BIT-IDENTICAL-BY-CONTRACT with minhash_band_signatures' banding:
-    band b covers rows [b*rows_per_band, (b+1)*rows_per_band), sig =
-    md5 of the comma-joined decimal strings. test_band_signature_paths_
-    agree pins the two paths equal on a fixture, so they cannot drift
-    silently. r13 TODO (window budget, see __spark_entry__ handoff):
-    delegate minhash_band_signatures' banding here so the expression
-    lives in one place."""
+    THE single banding implementation since r13 —
+    minhash_band_signatures delegates here, so the bit contract (band b
+    covers rows [b*rows_per_band, (b+1)*rows_per_band), sig = md5 of
+    the comma-joined decimal strings) lives in exactly one place;
+    test_band_signature_paths_agree still pins the two entry points
+    equal on a fixture."""
     if bands < 1 or num_perms % bands != 0:
         raise ValueError(
             f"bands={bands} must divide num_perms={num_perms} "
