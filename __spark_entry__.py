@@ -926,47 +926,38 @@ _R13_SLIPPED_R09 = (
 
 # Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed in round 13
 # after their most recent driver record (README "Re-record doctrine").
-# Grows within the round as code is touched; front-loaded behind the
-# 34 slipped r09-latest queries, which the r12 verdict pins first.
-# Budget: exactly 16 slots (50 - 34). The round-13 worklist's
-# module->consumer ledger (derived by AST call-graph scan over
-# catalog_ext + catalog_classic; r9-latest consumers are already in the
-# slipped block and therefore free):
-#   dedup.py  guard batch + banding unification -> 8 non-slipped
-#   audit.py  review batch 5                    -> 3
-#   cdc.py    review batch 5                    -> 1
-#   diff.py   review batch 5 + plan-diff        -> 1
-#   latest.py review batch 5                    -> 2
-#   sessions.py review batch 5                  -> 1
-# listing.py (review batch 5) and pq.py (n_rows seam) have zero
-# catalog consumers outside the slipped block -> slot-free.
+# Budgeted at <= 16 slots (50 - 34); actual use 11, derived at FUNCTION
+# level (the r12 text.py precedent: a query re-records iff its call
+# path enters a CHANGED function, not merely a changed module):
+#   dedup.py guard batch + banding unification -> 7 non-slipped
+#     consumers (dedup_exact is exempt: it calls only the untouched
+#     exact_dup_groups; the six r9-latest dedup consumers are already
+#     in the slipped block)
+#   audit.py review batch 5 -> 2 (l_diversity_audit + the
+#     column_profile-> profile_drift chain changed;
+#     audit_orders_constraints calls only the untouched
+#     constraint_audit; k_anonymity/profile_orders are r9-slipped)
+#   cdc.py review batch 5 (op-vocabulary assertion: NULL/unknown op
+#     was silent corruption) -> 1
+#   diff.py review batch 5 (empty-key guard) -> 1
+# latest.py was probed and left UNCHANGED (empty payload_cols is valid
+# and works); sessions.py's only change (sessionize gap_ms guard) has
+# zero catalog consumers (funnel_view_click_purchase calls the
+# untouched funnel_counts); listing.py (page_size=0 driver-hang fix)
+# and pq.py have zero non-slipped catalog consumers. The remaining 5
+# window slots fall to plain staleness (stalest r10-latest first).
 _R13_MODIFIED_SINCE_RECORD = (
-    # dedup.py r13 guard batch (r12 verdict prescription #2): shingles_col
-    # raises on n < 1 (was: every doc shares the "" shingle -> silent
-    # all-pairs fan-out in jaccard_pairs/minhash); degenerate-param +
-    # reserved-name guards across the jaccard/minhash/CC family; banding
-    # expression unified (minhash_band_signatures delegates to
-    # _band_signatures_of_sig). Behavior-neutral for valid configs
-    # (TestRound13Guards pins both sides); touched call-path code.
     "dedup_apply",
     "dedup_components_star",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "jaccard_dropped_shingles",
     "minhash_jaccard_estimate",
     "ngram_decontamination",
-    # review batch 5 (r12 verdict prescription #5): audit.py, cdc.py,
-    # diff.py, latest.py, sessions.py, listing.py — reserved-name guards
-    # + degenerate-param probes. Non-slipped consumers re-record.
-    "audit_orders_constraints",
     "l_diversity_customers",
     "profile_drift_orders",
     "cdc_merge_orders",
     "snapshot_diff_orders",
-    "entry_counts",
-    "scd2_user_intervals",
-    "funnel_view_click_purchase",
 )
 
 

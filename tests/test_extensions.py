@@ -4645,3 +4645,106 @@ class TestRound13Guards:
             docs.withColumn("n_chars", F.length("text"))
         )
         assert br.count() == 0  # no exact-fingerprint dup clusters here
+
+
+class TestRound13ReviewBatch5:
+    """r13 review batch 5 (r12 verdict prescription #5): diff.py,
+    cdc.py, sessions.py, audit.py, listing.py degenerate-param probes.
+    The cdc op-vocabulary case was REAL silent corruption (probed: a
+    change-only key with op=NULL emitted a ghost all-NULL row; op='X'
+    silently upserted); the LocalFsLister case was a driver HANG."""
+
+    def test_snapshot_diff_empty_keys_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import diff
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        # pre-guard: bare `TypeError: reduce() of empty iterable`
+        with pytest.raises(ValueError, match="key_cols"):
+            diff.snapshot_diff(snap, snap, ())
+
+    def test_cdc_empty_keys_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import cdc
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        ch = spark.createDataFrame(
+            [(1, 1, "P", "b")], "k long, seq long, op string, v string"
+        )
+        # pre-guard: bare IndexError
+        with pytest.raises(ValueError, match="key_cols"):
+            cdc.merge_changelog(snap, ch, [])
+        with pytest.raises(ValueError, match="key_cols"):
+            cdc.latest_changes(ch, [])
+
+    def test_cdc_null_or_unknown_op_raises_at_execution(self, spark):
+        from uc_historic_data_importer_spark.operators import cdc
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        null_op = spark.createDataFrame(
+            [(3, 1, None, "zz")], "k long, seq long, op string, v string"
+        )
+        # pre-guard: emitted the GHOST row (3, NULL) — key present, all
+        # payload NULL, indistinguishable from a real put of NULLs
+        with pytest.raises(Exception, match="must be 'P' or 'D'"):
+            cdc.merge_changelog(snap, null_op, ["k"]).collect()
+        bad_op = spark.createDataFrame(
+            [(1, 1, "X", "bad")], "k long, seq long, op string, v string"
+        )
+        # pre-guard: op='X' silently applied like a put
+        with pytest.raises(Exception, match="must be 'P' or 'D'"):
+            cdc.merge_changelog(snap, bad_op, ["k"]).collect()
+
+    def test_cdc_valid_ops_unchanged(self, spark):
+        from uc_historic_data_importer_spark.operators import cdc
+
+        snap = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"
+        )
+        ch = spark.createDataFrame(
+            [(1, 1, "P", "new"), (2, 1, "D", None), (3, 1, "P", "ins")],
+            "k long, seq long, op string, v string",
+        )
+        got = sorted(
+            (r["k"], r["v"])
+            for r in cdc.merge_changelog(snap, ch, ["k"]).collect()
+        )
+        assert got == [(1, "new"), (3, "ins")]
+
+    def test_sessionize_negative_gap_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import sessions
+
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1)],
+            "user_id long, ts string, event_id long",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        # pre-guard: every event silently opened its own session
+        with pytest.raises(ValueError, match="gap_ms"):
+            sessions.sessionize(ev, gap_ms=-5)
+        with pytest.raises(ValueError, match="gap_ms"):
+            sessions.session_stats(ev, gap_ms=-1)
+
+    def test_audit_empty_cols_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import audit
+
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        # pre-guard: `Can only star expand struct data types`
+        with pytest.raises(ValueError, match="cols"):
+            audit.column_profile(df, [])
+        with pytest.raises(ValueError, match="cols"):
+            audit.profile_drift(df, df, [])
+        # pre-guard: keyless groupBy silently audited "the whole table"
+        with pytest.raises(ValueError, match="quasi_cols"):
+            audit.k_anonymity_audit(df, [], k=2)
+        with pytest.raises(ValueError, match="quasi_cols"):
+            audit.l_diversity_audit(df, [], "v", l=2)
+
+    def test_lister_degenerate_params_raise(self, spark):
+        from uc_historic_data_importer_spark.sources import listing
+
+        # pre-guard: page_size=0 -> empty page, token never advances,
+        # list_objects loops FOREVER on the driver
+        with pytest.raises(ValueError, match="page_size"):
+            listing.LocalFsLister("/tmp", page_size=0)
+        with pytest.raises(ValueError, match="max_attempts"):
+            listing.list_objects(
+                spark, listing.LocalFsLister("/tmp"), max_attempts=0
+            )

@@ -62,6 +62,11 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     row multiplier is len(cols), the standard cost of exact multi-column
     profiling; swap in HLL sketches (operators/sketches.py) when
     approximate distincts suffice at the very largest tables)."""
+    if not cols:
+        # pre-guard (r13 review): the empty pairs array crashed as
+        # `AnalysisException: Can only star expand struct data types`
+        # — an analyzer internal, not a usable message
+        raise ValueError("cols must be non-empty")
     aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
     for c in cols:
         aggs += [
@@ -119,6 +124,11 @@ def k_anonymity_audit(
     side of the same governance gate."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    if not quasi_cols:
+        # pre-guard (r13 review): groupBy() silently produced one
+        # keyless "is the whole table smaller than k" row — not a
+        # quasi-identifier audit
+        raise ValueError("quasi_cols must be non-empty")
     return (
         df.groupBy(*quasi_cols)
         .agg(F.count(F.lit(1)).alias("group_size"))
@@ -150,6 +160,9 @@ def l_diversity_audit(
     Complements k_anonymity_audit on the same governance gate."""
     if l < 2:
         raise ValueError("l must be >= 2")
+    if not quasi_cols:
+        # same keyless-groupBy degenerate as k_anonymity_audit
+        raise ValueError("quasi_cols must be non-empty")
     s = F.col(sensitive_col)
     # countDistinct over the struct, NOT size(collect_set(...)): the
     # struct itself is never NULL (only its fields are), so countDistinct

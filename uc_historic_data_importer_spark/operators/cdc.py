@@ -59,6 +59,12 @@ def latest_changes(
     map-side partial aggregation: the shuffle moves one struct per
     (partition, key), not the raw log."""
     keys = list(key_cols)
+    if not keys:
+        # pre-guard (r13 review): empty keys crashed as a bare
+        # IndexError deep in the join instead of naming the
+        # misconfiguration (and a keyless "merge" has no meaning —
+        # every change would target the same single row)
+        raise ValueError("key_cols must be non-empty")
     payload = [c for c in changes.columns if c not in (*keys, seq_col, op_col)]
     # _qcol/getField throughout (r10 review — the latest_per_key rule):
     # dotted/backticked column names must resolve as FLAT columns, not
@@ -105,6 +111,30 @@ def merge_changelog(
     """
     keys = list(key_cols)
     latest = latest_changes(changes, keys, seq_col, op_col)
+    # op-vocabulary assertion on the COMPACTED log (r13 review): after
+    # the full-outer join a NULL op legitimately means "no change for
+    # this key", so a NULL (or unknown) op IN THE LOG is
+    # indistinguishable from absence and was silently mis-merged —
+    # probed: a change-only key with op=NULL emitted a GHOST row with
+    # all-NULL payload, and op='X' silently upserted like a put. The
+    # check is one CASE expression over the compacted winners (cheap;
+    # never touches the raw log) and raises at execution time like the
+    # envelope NULL-body guard.
+    op_ok = _qcol(op_col).isin(OP_PUT, OP_DELETE)  # NULL -> NULL -> raise
+    latest = latest.withColumn(
+        op_col,
+        F.when(op_ok, _qcol(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"merge_changelog: {op_col} must be "
+                        f"'{OP_PUT}' or '{OP_DELETE}', got "
+                    ),
+                    F.coalesce(_qcol(op_col), F.lit("NULL")),
+                )
+            )
+        ),
+    )
     change_payload = {c for c in latest.columns if c not in (*keys, seq_col, op_col)}
 
     def side(alias: str, name: str) -> Column:

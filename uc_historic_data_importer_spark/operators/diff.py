@@ -77,6 +77,11 @@ def snapshot_diff(
     # TWO status columns (silent downstream ambiguity); keys named
     # hash_old/hash_new or _new_<key> collide with the internal
     # hash/rename columns (analysis errors at best)
+    if not key_cols:
+        # pre-guard (r13 review): the join-condition reduce crashed as a
+        # bare `TypeError: reduce() of empty iterable` instead of naming
+        # the misconfiguration
+        raise ValueError("key_cols must be non-empty")
     reserved = {"status", "hash_old", "hash_new"} | {
         f"_new_{k}" for k in key_cols
     }

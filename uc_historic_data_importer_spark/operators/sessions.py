@@ -60,6 +60,12 @@ def sessionize(
     regardless of gap, silently inflating session counts on dirty
     data. Route NULL-ts events through a timestamp-repair pass (or
     constraint_audit them) if they must not be dropped silently."""
+    if gap_ms < 0:
+        # pre-guard (r13 review): ts - prev > negative is true for every
+        # consecutive pair, so EVERY event silently opened its own
+        # session (probed) — counts inflated with no error. gap_ms = 0
+        # stays legal: "split on any strictly positive gap".
+        raise ValueError(f"gap_ms must be >= 0 (got {gap_ms})")
     _check_reserved(events, {"session_idx"}, "sessionize")
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     ts_ms = F.unix_millis(F.col(ts_col))

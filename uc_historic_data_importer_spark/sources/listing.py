@@ -86,6 +86,14 @@ class LocalFsLister:
     root: str
     page_size: int = 1000
 
+    def __post_init__(self):
+        if self.page_size < 1:
+            # pre-guard (r13 review): page_size = 0 returned an EMPTY
+            # page whose continuation token never advanced, so
+            # list_objects looped forever on the driver (probed) — a
+            # hang, not an error
+            raise ValueError(f"page_size must be >= 1 (got {self.page_size})")
+
     def list_page(self, prefix: str, continuation_token: str | None) -> ListPage:
         base = os.path.join(self.root, prefix) if prefix else self.root
         keys = []
@@ -172,6 +180,10 @@ def list_objects(
     backoff (S3Helper.kt:33-49: 5 attempts, 1 s initial, x2). Listing is
     driver-side metadata work exactly as in the reference; the result is
     a small descriptor DataFrame that everything downstream consumes."""
+    if max_attempts < 1:
+        # pre-guard (r13 review): 0 still performed one attempt and then
+        # reported "failed after 0 attempts" — a lie in the error path
+        raise ValueError(f"max_attempts must be >= 1 (got {max_attempts})")
     rows: list[tuple[str, int]] = []
     for prefix in prefixes if prefixes else [""]:
         token: str | None = None
