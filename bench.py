@@ -112,6 +112,12 @@ CAL_REF_SF01 = 2.285
 
 
 def run_calibration(queries, spark, sf_dir) -> dict:
+    """Empty dict when the fixed sf0.1 calibration data is absent
+    (ADVICE r12): the headline record must still be emitted on a box
+    without /root/testdata/sf0.1 — it just carries no calibration /
+    normalized fields (cal_total 0 disables them downstream)."""
+    if not os.path.isdir(sf_dir):
+        return {}
     cal: dict[str, float] = {}
     for name in CALIBRATION_QUERIES:
         best = float("inf")
@@ -276,8 +282,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "calibration": cal_total,
     }
+    if calibration:
+        headline_rec["calibration"] = cal_total
     if cal_ref and cal_total > 0:
         # what this total would read on the reference box
         headline_rec["normalized_value"] = round(
@@ -285,18 +292,19 @@ def main() -> None:
         )
         headline_rec["box_speed"] = round(cal_total / cal_ref, 3)
     headline = json.dumps(headline_rec)
-    print(
-        json.dumps(
-            {
-                "metric": "calibration",
-                "value": cal_total,
-                "unit": "sec",
-                "queries": calibration,
-                "ref": cal_ref,
-            }
-        ),
-        flush=True,
-    )
+    if calibration:
+        print(
+            json.dumps(
+                {
+                    "metric": "calibration",
+                    "value": cal_total,
+                    "unit": "sec",
+                    "queries": calibration,
+                    "ref": cal_ref,
+                }
+            ),
+            flush=True,
+        )
     by_time = dict(sorted(extras.items(), key=lambda kv: -kv[1]))
     print(json.dumps({"metric": "extras_detail", "extras": by_time}), flush=True)
     print(

@@ -4748,3 +4748,59 @@ class TestRound13ReviewBatch5:
             listing.list_objects(
                 spark, listing.LocalFsLister("/tmp"), max_attempts=0
             )
+
+
+class TestCellAssignRandomizedParity:
+    """ADVICE r12: _cell_column's past-oracle Arrow matmul rounds
+    half-away on binary doubles while the Catalyst expression path
+    rounds via F.round — a divergence class only observable on
+    boundary scores. This seeded randomized audit drives BOTH paths
+    over a 400-vector random corpus (past the fixture scale the
+    earlier parity pins used) and asserts identical assignments,
+    making drift observable without waiting for a production
+    mismatch. Seeded via a fixed constant, not time — determinism is
+    the point."""
+
+    def test_exact_vs_seam_assignments_agree_on_random_corpus(self, spark):
+        import random
+
+        from uc_historic_data_importer_spark.operators import similarity
+
+        rng = random.Random(0xC0FFEE)
+        dim, k, n = 16, 7, 400
+        centroids = [
+            [round(rng.uniform(-1, 1), 4) for _ in range(dim)]
+            for _ in range(k)
+        ]
+        rows = []
+        for i in range(n):
+            if i % 97 == 0:
+                rows.append((i, None))  # NULL vecs take the -1 sentinel
+            else:
+                base = centroids[i % k]
+                rows.append(
+                    (
+                        i,
+                        [
+                            round(x + rng.uniform(-0.05, 0.05), 4)
+                            for x in base
+                        ],
+                    )
+                )
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        exact = corpus.select(
+            "vec_id",
+            similarity._cell_column(centroids, "embedding", 6).alias("cell"),
+        )
+        seam = corpus.select(
+            "vec_id",
+            similarity._cell_column(
+                centroids, "embedding", 6, n_rows=n, exact_max_rows=100
+            ).alias("cell"),
+        )
+        e = {r["vec_id"]: r["cell"] for r in exact.collect()}
+        s = {r["vec_id"]: r["cell"] for r in seam.collect()}
+        assert e == s
+        assert e[0] == -1  # NULL vec sentinel on both paths

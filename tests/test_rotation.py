@@ -180,3 +180,20 @@ def test_soak_tool_state_metrics_shape():
     assert [r["batch"] for r in rows] == [0, 3]
     assert rows[1]["rows_removed"] == 9
     assert rows[1]["dropped_by_watermark"] == 4
+
+
+def test_bench_calibration_skips_when_sf01_absent():
+    """ADVICE r12: a box without /root/testdata/sf0.1 must still emit
+    the headline bench record — run_calibration returns {} instead of
+    crashing on the hardcoded path (the caller then omits the
+    calibration/normalized fields)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench.run_calibration({}, None, "/nonexistent/sf0.1") == {}

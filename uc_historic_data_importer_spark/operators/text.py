@@ -81,6 +81,18 @@ def tokens_col(text: Column) -> Column:
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``tokens`` / ``n_tokens`` derived from ``text_col``.
+
+    HARD-ERROR CONTRACT (r12 guard, disposition recorded per ADVICE
+    r12): an input that ALREADY has tokens/n_tokens columns raises,
+    even though recomputing from text_col would be value-identical for
+    frames this function itself produced. Chained callers (e.g. feeding
+    a with_tokens-derived frame into token_counts/quality_scores, which
+    call with_tokens internally) must drop tokens/n_tokens first. The
+    uniform raise is deliberate: exempting this one guard would make
+    "collides with internal names" mean two different things across the
+    text operators, and a caller whose tokens column came from ANOTHER
+    tokenizer would be silently re-tokenized instead of told."""
     _check_reserved(df, {"tokens", "n_tokens"}, "with_tokens")
     return df.withColumn("tokens", tokens_col(F.col(text_col))).withColumn(
         "n_tokens", F.size("tokens")
