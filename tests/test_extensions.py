@@ -4804,3 +4804,46 @@ class TestCellAssignRandomizedParity:
         s = {r["vec_id"]: r["cell"] for r in seam.collect()}
         assert e == s
         assert e[0] == -1  # NULL vec sentinel on both paths
+
+
+class TestRound13ReviewBatch6:
+    """r13 review batch 6 (slot-free modules): filters.py empty-key
+    probes and layout.py degenerate Morton keys. range_join.py was
+    audited in the same pass with NO findings (bounds, width, reserved
+    names and suffix clashes were already guarded)."""
+
+    def test_filters_empty_keys_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import filters
+
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        # pre-guard: bare `IndexError: list index out of range`
+        with pytest.raises(ValueError, match="keys"):
+            filters.anti_join_existing(df, df, keys=())
+        with pytest.raises(ValueError, match="keys"):
+            filters.mark_existing(df, df, keys=())
+
+    def test_zorder_degenerate_key_raises(self, spark):
+        from uc_historic_data_importer_spark.operators import layout
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        # pre-guard: bits=0 / no columns made the key the CONSTANT 0 —
+        # one range partition, data skipping silently defeated (probed)
+        with pytest.raises(ValueError, match="bits"):
+            layout.zorder_layout(df, ["a"], num_files=2, bits=0)
+        with pytest.raises(ValueError, match="1 column"):
+            layout.zorder_layout(df, [], num_files=2)
+        # oracle builder rejects the same configs (engine parity)
+        with pytest.raises(ValueError, match="bits"):
+            layout.zorder_key_sql(["a"], bits=0)
+        with pytest.raises(ValueError, match="overflows"):
+            layout.zorder_key_sql(["a", "b"], bits=32)
+
+    def test_zorder_valid_config_unchanged(self, spark):
+        from uc_historic_data_importer_spark.operators import layout
+
+        df = spark.createDataFrame([(1, 2), (3, 1)], "a long, b long")
+        out = layout.zorder_layout(df, ["a", "b"], num_files=1, bits=4)
+        keys = {r["a"]: r["_z"] for r in out.collect()}
+        # interleave: a bits at even positions, b at odd
+        assert keys[1] == (1 << 0) + (1 << 3)  # a=0b01, b=0b10
+        assert keys[3] == (1 << 0) + (1 << 2) + (1 << 1)

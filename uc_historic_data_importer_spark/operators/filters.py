@@ -102,6 +102,11 @@ def anti_join_existing(
     or not the right side has duplicates, and the aggregate would cost a
     full extra shuffle of the snapshot at scale.
     """
+    if not keys:
+        # pre-guard (r13 review batch 6): empty keys crashed as a bare
+        # IndexError inside the join instead of naming the
+        # misconfiguration
+        raise ValueError("keys must be non-empty")
     return df.join(existing.select(*keys), list(keys), "left_anti")
 
 
@@ -118,6 +123,9 @@ def mark_existing(
     the rows actually delivered to the sink. The snapshot side IS
     deduplicated here: a plain left join against duplicate keys would
     multiply the left rows."""
+    if not keys:
+        # same bare-IndexError class as anti_join_existing (r13 review)
+        raise ValueError("keys must be non-empty")
     marker = (
         existing.select(*keys).distinct().withColumn("_exists", F.lit(1))
     )

@@ -34,6 +34,15 @@ def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
     dimension dominate equally — locality in the key implies locality in
     every dimension."""
     k = len(cols)
+    if k < 1 or bits < 1:
+        # pre-guard (r13 review batch 6): bits=0 or zero columns made
+        # the key the CONSTANT 0 for every row (probed) — the range
+        # partitioner then puts the whole table in one partition,
+        # silently defeating the data-skipping layout this key exists
+        # for
+        raise ValueError(
+            f"need >= 1 column and bits >= 1 (got {k} cols, bits={bits})"
+        )
     if k * bits > 62:
         raise ValueError(f"{k} cols x {bits} bits overflows a signed long")
     z = F.lit(0).cast("long")
@@ -47,6 +56,15 @@ def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
 def zorder_key_sql(exprs: Sequence[str], bits: int = 16) -> str:
     """DuckDB SQL computing the same Morton key (oracle parity)."""
     k = len(exprs)
+    # parity guards: the oracle builder must reject exactly what
+    # zorder_key rejects, or a misconfigured query would raise on one
+    # engine and silently compute on the other
+    if k < 1 or bits < 1:
+        raise ValueError(
+            f"need >= 1 expr and bits >= 1 (got {k} exprs, bits={bits})"
+        )
+    if k * bits > 62:
+        raise ValueError(f"{k} exprs x {bits} bits overflows a signed long")
     # every term fully parenthesized: SQL `<<` binds looser than `+`,
     # so an unparenthesized `a << 3 + b << 5` re-associates the shifts.
     # Each expr is CAST to BIGINT to match the Spark side's .cast
