@@ -928,24 +928,29 @@ _R13_SLIPPED_R09 = (
 # after their most recent driver record (README "Re-record doctrine").
 # Budgeted at <= 16 slots (50 - 34); actual use 11, derived at FUNCTION
 # level (the r12 text.py precedent: a query re-records iff its call
-# path enters a CHANGED function, not merely a changed module):
+# path enters a CHANGED function, not merely a changed module),
+# verified by an ALL-catalog (catalog + catalog_ext + catalog_classic)
+# AST scan over the round's changed-function set:
 #   dedup.py guard batch + banding unification -> 7 non-slipped
 #     consumers (dedup_exact is exempt: it calls only the untouched
 #     exact_dup_groups; the six r9-latest dedup consumers are already
 #     in the slipped block)
 #   audit.py review batch 5 -> 2 (l_diversity_audit + the
-#     column_profile-> profile_drift chain changed;
+#     column_profile -> profile_drift chain changed;
 #     audit_orders_constraints calls only the untouched
 #     constraint_audit; k_anonymity/profile_orders are r9-slipped)
 #   cdc.py review batch 5 (op-vocabulary assertion: NULL/unknown op
 #     was silent corruption) -> 1
 #   diff.py review batch 5 (empty-key guard) -> 1
+#   sessions.py (sessionize gap_ms guard) -> 1 (event_sessionization
+#     via session_stats; funnel_view_click_purchase calls the
+#     untouched funnel_counts)
 # latest.py was probed and left UNCHANGED (empty payload_cols is valid
-# and works); sessions.py's only change (sessionize gap_ms guard) has
-# zero catalog consumers (funnel_view_click_purchase calls the
-# untouched funnel_counts); listing.py (page_size=0 driver-hang fix)
-# and pq.py have zero non-slipped catalog consumers. The remaining 5
-# window slots fall to plain staleness (stalest r10-latest first).
+# and works); listing.py (page_size=0 driver-hang fix), filters.py
+# (empty-key guards; pipeline-only consumers), layout.py (degenerate
+# Morton-key guards; zorder consumer is r9-slipped), and pq.py have
+# zero non-slipped catalog consumers. The remaining 4 window slots
+# fall to plain staleness (stalest r10-latest first).
 _R13_MODIFIED_SINCE_RECORD = (
     "dedup_apply",
     "dedup_components_star",
@@ -958,6 +963,11 @@ _R13_MODIFIED_SINCE_RECORD = (
     "profile_drift_orders",
     "cdc_merge_orders",
     "snapshot_diff_orders",
+    # sessions.sessionize gained the gap_ms >= 0 guard;
+    # event_sessionization reaches it through session_stats (caught by
+    # the r13 all-catalog changed-function scan — the catalog_classic-
+    # only scan had missed that catalog.py queries call sessions.py)
+    "event_sessionization",
 )
 
 
