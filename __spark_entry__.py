@@ -949,8 +949,16 @@ _R13_SLIPPED_R09 = (
 # and works); listing.py (page_size=0 driver-hang fix), filters.py
 # (empty-key guards; pipeline-only consumers), layout.py (degenerate
 # Morton-key guards; zorder consumer is r9-slipped), and pq.py have
-# zero non-slipped catalog consumers. The remaining 4 window slots
-# fall to plain staleness (stalest r10-latest first).
+# zero non-slipped catalog consumers. sampling.py review batch 7
+# adds 2 (weighted_sample NaN exclusion, temperature degenerate-param
+# raises); packing.py audited with NO findings; sketches.py's
+# hist_counts/hist_quantiles scale/qs guards are DEFERRED to r14
+# (cost 3 — hist_quantile_prices + percentile_prices_approx +
+# doc_length_outliers_approx — vs 2 remaining slots; scale=0 collapses
+# every bucket to 0 and qs>1 emit silent NULL quantile columns, the
+# drop_frac class; fix FIRST in r14, window budget 28 after the 22
+# slipped r10s). The remaining 2 window slots fall to plain staleness
+# (stalest r10-latest first).
 _R13_MODIFIED_SINCE_RECORD = (
     "dedup_apply",
     "dedup_components_star",
@@ -968,6 +976,14 @@ _R13_MODIFIED_SINCE_RECORD = (
     # the r13 all-catalog changed-function scan — the catalog_classic-
     # only scan had missed that catalog.py queries call sessions.py)
     "event_sessionization",
+    # sampling.py review batch 7: weighted_sample excludes NaN weights
+    # (Spark orders NaN above every number, so `NaN > 0` passed and the
+    # NaN key ranked as the GLOBAL maximum — probed: a NaN-weight row
+    # beat a weight-5.0 row); temperature_mixture_sample raises on
+    # target_total < 1 (silently EMPTY) and non-finite tau (NaN slipped
+    # `tau < 0` and silently kept every row).
+    "weighted_sample_documents",
+    "temperature_mixture_sample",
 )
 
 

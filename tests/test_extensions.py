@@ -4847,3 +4847,75 @@ class TestRound13ReviewBatch6:
         # interleave: a bits at even positions, b at odd
         assert keys[1] == (1 << 0) + (1 << 3)  # a=0b01, b=0b10
         assert keys[3] == (1 << 0) + (1 << 2) + (1 << 1)
+
+
+class TestRound13ReviewBatch7:
+    """r13 review batch 7 (sampling.py, last deep-audited r8). Probed
+    findings: a NaN weight passed `w > 0` (Spark sorts NaN above every
+    number) and its key then ranked as the GLOBAL maximum — a NaN-weight
+    row beat a weight-5.0 row; temperature_mixture_sample silently
+    returned EMPTY at target_total <= 0 and silently kept EVERYTHING at
+    tau=NaN (NaN slipped the `tau < 0` check). packing.py was audited
+    in the same pass with NO findings; sketches.py's scale/qs guards
+    are DEFERRED to r14 (3-slot cost vs 2 remaining window slots —
+    named in the __spark_entry__ handoff)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a", 1.0),
+                (2, "a", 5.0),
+                (3, "a", float("nan")),
+                (4, "b", 2.0),
+            ],
+            "doc_id long, source string, w double",
+        )
+
+    def test_weighted_sample_excludes_nan_weights(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        docs = self._docs(spark)
+        picked = {
+            r["doc_id"]
+            for r in sampling.weighted_sample(
+                docs, "doc_id", "w", n_per_group=3
+            ).collect()
+        }
+        # pre-guard: doc 3 (NaN weight) won a slot over doc 2 (w=5.0)
+        assert 3 not in picked
+        assert picked == {1, 2, 4}
+
+    def test_weighted_sample_inf_weight_always_wins(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        docs = self._docs(spark).withColumn(
+            "w",
+            F.when(F.col("doc_id") == 4, float("inf")).otherwise(
+                F.col("w")
+            ),
+        )
+        top = sampling.weighted_sample(docs, "doc_id", "w", n_per_group=1)
+        # P proportional to an infinite weight: key -0.0 tops the
+        # all-negative range — the documented, semantically-right case
+        assert [r["doc_id"] for r in top.collect()] == [4]
+
+    def test_temperature_mixture_degenerate_params_raise(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="target_total"):
+            sampling.temperature_mixture_sample(docs, target_total=0)
+        with pytest.raises(ValueError, match="target_total"):
+            sampling.temperature_mixture_sample(docs, target_total=-5)
+        with pytest.raises(ValueError, match="tau"):
+            sampling.temperature_mixture_sample(
+                docs, target_total=10, tau=float("nan")
+            )
+
+    def test_temperature_mixture_valid_unchanged(self, spark):
+        from uc_historic_data_importer_spark.operators import sampling
+
+        docs = self._docs(spark)
+        # large target keeps everything: every rate clamps to 1.0
+        out = sampling.temperature_mixture_sample(docs, target_total=100)
+        assert out.count() == 4

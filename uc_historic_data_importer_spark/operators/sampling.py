@@ -292,13 +292,22 @@ def weighted_sample(
     hashing to the top bucket would win weight-independently (round-6
     review fix: the denominator is DENOM + 1, putting u in
     [1/(DENOM+1), DENOM/(DENOM+1)]).
+
+    NaN weights are excluded like non-positive ones (r13 review batch
+    7): Spark's ordering puts NaN ABOVE every number, so `NaN > 0`
+    passes the positivity filter and the NaN key then sorts as the
+    GLOBAL MAXIMUM — probed: a NaN-weight row beat a weight-5.0 row.
+    A +inf weight needs no special case: its key is -0.0, the
+    legitimate top of the all-negative key range (P proportional to
+    an infinite weight SHOULD always win).
     """
     if n_per_group < 1:
         raise ValueError(f"n_per_group must be >= 1: {n_per_group}")
     _check_reserved(df, {"_wkey", "_rk"}, "weighted_sample")
     u = (_bucket(id_col) + 1).cast("double") / F.lit(float(DENOM + 1))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), key_dp)
-    cand = df.filter(F.col(weight_col) > 0).withColumn("_wkey", key)
+    wcol = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / wcol, key_dp)
+    cand = df.filter((wcol > 0) & ~F.isnan(wcol)).withColumn("_wkey", key)
     if group_col is None:
         # an un-partitioned row_number window would funnel every
         # candidate through ONE task (the kmv_distinct pitfall);
@@ -393,8 +402,16 @@ def temperature_mixture_sample(
     are kept at that rate (null-safe join — a plain equi-join would
     silently drop NULL-domain rows while still deflating every other
     domain's rate through the denominator)."""
-    if tau < 0:
-        raise ValueError("tau must be >= 0")
+    if not math.isfinite(tau) or tau < 0:
+        # NaN slipped the old `tau < 0` check (NaN comparisons are
+        # False) and pow(n, NaN) poisoned every rate — probed r13: the
+        # sampler silently kept EVERY row
+        raise ValueError(f"tau must be finite and >= 0 (got {tau})")
+    if target_total < 1:
+        # 0 or negative made every threshold <= 0 — probed r13: the
+        # result was silently EMPTY (the relative_quality_filter
+        # drop_frac class)
+        raise ValueError(f"target_total must be >= 1 (got {target_total})")
     # mirror interval_join's reserved-name guard: an input frame already
     # carrying one of the internal temp columns would otherwise fail
     # with an opaque ambiguous-reference AnalysisException (or worse,
