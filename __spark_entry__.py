@@ -907,6 +907,27 @@ _R12_RECORDED = frozenset(
 # block; then (d) plain staleness (r10 -> r11 -> r12). Target invariant
 # after this round: no query's latest record predates r10 (max
 # staleness <= 3 rounds, test_post_round_staleness_bound).
+#
+# Round-14 handoff (DERIVED, pinned by tests/test_rotation.py): round
+# 13's window = 34 slipped r09s + 14 modified + 2 staleness slots;
+# latest-record distribution pinned in
+# test_rotation.CLAIMED_DISTRIBUTION ({r09: 34, r10: 7, r11: 4,
+# r12: 5}). TWENTY-FOUR r10-latest queries slip to round 14 (each
+# re-verified every round by tests/test_oracle_regression.py); they
+# MUST all sort first in round 14 or the r14 staleness bound
+# (floor r11) breaks; derive the exact slip list from
+# _ordered_queries()[50:] filtered to last-recorded == 10. That
+# leaves 26 round-14 slots for modified/new queries. PRE-BOOKED r14
+# work from the r13 read-only audits: sketches.py
+# hist_counts/hist_quantiles need scale >= 1 and qs-in-(0,1]
+# guards — scale=0 collapses every bucket to floor(ln(1+x)*0) = 0 so
+# all quantiles silently read the same edge, and q > 1 emits silent
+# NULL quantile columns (the drop_frac class, found r13, deferred at
+# a named 3-slot cost: hist_quantile_prices,
+# percentile_prices_approx, doc_length_outliers_approx). The rest of
+# sketches.py (hll/cms/kmv/pairwise) plus packing.py and range_join.py
+# were audited r13 with no findings; multimodal.py (5 non-slipped
+# consumers) is the next-stalest unaudited module.
 _R13_SLIPPED_R09 = (
     "ann_cosine_topk", "ann_ivfpq_topk", "ann_pq_rerank",
     "ann_pq_topk", "ann_recall_audit", "binary_media_keys",
