@@ -927,7 +927,12 @@ _R12_RECORDED = frozenset(
 # percentile_prices_approx, doc_length_outliers_approx). The rest of
 # sketches.py (hll/cms/kmv/pairwise) plus packing.py and range_join.py
 # were audited r13 with no findings; multimodal.py (5 non-slipped
-# consumers) is the next-stalest unaudited module.
+# consumers) is the next-stalest module, read-only-audited r13 with
+# two named guard candidates: audio_window_features(window=0) is a
+# ZeroDivisionError INSIDE the executor UDF (window < 0 silently
+# returns an EMPTY frame table — range(negative) is empty), and
+# resize_images(width/height < 1) degenerates inside the Arrow batch
+# instead of raising at the API boundary.
 _R13_SLIPPED_R09 = (
     "ann_cosine_topk", "ann_ivfpq_topk", "ann_pq_rerank",
     "ann_pq_topk", "ann_recall_audit", "binary_media_keys",
