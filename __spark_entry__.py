@@ -909,15 +909,18 @@ _R12_RECORDED = frozenset(
 # staleness <= 3 rounds, test_post_round_staleness_bound).
 #
 # Round-14 handoff (DERIVED, pinned by tests/test_rotation.py): round
-# 13's window = 34 slipped r09s + 14 modified + 2 staleness slots;
-# latest-record distribution pinned in
-# test_rotation.CLAIMED_DISTRIBUTION ({r09: 34, r10: 7, r11: 4,
-# r12: 5}). TWENTY-FOUR r10-latest queries slip to round 14 (each
+# 13's window = 34 slipped r09s + 2 new never-recorded queries
+# (fk_orphans_lineitem, shingle_coverage_documents — driver-checked
+# oracles for the two operators whose evidence was pytest-only) + 14
+# modified; latest-record distribution pinned in
+# test_rotation.CLAIMED_DISTRIBUTION ({r09: 34, never: 2, r10: 5,
+# r11: 4, r12: 5}). TWENTY-SIX r10-latest queries slip to round 14
+# (each
 # re-verified every round by tests/test_oracle_regression.py); they
 # MUST all sort first in round 14 or the r14 staleness bound
 # (floor r11) breaks; derive the exact slip list from
 # _ordered_queries()[50:] filtered to last-recorded == 10. That
-# leaves 26 round-14 slots for modified/new queries. PRE-BOOKED r14
+# leaves 24 round-14 slots for modified/new queries. PRE-BOOKED r14
 # work from the r13 read-only audits: sketches.py
 # hist_counts/hist_quantiles need scale >= 1 and qs-in-(0,1]
 # guards — scale=0 collapses every bucket to floor(ln(1+x)*0) = 0 so

@@ -127,7 +127,7 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {9: 34, 10: 7, 11: 4, 12: 5}
+CLAIMED_DISTRIBUTION = {9: 34, None: 2, 10: 5, 11: 4, 12: 5}
 
 
 def test_handoff_comment_distribution():

@@ -5350,3 +5350,56 @@ def entry_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_current_keys"),
         F.max("version").alias("max_version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13: driver-checked oracles for the two remaining user-facing
+# operators whose correctness evidence was pytest-only (the r13 unused-
+# operator scan): audit.referential_orphans and
+# dedup.shingle_coverage_stats.
+# ---------------------------------------------------------------------------
+
+@register(
+    "fk_orphans_lineitem",
+    """
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey % 7 <> 0 AND o.o_orderkey = l.l_orderkey
+      )
+    """,
+    doc="foreign-key audit (operators/audit.py::referential_orphans): "
+    "child rows whose non-NULL key has no parent, as a left_anti join "
+    "(the F4 exists-filter shape; NULL FKs satisfy the constraint per "
+    "SQL semantics and are excluded up front). Parent side synthesized "
+    "by dropping every 7th order so the audit has real orphans to find.",
+)
+def fk_orphans_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uc_historic_data_importer_spark.operators import audit
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    parents = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    return audit.referential_orphans(li, parents, "l_orderkey", "o_orderkey")
+
+
+@register(
+    "shingle_coverage_documents",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE len(w) < 3) AS BIGINT)
+             AS n_unshingled_docs,
+           round(1.0 - count(*) FILTER (WHERE len(w) < 3)
+                 / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM tok
+    """,
+    doc="no-silent-drops accounting for the shingle dedup family "
+    "(operators/dedup.py::shingle_coverage_stats): documents shorter "
+    "than n tokens produce an EMPTY shingle set and appear in NO "
+    "signature/bucket/pair — this one-row frame makes that coverage "
+    "observable (the short-doc twin of jaccard_dropped_shingles).",
+)
+def shingle_coverage_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shingle_coverage_stats(t(spark, sf_dir, "documents"), n=3)
