@@ -187,8 +187,13 @@ def main() -> None:
         ev.select(
             F.col("user_id").alias("k"),
             F.col("event_id").alias("seq"),
+            # P/D is merge_changelog's documented vocabulary (a put
+            # UPSERTS, HBase semantics). This soak emitted 'U' until
+            # r13 — accepted only because pre-guard merge_changelog
+            # silently treated ANY non-D op as a put; the r13
+            # op-vocabulary assertion (which caught this) rejects it
             F.when(F.col("event_type") == "error", F.lit("D"))
-            .otherwise(F.lit("U")).alias("op"),
+            .otherwise(F.lit("P")).alias("op"),
             F.col("value").alias("v"),
         )
         # repartition, not coalesce: a small upstream read may have one
