@@ -797,3 +797,30 @@ class TestSinksReviewFixes:
         assert up.calls == 0  # never reached the uploader
         assert delays == [1.0, 2.0]  # counted as backed-off attempts
         assert p.exists()  # path untouched for the manifest-only re-run
+
+
+class TestRound13SinkGuards:
+    """r13 review batch 8 (slot-free: sinks.py has no catalog queries —
+    pytest + verify-drive surface). Probed: kv_put_sink(max_batch_bytes
+    <= 0) made the flush condition true before every record (silent
+    one-record RPC batches); RetryingPutter(max_attempts=0) never ran
+    the retry loop and crashed on the terminal assert."""
+
+    def test_kv_put_sink_degenerate_batch_bytes_raises(self, spark):
+        from uc_historic_data_importer_spark import sinks
+
+        df = spark.createDataFrame(
+            [("t", b"k", 1, "body")],
+            "table string, key binary, version long, envelope string",
+        )
+        with pytest.raises(ValueError, match="max_batch_bytes"):
+            sinks.kv_put_sink(df, lambda: None, max_batch_bytes=0)
+
+    def test_retrying_putter_degenerate_attempts_raises(self):
+        from uc_historic_data_importer_spark.sinks import (
+            InMemoryKVStore,
+            RetryingPutter,
+        )
+
+        with pytest.raises(ValueError, match="max_attempts"):
+            RetryingPutter(InMemoryKVStore(), max_attempts=0)

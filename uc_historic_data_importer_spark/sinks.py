@@ -137,6 +137,11 @@ def kv_put_sink(
     covers whole-partition failure (sink must be idempotent on
     (key, version) — HBase puts are).
     """
+    if max_batch_bytes < 1:
+        # pre-guard (r13 review): 0/negative made the flush condition
+        # true before EVERY record — one-record RPC batches, silently
+        # defeating the byte-bounded batching this sink exists for
+        raise ValueError(f"max_batch_bytes must be >= 1 (got {max_batch_bytes})")
     cols = df.select("table", "key", "version", F.col("envelope").alias("body"))
 
     def _write_partition(rows):
@@ -207,6 +212,12 @@ class RetryingPutter:
     ):
         import time
 
+        if max_attempts < 1:
+            # pre-guard (r13 review): 0 made put_batch's retry loop
+            # never run and crash on the terminal `assert last is not
+            # None` — a bare AssertionError instead of naming the
+            # misconfiguration
+            raise ValueError(f"max_attempts must be >= 1 (got {max_attempts})")
         self.store = store
         self.max_attempts = max_attempts
         self.initial_backoff_s = initial_backoff_s
