@@ -1268,3 +1268,24 @@ class TestRegionIdBinarySearch:
             for r in kv.select("key", ref_expr).collect()
         }
         assert got == ref
+
+
+class TestRound13WriterGuards:
+    """r13 review batch 8 continuation: HFileWriter degenerate params
+    (probed: bloom_error_rate=0 crashed as a bare `math domain error`,
+    >1 silently produced an absurd bloom — max_keys clamped to 1 with
+    hash_count in the thousands; block_size=0 was silently accepted)."""
+
+    def test_degenerate_writer_params_raise(self):
+        import io
+
+        from uc_historic_data_importer_spark import hfile
+
+        with pytest.raises(ValueError, match="block sizes"):
+            hfile.HFileWriter(io.BytesIO(), block_size=0)
+        with pytest.raises(ValueError, match="bloom_block_size"):
+            hfile.HFileWriter(io.BytesIO(), bloom_block_size=0)
+        with pytest.raises(ValueError, match="bloom_error_rate"):
+            hfile.HFileWriter(io.BytesIO(), bloom_error_rate=0.0)
+        with pytest.raises(ValueError, match="bloom_error_rate"):
+            hfile.HFileWriter(io.BytesIO(), bloom_error_rate=1.5)

@@ -392,6 +392,20 @@ class HFileWriter:
             raise ValueError(f"unsupported compression codec {compression}")
         if bloom not in ("row", "none"):
             raise ValueError(f"unsupported bloom type {bloom!r}")
+        if block_size < 1 or bloom_block_size < 1:
+            # r13 review: 0 was silently accepted (one block per cell —
+            # an index as large as the data)
+            raise ValueError(
+                f"block sizes must be >= 1 (got block_size={block_size}, "
+                f"bloom_block_size={bloom_block_size})"
+            )
+        if not 0.0 < bloom_error_rate < 1.0:
+            # r13 review: 0 crashed as a bare `math domain error`, 1.0
+            # as ZeroDivisionError, and >1 silently produced an absurd
+            # bloom (max_keys clamped to 1, hash_count in the thousands)
+            raise ValueError(
+                f"bloom_error_rate must be in (0, 1) (got {bloom_error_rate})"
+            )
         self._fh = fh
         self._block_size = block_size
         self._create_time_ms = create_time_ms
