@@ -252,6 +252,25 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="overlap_s"):
             multimodal.audio_chunk_plan(media, chunk_s=30, overlap_s=-1)
 
+    def test_degenerate_media_params_raise_at_boundary(self, media):
+        """r13 read-only audit, fixed r14: audio_window_features(window=0)
+        was a ZeroDivisionError INSIDE the executor UDF and window<0
+        silently returned an EMPTY frame table (range(negative));
+        resize_images(width/height<1) degenerated inside the Arrow batch
+        and >65535 would OverflowError on the 2-byte dim tag. All must
+        raise ValueError at plan-build time."""
+        import pytest
+
+        for bad in (0, -80):
+            with pytest.raises(ValueError, match="window"):
+                multimodal.audio_window_features(media, window=bad)
+        for w, h in ((0, 8), (8, 0), (-1, 8), (8, -1)):
+            with pytest.raises(ValueError, match="width and height"):
+                multimodal.resize_images(media, width=w, height=h)
+        for w, h in ((70000, 8), (8, 70000)):
+            with pytest.raises(ValueError, match="65535"):
+                multimodal.resize_images(media, width=w, height=h)
+
     def test_audio_chunk_plan(self, spark):
         rows = [
             (10, "audio", bytearray(b"pcm"), "audio/wav",
@@ -733,6 +752,51 @@ class TestHistQuantiles:
             .collect()
         }
         assert merged == whole
+
+    def test_degenerate_scale_raises(self, spark):
+        """r13 audit, fixed r14: scale=0 collapses every bucket to
+        floor(ln(1+x)*0)=0, so all quantiles silently read the same
+        edge (0.0) — must raise at the API boundary, on every entry
+        point that takes scale."""
+        import pytest
+
+        df = spark.range(1, 10).select(F.col("id").cast("double").alias("v"))
+        for bad in (0, -1):
+            with pytest.raises(ValueError, match="scale"):
+                sketches.hist_counts(df, "v", scale=bad)
+            with pytest.raises(ValueError, match="scale"):
+                sketches.log_bucket(F.col("v"), scale=bad)
+            with pytest.raises(ValueError, match="scale"):
+                sketches.hist_quantiles(
+                    sketches.hist_counts(df, "v"), scale=bad
+                )
+            with pytest.raises(ValueError, match="scale"):
+                sketches.hist_quantiles_sql("v", "t", scale=bad)
+
+    def test_out_of_range_q_raises(self, spark):
+        """r13 audit, fixed r14: q>1 makes cum >= q*total unsatisfiable
+        -> silent NULL quantile column; q<=0 matches the first bucket
+        unconditionally -> silently reports the minimum. Probed before
+        the guard: qs=(1.5,) returned one row with p15=None."""
+        import pytest
+
+        df = spark.range(1, 10).select(F.col("id").cast("double").alias("v"))
+        counts = sketches.hist_counts(df, "v")
+        for bad_qs in ((1.5,), (0.0,), (-0.1,), (0.5, 2.0), ()):
+            with pytest.raises(ValueError, match="q"):
+                sketches.hist_quantiles(counts, qs=bad_qs)
+            with pytest.raises(ValueError, match="q"):
+                sketches.hist_quantiles_sql("v", "t", qs=bad_qs)
+
+    def test_q_boundary_one_is_valid(self, spark):
+        """q=1.0 is the maximum — legal and must pick the last bucket."""
+        df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+        row = sketches.hist_quantiles(
+            sketches.hist_counts(df, "v"), qs=(1.0,)
+        ).collect()[0]
+        (val,) = row.asDict().values()
+        assert val is not None
+        assert abs(val - 100.0) / 100.0 < 0.02
 
 
 class TestFunnel:

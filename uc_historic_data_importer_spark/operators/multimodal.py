@@ -386,6 +386,23 @@ def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> Data
     Non-image rows pass through untouched (payload unchanged) — the
     filter happens inside the batch to keep one streaming pass; at scale,
     partition by `kind` upstream and this op reads only image files."""
+    # r13 audit, fixed r14: a degenerate target must raise HERE, not
+    # inside the Arrow batch — width/height < 1 would otherwise fail
+    # (or emit zero-pixel payloads) per-executor-task with a stack
+    # trace pointing at pandas internals instead of the caller's bug
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"resize_images: width and height must be >= 1, got "
+            f"{width}x{height}"
+        )
+    # the resize payload tag encodes dims in 2 bytes each
+    # (_resize_image_stub / encode_png's IHDR practical bound here), so
+    # an oversized target would OverflowError mid-batch on an executor
+    if width > 0xFFFF or height > 0xFFFF:
+        raise ValueError(
+            f"resize_images: width and height must be <= 65535, got "
+            f"{width}x{height}"
+        )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -558,6 +575,15 @@ def audio_window_features(media: DataFrame, window: int = 80) -> DataFrame:
     bit-for-bit; callers round with F.round (half-away, the engine-
     portable convention) before hashing. Zero crossings are counted as
     strict sign flips (negative <-> non-negative) within the frame."""
+    # r13 audit, fixed r14: window=0 is a ZeroDivisionError INSIDE the
+    # executor UDF (len(samples) // 0), and window < 0 silently returns
+    # an EMPTY frame table (n_full < 0 -> range() empty) — the
+    # silent-data-loss class; raise at the API boundary instead
+    if window < 1:
+        raise ValueError(
+            f"audio_window_features: window must be >= 1 sample, got "
+            f"{window}"
+        )
     from uc_historic_data_importer_spark.functions import audiocodec
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

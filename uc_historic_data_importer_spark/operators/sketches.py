@@ -359,6 +359,36 @@ def cms_sql(
 # Log-histogram quantile sketch (mergeable percentiles)
 # ---------------------------------------------------------------------------
 
+def _check_scale(scale: int, op: str) -> None:
+    """scale >= 1 (r13 read-only audit, fixed r14): scale=0 makes the
+    bucket rule floor(ln(1+x) * 0) = 0 for EVERY value, so the whole
+    distribution collapses into one bucket and every quantile silently
+    reads the same edge (0.0) — the drop_frac silent-corruption class.
+    Negative scale additionally inverts the bucket ordering the
+    cumulative window depends on."""
+    if scale < 1:
+        raise ValueError(f"{op}: scale must be >= 1, got {scale}")
+
+
+def _check_qs(qs, op: str) -> None:
+    """Each q must lie in (0, 1] (r13 read-only audit, fixed r14):
+    q > 1 makes `cum >= q * total` unsatisfiable, so the pick min()
+    aggregates over zero WHEN-matches and the quantile column is
+    silently NULL; q <= 0 matches the FIRST bucket unconditionally
+    (0 * total) and silently reports the minimum. Empty qs would emit
+    a quantile-free frame that downstream consumers misread as
+    all-quantiles-present."""
+    if not qs:
+        raise ValueError(f"{op}: qs must be non-empty")
+    bad = [q for q in qs if not (0.0 < q <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"{op}: every q must be in (0, 1], got {bad} — q > 1 would "
+            "emit silent NULL quantile columns, q <= 0 silently reports "
+            "the minimum"
+        )
+
+
 def log_bucket(value: Column, scale: int = 100) -> Column:
     """THE sketch bucket rule — floor(ln(1 + value) * scale) — as one
     shared expression. hist_counts builds its state with it and
@@ -369,6 +399,7 @@ def log_bucket(value: Column, scale: int = 100) -> Column:
     twin lives in hist_quantiles_sql's `floor(ln(1.0 + x) * scale)`
     string — oracle SQL is textual by nature, so that copy is pinned
     by the oracle gate instead."""
+    _check_scale(scale, "log_bucket")
     return F.floor(
         F.log(F.lit(1.0) + value.cast("double")) * F.lit(scale)
     )
@@ -392,6 +423,7 @@ def hist_counts(
     ln/floor so any engine reproduces it bit-for-bit.
     """
     _check_reserved(group_cols, {"bucket", "cnt"}, "hist_counts")
+    _check_scale(scale, "hist_counts")
     bucket = log_bucket(F.col(value_col), scale).alias("bucket")
     # a NULL bucket (NULL value, or value <= -1 outside ln's domain)
     # must not become sketch state: Spark's cumulative window sorts
@@ -431,6 +463,8 @@ def hist_quantiles(
         | {f"_b{i}" for i in range(len(qs))},
         "hist_quantiles",
     )
+    _check_scale(scale, "hist_quantiles")
+    _check_qs(qs, "hist_quantiles")
     w_cum = (
         Window.partitionBy(*[F.col(c) for c in group_cols])
         .orderBy("bucket")
@@ -473,6 +507,8 @@ def hist_quantiles_sql(
     round_dp: int = 4,
 ) -> str:
     """DuckDB SQL reproducing hist_counts + hist_quantiles exactly."""
+    _check_scale(scale, "hist_quantiles_sql")
+    _check_qs(qs, "hist_quantiles_sql")
     gsel = "".join(f"{c}, " for c in group_cols)
     gby_b = ", ".join(list(group_cols) + ["bucket"])
     gby = ", ".join(group_cols)
