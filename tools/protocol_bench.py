@@ -31,13 +31,22 @@ for i in range(n_runs):
           f"cal={h.get('calibration')} norm={h.get('normalized_value')}", flush=True)
 
 heads = [r["recs"]["headline_queries_total"] for r in runs if "headline_queries_total" in r["recs"]]
+if not heads:
+    # ADVICE r13: heads[0] below would IndexError with a misleading
+    # traceback when every run failed to emit a headline record
+    sys.exit(f"protocol_bench: no run emitted a headline record "
+             f"(rcs={[r['rc'] for r in runs]}) — see bench stderr")
 qmins = {}
 for h in heads:
     for q, v in h["queries"].items():
         qmins[q] = min(qmins.get(q, 1e9), v)
 total = round(sum(qmins.values()), 3)
 cal_per_run = [h.get("calibration") for h in heads]
-ref = runs[0]["recs"].get("calibration", {}).get("ref")
+# ADVICE r13: take ref from the FIRST run that has a calibration record,
+# not runs[0] unconditionally — a failed first run silently dropped
+# normalization even when later runs calibrated fine
+ref = next((r["recs"]["calibration"].get("ref") for r in runs
+            if "calibration" in r["recs"]), None)
 ann = {}
 for r in runs:
     ab = r["recs"].get("ann_build_total", {})
@@ -48,7 +57,7 @@ out = {
     "round": rnd,
     "n": n_runs,
     "rc": max(r["rc"] for r in runs),
-    "cpus": 32,
+    "cpus": os.cpu_count(),
     "sf": heads[0].get("sf"),
     "raw_totals": [h.get("value") for h in heads],
     "normalized_totals": [h.get("normalized_value") for h in heads],

@@ -108,6 +108,15 @@ def merge_changelog(
     Snapshot columns absent from the changelog pass through (NULL on
     inserted keys). Deletes drop the key even if it was inserted and
     re-deleted purely inside the log; a put after a delete resurrects.
+
+    .. note:: **Breaking contract change (r13).** Before r13 any op
+       outside {'P', 'D'} was silently treated as a put (this repo's
+       own streaming soak fed op='U' for months without an error). The
+       op vocabulary is now ASSERTED at execution time — pipelines
+       whose source emits other codes (Debezium 'c'/'u'/'r'/'d',
+       'I'/'U' upsert logs, ...) must map them to 'P'/'D' before
+       calling merge_changelog. See README "Round-13 session summary"
+       / migration note.
     """
     keys = list(key_cols)
     latest = latest_changes(changes, keys, seq_col, op_col)
