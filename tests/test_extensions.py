@@ -424,6 +424,43 @@ class TestSkew:
         with pytest.raises(ValueError, match="_n"):
             skew.salted_distinct_count(df3, ["k"], "k")
 
+    def test_non_decomposable_agg_pair_raises(self, spark):
+        """r14 review batch 9: the two-phase decomposability contract
+        was documented but unenforced — probed: avg/avg over a skewed
+        group returned 25.75 vs exact 13.375 (avg-of-partial-avgs).
+        Non-decomposable phase-1 fns and wrong combiners must raise."""
+        import pytest
+
+        from uc_historic_data_importer_spark.operators import skew
+
+        df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+        for fn in ("avg", "mean", "stddev", "approx_count_distinct",
+                   "first", "collect_list"):
+            with pytest.raises(ValueError, match="not decomposable"):
+                skew.salted_agg(df, ["k"], {"m": (fn, fn, "v")})
+        # combinable phase 1, wrong phase 2 combiner
+        with pytest.raises(ValueError, match="phase-2"):
+            skew.salted_agg(df, ["k"], {"n": ("count", "max", None)})
+        with pytest.raises(ValueError, match="phase-2"):
+            skew.salted_agg(df, ["k"], {"t": ("sum", "min", "v")})
+        # empty aggs was a bare Spark-internal AssertionError
+        with pytest.raises(ValueError, match="non-empty"):
+            skew.salted_agg(df, ["k"], {})
+
+    def test_salt_col_equal_to_join_key_raises(self, spark):
+        """r14 review batch 9: salt_col == key hashes every row of a
+        hot key into ONE salt bucket (probed: 1 of 8 buckets used) —
+        silently recreating the skew while paying n_salts-fold dim
+        replication. Documented before, enforced now."""
+        import pytest
+
+        from uc_historic_data_importer_spark.operators import skew
+
+        fact = spark.createDataFrame([(1, 2)], "k int, v int")
+        dim = spark.createDataFrame([(1, 9)], "k int, d int")
+        with pytest.raises(ValueError, match="salt_col"):
+            skew.salted_join(fact, dim, "k", salt_col="k")
+
 
 class TestRangeJoin:
     def test_matches_naive_cross_join(self, spark):

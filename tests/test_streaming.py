@@ -820,6 +820,29 @@ class TestStreamingReviewFixes:
                 df, df, lower_ms=600_000, upper_ms=1
             )
 
+    def test_degenerate_stream_params_raise_at_plan_build(self, spark):
+        """r14 review batch 9: session_window with a zero/negative gap
+        SILENTLY dropped every event (probed: 0 sessions, no error);
+        maxFilesPerTrigger<1 failed only asynchronously at stream start;
+        a zero window surfaced as a deep AnalysisException. All three
+        must raise ValueError naming the parameter at plan-build."""
+        ev = spark.readStream.format("rate").load().select(
+            F.col("value").cast("string").alias("user_id"),
+            F.col("timestamp").alias("event_time"),
+        )
+        for gap in ("0 minutes", "-5 minutes"):
+            with pytest.raises(ValueError, match="duration"):
+                sp.session_counts_stream(ev, gap=gap)
+        norm = ev.withColumn("table", F.lit("t")).withColumn(
+            "version", F.lit(1).cast("long")
+        )
+        with pytest.raises(ValueError, match="duration"):
+            sp.windowed_counts(norm, window="0 seconds")
+        with pytest.raises(ValueError, match="max_files_per_trigger"):
+            sp.read_jsonl_stream(spark, "/tmp/nowhere", max_files_per_trigger=0)
+        with pytest.raises(ValueError, match="max_files_per_trigger"):
+            sp.read_jsonl_stream(spark, "/tmp/nowhere", max_files_per_trigger=-4)
+
     def test_deduped_stream_does_not_leak_arrival_time(self, spark, tmp_path):
         src = tmp_path / "in"
         src.mkdir()

@@ -53,6 +53,25 @@ def _check_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
         )
 
 
+# phase1 -> required phase2 combiner. Two-phase salting is only exact
+# for DECOMPOSABLE aggregates; avg/stddev/percentile/count_distinct over
+# salt-bucket partials are the textbook silent-corruption case (probed
+# r14: avg/avg over a skewed group returned 25.75 vs exact 13.375).
+# Non-decomposable needs: avg -> salted sum + count then divide;
+# count distinct -> salted_distinct_count; percentiles -> sketches.py.
+_COMBINER = {
+    "count": "sum",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+    "bit_and": "bit_and",
+    "bit_or": "bit_or",
+    "bit_xor": "bit_xor",
+    "bool_and": "bool_and",
+    "bool_or": "bool_or",
+}
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -89,6 +108,30 @@ def salted_agg(
         # silently un-salted (and salted_join with the same input is
         # outright data loss, see below)
         raise ValueError(f"n_salts must be >= 1: {n_salts}")
+    if not aggs:
+        # Spark's groupBy().agg() raises a bare internal AssertionError
+        # ("exprs should not be empty") — name the caller's bug instead
+        raise ValueError("salted_agg: aggs must be non-empty")
+    # r14 review batch 9: the decomposability contract was documented
+    # but unenforced — a non-combinable pair (avg/avg, stddev, ...)
+    # returned silently WRONG numbers whenever group sizes differed
+    # across salt buckets; a wrong-but-combinable pair (count -> max)
+    # is the same class
+    for out, (fn1, fn2, _src) in aggs.items():
+        want = _COMBINER.get(fn1)
+        if want is None:
+            raise ValueError(
+                f"salted_agg: phase-1 aggregate {fn1!r} (output {out!r}) "
+                "is not decomposable over salt buckets; supported: "
+                f"{sorted(_COMBINER)} (avg = salted sum+count then "
+                "divide; distinct counts -> salted_distinct_count)"
+            )
+        if fn2 != want:
+            raise ValueError(
+                f"salted_agg: phase-2 for {fn1!r} must be {want!r}, got "
+                f"{fn2!r} (output {out!r}) — any other combiner "
+                "mis-merges the salt-bucket partials"
+            )
     _check_reserved(
         df, {"_salt", *(f"_p_{out}" for out in aggs)}, "salted_agg"
     )
@@ -169,6 +212,17 @@ def salted_join(
         # can never match and the result is silently EMPTY — total data
         # loss from a configuration typo
         raise ValueError(f"n_salts must be >= 1: {n_salts}")
+    if salt_col == key:
+        # documented-but-unenforced before r14: hashing the join key
+        # puts every row of a hot key in ONE salt bucket (probed: 1 of
+        # 8 buckets used), silently recreating the single-reducer skew
+        # while still paying the dim side's n_salts-fold replication
+        raise ValueError(
+            "salted_join: salt_col must not equal the join key — the "
+            "salt must vary WITHIN a key to spread it; use another "
+            "well-distributed column or leave salt_col=None for the "
+            "row-hash default"
+        )
     _check_reserved(fact, {"_salt"}, "salted_join")
     _check_reserved(dim, {"_salt"}, "salted_join")
     salt_src = (

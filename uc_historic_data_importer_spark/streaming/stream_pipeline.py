@@ -56,6 +56,14 @@ def read_jsonl_stream(
     across batches) and are null. ``max_files_per_trigger`` sizes the
     micro-batch (per-batch memory, and snapshot-rewrite frequency when
     feeding the CDC sink)."""
+    # r14 review batch 9: Spark validates maxFilesPerTrigger only at
+    # STREAM START — a 0/negative value surfaces as an async
+    # StreamingQueryException ("terminated with exception ...") out of
+    # awaitTermination instead of pointing at the caller's typo
+    if max_files_per_trigger < 1:
+        raise ValueError(
+            f"max_files_per_trigger must be >= 1: {max_files_per_trigger}"
+        )
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -129,6 +137,9 @@ def windowed_counts(
     accordingly) or run the batch F5 report (filter_status_counts /
     manifest accounting) over the landed data instead — the batch path
     has no lateness concept."""
+    # a zero/negative window raises in Spark only as an AnalysisException
+    # deep in window(...) resolution; name the caller's parameter instead
+    _duration_ms(window)
     with_event_time = norm.withColumn(
         "event_time", F.timestamp_millis(F.col("version"))
     )
@@ -387,6 +398,11 @@ def session_counts_stream(
     unclosed trailing sessions are visible for the batch-convergence
     check; production append-mode emits each session once, on close.
     """
+    # r14 review batch 9: session_window with a zero/negative gap
+    # SILENTLY DROPS EVERY EVENT (probed: 0 sessions out, no error) —
+    # the streaming twin of the r13 sessionize gap_ms guard. Parse the
+    # gap up front so a degenerate spec raises at plan-build time.
+    _duration_ms(gap)
     return (
         events.withWatermark(ts_col, watermark_delay)
         .groupBy(
