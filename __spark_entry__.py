@@ -985,9 +985,10 @@ _R13_SLIPPED_R09 = (
 # (cost 3 — hist_quantile_prices + percentile_prices_approx +
 # doc_length_outliers_approx — vs 2 remaining slots; scale=0 collapses
 # every bucket to 0 and qs>1 emit silent NULL quantile columns, the
-# drop_frac class; fix FIRST in r14, window budget 28 after the 22
-# slipped r10s). The remaining 2 window slots fall to plain staleness
-# (stalest r10-latest first).
+# drop_frac class; fix FIRST in r14). [Corrected r14, ADVICE r13: the
+# block below has 14 entries, not 11, and 34 slipped + 2 new + 14
+# modified fills the 50-query window EXACTLY — zero staleness slots;
+# the r13 window budget was 26 r10-latest slipped to r14, not 22/28.]
 _R13_MODIFIED_SINCE_RECORD = (
     "dedup_apply",
     "dedup_components_star",
@@ -1016,27 +1017,105 @@ _R13_MODIFIED_SINCE_RECORD = (
 )
 
 
+# Round 13's driver window (CORRECTNESS_r13.json, 50/50 green): the 34
+# slipped r09s + 2 new queries + the 14-entry modified block, exactly
+# as _ordered_queries() sorted them.
+_R13_RECORDED = frozenset(
+    _R13_SLIPPED_R09
+    + ("fk_orphans_lineitem", "shingle_coverage_documents")
+    + _R13_MODIFIED_SINCE_RECORD
+)
+
+
+# Round-14 rotation plan (r13 verdict prescription #1, with the judge's
+# CORRECTED slip count): (a) the 26 r10-latest queries that slipped
+# past round 13's window sort FIRST; (b) never-recorded queries (none —
+# all 152 have a green driver row in the r01..r13 union); (c) the
+# round-14 modified block (12 queries, derived by
+# tools/modified_queries.py — the function-level call-graph scan is now
+# a committed tool); (d) plain staleness (r11 -> r12 -> r13). Target
+# invariant after this round: no query's latest record predates r11
+# (max staleness <= 3 rounds, test_post_round_staleness_bound).
+#
+# Round-15 handoff (DERIVED, pinned by tests/test_rotation.py): round
+# 14's window = 26 slipped r10s + 12 modified + 12 stalest r11s;
+# latest-record distribution pinned in
+# test_rotation.CLAIMED_DISTRIBUTION ({r10: 26, r11: 19, r12: 3,
+# r13: 2}). TWELVE r11-latest queries slip to round 15 (each
+# re-verified every round by tests/test_oracle_regression.py); they
+# MUST all sort first in round 15 or the r15 staleness bound
+# (floor r12) breaks; derive the exact slip list from
+# _ordered_queries()[50:] filtered to last-recorded == 11. That
+# leaves 38 round-15 slots for modified/new queries + staleness —
+# derive the modified block with tools/modified_queries.py on the
+# round's changed-function set, and re-check the slip count against
+# the r14 union before budgeting (the r13->r14 handoff undercounted
+# 26 as 22 by hand; the tool + test_rotation are the source of truth).
+_R14_SLIPPED_R10 = (
+    "anti_join_existing", "asof_join_last_event", "broadcast_dim_join",
+    "dedup_key_version", "filter_status_counts",
+    "funnel_view_click_purchase", "histogram_prices", "json_extraction",
+    "kafka_date_format", "latest_per_key", "manifest_projection",
+    "media_feature_extract", "media_png_decode", "normalize_pipeline",
+    "pricing_summary", "revenue_by_nation", "rowkey_crc32",
+    "scd2_user_intervals", "semantic_decontamination",
+    "streaming_cdc_snapshot", "table_naming", "time_range_filter",
+    "top_orders_by_revenue", "tumbling_window_agg", "union_priorities",
+    "version_selection",
+)
+
+
+# Queries whose SEMANTICS, PLANS, OR CALL-PATH CODE changed in round 14
+# after their most recent driver record (README "Re-record doctrine").
+# Derived at FUNCTION level by tools/modified_queries.py over the
+# changed set: sketches.{log_bucket, hist_counts, hist_quantiles,
+# hist_quantiles_sql} (scale/qs guards), multimodal.{resize_images,
+# audio_window_features} (degenerate-param guards),
+# dedup.shingle_coverage_stats (token-size probe, 25x),
+# skew.{salted_agg, salted_join} (decomposability + salt_col guards),
+# stream_pipeline.{read_jsonl_stream, session_counts_stream,
+# windowed_counts} (maxFilesPerTrigger / gap / window guards — the
+# session_window gap<=0 case silently dropped every event).
+# cdc.merge_changelog changed docstring-only (migration note) — no
+# re-record. Budget: 12 of the 24 free slots.
+_R14_MODIFIED_SINCE_RECORD = (
+    "hist_quantile_prices",
+    "percentile_prices_approx",
+    "doc_length_outliers",
+    "doc_length_outliers_approx",
+    "shingle_coverage_documents",
+    "media_wav_features",
+    "salted_agg_counts",
+    "salted_join_priority_revenue",
+    "streaming_gap_sessions",
+    "streaming_latest_per_key",
+    "streaming_latest_per_key_ttl",
+    "streaming_windowed_counts",
+)
+
+
 def _ordered_queries():
-    """Round-13 ordering: (a) the 34 r09-latest queries that slipped past
-    round 12's 50-query window (verdict prescription — they must re-record
-    this round so no latest record predates r10), (b) never-recorded
-    queries (registration order — each new round-13 query gets a driver
-    row immediately), (c) queries modified since their most recent
-    driver record (_R13_MODIFIED_SINCE_RECORD), (d) previously recorded
-    queries stalest-first (most recent driver row r09, then r10, ...).
+    """Round-14 ordering: (a) the 26 r10-latest queries that slipped past
+    round 13's 50-query window (verdict prescription — they must re-record
+    this round so no latest record predates r11), (b) never-recorded
+    queries (registration order — a new query gets a driver row
+    immediately), (c) queries modified since their most recent
+    driver record (_R14_MODIFIED_SINCE_RECORD), (d) previously recorded
+    queries stalest-first (most recent driver row r10, then r11, ...).
     Every query pushed past index 50 already has a green driver row in
-    the r01..r12 union and is re-verified each round by
+    the r01..r13 union and is re-verified each round by
     tests/test_oracle_regression.py."""
     import uc_historic_data_importer_spark.plans.catalog_ext  # noqa: F401 — registers extension queries
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    slipped_rank = {n: i for i, n in enumerate(_R13_SLIPPED_R09)}
-    modified_rank = {n: i for i, n in enumerate(_R13_MODIFIED_SINCE_RECORD)}
+    slipped_rank = {n: i for i, n in enumerate(_R14_SLIPPED_R10)}
+    modified_rank = {n: i for i, n in enumerate(_R14_MODIFIED_SINCE_RECORD)}
     reg_index = {n: i for i, n in enumerate(QUERIES)}
 
     def last_recorded(name):
         for rnd, recorded in (
+            (13, _R13_RECORDED),
             (12, _R12_RECORDED),
             (11, _R11_RECORDED),
             (10, _R10_RECORDED),

@@ -14,7 +14,7 @@ from collections import Counter
 
 import __spark_entry__ as entry
 
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 WINDOW = 50
 # Steady-state bar from the r7/r8 verdicts: after this round's window is
 # recorded, no query's latest driver record may be more than 3 rounds
@@ -56,32 +56,32 @@ def test_slipped_and_modified_blocks_resolve_to_real_queries():
     import uc_historic_data_importer_spark.plans.catalog_classic  # noqa: F401
     from uc_historic_data_importer_spark.plans.catalog import QUERIES
 
-    for name in entry._R13_SLIPPED_R09:
+    for name in entry._R14_SLIPPED_R10:
         assert name in QUERIES, f"slipped-block name not in catalog: {name}"
-    for name in entry._R13_MODIFIED_SINCE_RECORD:
+    for name in entry._R14_MODIFIED_SINCE_RECORD:
         assert name in QUERIES, f"modified-block name not in catalog: {name}"
 
 
-def test_slipped_r09_queries_sort_first():
-    """The r12 verdict pins the 34 slipped r09-latest queries to the very
-    front of the round-13 window."""
+def test_slipped_r10_queries_sort_first():
+    """The r13 verdict pins the 26 slipped r10-latest queries to the very
+    front of the round-14 window."""
     ordered = [n for n, _ in entry._ordered_queries()]
-    assert tuple(ordered[: len(entry._R13_SLIPPED_R09)]) == entry._R13_SLIPPED_R09
+    assert tuple(ordered[: len(entry._R14_SLIPPED_R10)]) == entry._R14_SLIPPED_R10
 
 
-def test_slipped_block_is_exactly_the_r09_latest_stragglers():
-    """Every slipped entry's latest record is r09, and every query whose
-    latest record is r09 is in the slipped block (nothing older exists)."""
+def test_slipped_block_is_exactly_the_r10_latest_stragglers():
+    """Every slipped entry's latest record is r10, and every query whose
+    latest record is r10 is in the slipped block (nothing older exists)."""
     sets = _record_sets()
     ordered = [n for n, _ in entry._ordered_queries()]
-    r09_latest = {n for n in ordered if _last_recorded(n, sets) == 9}
+    r10_latest = {n for n in ordered if _last_recorded(n, sets) == 10}
     older = {
         n
         for n in ordered
-        if (_last_recorded(n, sets) or CURRENT_ROUND) < 9
+        if (_last_recorded(n, sets) or CURRENT_ROUND) < 10
     }
-    assert older == set(), f"queries with latest record older than r09: {older}"
-    assert r09_latest == set(entry._R13_SLIPPED_R09)
+    assert older == set(), f"queries with latest record older than r10: {older}"
+    assert r10_latest == set(entry._R14_SLIPPED_R10)
 
 
 def test_modified_block_lands_inside_the_window():
@@ -89,7 +89,7 @@ def test_modified_block_lands_inside_the_window():
     must re-record this round — i.e. appear inside the first 50."""
     ordered = [n for n, _ in entry._ordered_queries()]
     window = set(ordered[:WINDOW])
-    missing = [n for n in entry._R13_MODIFIED_SINCE_RECORD if n not in window]
+    missing = [n for n in entry._R14_MODIFIED_SINCE_RECORD if n not in window]
     assert missing == [], (
         f"modified-since-record queries pushed past the window: {missing}"
     )
@@ -127,22 +127,22 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {9: 34, None: 2, 10: 5, 11: 4, 12: 5}
+CLAIMED_DISTRIBUTION = {10: 26, 11: 19, 12: 3, 13: 2}
 
 
 def test_handoff_comment_distribution():
     """The handoff comment's claimed latest-record distribution of the
-    round-13 window, derived instead of hand-computed."""
+    round-14 window, derived instead of hand-computed."""
     sets = _record_sets()
     ordered = [n for n, _ in entry._ordered_queries()]
     dist = Counter(_last_recorded(n, sets) for n in ordered[:WINDOW])
     assert dict(dist) == CLAIMED_DISTRIBUTION
     assert sum(dist.values()) == WINDOW
-    # Nothing in the window should be r08-or-older (those were all
-    # cleared by r11/r12) and nothing OUTSIDE the window may be r09.
-    assert all(k is None or k >= 9 for k in dist)
+    # Nothing in the window should be r09-or-older (those were all
+    # cleared by r12/r13) and nothing OUTSIDE the window may be r10.
+    assert all(k is None or k >= 10 for k in dist)
     outside = [
-        n for n in ordered[WINDOW:] if _last_recorded(n, sets) == 9
+        n for n in ordered[WINDOW:] if _last_recorded(n, sets) == 10
     ]
     assert outside == []
 
