@@ -374,3 +374,26 @@ def test_entry_counts_single_python_stage(spark):
     JVM-side."""
     plan = plan_of(spark, "entry_counts")
     assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+
+
+def test_plan_report_covers_live_catalog():
+    """Freshness assert (r13 verdict item: the r13 report lagged the
+    catalog by exactly the two queries registered after its last
+    regeneration). PLAN_REPORT.md's row set must equal the live
+    catalog, so the positive-evidence artifact can never silently miss
+    a query again. Regenerate with `python tools/plan_report.py`."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLAN_REPORT.md")
+    rows = set()
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"\| (\w+) \|", line)
+            if m and m.group(1) != "query":
+                rows.add(m.group(1))
+    live = set(QUERIES)
+    assert rows == live, (
+        f"PLAN_REPORT.md is stale: missing {sorted(live - rows)}, "
+        f"extra {sorted(rows - live)} — rerun python tools/plan_report.py"
+    )
