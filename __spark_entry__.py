@@ -1038,15 +1038,15 @@ _R13_RECORDED = frozenset(
 # (max staleness <= 3 rounds, test_post_round_staleness_bound).
 #
 # Round-15 handoff (DERIVED, pinned by tests/test_rotation.py): round
-# 14's window = 26 slipped r10s + 12 modified + 12 stalest r11s;
+# 14's window = 26 slipped r10s + 13 modified + 11 stalest r11s;
 # latest-record distribution pinned in
-# test_rotation.CLAIMED_DISTRIBUTION ({r10: 26, r11: 19, r12: 3,
-# r13: 2}). TWELVE r11-latest queries slip to round 15 (each
+# test_rotation.CLAIMED_DISTRIBUTION ({r10: 26, r11: 18, r12: 4,
+# r13: 2}). THIRTEEN r11-latest queries slip to round 15 (each
 # re-verified every round by tests/test_oracle_regression.py); they
 # MUST all sort first in round 15 or the r15 staleness bound
 # (floor r12) breaks; derive the exact slip list from
 # _ordered_queries()[50:] filtered to last-recorded == 11. That
-# leaves 38 round-15 slots for modified/new queries + staleness —
+# leaves 37 round-15 slots for modified/new queries + staleness —
 # derive the modified block with tools/modified_queries.py on the
 # round's changed-function set, and re-check the slip count against
 # the r14 union before budgeting (the r13->r14 handoff undercounted
@@ -1077,8 +1077,12 @@ _R14_SLIPPED_R10 = (
 # windowed_counts} (maxFilesPerTrigger / gap / window guards — the
 # session_window gap<=0 case silently dropped every event).
 # cdc.merge_changelog changed docstring-only (migration note) — no
-# re-record. Budget: 12 of the 24 free slots.
+# re-record. Review batch 10 (keying.with_row_key / envelope
+# output-collision + IV-length guards) adds entry_counts — its other
+# reached queries (normalize_pipeline slipped; the three streaming_*
+# queries) were already in the window. Budget: 13 of the 24 free slots.
 _R14_MODIFIED_SINCE_RECORD = (
+    "entry_counts",
     "hist_quantile_prices",
     "percentile_prices_approx",
     "doc_length_outliers",

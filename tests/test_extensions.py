@@ -4620,6 +4620,49 @@ class TestEnvelopeNamingGuards:
         with pytest.raises(Exception, match="NULL record_json"):
             out.collect()
 
+    def test_encrypt_body_bad_iv_length_raises_at_boundary(self, spark):
+        """r14 review batch 10: a wrong-length deterministic_iv
+        otherwise failed INSIDE the executor UDF (cryptography's
+        Cipher() ValueError, mid-job)."""
+        from uc_historic_data_importer_spark.operators.envelope import (
+            encrypt_body,
+        )
+
+        df = spark.createDataFrame([("x",)], "record_json string")
+        for bad in (b"", b"short", b"0" * 17):
+            with pytest.raises(ValueError, match="16 bytes"):
+                encrypt_body(df, data_key_b64="a" * 24, deterministic_iv=bad)
+
+    def test_with_envelope_output_collision_raises(self, spark):
+        """r14 review batch 10 (with_table_names class): an input frame
+        already carrying `envelope` means a caller bug; withColumn
+        would silently replace it."""
+        from uc_historic_data_importer_spark.operators.envelope import (
+            RunContext,
+            with_envelope,
+        )
+
+        df = spark.createDataFrame(
+            [("b", "i", "e")], "db_object string, iv string, envelope string"
+        )
+        ctx = RunContext("u", "t", "tr")
+        with pytest.raises(ValueError, match="envelope"):
+            with_envelope(df, ctx)
+
+    def test_with_row_key_output_collision_raises(self, spark):
+        """r14 review batch 10 (same class): with_row_key silently
+        replaced pre-existing key/key_hex columns."""
+        from uc_historic_data_importer_spark.operators.keying import (
+            with_row_key,
+        )
+
+        df = spark.createDataFrame(
+            [("id1", b"k", "6b")],
+            "canonical_id string, key binary, key_hex string",
+        )
+        with pytest.raises(ValueError, match="key"):
+            with_row_key(df)
+
     def test_with_table_names_output_collision_raises(self, spark):
         from uc_historic_data_importer_spark.operators.naming import (
             with_table_names,

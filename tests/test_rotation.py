@@ -127,7 +127,7 @@ def test_post_round_staleness_bound():
 # The handoff comment's claimed window distribution (update BOTH when
 # the modified block changes — the test exists to catch exactly the
 # divergence between ordering code and handoff comment).
-CLAIMED_DISTRIBUTION = {10: 26, 11: 19, 12: 3, 13: 2}
+CLAIMED_DISTRIBUTION = {10: 26, 11: 18, 12: 4, 13: 2}
 
 
 def test_handoff_comment_distribution():

@@ -188,6 +188,15 @@ def encrypt_body(
         raise ValueError(
             "pass exactly one of data_key_b64_col / data_key_b64"
         )
+    if deterministic_iv is not None and len(deterministic_iv) != 16:
+        # r14 review batch 10: a wrong-length IV otherwise surfaces as
+        # a cryptography ValueError INSIDE the executor UDF, mid-job,
+        # with a stack trace pointing at Cipher() instead of the test
+        # hook that passed it
+        raise ValueError(
+            f"deterministic_iv must be exactly 16 bytes, got "
+            f"{len(deterministic_iv)}"
+        )
     if "_enc" in df.columns:
         # skew.py-style reserved-name guard (r12 review batch 4): the
         # withColumn below would silently REPLACE a user column named
@@ -250,6 +259,14 @@ def with_envelope(
     against a body ciphered under a DIFFERENT key would make the data
     undecryptable by its own metadata — an empty block (key not
     recorded) is recoverable, a wrong one is not."""
+    if "envelope" in df.columns:
+        # r14 review batch 10 (with_table_names class): the envelope is
+        # derived exactly once; an input already carrying one means a
+        # caller bug and withColumn would silently REPLACE it
+        raise ValueError(
+            "input column 'envelope' collides with with_envelope's "
+            "output column; rename it first"
+        )
 
     def pick(run_value: str, source_col: str) -> Column:
         if run_value:

@@ -22,6 +22,16 @@ def with_row_key(df: DataFrame, canonical_id_col: str = "canonical_id") -> DataF
     reference relies on for HBase region spread gives us skew-free
     shuffle partitioning on `key` at scale.
     """
+    taken = {"key", "key_hex"} & set(df.columns)
+    if taken:
+        # r14 review batch 10 (the with_table_names r12 class): the
+        # pipeline derives these exactly once; an input frame already
+        # carrying them means a caller bug, and withColumn would
+        # silently REPLACE the existing values
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with with_row_key's "
+            "output columns; rename them first"
+        )
     c = F.col(canonical_id_col)
     return df.withColumn("key", row_key_col(c)).withColumn("key_hex", row_key_hex(c))
 
