@@ -39,6 +39,24 @@ class TestDates:
     def test_epoch_sentinel(self):
         assert parse_hdi_timestamp_millis(EPOCH_KAFKA) == EPOCH_MILLIS == 315532800000
 
+    def test_year_range_rollover_is_record_error_not_crash(self):
+        """r14 review batch 11 (probed): SimpleDateFormat-lenient zone
+        offsets accept any hhmm digit pair, so these parse — but the
+        shifted instant leaves [0001, 9999] and date.fromordinal raised
+        INSIDE the normalization UDF: one poison record failed its task
+        4x and killed the whole import. Now None -> _DateError -> the
+        date_errors count (F1 semantics). Boundary years still format."""
+        assert kafka_date_format("0001-01-01T00:00:00.000+9959") is None
+        assert kafka_date_format("9999-12-31T23:59:59.999-9959") is None
+        assert (
+            kafka_date_format("0001-01-01T00:00:00.000Z")
+            == "0001-01-01T00:00:00.000+0000"
+        )
+        assert (
+            kafka_date_format("9999-12-31T23:59:59.999Z")
+            == "9999-12-31T23:59:59.999+0000"
+        )
+
 
 class TestCanonicalization:
     def test_object_id_sorted_by_key(self):

@@ -36,6 +36,7 @@ _TS_RE = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})\.(\d{1,6})(Z|[+-]\d{4})$"
 )
 _EPOCH_ORDINAL = 719163  # date(1970, 1, 1).toordinal()
+_MAX_ORDINAL = 3652059  # date(9999, 12, 31).toordinal()
 # Exactly the character class Java regex \s matches: keeps the Python
 # twin's padding leniency byte-identical to the Catalyst twin's
 # regexp_replace trim (Python's bare .strip() would also strip Unicode
@@ -95,9 +96,20 @@ def kafka_date_format(value: str) -> str | None:
 
     None on parse failure (reference raises; the caller of the UDF records
     the record error — F1 semantics).
+
+    Also None when the zone-shifted instant falls outside the
+    formattable year range [0001, 9999] (r14 review batch 11, probed:
+    '0001-01-01T00:00:00.000+9959' and '9999-12-31T23:59:59.999-9959'
+    parse — SimpleDateFormat-lenient offsets accept any hhmm digit
+    pair — but date.fromordinal then raised INSIDE the normalization
+    UDF, so one poison record failed the task 4x and killed the whole
+    import instead of landing in the record-error count).
     """
     millis = parse_hdi_timestamp_millis(value)
     if millis is None:
+        return None
+    days = millis // 86400000
+    if not (1 <= days + _EPOCH_ORDINAL <= _MAX_ORDINAL):
         return None
     return millis_to_kafka(millis)
 
