@@ -296,6 +296,27 @@ class TestCryptoSource:
         assert [r["line_no"] for r in sorted(out, key=lambda r: r["line_no"])] == [1, 2, 3, 4, 5]
         assert all(r["db"] == "mydb" and r["file_number"] == 3 for r in out)
 
+    def test_unresolved_key_pair_raises_named_error(self, spark, tree):
+        """r14 review batch 11: a data_keys map from a DIFFERENT pairs
+        frame surfaced as a bare executor KeyError on the tuple; the
+        error must name the file and the fix."""
+        import pytest
+
+        key, iv = os.urandom(32), os.urandom(16)
+        payload = _encrypt(gzip.compress(b'{"_id": "1"}\n'), key, iv)
+        _write(os.path.join(tree, "mydb.coll.0004.json.gz.enc"), payload)
+        with open(
+            os.path.join(tree, "mydb.coll.0004.json.encryption.json"), "w"
+        ) as fh:
+            json.dump({
+                "keyEncryptionKeyId": "kek", "encryptedEncryptionKey": "E2",
+                "initialisationVector": base64.b64encode(iv).decode(),
+            }, fh)
+        pairs = M.parse_metadata(L.pair_files(L.list_local_objects(spark, tree)))
+        pairs = pairs.filter("file_number = 4")
+        with pytest.raises(Exception, match="no resolved data key"):
+            read_encrypted_jsonl(pairs, {("other", "X"): "irrelevant"}).collect()
+
 
 class TestSourcesReviewFixes:
     """Round-7 sources review pass: cross-prefix pairing, anchored

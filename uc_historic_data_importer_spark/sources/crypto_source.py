@@ -124,9 +124,20 @@ def read_encrypted_jsonl(
     def _expand(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             for row in pdf.itertuples(index=False):
-                key_b64 = data_keys[
-                    (row.key_encryption_key_id, row.encrypted_encryption_key)
-                ]
+                kpair = (row.key_encryption_key_id, row.encrypted_encryption_key)
+                if kpair not in data_keys:
+                    # r14 review batch 11: a bare executor KeyError on
+                    # the tuple told the operator nothing about WHICH
+                    # file or what went wrong (a data_keys map resolved
+                    # from a different/older pairs frame than the one
+                    # being read)
+                    raise ValueError(
+                        f"no resolved data key for {row.data_path!r} "
+                        f"(keyEncryptionKeyId={row.key_encryption_key_id!r})"
+                        " — data_keys must come from resolve_data_keys "
+                        "on the SAME pairs frame"
+                    )
+                key_b64 = data_keys[kpair]
                 out_rows: list[dict] = []
                 with open_fn(row.data_path) as fh:
                     stream = decrypt_stream(fh, key_b64, row.initialisation_vector)
