@@ -43,9 +43,11 @@ class TestDates:
         """r14 review batch 11 (probed): SimpleDateFormat-lenient zone
         offsets accept any hhmm digit pair, so these parse — but the
         shifted instant leaves [0001, 9999] and date.fromordinal raised
-        INSIDE the normalization UDF: one poison record failed its task
-        4x and killed the whole import. Now None -> _DateError -> the
-        date_errors count (F1 semantics). Boundary years still format."""
+        ValueError: a direct caller of the public function crashed
+        mid-task, and inside the normalization UDF the blanket handler
+        misclassified the record as parse_error instead of date_error.
+        Now None -> _DateError -> the date_errors count (F1
+        semantics). Boundary years still format."""
         assert kafka_date_format("0001-01-01T00:00:00.000+9959") is None
         assert kafka_date_format("9999-12-31T23:59:59.999-9959") is None
         assert (
@@ -175,6 +177,14 @@ class TestWrapperPromotion:
 
 class TestTimestampHierarchy:
     LM = "_lastModifiedDateTime"
+
+    def test_year_rollover_counts_as_date_error_not_parse_error(self):
+        """r14: the [0001,9999] rollover used to escape _kafka_or_raise
+        as a bare ValueError and the blanket handler filed the record
+        under parse_error — a date problem must land in date_errors."""
+        r = N({"_id": "A", self.LM: {"$date": "0001-01-01T00:00:00.000+9959"}})
+        assert r["valid"] is False
+        assert r["skip_reason"] == "date_error"
 
     def test_date_wrapper_stripped(self):
         r = N({"_id": "A", self.LM: {"$date": "2018-12-01T15:01:02.000Z"}})

@@ -101,9 +101,11 @@ def kafka_date_format(value: str) -> str | None:
     formattable year range [0001, 9999] (r14 review batch 11, probed:
     '0001-01-01T00:00:00.000+9959' and '9999-12-31T23:59:59.999-9959'
     parse — SimpleDateFormat-lenient offsets accept any hhmm digit
-    pair — but date.fromordinal then raised INSIDE the normalization
-    UDF, so one poison record failed the task 4x and killed the whole
-    import instead of landing in the record-error count).
+    pair — but date.fromordinal then raised ValueError). Blast radius
+    before the fix: a DIRECT caller of this public function crashed
+    mid-task; inside the normalization UDF the blanket exception
+    handler caught it, but MISCLASSIFIED the record as parse_error
+    instead of date_error — wrong F5 accounting for a date problem.
     """
     millis = parse_hdi_timestamp_millis(value)
     if millis is None:
