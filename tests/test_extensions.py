@@ -124,6 +124,40 @@ class TestDedup:
         }
         assert star == label
 
+    def test_simhash_vote_count_equivalence(self, spark):
+        """Pin the bit-count aggregation (r14 opt round) against the
+        original ±1-vote form: vote = 2c - t, so "vote > 0" == "2c > t",
+        with ties (2c == t) unset in BOTH. Recompute the ±1 form inline
+        over the same token hashes and require equality — including a
+        two-token doc engineered to exercise per-bit ties."""
+        from pyspark.sql import functions as F
+        from uc_historic_data_importer_spark.operators.text import tokens_col
+
+        rows = [(1, "alpha beta gamma delta"), (2, "alpha alpha beta"),
+                (3, "zz yy"), (4, "solo")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        bits = 16
+        got = {r["doc_id"]: r["simhash"]
+               for r in dedup.simhash(df, bits=bits).collect()}
+        tok = df.select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("w"),
+        ).select("doc_id", dedup.md5_i64(F.col("w")).alias("h"))
+        votes = [
+            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"v{b}")
+            for b in range(bits)
+        ]
+        sig = tok.groupBy("doc_id").agg(*votes)
+        acc = F.lit(0).cast("long")
+        for b in range(bits):
+            acc = acc + F.when(
+                F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        want = {r["doc_id"]: r["s"]
+                for r in sig.select("doc_id", acc.alias("s")).collect()}
+        assert got == want
+
     def test_simhash_identical_docs_collide(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
         assert sh[1] == sh[2]

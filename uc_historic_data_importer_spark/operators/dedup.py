@@ -513,18 +513,23 @@ def simhash(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("w"),
     ).select("doc_id", md5_i64(F.col("w")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # The ±1 vote is aggregated as a plain BIT-COUNT: with c = number of
+    # set bits and t = token count, vote = c - (t - c) = 2c - t, so
+    # "vote > 0" is exactly "2c > t" (ties — 2c = t — stay unset in both
+    # forms). Summing the raw bit drops the per-row per-bit when/±1
+    # branch from the aggregate loop: 1.6x faster at sf0.1 (2.7 s ->
+    # 1.7 s for the signature stage, r14 opt round), bit-identical
+    # output (pinned by test_simhash_vote_count_equivalence).
+    counts = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
         for b in range(bits)
     ]
-    sig = tok.groupBy("doc_id").agg(*votes)
+    sig = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t"), *counts)
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        acc = acc + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        acc = acc + F.when(
+            F.col(f"c{b}") * 2 > F.col("t"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return sig.select("doc_id", acc.alias("simhash"))
 
 
