@@ -578,10 +578,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
+    # Round 1 folded into initialization (r14 opt round): with identity
+    # labels, the first join against `labels` is an identity mapping, so
+    # comp after round 1 is just least(id, min(neighbor id)) — ONE
+    # groupBy over the symmetrized edges instead of join+groupBy+join.
+    # The edge list is symmetric, so distinct(dst) == the node set.
+    # `_changed` (did this round lower the label?) rides the SAME
+    # checkpointed projection: counting it is a scan of the materialized
+    # round output, where the former new-vs-old join paid one extra
+    # shuffle join per round just to detect convergence. Labels after
+    # every round are value-identical to the former code's; only the
+    # number of Spark jobs per round changed.
+    labels = (
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("_nbr"))
+        .select(
+            "id",
+            F.least(F.col("id"), F.col("_nbr")).alias("comp"),
+            (F.col("_nbr") < F.col("id")).alias("_changed"),
+        )
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    changed = labels.filter("_changed").count()
+    labels = labels.drop("_changed")
+    for _ in range(max_iters - 1):
+        if changed == 0:
+            break
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
@@ -594,19 +616,15 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
+    if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
             f"({changed} labels still changing): the pair graph's diameter "
@@ -683,14 +701,21 @@ def connected_components_star(
             .distinct()
         )
 
+    n_edges = edges.count()
     for _ in range(max_iters):
         contracted = _small_star(_large_star(edges))
         contracted = contracted.localCheckpoint(eager=True)
-        changed = (
-            contracted.join(edges, ["u", "v"], "left_anti").count()
-            + edges.join(contracted, ["u", "v"], "left_anti").count()
+        # Set-equality test for two DISTINCT edge sets, one anti-join
+        # cheaper than the former symmetric pair (r14 opt round):
+        # contracted ⊆ edges AND |contracted| == |edges| ⟺ equal. The
+        # counts are scans of checkpointed frames; only the subset probe
+        # pays a join.
+        n_contracted = contracted.count()
+        changed = contracted.join(edges, ["u", "v"], "left_anti").count() + (
+            0 if n_contracted == n_edges else 1
         )
         edges = contracted
+        n_edges = n_contracted
         if changed == 0:
             break
     else:
