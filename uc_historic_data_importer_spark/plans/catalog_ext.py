@@ -668,12 +668,22 @@ def split_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uc_historic_data_importer_spark.operators import skew
+    from uc_historic_data_importer_spark.operators.dedup import (
+        _ensure_parallel,
+    )
 
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"),
-        "l_extendedprice",
-        "l_discount",
-        "l_linenumber",
+    # dedup.py's single-file-corpus guard on the fact side (r14 opt
+    # round): the sf0.1 lineitem parquet is ONE row group, so the
+    # salt-hash + join + partial-agg stage otherwise runs on one core
+    # (profiled 1.70 s -> 1.39 s with the guard). No-op at real scale
+    # where the fact table already has thousands of splits.
+    li = _ensure_parallel(
+        t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("k"),
+            "l_extendedprice",
+            "l_discount",
+            "l_linenumber",
+        )
     )
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), "o_orderpriority"
