@@ -43,13 +43,17 @@ from uc_historic_data_importer_spark.operators.similarity import (
 )
 
 
-def _sub(vec: Column, j: int, sub_dim: int) -> Column:
-    """Subspace j of a vector as doubles (1-based slice)."""
-    return F.slice(vec.cast("array<double>"), j * sub_dim + 1, sub_dim)
+def _fmt_d(x: float) -> str:
+    """SQL double literal: repr() is the shortest round-trip decimal and
+    Double.parseDouble resolves it to the identical IEEE-754 bits; the
+    D suffix keeps the parser off the DECIMAL type."""
+    return repr(float(x)) + "D"
 
 
-def _dot_lit(sub: Column, cent: list[float]) -> Column:
-    """sub · literal centroid, UNROLLED into element_at multiply-adds.
+def _dot_lit_sql(vec_ref: str, base: int, cent: list[float]) -> str:
+    """sub · literal centroid, UNROLLED into element_at multiply-adds —
+    as SQL TEXT over absolute positions ``base+1..base+len`` of the
+    cast vector column ``vec_ref``.
 
     The higher-order-function dot (aggregate over zip_with) re-enters
     the interpreter per ELEMENT — hoisting the centroid to literals
@@ -57,23 +61,36 @@ def _dot_lit(sub: Column, cent: list[float]) -> Column:
     on the encode path; in a plain Project it also whole-stage-codegen
     compiles at PQ's small per-subspace term counts — see
     similarity._cell_expr for the measured compile/fallback matrix).
-    Left-associated sum = the same association as a
-    sequential accumulate, so DuckDB's list_inner_product reproduces
-    the double bit-for-bit.
+    Left-associated sum (SQL + is left-associative) = the same
+    association as a sequential accumulate, so DuckDB's
+    list_inner_product reproduces the double bit-for-bit.
+
+    Built as ONE SQL string parsed by F.expr rather than a Column
+    fold: each Column operator is a py4j round-trip, and the m*k*dim
+    of them dominated the ANN queries' wall time at bench scale
+    (r14 opt round: 1.5-2.7 s of pure driver-side tree construction
+    per query; the parsed AST is node-for-node the old tree, so
+    executed plans and results are bit-identical). Absolute indexing
+    replaces the per-subspace slice() — try_element_at(v, base+i) ==
+    try_element_at(slice(v, base+1, n), i) for every vector length,
+    incl. short/NULL vectors where both yield NULL.
 
     try_element_at (not element_at, which THROWS under ANSI mode) so a
-    malformed/short vector yields NULL — _code_expr's coalesce then
-    maps it to the -1 sentinel instead of failing the whole stage."""
-    acc: Column | None = None
-    for i, x in enumerate(cent):
-        term = F.try_element_at(sub, F.lit(i + 1)) * F.lit(float(x))
-        acc = term if acc is None else acc + term
-    return acc if acc is not None else F.lit(0.0)
+    malformed/short vector yields NULL — _code_expr_sql's coalesce
+    then maps it to the -1 sentinel instead of failing the stage."""
+    if not cent:
+        return "0.0D"
+    return " + ".join(
+        f"(try_element_at({vec_ref}, {base + i + 1}) * {_fmt_d(x)})"
+        for i, x in enumerate(cent)
+    )
 
 
-def _code_expr(sub: Column, codebook: list[list[float]], round_dp: int) -> Column:
-    """argmin code for one subspace: comparison keys rounded before the
-    argmin, ties to the LOWEST code (strict < keeps the earlier one).
+def _code_expr_sql(
+    vec_ref: str, j: int, sub_dim: int, codebook: list[list[float]], round_dp: int
+) -> str:
+    """argmin code for one subspace as SQL text: comparison keys
+    rounded before the argmin, ties to the LOWEST code.
 
     The key is (cent.cent - 2*sub.cent), NOT the full ||sub-cent||^2:
     sub.sub is constant across codes, so dropping it changes no argmin
@@ -91,15 +108,29 @@ def _code_expr(sub: Column, codebook: list[list[float]], round_dp: int) -> Colum
     sentinel contract as similarity.assign_cells) so a malformed
     vector can never propagate NULL codes into downstream joins or
     partition columns."""
-    keys: list[Column] = []
+    keys: list[str] = []
     for cent in codebook:
         cc = 0.0
         for x in cent:
             cc += float(x) * float(x)
-        keys.append(F.round(F.lit(cc) - 2.0 * _dot_lit(sub, cent), round_dp))
-    arr = F.array(*keys)
-    pos = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-    return F.coalesce(pos, F.lit(-1))
+        dot = _dot_lit_sql(vec_ref, j * sub_dim, cent)
+        keys.append(f"round({_fmt_d(cc)} - (2.0D * ({dot})), {round_dp})")
+    arr = "array(" + ", ".join(keys) + ")"
+    return (
+        f"coalesce(CAST(array_position({arr}, array_min({arr})) - 1 AS INT),"
+        " -1)"
+    )
+
+
+def _with_vec_ref(
+    corpus: DataFrame, vec_col: str, *keep: Column
+) -> DataFrame:
+    """Project the cast vector under the short internal name ``_E`` the
+    SQL text references (keeps the generated text small — the parse
+    cost of the unrolled expressions scales with string length)."""
+    return corpus.select(
+        *keep, F.col(vec_col).cast("array<double>").alias("_E")
+    )
 
 
 def pq_fit(
@@ -153,18 +184,14 @@ def pq_fit(
         # sub_dim — driver state stays one codebook.
         codes = F.array(
             *[
-                _code_expr(
-                    _sub(F.col(vec_col), j, sub_dim), books[j], round_dp
-                )
+                F.expr(_code_expr_sql("_E", j, sub_dim, books[j], round_dp))
                 for j in range(m)
             ]
         )
         sums = (
-            corpus.select(
+            _with_vec_ref(corpus, vec_col).select(
                 codes.alias("_codes"),
-                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-                    "pos", "x"
-                ),
+                F.posexplode(F.col("_E")).alias("pos", "x"),
             )
             .select(
                 F.expr(f"CAST(pos div {sub_dim} AS INT)").alias("j"),
@@ -201,11 +228,14 @@ def pq_encode(
     """(vec_id, code_0..code_{m-1}): the persisted compact index — pure
     map over the corpus, no shuffle."""
     sub_dim = len(codebooks[0][0])
-    return _ensure_parallel(corpus).select(
-        F.col(id_col).alias("vec_id"),
+    base = _with_vec_ref(
+        _ensure_parallel(corpus), vec_col, F.col(id_col).alias("vec_id")
+    )
+    return base.select(
+        "vec_id",
         *[
-            _code_expr(
-                _sub(F.col(vec_col), j, sub_dim), codebooks[j], round_dp
+            F.expr(
+                _code_expr_sql("_E", j, sub_dim, codebooks[j], round_dp)
             ).alias(f"code_{j}")
             for j in range(len(codebooks))
         ],
