@@ -56,4 +56,7 @@ def perm_hash(col_h: Column, a: int, b: int) -> Column:
 
 
 def perm_hash_sql(expr_h: str, a: int, b: int) -> str:
+    """SQL text of perm_hash — valid in BOTH DuckDB and Spark SQL (the
+    r14 opt round routes minhash builders through F.expr of this text:
+    one parse instead of a py4j call per Column operator)."""
     return f"(({expr_h} * {a} + {b}) % {MERSENNE_61})"

@@ -30,7 +30,8 @@ from uc_historic_data_importer_spark.functions.hashes import (
     MERSENNE_61,  # noqa: F401 — re-exported for callers/tests
     md5_i64,
     perm_constants,
-    perm_hash,
+    perm_hash,  # noqa: F401 — re-exported for callers/tests
+    perm_hash_sql,
 )
 from uc_historic_data_importer_spark.operators.text import tokens_col
 
@@ -380,8 +381,14 @@ def minhash_signatures(
         # GroupedData.agg instead of naming the misconfiguration
         raise ValueError(f"num_perms must be >= 1 (got {num_perms})")
     sh = doc_shingle_hashes(df, text_col, id_col, n)
+    # one F.expr per permutation instead of a Column-operator fold:
+    # each Column op is a py4j round-trip and the fold dominated the
+    # minhash queries' driver-side build time at bench scale (r14 opt
+    # round). perm_hash_sql's text is valid in BOTH engines, so the
+    # Spark expression and the DuckDB oracle share one formatter; the
+    # parsed AST is node-for-node the old (h*a+b)%p tree.
     aggs = [
-        F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{j}")
+        F.expr(f"min({perm_hash_sql('h', a, b)})").alias(f"mh{j}")
         for j, (a, b) in enumerate(perm_constants(num_perms))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -803,8 +810,9 @@ def source_minhash_overlap(
         F.col(group_col).alias("grp"),
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
     ).select("grp", md5_i64(F.col("shingle")).alias("h"))
+    # F.expr per permutation — see minhash_signatures for why
     aggs = [
-        F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{j}")
+        F.expr(f"min({perm_hash_sql('h', a, b)})").alias(f"mh{j}")
         for j, (a, b) in enumerate(perm_constants(num_perms))
     ]
     sig = sh.groupBy("grp").agg(*aggs)
@@ -923,15 +931,19 @@ def _band_signatures_of_sig(
             "(rows_per_band = num_perms / bands must be a positive int)"
         )
     rows_per_band = num_perms // bands
+    # one parsed expression per band (py4j-chatter economy, r14 opt
+    # round) — the AST matches the former struct(lit, md5(concat_ws))
+    # Column fold exactly
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        casts = ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
         band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
-                    "band_sig"
-                ),
+            F.expr(
+                f"struct({b} AS band_idx, "
+                f"md5(concat_ws(',', {casts})) AS band_sig)"
             )
         )
     return sig.select(
@@ -983,19 +995,24 @@ def minhash_jaccard_estimates(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_perms)],
     )
-    matches = None
-    for j in range(num_perms):
-        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        matches = term if matches is None else matches + term
+    # one parsed CASE-WHEN chain instead of a 16-term Column fold
+    # (py4j-chatter economy, r14 opt round; AST unchanged)
+    matches_sql = " + ".join(
+        f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)"
+        for j in range(num_perms)
+    )
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            matches.cast("int").alias("matches"),
+            F.expr(f"CAST(({matches_sql}) AS INT)").alias("matches"),
             # floor-div in BOTH engines: Spark's int cast truncates but
             # DuckDB's rounds, so the floor must be explicit
-            F.floor(matches * 10000 / num_perms).cast("int").alias("est_bp"),
+            F.expr(
+                f"CAST(floor((({matches_sql}) * 10000) / {num_perms})"
+                " AS INT)"
+            ).alias("est_bp"),
         )
     )

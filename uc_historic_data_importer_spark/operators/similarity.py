@@ -190,15 +190,13 @@ def hyperplane_lsh_buckets(
         h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
         return (h % 1000) / 1000.0 - 0.5
 
-    bucket = F.lit(0).cast("long")
-    v = F.col(vec_col)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(coeff(p, i)) for i in range(dim)])
-        d = dot_col(v, plane)
-        bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return corpus.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+    planes = [[coeff(p, i) for i in range(dim)] for p in range(n_planes)]
+    # SQL-text bucket expression over a pre-cast alias — one parse
+    # instead of n_planes * dim Column operators (see _plane_dot_sql)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_E"),
+    ).select("vec_id", _lsh_bucket_expr("_E", planes).alias("bucket"))
 
 
 def _cell_expr(
@@ -1114,19 +1112,43 @@ def lsh_plane_coeffs(
     return [[coeff(p, i) for i in range(dim)] for p in range(n_planes)]
 
 
-def _lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+def _plane_dot_sql(vec_ref: str, plane: list[float]) -> str:
+    """dot(vector, literal plane) as SQL text over a pre-cast
+    ARRAY<DOUBLE> reference — flat try_element_at multiply-adds with
+    the zip_with length contract preserved: the former HOF dot
+    (aggregate over zip_with) pads the SHORTER side with NULL, so the
+    sum is non-NULL only when len(v) == len(plane) exactly. Short
+    vectors self-poison through try_element_at's NULLs; the CASE seed
+    poisons over-LONG vectors (and NULL arrays, where size() is NULL).
+    Left-associated + matches the sequential aggregate fold, so the
+    double is bit-identical and the oracle's list_inner_product
+    replays it.
+
+    Emitted as text for F.expr (one parse) instead of a Column fold:
+    each Column operator is a py4j round-trip and the per-element
+    fold dominated the LSH queries' driver-side build time at bench
+    scale (r14 opt round); the flat madd chain also whole-stage-
+    codegen compiles where the HOF lambda re-entered the interpreter
+    per element."""
+    dim = len(plane)
+    seed = f"CASE WHEN size({vec_ref}) <= {dim} THEN 0.0D END"
+    terms = "".join(
+        f" + (try_element_at({vec_ref}, {i + 1}) * {repr(float(c))}D)"
+        for i, c in enumerate(plane)
+    )
+    return f"(({seed}){terms})"
+
+
+def _lsh_bucket_expr(vec_ref: str, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id from literal plane coefficients: bit p set iff
-    dot(v, plane_p) > 0."""
-    b = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        d = dot_col(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            F.array(*[F.lit(c) for c in plane]),
-        )
-        b = b + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return b
+    dot(v, plane_p) > 0. ``vec_ref`` must name a pre-cast ARRAY<DOUBLE>
+    column (see _plane_dot_sql for the SQL-text rationale)."""
+    bits = "".join(
+        f" + (CASE WHEN {_plane_dot_sql(vec_ref, plane)} > 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p, plane in enumerate(planes)
+    )
+    return F.expr(f"(CAST(0 AS BIGINT){bits})")
 
 
 def semantic_decontamination_lsh(
@@ -1173,14 +1195,38 @@ def semantic_decontamination_lsh(
         )
     dim = int(first["d"])
     tables = [lsh_plane_coeffs(n_planes, dim, l) for l in range(n_tables)]
-    buckets = F.array(*[_lsh_bucket_expr(vec_col, pl) for pl in tables])
+    # bucket expressions reference a short pre-cast alias so the
+    # generated SQL text stays small (parse cost scales with length)
+    buckets = F.array(*[_lsh_bucket_expr("_E", pl) for pl in tables])
 
     def side(df, prefix):
-        return df.select(
+        pre = df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
-            norm_col(F.col(vec_col)).alias(f"{prefix}_norm"),
-            F.posexplode(buckets).alias("tbl", "bucket"),
+            F.col(vec_col).cast("array<double>").alias("_E"),
+        )
+        # the bucket array materializes in a Project BEFORE the
+        # explode (expressions inside a Generate never whole-stage-
+        # compile — see _cell_expr's codegen matrix), and the explode
+        # is the OUTER variant: a non-outer Generate makes the
+        # optimizer infer `size(_buckets) > 0` and clone the whole
+        # n_tables x n_planes x dim bucket tree into a scan-side
+        # Filter, where it re-evaluates per row interpreted (measured:
+        # the clone tripled this operator's wall time). The array is a
+        # literal n_tables-element CreateArray — never NULL, never
+        # empty — so outer vs inner emit identical rows and the
+        # inference simply disappears.
+        withb = pre.select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            norm_col(F.col(f"{prefix}_vec")).alias(f"{prefix}_norm"),
+            buckets.alias("_buckets"),
+        )
+        return withb.select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            f"{prefix}_norm",
+            F.posexplode_outer(F.col("_buckets")).alias("tbl", "bucket"),
         )
 
     c = side(_ensure_parallel(train), "c")
