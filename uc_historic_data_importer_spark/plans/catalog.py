@@ -496,7 +496,16 @@ def normalize_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("int").alias("line_no"),
         raw.alias("raw_json"),
     )
-    norm = flatten_normalized(normalize_records(lines, min_partitions=8))
+    # UDF parallelism derived from the session's core count, not a
+    # constant (r14 opt round): min_partitions=8 capped the CPU-bound
+    # Arrow normalize stage at 8 tasks on a 32-core session (and
+    # over-split a 4-core one). Still a no-op at real scale where the
+    # input has many splits.
+    norm = flatten_normalized(
+        normalize_records(
+            lines, min_partitions=spark.sparkContext.defaultParallelism
+        )
+    )
     return norm.filter(F.col("valid")).select(
         "event_id",
         "inner_type",

@@ -5350,8 +5350,14 @@ def entry_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('"}}'),
         ).alias("raw_json"),
     )
+    # session-derived UDF parallelism, not a constant — see
+    # normalize_pipeline_q (r14 opt round)
     norm = with_table_names(
-        flatten_normalized(normalize_records(raw, min_partitions=8))
+        flatten_normalized(
+            normalize_records(
+                raw, min_partitions=spark.sparkContext.defaultParallelism
+            )
+        )
     )
     latest = latest_per_key_window(
         norm.filter(F.col("valid")), key_cols=("table", "key_hex")
