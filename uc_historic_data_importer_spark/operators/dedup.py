@@ -685,12 +685,16 @@ def connected_components_star(
         # u points at m(u) = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        # no distinct here (r14 opt round): the composition's next steps
+        # absorb duplicates for free — _small_star's groupBy().min is
+        # map-side partial-aggregated, its m-join is one-output-per-row
+        # (no fan-out), and its final distinct dedups the round's edge
+        # set — so the extra exchange bought nothing.
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -716,11 +720,16 @@ def connected_components_star(
         # cheaper than the former symmetric pair (r14 opt round):
         # contracted ⊆ edges AND |contracted| == |edges| ⟺ equal. The
         # counts are scans of checkpointed frames; only the subset probe
-        # pays a join.
+        # pays a join — and it runs ONLY when the counts agree
+        # (different counts already prove the sets differ), which skips
+        # the join job in every round but the final one.
         n_contracted = contracted.count()
-        changed = contracted.join(edges, ["u", "v"], "left_anti").count() + (
-            0 if n_contracted == n_edges else 1
-        )
+        if n_contracted == n_edges:
+            changed = contracted.join(
+                edges, ["u", "v"], "left_anti"
+            ).count()
+        else:
+            changed = 1
         edges = contracted
         n_edges = n_contracted
         if changed == 0:
