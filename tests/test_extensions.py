@@ -3218,6 +3218,62 @@ class TestNeardupDispatch:
             assert abs(exact[k] - fast[k]) <= 1e-6, k
 
 
+class TestIvfTopkDispatch:
+    def test_matmul_path_matches_exact_path(self, spark):
+        # the per-cell BLAS search path (r14 opt round) must produce the
+        # same (query, neighbor, cos_sim, rank) rows as the bit-exact
+        # Catalyst pair-join at every k
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = sim.kmeans_fit(emb, k=4, iters=1)
+        assigned = sim.assign_cells(
+            emb, cents, keep_cols=("embedding",)
+        ).localCheckpoint()
+        for k in (1, 3):
+            exact = sorted(
+                map(tuple, sim.ivf_topk(
+                    assigned, k=k, cell_col="cell", exact_max_rows=10**9
+                ).collect())
+            )
+            fast = sorted(
+                map(tuple, sim.ivf_topk(
+                    assigned, k=k, cell_col="cell", exact_max_rows=0
+                ).collect())
+            )
+            assert exact == fast, k
+
+    def test_ragged_and_null_vectors_match_exact_path(self, spark):
+        # mixed-length cell + NULL vector + singleton cell: the Arrow
+        # branch must replicate the zip_with contract (equal lengths ->
+        # real cosine, otherwise NULL, NULL sims ranked last)
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        rows = [
+            (1, [1.0, 0.0], 7),
+            (2, [0.5, 0.5], 7),
+            (3, [1.0, 0.0, 0.0], 7),
+            (4, None, 7),
+            (5, [0.9, 0.1], 7),
+            (10, [1.0, 2.0, 3.0], 8),  # singleton cell -> no output
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, cell int"
+        )
+        for k in (1, 4):
+            exact = sorted(
+                map(tuple, sim.ivf_topk(
+                    df, k=k, cell_col="cell", exact_max_rows=10**9
+                ).collect())
+            )
+            fast = sorted(
+                map(tuple, sim.ivf_topk(
+                    df, k=k, cell_col="cell", exact_max_rows=0
+                ).collect())
+            )
+            assert exact == fast, k
+
+
 class TestSemdedupDispatch:
     def test_matmul_path_matches_exact_path(self, spark):
         import uc_historic_data_importer_spark.operators.similarity as sim

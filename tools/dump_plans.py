@@ -25,7 +25,9 @@ def main() -> None:
     spark = get_spark(
         app_name="hdi-dump-plans", master="local[4]", shuffle_partitions=4
     )
-    sf = "/root/testdata/sf0.001"
+    # size-dispatched operators (matmul seams) plan differently at bench
+    # scale — override to capture the dispatch branch's plan
+    sf = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
     for name in names:
         df = QUERIES[name].fn(spark, sf)
         plan = df._sc._jvm.PythonSQLUtils.explainString(

@@ -111,6 +111,132 @@ def cosine_topk(
     )
 
 
+def _ivf_topk_arrow(
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """Per-cell numpy top-k — ivf_topk's past-oracle-scale branch (the
+    cosine_neardup_pairs matmul seam applied to search): one
+    applyInPandas group per cell computes every within-cell cosine as
+    one BLAS matmul and ranks in-process, instead of a pair-join whose
+    per-pair HOF dot re-enters the interpreter per element (profiled:
+    10+ CPU-seconds per sf0.1 search).
+
+    Rank semantics replicate the exact path: cos desc with NaN FIRST
+    (Spark orders NaN greatest), NULL sims (cross-length or NULL-vector
+    pairs — zip_with's both-lengths contract) LAST, ties by neighbor id
+    ascending, row_number <= k. Known seam caveats (same class as
+    _cell_udf_column, measure-zero on real corpora and absent from
+    every driver-checked scale, which stays on the exact path):
+    np.round ties half-even; BLAS summation order differs in the last
+    ulp; a NaN cos_sim VALUE crosses Arrow as NULL (its rank, computed
+    in-process, is still the exact path's); a NULL vector ELEMENT is
+    indistinguishable from NaN after Arrow transfer."""
+    import numpy as np
+    import pandas as pd
+
+    kk, dp = int(k), int(round_dp)
+    sel = _ensure_parallel(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(cell_col).alias("cell"),
+    )
+    id_t = sel.schema["vec_id"].dataType.simpleString()
+    cell_t = sel.schema["cell"].dataType.simpleString()
+    schema = (
+        f"query_id {id_t}, cell {cell_t}, neighbor_id {id_t}, "
+        "cos_sim double, rank int"
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {"query_id": [], "cell": [], "neighbor_id": [],
+             "cos_sim": [], "rank": []}
+        )
+        if m < 2 or kk < 1:
+            return empty
+        cell = pdf["cell"].iloc[0]
+        ids = pdf["vec_id"].to_numpy()
+        vals = list(pdf["_v"])
+        lens = np.array([-1 if v is None else len(v) for v in vals])
+        rows: list[tuple] = []
+        if (lens == lens[0]).all() and lens[0] > 0:
+            # uniform-dim cell (every real corpus): one matmul
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+            norms = np.sqrt((V * V).sum(axis=1))
+            S = np.round((V @ V.T) / np.outer(norms, norms), dp)
+            # ordering key: NaN ranks FIRST under desc — map to +inf
+            K = np.where(np.isnan(S), np.inf, S)
+            np.fill_diagonal(K, -np.inf)  # self-pair excluded
+            for i in range(m):
+                order = np.lexsort((ids, -K[i]))
+                take = [j for j in order[: kk + 1] if j != i][:kk]
+                for r, j in enumerate(take):
+                    s = S[i, j]
+                    rows.append(
+                        (ids[i], cell, ids[j],
+                         None if np.isnan(s) else float(s), r + 1)
+                    )
+        else:
+            # ragged/NULL vectors: per-pair replication of the
+            # zip_with contract (equal lengths -> real dot, otherwise
+            # NULL), ordered NaN-first / NULL-last / neighbor-asc
+            arrs = [
+                None if v is None else np.asarray(v, dtype=np.float64)
+                for v in vals
+            ]
+            nrm = [
+                None if a is None else float(np.sqrt((a * a).sum()))
+                for a in arrs
+            ]
+            for i in range(m):
+                cand = []
+                for j in range(m):
+                    if j == i:
+                        continue
+                    if (
+                        lens[i] > 0
+                        and lens[i] == lens[j]
+                    ):
+                        s = float(
+                            np.round(
+                                float(arrs[i] @ arrs[j])
+                                / (nrm[i] * nrm[j]),
+                                dp,
+                            )
+                        )
+                    else:
+                        s = None
+                    if s is not None and np.isnan(s):
+                        key = (0, 0.0, ids[j])
+                    elif s is not None:
+                        key = (1, -s, ids[j])
+                    else:
+                        key = (2, 0.0, ids[j])
+                    cand.append((key, ids[j], s))
+                cand.sort(key=lambda c: c[0])
+                for r, (_, nid, s) in enumerate(cand[:kk]):
+                    rows.append(
+                        (ids[i], cell, nid,
+                         None if (s is not None and np.isnan(s)) else s,
+                         r + 1)
+                    )
+        if not rows:
+            return empty
+        out = pd.DataFrame(
+            rows,
+            columns=["query_id", "cell", "neighbor_id", "cos_sim", "rank"],
+        )
+        return out
+
+    return sel.groupBy("cell").applyInPandas(per_cell, schema=schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int = 1,
@@ -118,13 +244,26 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     round_dp: int = 6,
+    exact_max_rows: int = 1000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF search: nearest neighbors within the same quantizer cell.
 
     The equi-join on cell id replaces the cross join — each cell's
     candidate set is independent, so the shuffle is on the (uniform)
     cell id and partition pruning applies when the corpus is stored
-    partitioned by cell."""
+    partitioned by cell.
+
+    Size-dispatched like cosine_neardup_pairs: corpora past
+    ``exact_max_rows`` run each cell's candidate scoring as ONE numpy
+    matmul + in-process ranking (_ivf_topk_arrow) — the per-pair HOF
+    dot re-enters the interpreter per element and dominated the search
+    at bench scale. Every driver-checked scale stays on the bit-exact
+    Catalyst path below. ``n_rows`` short-circuits the dispatch count
+    (pass it when the input is an expensive uncached pipeline)."""
+    n = corpus.count() if n_rows is None else int(n_rows)
+    if n > exact_max_rows:
+        return _ivf_topk_arrow(corpus, k, id_col, vec_col, cell_col, round_dp)
     corpus = _ensure_parallel(corpus)
     a = corpus.select(
         F.col(id_col).alias("query_id"),

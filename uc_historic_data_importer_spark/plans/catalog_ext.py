@@ -1596,7 +1596,7 @@ def ann_ivf2_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checkpoint each branch would recompute the whole fit+assign
     # chain. At 100 TB this is the real workflow anyway: the assignment
     # is a persisted index table, the search reads it twice.
-    return similarity.ivf_topk(assigned, k=1, cell_col="bucket")
+    return similarity.ivf_topk(assigned, k=1, cell_col="bucket", n_rows=n)
 
 
 @register(
@@ -1632,7 +1632,13 @@ def ann_ivf2_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, cents = _ivf_fit(spark, sf_dir)
     assigned = similarity.assign_cells(emb, cents, keep_cols=("embedding",))
-    return similarity.ivf_topk(assigned, k=1, cell_col="cell")
+    # n_rows dispatches only the SEARCH (ivf_topk's matmul seam); the
+    # assignment stays on its unrolled exact path — its k*dim fits the
+    # codegen budget and its plan shape is lint-pinned
+    return similarity.ivf_topk(
+        assigned, k=1, cell_col="cell",
+        n_rows=_table_n_rows(sf_dir, "embeddings"),
+    )
 
 
 @register(
