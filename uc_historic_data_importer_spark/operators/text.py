@@ -1086,9 +1086,19 @@ def fuzzy_match_pairs(
             F.size(F.filter(grams_all, lambda x: x == gm)).alias("cnt"),
         ),
     )
+    # The blocking pipeline shuffles IDS AND COUNTS ONLY (guide-§8
+    # shape, r14 opt round): the former form carried both key STRINGS
+    # through the df-cut window shuffle, the gram self-join and the
+    # pair groupBy (via first() aggregates) — the keys were most of the
+    # candidate shuffle's bytes, and every decision below needs only
+    # (id, len, gram, cnt). Survivors of the count filter are decorated
+    # with their keys by two id-equi-joins against the tiny per-key
+    # frame (broadcast locally; at corpus scale the candidate set after
+    # the pigeonhole cut is the small side by construction), and only
+    # then pay levenshtein. Output rows are identical.
     g = keys.select(
-        "_id", "_k", "_len", F.explode(gram_counts).alias("_g")
-    ).select("_id", "_k", "_len", F.col("_g.gram").alias("gram"), F.col("_g.cnt").alias("cnt"))
+        "_id", "_len", F.explode(gram_counts).alias("_g")
+    ).select("_id", "_len", F.col("_g.gram").alias("gram"), F.col("_g.cnt").alias("cnt"))
     if max_gram_df is not None:
         from pyspark.sql.window import Window
 
@@ -1098,14 +1108,12 @@ def fuzzy_match_pairs(
         ).drop("_df")
     a = g.select(
         F.col("_id").alias("id_a"),
-        F.col("_k").alias("k_a"),
         F.col("_len").alias("len_a"),
         "gram",
         F.col("cnt").alias("cnt_a"),
     )
     b = g.select(
         F.col("_id").alias("id_b"),
-        F.col("_k").alias("k_b"),
         F.col("_len").alias("len_b"),
         F.col("gram").alias("gram_b"),
         F.col("cnt").alias("cnt_b"),
@@ -1121,8 +1129,6 @@ def fuzzy_match_pairs(
         )
         .groupBy("id_a", "id_b")
         .agg(
-            F.first("k_a").alias("k_a"),
-            F.first("k_b").alias("k_b"),
             F.first("len_a").alias("len_a"),
             F.first("len_b").alias("len_b"),
             F.sum(F.least("cnt_a", "cnt_b")).alias("shared"),
@@ -1136,11 +1142,18 @@ def fuzzy_match_pairs(
             )
         )
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.levenshtein("k_a", "k_b").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
+    ka = keys.select(F.col("_id").alias("id_a"), F.col("_k").alias("k_a"))
+    kb = keys.select(F.col("_id").alias("id_b"), F.col("_k").alias("k_b"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("k_a", "k_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
 
 
 def unigram_logprob_scores(
