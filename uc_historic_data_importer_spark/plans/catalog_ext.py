@@ -4182,7 +4182,16 @@ def media_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(build)
 
-    media = t(spark, sf_dir, "documents").select(
+    # single-file-corpus guard (r14 opt round): the sf-scale documents
+    # parquet is ONE split, so the whole encode+decode+histogram chain
+    # ran on ONE core (stage profile: 1 task, 1.84 s run; ~280 us/doc of
+    # real JPEG codec work — the only media query whose per-row Python
+    # CPU outweighs the repartition exchange; the cheap-payload media
+    # queries measured WORSE with the guard and keep the plain scan).
+    # Guard sits on the SCAN so the exchange lands BELOW the payload
+    # projection — repartitioning `media` itself would still encode
+    # every payload single-task. No-op at real scale.
+    media = dedup._ensure_parallel(t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         mk_jpeg(F.col("doc_id")).alias("payload"),
