@@ -39,6 +39,35 @@ class TestDates:
     def test_epoch_sentinel(self):
         assert parse_hdi_timestamp_millis(EPOCH_KAFKA) == EPOCH_MILLIS == 315532800000
 
+    def test_roundtrip_memo_matches_fresh_parse(self):
+        """r14 opt round: kafka_date_format seeds a format->parse memo
+        so the K3 version parse of the just-formatted string skips the
+        regex. A memo hit must equal what a cold parse of the same
+        string returns — for canonical outputs, lenient-fraction
+        inputs that REFORMAT to a different canonical string, and
+        zone-shifted inputs."""
+        from uc_historic_data_importer_spark.functions import dates
+
+        cases = [
+            "2018-12-01T15:01:02.345Z",
+            "2018-12-01T15:01:02.5+0130",  # lenient fraction + zone shift
+            "2018-12-01T15:01:02.123456Z",  # fraction rolls into seconds
+            EPOCH_KAFKA,
+            "0001-01-01T00:00:00.000Z",
+            "9999-12-31T23:59:59.999Z",
+        ]
+        for s in cases:
+            out = kafka_date_format(s)
+            assert out is not None
+            warm = parse_hdi_timestamp_millis(out)
+            dates._ROUNDTRIP_MEMO.clear()
+            cold = parse_hdi_timestamp_millis(out)
+            assert warm == cold, s
+        # the memo stays FIFO-bounded
+        for i in range(50):
+            kafka_date_format(f"2020-01-01T00:00:{i % 60:02d}.000Z")
+        assert len(dates._ROUNDTRIP_MEMO) <= dates._ROUNDTRIP_MEMO_MAX
+
     def test_year_range_rollover_is_record_error_not_crash(self):
         """r14 review batch 11 (probed): SimpleDateFormat-lenient zone
         offsets accept any hhmm digit pair, so these parse — but the
@@ -79,6 +108,36 @@ class TestCanonicalization:
     def test_type_sensitivity(self):
         # string "1" vs int 1 canonicalize differently
         assert canonical_json({"id": "1"}) != canonical_json({"id": 1})
+
+    def test_fast_path_matches_stdlib(self):
+        """r14 opt round: flat all-simple-string dicts serialize by
+        concatenation; every output must stay byte-identical to
+        json.dumps(sort_keys, compact, ensure_ascii=False) — including
+        the edges that must REJECT the fast path (escapes, non-string
+        values, nested dicts) and the ones that must take it
+        (non-ASCII text, DEL, empty dict)."""
+        ref = lambda v: json.dumps(  # noqa: E731
+            v, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+        )
+        cases = [
+            {},
+            {"userId": "u-7-12"},
+            {"b": "2", "a": "1", "c": "3"},
+            {"k": 'quote " inside'},  # escaped -> fallback
+            {"k": "back\\slash"},
+            {"k": "ctrl\x01char", "j": "tab\there"},
+            {"k": "del\x7fchar"},  # \x7f is NOT escaped -> fast path
+            {"k": "日本語 ± €"},  # non-ASCII raw under ensure_ascii=False
+            {"k": None},
+            {"k": 1},
+            {"k": 2.5},
+            {"k": True},
+            {"k": {"nested": "dict"}},
+            {"k": ["list"]},
+            {"": ""},
+        ]
+        for v in cases:
+            assert canonical_json(v) == ref(v), v
 
 
 class TestIdNormalization:

@@ -35,6 +35,19 @@ KAFKA_OUT_SUFFIX = "+0000"
 _TS_RE = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})\.(\d{1,6})(Z|[+-]\d{4})$"
 )
+# Format->parse round-trip memo (r14 opt round): normalize_record
+# formats a record's timestamps via kafka_date_format and then re-parses
+# the PICKED string for the K3 version — the second parse re-derives a
+# number kafka_date_format already held. kafka_date_format seeds
+# out-string -> millis here; parse_hdi_timestamp_millis consults it
+# before the regex. Entries are only ever (millis_to_kafka(m) -> m)
+# pairs, and parse(millis_to_kafka(m)) == m for every m the formatter
+# accepts (canonical digits, +0000 zone, year pre-checked in [1, 9999]),
+# so a hit returns exactly what the full parse would. FIFO-bounded: a
+# record formats at most a handful of timestamps between format and
+# version-parse.
+_ROUNDTRIP_MEMO: dict[str, int] = {}
+_ROUNDTRIP_MEMO_MAX = 8
 _EPOCH_ORDINAL = 719163  # date(1970, 1, 1).toordinal()
 _MAX_ORDINAL = 3652059  # date(9999, 12, 31).toordinal()
 # Exactly the character class Java regex \s matches: keeps the Python
@@ -71,6 +84,9 @@ def parse_hdi_timestamp_millis(value: str | None) -> int | None:
     """
     if not value or not isinstance(value, str):
         return None
+    hit = _ROUNDTRIP_MEMO.get(value)
+    if hit is not None:
+        return hit
     m = _TS_RE.match(value.strip(_ASCII_WS))
     if m is None:
         return None
@@ -113,7 +129,11 @@ def kafka_date_format(value: str) -> str | None:
     days = millis // 86400000
     if not (1 <= days + _EPOCH_ORDINAL <= _MAX_ORDINAL):
         return None
-    return millis_to_kafka(millis)
+    out = millis_to_kafka(millis)
+    if len(_ROUNDTRIP_MEMO) >= _ROUNDTRIP_MEMO_MAX:
+        _ROUNDTRIP_MEMO.pop(next(iter(_ROUNDTRIP_MEMO)))
+    _ROUNDTRIP_MEMO[out] = millis
+    return out
 
 
 def millis_to_kafka(millis: int) -> str:

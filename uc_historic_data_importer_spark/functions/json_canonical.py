@@ -17,13 +17,37 @@ DuckDB oracle expressible.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 _SEPARATORS = (",", ":")
 
+# Strings json.dumps(ensure_ascii=False) emits verbatim: everything
+# except the two escaped characters (" and \) and the control range
+# below 0x20 (DEL and non-ASCII pass through unescaped). A flat dict of
+# such strings serializes by concatenation — the fast path below, worth
+# ~6x on the id-canonicalization hot path inside the normalization UDF
+# (r14 opt round), output byte-identical by construction.
+_NEEDS_ESCAPE = re.compile(r'[\x00-\x1f"\\]')
+
 
 def canonical_json(value: Any) -> str:
     """Key-sorted compact JSON of any parsed JSON value (recursive)."""
+    if type(value) is dict:
+        parts = []
+        for k in sorted(value):
+            v = value[k]
+            if (
+                type(k) is str
+                and type(v) is str
+                and _NEEDS_ESCAPE.search(k) is None
+                and _NEEDS_ESCAPE.search(v) is None
+            ):
+                parts.append(f'"{k}":"{v}"')
+            else:
+                break
+        else:
+            return "{" + ",".join(parts) + "}"
     return json.dumps(value, sort_keys=True, separators=_SEPARATORS, ensure_ascii=False)
 
 
