@@ -552,6 +552,55 @@ class TestSketches:
         # 256 registers -> ~6.5% standard error; 15% is a 2+ sigma bound
         assert abs(est - 1300) / 1300 < 0.15
 
+    def test_hll_registers_sql_matches_column(self, spark):
+        """r14 opt round: hll_registers builds its md5/bucket/rho exprs
+        as ONE parsed SQL string each (the 52-arm F.when chain cost
+        ~0.3-0.5 s of py4j driver time per sketch build). The parsed
+        AST must be node-for-node the old Column-built tree — pinned by
+        comparing the ANALYZED PLAN against an inline reconstruction of
+        the former Column form, plus row-level equality, on a value
+        column whose name needs backtick quoting."""
+        import re
+
+        df = spark.range(0, 500).select(
+            (F.col("id") % 97).cast("string").alias("the value"),
+            (F.col("id") % 3).cast("string").alias("g"),
+        )
+        p = 8
+        rem_bits = sketches.HASH_BITS - p
+        from uc_historic_data_importer_spark.functions.hashes import md5_i64
+
+        out = None
+        w = F.col("_h").bitwiseAND(F.lit((1 << rem_bits) - 1))
+        for r in range(1, rem_bits + 1):
+            cond = w >= F.lit(1 << (rem_bits - r))
+            out = (
+                F.when(cond, F.lit(r))
+                if out is None
+                else out.when(cond, F.lit(r))
+            )
+        old = (
+            df.select(
+                "g", md5_i64(F.col("the value").cast("string")).alias("_h")
+            )
+            .filter(F.col("_h").isNotNull())
+            .select(
+                "g",
+                F.shiftright(F.col("_h"), rem_bits).alias("bucket"),
+                out.otherwise(F.lit(rem_bits + 1)).alias("rho"),
+            )
+            .groupBy("g", "bucket")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+        new = sketches.hll_registers(df, "the value", ("g",), p)
+        norm = lambda s: re.sub(r"#\d+L?", "#X", s)  # noqa: E731
+        assert norm(new._jdf.queryExecution().analyzed().toString()) == norm(
+            old._jdf.queryExecution().analyzed().toString()
+        )
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, old.collect())
+        )
+
     def test_hll_registers_merge(self, spark):
         # the register table is the mergeable state: max-merging two
         # halves' registers must equal the whole corpus's registers

@@ -68,15 +68,23 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def _rho_expr(w: Column, rem_bits: int) -> Column:
-    expr = F.lit(rem_bits + 1)
-    # descending thresholds: w >= 2^(rem_bits-1) → 1, ... w >= 1 → rem_bits
-    out = None
-    for r in range(1, rem_bits + 1):
-        threshold = 1 << (rem_bits - r)
-        cond = w >= F.lit(threshold)
-        out = F.when(cond, F.lit(r)) if out is None else out.when(cond, F.lit(r))
-    return out.otherwise(expr)
+def _rho_sql(w_sql: str, rem_bits: int) -> str:
+    """SQL text of the rho when-chain: position of the highest set bit
+    in the rem_bits-wide window, 1-based from the top; all-zero window
+    -> rem_bits + 1.
+
+    One parsed expression instead of rem_bits chained ``F.when`` calls
+    (r14 opt round): the 56-arm chain cost ~2,000 py4j round-trips —
+    0.3-0.5 s of DRIVER time per sketch build before any job ran (the
+    PQ/LSH builder disease, cured the same way). The parsed AST is the
+    same descending-threshold CaseWhen the Column form produced:
+    w >= 2^(rem_bits-1) -> 1, ... w >= 1 -> rem_bits, ELSE rem_bits+1.
+    """
+    arms = " ".join(
+        f"WHEN {w_sql} >= {1 << (rem_bits - r)} THEN {r}"
+        for r in range(1, rem_bits + 1)
+    )
+    return f"(CASE {arms} ELSE {rem_bits + 1} END)"
 
 
 def hll_registers(
@@ -99,12 +107,20 @@ def hll_registers(
     # raw estimator's denominator and the linear-counting V (the
     # approx_count_distinct this replaces ignores NULLs; so do we,
     # and so does every oracle twin)
+    # md5_i64 / shiftright / & emitted as SQL text alongside the rho
+    # chain — parsed ASTs node-for-node the old Column-built trees
+    # (plan-identity pinned by test_hll_registers_sql_matches_column)
+    vq = "`" + value_col.replace("`", "``") + "`"
+    h_sql = (
+        f"CAST(conv(substring(md5(CAST({vq} AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
     hashed = df.select(
-        *group_cols, md5_i64(F.col(value_col).cast("string")).alias("_h")
+        *group_cols, F.expr(h_sql).alias("_h")
     ).filter(F.col("_h").isNotNull())
-    bucket = F.shiftright(F.col("_h"), rem_bits).alias("bucket")
-    w = F.col("_h").bitwiseAND(F.lit((1 << rem_bits) - 1))
-    rho = _rho_expr(w, rem_bits).alias("rho")
+    bucket = F.expr(f"shiftright(_h, {rem_bits})").alias("bucket")
+    w_sql = f"(_h & {(1 << rem_bits) - 1})"
+    rho = F.expr(_rho_sql(w_sql, rem_bits)).alias("rho")
     return (
         hashed.select(*group_cols, bucket, rho)
         .groupBy(*group_cols, "bucket")
