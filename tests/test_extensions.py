@@ -158,6 +158,49 @@ class TestDedup:
                 for r in sig.select("doc_id", acc.alias("s")).collect()}
         assert got == want
 
+    def test_simhash_sql_matches_column(self, spark):
+        """r14 opt round: simhash's 32 bit-count aggregates and the
+        32-arm accumulator are each ONE parsed SQL string (the Column
+        chains cost ~5,000 py4j round-trips — ~1 s of driver time per
+        query). The parsed AST must be node-for-node the old tree:
+        analyzed-plan equality against an inline reconstruction of the
+        Column form, plus row equality."""
+        import re
+
+        from pyspark.sql import functions as F
+        from uc_historic_data_importer_spark.operators.dedup import (
+            _ensure_parallel,
+            tokens_col,
+        )
+
+        rows = [(1, "alpha beta gamma delta"), (2, "alpha alpha beta"),
+                (3, "zz yy"), (4, "solo")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        bits = 32
+        tok = _ensure_parallel(df).select(
+            F.col("doc_id").alias("doc_id"),
+            F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("w"),
+        ).select("doc_id", dedup.md5_i64(F.col("w")).alias("h"))
+        counts = [
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(bits)
+        ]
+        sig = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t"), *counts)
+        acc = F.lit(0).cast("long")
+        for b in range(bits):
+            acc = acc + F.when(
+                F.col(f"c{b}") * 2 > F.col("t"), F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        old = sig.select("doc_id", acc.alias("simhash"))
+        new = dedup.simhash(df, bits=bits)
+        norm = lambda s: re.sub(r"#\d+L?", "#X", s)  # noqa: E731
+        assert norm(new._jdf.queryExecution().analyzed().toString()) == norm(
+            old._jdf.queryExecution().analyzed().toString()
+        )
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, old.collect())
+        )
+
     def test_simhash_identical_docs_collide(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
         assert sh[1] == sh[2]

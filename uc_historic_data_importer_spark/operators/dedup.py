@@ -527,17 +527,25 @@ def simhash(
     # branch from the aggregate loop: 1.6x faster at sf0.1 (2.7 s ->
     # 1.7 s for the signature stage, r14 opt round), bit-identical
     # output (pinned by test_simhash_vote_count_equivalence).
+    # Both expression families emitted as parsed SQL text (r14 opt
+    # round, the PQ/LSH/HLL builder pattern): the Column-built forms
+    # cost ~5,000 py4j round-trips — >1 s of driver time per query
+    # before any job ran. Parsed ASTs are node-for-node the old trees
+    # (pinned by test_simhash_sql_matches_column).
     counts = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        F.expr(f"sum(shiftright(h, {b}) & 1)").alias(f"c{b}")
         for b in range(bits)
     ]
     sig = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t"), *counts)
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        acc = acc + F.when(
-            F.col(f"c{b}") * 2 > F.col("t"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return sig.select("doc_id", acc.alias("simhash"))
+    acc_sql = " + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [
+            f"(CASE WHEN ((c{b} * 2) > t) THEN CAST({1 << b} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
+        ]
+    )
+    return sig.select("doc_id", F.expr(acc_sql).alias("simhash"))
 
 
 def simhash_buckets(
