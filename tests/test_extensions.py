@@ -3211,6 +3211,62 @@ class TestIvf2:
             rows, "vec_id long, embedding array<double>"
         )
 
+    def test_fit_arrow_seam_parity(self, spark, clustered):
+        """r14 opt round: past oracle scale (n_rows > 1000) ivf2_fit's
+        fine assignment runs as a per-cell cogrouped numpy matmul
+        (_fine_members_arrow). The fit output must be BIT-IDENTICAL to
+        the exact join+window path — on clean clustered data AND with
+        the degenerate members the exact path tolerates: a NULL
+        vector, a wrong-dim vector (both score NULL -> lowest fine;
+        their vectors flow to the mean posexplode unchanged) and a
+        NaN-element vector (NaN keys rank greatest, ties to lowest
+        fine; its NaN poisons the same means on both paths)."""
+        import math
+
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        edge = spark.createDataFrame(
+            [
+                (1000, None),
+                (1001, [1.0, 0.1]),
+                (1002, [float("nan"), 0.2, 0.1, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        df = clustered.union(edge)
+        coarse = sim.kmeans_fit(clustered, k=2, iters=1)
+        # ONE shared coarse assignment (the ann_ivf2_build contract):
+        # n_rows also dispatches assign_cells, whose NaN-vector cell
+        # differs between its exact and matmul branches (documented
+        # pre-existing caveat) — this test isolates the FINE seam
+        assigned = sim.assign_cells(
+            df, coarse, keep_cols=("embedding",)
+        ).localCheckpoint(eager=False)
+
+        def fit(n_rows):
+            return sim.ivf2_fit(
+                df, coarse, k2=3, iters=2, assigned=assigned,
+                n_rows=n_rows,
+            )
+
+        def key(r):
+            c = r["centroid"]
+            return (
+                r["cell"],
+                r["fine"],
+                None
+                if c is None
+                else tuple(
+                    "nan" if (x is not None and math.isnan(x)) else x
+                    for x in c
+                ),
+            )
+
+        exact = sorted(key(r) for r in fit(None).collect())
+        arrow = sorted(key(r) for r in fit(100_000).collect())
+        assert exact == arrow
+        assert len(exact) > 0
+
     def test_k1_equals_1_reduces_to_kmeans_fit(self, spark):
         import uc_historic_data_importer_spark.operators.similarity as sim
 

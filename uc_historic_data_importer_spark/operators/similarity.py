@@ -875,6 +875,98 @@ def kmeans_fit_sampled(
     )
 
 
+def _fine_members_arrow(
+    assigned: DataFrame, cents: DataFrame, vec_col: str, round_dp: int
+) -> DataFrame:
+    """assign_fine's winner selection as a per-cell cogrouped numpy
+    matmul — ivf2_fit's past-oracle-scale branch (r14 opt round; the
+    cosine_neardup_pairs/_ivf_topk_arrow seam applied to the fine
+    FIT). Scoring and tie semantics replicate the exact path:
+    key = round(dot(v, c) / |c|, round_dp) with the |c| = 0 -> 1
+    guard; winner = max key with ties to the LOWEST fine id (argmax's
+    first-max IS the fine-asc rule after sorting centroids by fine);
+    NaN keys rank greatest (Spark's NaN ordering, encoded as +inf);
+    invalid pairs (NULL vector / length mismatch -> NULL key on the
+    exact path) rank last (encoded as -inf, so an all-invalid row
+    takes the lowest fine — exactly where the exact path's all-NULL
+    desc ordering puts it). Output is (vec_id, cell, fine) ONLY — the
+    caller rejoins the member vectors JVM-side, because a vector
+    element routed back THROUGH Arrow loses NaN-vs-NULL identity
+    (pandas NaN-as-missing), which would silently clean the
+    NaN-poisoned means the exact path produces. Seam caveats (same
+    class as _ivf_topk_arrow, measure-zero and absent at
+    driver-checked scales, which stay on the exact path): np.round
+    ties half-even; BLAS summation order differs in the last ulp
+    under the pre-rank rounding; a true ±inf key is indistinguishable
+    from the NaN/invalid sentinels; scoring reads the vectors as
+    float64 with NULL elements arriving as NaN."""
+    import numpy as np
+    import pandas as pd
+
+    dp = int(round_dp)
+    mem = assigned.select(
+        "vec_id", "cell", F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cen = cents.select(
+        "cell", "fine", F.col("centroid").cast("array<double>").alias("_c")
+    )
+    id_t = mem.schema["vec_id"].dataType.simpleString()
+    cell_t = mem.schema["cell"].dataType.simpleString()
+    schema = f"vec_id {id_t}, cell {cell_t}, fine int"
+
+    def per_cell(mdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if len(mdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame({"vec_id": [], "cell": [], "fine": []})
+        cdf = cdf.sort_values("fine")
+        fine_ids = cdf["fine"].to_numpy()
+        cvals = list(cdf["_c"])
+        mvals = list(mdf["_v"])
+        K = np.full((len(mvals), len(cvals)), -np.inf)
+        dims = {len(c) for c in cvals if c is not None}
+        if len(dims) == 1 and all(c is not None for c in cvals):
+            # uniform-dim centroid table (every real fit): one matmul
+            dim = dims.pop()
+            C = np.stack([np.asarray(c, dtype=np.float64) for c in cvals])
+            norms = np.linalg.norm(C, axis=1)
+            norms[norms == 0.0] = 1.0
+            ok = [
+                i for i, v in enumerate(mvals)
+                if v is not None and len(v) == dim
+            ]
+            if ok:
+                V = np.stack(
+                    [np.asarray(mvals[i], dtype=np.float64) for i in ok]
+                )
+                K[ok, :] = np.round((V @ C.T) / norms, dp)
+        else:
+            # ragged/NULL centroids — per-pair slow path, same key rule
+            for j, c in enumerate(cvals):
+                if c is None:
+                    continue
+                ca = np.asarray(c, dtype=np.float64)
+                nrm = float(np.sqrt((ca * ca).sum())) or 1.0
+                for i, v in enumerate(mvals):
+                    if v is None or len(v) != len(ca):
+                        continue
+                    va = np.asarray(v, dtype=np.float64)
+                    K[i, j] = np.round(float(va @ ca) / nrm, dp)
+        K = np.where(np.isnan(K), np.inf, K)
+        best = K.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": mdf["vec_id"].to_numpy(),
+                "cell": mdf["cell"].to_numpy(),
+                "fine": fine_ids[best].astype("int32"),
+            }
+        )
+
+    return (
+        mem.groupBy("cell")
+        .cogroup(cen.groupBy("cell"))
+        .applyInPandas(lambda mdf, cdf: per_cell(mdf, cdf), schema=schema)
+    )
+
+
 def ivf2_fit(
     corpus: DataFrame,
     coarse_centroids: list[list[float]],
@@ -978,8 +1070,26 @@ def ivf2_fit(
             .select("vec_id", "cell", "fine", vec_col)
         )
 
+    # Past-oracle-scale dispatch (r14 opt round, the ivf_topk seam
+    # applied to the fit): the exact join+window path's per-pair HOF
+    # dot re-enters the interpreter per element — ~2M lambda
+    # re-entries per iteration at sf0.1 — so corpora the driver
+    # declares past oracle scale (n_rows > 1000, ivf_topk's
+    # exact_max_rows default) score each cell as one numpy matmul.
+    # Driver-checked scales (sf <= 0.01, n <= 1000) stay on the
+    # bit-exact Catalyst path; parity is pinned by
+    # TestIvf2::test_fit_arrow_seam_parity incl. NULL/short/NaN
+    # vector edges.
+    past_oracle = n_rows is not None and int(n_rows) > 1000
     for _ in range(iters):
-        members = assign_fine(fine)
+        if past_oracle:
+            # winners from the matmul seam, vectors rejoined JVM-side
+            # (never routed through Arrow — see _fine_members_arrow)
+            members = _fine_members_arrow(
+                assigned, fine, vec_col, round_dp
+            ).join(assigned.select("vec_id", vec_col), "vec_id")
+        else:
+            members = assign_fine(fine)
         sums = (
             members.select(
                 "cell", "fine", F.posexplode(F.col(vec_col)).alias("dim", "x")
