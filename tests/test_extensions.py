@@ -3267,6 +3267,43 @@ class TestIvf2:
         assert exact == arrow
         assert len(exact) > 0
 
+    def test_assign_arrow_seam_parity(self, spark, clustered):
+        """r14 opt round: ivf2_assign's matmul branch must reproduce
+        the exact path bit-for-bit — including the LEFT-join sentinel
+        (a vector whose coarse cell has no fine centroids keeps its
+        row with fine = -1 / bucket = -1; the cogroup drops such
+        cells, so the seam LEFT-rejoins from `assigned`)."""
+        import uc_historic_data_importer_spark.operators.similarity as sim
+
+        coarse = sim.kmeans_fit(clustered, k=4, iters=1)
+        assigned = sim.assign_cells(
+            clustered, coarse, keep_cols=("embedding",)
+        ).localCheckpoint(eager=False)
+        fine = sim.ivf2_fit(
+            clustered, coarse, k2=2, iters=1, assigned=assigned
+        ).localCheckpoint(eager=False)
+        # drop one cell's centroids so the empty-cell sentinel engages
+        a_cell = assigned.select("cell").first()["cell"]
+        fine_cut = fine.filter(F.col("cell") != a_cell)
+
+        def assign(n_rows):
+            return sim.ivf2_assign(
+                clustered, coarse, fine_cut, assigned=assigned,
+                n_rows=n_rows,
+            )
+
+        exact = sorted(
+            (r["vec_id"], r["cell"], r["fine"], r["bucket"])
+            for r in assign(None).collect()
+        )
+        arrow = sorted(
+            (r["vec_id"], r["cell"], r["fine"], r["bucket"])
+            for r in assign(100_000).collect()
+        )
+        assert exact == arrow
+        assert any(r[2] == -1 for r in exact)  # sentinel engaged
+        assert len(exact) == clustered.count()  # never drops rows
+
     def test_k1_equals_1_reduces_to_kmeans_fit(self, spark):
         import uc_historic_data_importer_spark.operators.similarity as sim
 

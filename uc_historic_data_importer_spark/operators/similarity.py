@@ -1156,6 +1156,34 @@ def ivf2_assign(
             round_dp=round_dp, keep_cols=(vec_col,) + tuple(keep_cols),
             n_rows=n_rows,
         )
+    # bucket stride = max fine id + 1, a broadcast one-row aggregate
+    # (the repo's standing crossJoin pattern) — NOT a global window,
+    # which would funnel every row through one partition
+    k2n = F.broadcast(fine.agg((F.max("fine") + 1).alias("_k2n")))
+    # Past-oracle-scale dispatch (r14 opt round, same seam as
+    # ivf2_fit): winners from the per-cell matmul, LEFT-rejoined from
+    # `assigned` so a vector whose coarse cell has no fine centroids
+    # keeps its row with the fine = -1 / bucket = -1 sentinel (the
+    # cogroup emits winners only for cells with centroids). Parity
+    # incl. the empty-cell sentinel is pinned by
+    # TestIvf2::test_assign_arrow_seam_parity.
+    if n_rows is not None and int(n_rows) > 1000:
+        winners = _fine_members_arrow(assigned, fine, vec_col, round_dp)
+        return (
+            assigned.join(winners.select("vec_id", "fine"), "vec_id", "left")
+            .crossJoin(k2n)
+            .select(
+                "vec_id",
+                "cell",
+                F.coalesce(F.col("fine"), F.lit(-1)).alias("fine"),
+                F.when(F.col("fine").isNull(), F.lit(-1).cast("long"))
+                .otherwise(
+                    F.col("cell").cast("long") * F.col("_k2n") + F.col("fine")
+                )
+                .alias("bucket"),
+                *[F.col(c) for c in keep_cols],
+            )
+        )
     c_norm = F.sqrt(
         F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
     )
@@ -1176,10 +1204,6 @@ def ivf2_assign(
         ).alias("_score"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_score"), F.asc("fine"))
-    # bucket stride = max fine id + 1, a broadcast one-row aggregate
-    # (the repo's standing crossJoin pattern) — NOT a global window,
-    # which would funnel every row through one partition
-    k2n = F.broadcast(fine.agg((F.max("fine") + 1).alias("_k2n")))
     return (
         scored.withColumn("_best", F.row_number().over(w))
         .filter(F.col("_best") == 1)
