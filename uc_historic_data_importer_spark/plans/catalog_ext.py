@@ -4047,8 +4047,16 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chunk_dup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uc_historic_data_importer_spark.operators import packing
 
+    # single-split scan guard at the QUERY level (r14 opt round): the
+    # CPU-heavy chunk-hash map stage ran as ONE task (0.87 s JVM CPU)
+    # on the one-split documents parquet, and this plan shuffles
+    # downstream anyway. The guard stays OUT of the operator:
+    # content_defined_chunks declares a zero-shuffle streaming-safe
+    # plan (and .rdd would crash a streaming frame).
     return packing.chunk_dup_stats(
-        t(spark, sf_dir, "documents"), k=_CDC_K, divisor=_CDC_DIV
+        dedup._ensure_parallel(t(spark, sf_dir, "documents")),
+        k=_CDC_K,
+        divisor=_CDC_DIV,
     )
 
 
@@ -5109,8 +5117,14 @@ def _seam_fake_encode(t: str) -> list[int]:
 def token_counts_seam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uc_historic_data_importer_spark.operators import text as text_ops
 
+    # single-split scan guard (r14 opt round): the injected-tokenizer
+    # pandas UDF ran as ONE task on the one-split documents parquet
+    # (stage profile: 0.87 s run). Query-level like chunk_dup_ratio —
+    # the plain bpe_token_stats query keeps the cheap unguarded scan
+    # (its codegen pretokenizer measured under the exchange cost).
     return text_ops.bpe_token_stats(
-        t(spark, sf_dir, "documents"), encode=_seam_fake_encode
+        dedup._ensure_parallel(t(spark, sf_dir, "documents")),
+        encode=_seam_fake_encode,
     )
 
 
