@@ -268,6 +268,16 @@ def main() -> None:
         except Exception:
             extras[name] = -1.0
 
+    # End-of-run calibration re-measure (r14 verdict item 1): a
+    # contention event AFTER the start-of-run calibration silently
+    # poisons every later query while box_speed still reads clean.
+    # Re-running the same fixed workload at the END and recording
+    # start/end drift makes a contaminated leg flag itself:
+    # cal_drift > ~1.3 means the box slowed down mid-run and the late
+    # queries' numbers are not trustworthy.
+    calibration_end = run_calibration(QUERIES, spark, "/root/testdata/sf0.1")
+    cal_end_total = round(sum(calibration_end.values()), 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Truncation-proof record: the driver keeps only a bounded tail of
@@ -285,6 +295,10 @@ def main() -> None:
     }
     if calibration:
         headline_rec["calibration"] = cal_total
+    if calibration_end:
+        headline_rec["calibration_end"] = cal_end_total
+        if cal_total > 0:
+            headline_rec["cal_drift"] = round(cal_end_total / cal_total, 3)
     if cal_ref and cal_total > 0:
         # what this total would read on the reference box
         headline_rec["normalized_value"] = round(

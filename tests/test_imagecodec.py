@@ -624,6 +624,37 @@ class TestDctVectorParity:
             assert batch_f[r].tolist() == ic._fdct(blocks[r])
             assert batch_i[r].reshape(64).tolist() == ic._idct(blocks[r])
 
+    def test_encode_batch_matches_per_image_exactly(self):
+        # encode_jpeg_gray_batch must be byte-identical to looping
+        # encode_jpeg_gray — across mixed dims, uniform and random
+        # pixels, and batches large enough to hit the nb>=32 FDCT branch
+        import random
+
+        rng = random.Random(41)
+        items = [
+            (1 + i % 16, 1 + i % 9, bytes([i % 256]) * ((1 + i % 16) * (1 + i % 9)))
+            for i in range(300)
+        ]
+        for _ in range(20):
+            w, h = rng.randint(1, 40), rng.randint(1, 40)
+            items.append(
+                (w, h, bytes(rng.randrange(256) for _ in range(w * h)))
+            )
+        ref = [ic.encode_jpeg_gray(w, h, p) for w, h, p in items]
+        assert ic.encode_jpeg_gray_batch(items) == ref
+        # scalar fallback path too
+        saved = ic._np
+        ic._np = None
+        try:
+            assert ic.encode_jpeg_gray_batch(items[:40]) == ref[:40]
+        finally:
+            ic._np = saved
+        assert ic.encode_jpeg_gray_batch([]) == []
+        import pytest
+
+        with pytest.raises(ValueError):
+            ic.encode_jpeg_gray_batch([(2, 2, b"abc")])
+
     def test_chunked_decode_matches_single_chunk(self, monkeypatch):
         # a decode spanning multiple IDCT chunks must equal the
         # one-chunk result (chunk boundaries are invisible)

@@ -131,7 +131,14 @@ def kafka_date_format(value: str) -> str | None:
         return None
     out = millis_to_kafka(millis)
     if len(_ROUNDTRIP_MEMO) >= _ROUNDTRIP_MEMO_MAX:
-        _ROUNDTRIP_MEMO.pop(next(iter(_ROUNDTRIP_MEMO)))
+        # Executor UDF workers are single-threaded, but this helper is
+        # importable from driver code where concurrent threads could
+        # race iter-then-pop on the FIFO eviction; popitem() is a single
+        # atomic dict op (LIFO, but any eviction order is correct here).
+        try:
+            _ROUNDTRIP_MEMO.popitem()
+        except KeyError:
+            pass
     _ROUNDTRIP_MEMO[out] = millis
     return out
 

@@ -46,8 +46,17 @@ from uc_historic_data_importer_spark.operators.similarity import (
 def _fmt_d(x: float) -> str:
     """SQL double literal: repr() is the shortest round-trip decimal and
     Double.parseDouble resolves it to the identical IEEE-754 bits; the
-    D suffix keeps the parser off the DECIMAL type."""
-    return repr(float(x)) + "D"
+    D suffix keeps the parser off the DECIMAL type. Non-finite values
+    have no bare-literal spelling — repr() would emit nan/inf, which the
+    parser resolves as a column reference — so they go through a string
+    CAST, which Spark and DuckDB both accept for NaN/Infinity."""
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        sign = "-" if x < 0 else ""
+        return f"CAST('{sign}Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _dot_lit_sql(vec_ref: str, base: int, cent: list[float]) -> str:

@@ -140,10 +140,16 @@ def _ivf_topk_arrow(
     import pandas as pd
 
     kk, dp = int(k), int(round_dp)
-    sel = _ensure_parallel(corpus).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        F.col(cell_col).alias("cell"),
+    sel = (
+        _ensure_parallel(corpus)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.col(cell_col).alias("cell"),
+        )
+        # the exact path's inner equi-join on cell drops NULL-cell rows;
+        # groupBy would form a NULL group and emit pairs among them
+        .filter(F.col("cell").isNotNull())
     )
     id_t = sel.schema["vec_id"].dataType.simpleString()
     cell_t = sel.schema["cell"].dataType.simpleString()
@@ -260,8 +266,14 @@ def ivf_topk(
     dot re-enters the interpreter per element and dominated the search
     at bench scale. Every driver-checked scale stays on the bit-exact
     Catalyst path below. ``n_rows`` short-circuits the dispatch count
-    (pass it when the input is an expensive uncached pipeline)."""
-    n = corpus.count() if n_rows is None else int(n_rows)
+    (pass it when the input is an expensive uncached pipeline); without
+    it the probe is bounded at exact_max_rows+1 rows, so the dispatch
+    decision never materializes the full corpus."""
+    n = (
+        corpus.limit(int(exact_max_rows) + 1).count()
+        if n_rows is None
+        else int(n_rows)
+    )
     if n > exact_max_rows:
         return _ivf_topk_arrow(corpus, k, id_col, vec_col, cell_col, round_dp)
     corpus = _ensure_parallel(corpus)

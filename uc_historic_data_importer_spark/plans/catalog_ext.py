@@ -4184,11 +4184,14 @@ def media_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mk_jpeg(ids: pd.Series) -> pd.Series:
         from uc_historic_data_importer_spark.functions import imagecodec as ic
 
-        def build(i: int) -> bytes:
-            w, h, v = 1 + i % 16, 1 + i % 9, i % 256
-            return ic.encode_jpeg_gray(w, h, bytes([v]) * (w * h))
-
-        return ids.map(build)
+        # one FDCT+quantize pass for the whole Arrow batch (r15 opt
+        # round): at these dims (<=4 blocks/img) per-image encode was
+        # numpy-dispatch-bound; encode_jpeg_gray_batch is bit-identical
+        items = [
+            (1 + i % 16, 1 + i % 9, bytes([i % 256]) * ((1 + i % 16) * (1 + i % 9)))
+            for i in ids
+        ]
+        return pd.Series(ic.encode_jpeg_gray_batch(items))
 
     # single-file-corpus guard (r14 opt round): the sf-scale documents
     # parquet is ONE split, so the whole encode+decode+histogram chain
@@ -4249,11 +4252,27 @@ def media_decode_health_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mk_payload(ids: pd.Series) -> pd.Series:
         from uc_historic_data_importer_spark.functions import imagecodec as ic
 
+        # the 'real' class's JPEGs batch their FDCT across the Arrow
+        # batch (bit-identical, see encode_jpeg_gray_batch)
+        real_ids = [i for i in ids if i % 4 == 0]
+        real = dict(
+            zip(
+                real_ids,
+                ic.encode_jpeg_gray_batch(
+                    (
+                        1 + i % 16,
+                        1 + i % 9,
+                        bytes([i % 256]) * ((1 + i % 16) * (1 + i % 9)),
+                    )
+                    for i in real_ids
+                ),
+            )
+        )
+
         def build(i: int) -> bytes:
             cls = i % 4
             if cls == 0:
-                w, h = 1 + i % 16, 1 + i % 9
-                return ic.encode_jpeg_gray(w, h, bytes([i % 256]) * (w * h))
+                return real[i]
             if cls == 1:
                 return (
                     b"GIF89a"
