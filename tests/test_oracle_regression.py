@@ -45,3 +45,48 @@ def test_all_catalog_queries_match_oracles(spark):
         spark, con, SF_DIR, queries, oracles, quiet=True
     )
     assert not failures, f"oracle regressions: {failures}"
+
+
+ARROW_SEAM_SF = "/root/testdata/sf0.1"
+# catalog queries whose similarity operators dispatch to the Arrow
+# matmul seam past 1000 corpus rows (ivf_topk / ivf2_fit / ivf2_assign /
+# cosine_neardup_pairs / semdedup): sf0.1's embeddings table has 2000
+# rows, so THIS oracle run executes the FlatMap*Pandas branch — the
+# driver's own correctness scales (sf0.001/sf0.01) stay on the exact
+# Catalyst path and never see it (r14 verdict item 2).
+ARROW_SEAM_QUERIES = (
+    "ann_ivf_topk",
+    "ann_ivf2_build",
+    "ann_ivf2_topk",
+    "embedding_cosine_neardup",
+    "semdedup_embeddings",
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(ARROW_SEAM_SF), reason=f"{ARROW_SEAM_SF} not present"
+)
+def test_arrow_seam_queries_match_oracles_past_dispatch_threshold(spark):
+    import __spark_entry__ as entry_mod
+    from check_oracle import check_queries, connect_oracle
+
+    queries = entry_mod.queries()
+    # the seam branch must actually be the one executing: assert the
+    # dispatch plan contains a pandas node before trusting the hashes
+    plan = (
+        queries["ann_ivf_topk"](spark, ARROW_SEAM_SF)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapCoGroupsInPandas" in plan
+    con = connect_oracle(ARROW_SEAM_SF)
+    failures = check_queries(
+        spark,
+        con,
+        ARROW_SEAM_SF,
+        queries,
+        entry_mod.oracle_sql(),
+        only=ARROW_SEAM_QUERIES,
+        quiet=True,
+    )
+    assert not failures, f"arrow-seam oracle regressions: {failures}"

@@ -671,6 +671,8 @@ def connected_components_star(
     `localCheckpoint` truncates lineage per round as in
     connected_components.
     """
+    from pyspark.sql.window import Window
+
     # canonical (high, low) edge list, self-loop-free
     edges = (
         pairs.select(
@@ -688,18 +690,26 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
+    # Both stars compute per-u neighborhood minima as WINDOW functions
+    # instead of groupBy + join-back (r15 opt round): the join form cost
+    # one aggregate exchange plus a join stage per star — and because
+    # Catalyst plans a DataFrame referenced twice as recomputation,
+    # _small_star's m-aggregate subtree (the whole large-star chain
+    # below it) executed TWICE per round, once for `moved` and once for
+    # `self_edge`. The window form is one linear chain per round: each
+    # star is a single u-partitioned exchange, and small-star emits the
+    # moved edge and the self edge from the same row via explode (the
+    # duplicate self edges per u are absorbed by the round's final
+    # distinct, which already existed). Round outputs are set-identical:
+    # min-over-window == the joined groupBy min, and the final distinct
+    # makes per-row multiplicity invisible.
     def _large_star(e: DataFrame) -> DataFrame:
         # symmetrized neighborhoods: every strictly-greater neighbor v of
         # u points at m(u) = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
-        # no distinct here (r14 opt round): the composition's next steps
-        # absorb duplicates for free — _small_star's groupBy().min is
-        # map-side partial-aggregated, its m-join is one-output-per-row
-        # (no fan-out), and its final distinct dedups the round's edge
-        # set — so the extra exchange bought nothing.
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         return (
-            sym.join(m, "u")
+            sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -708,14 +718,22 @@ def connected_components_star(
     def _small_star(e: DataFrame) -> DataFrame:
         # edges arrive (high, low); every low neighbor (and u itself)
         # points at the neighborhood minimum
-        m = e.groupBy("u").agg(F.min("v").alias("m"))
-        moved = (
-            e.join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        m = F.min("v").over(Window.partitionBy("u"))
         return (
-            moved.union(self_edge)
+            e.withColumn("m", m)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m").alias("v")
+                        ),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.u", "_e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
