@@ -644,6 +644,54 @@ class TestSketches:
             map(tuple, old.collect())
         )
 
+    def test_hist_quantiles_fused_select_matches_withcolumns(self, spark):
+        """r15 opt round: hist_quantiles emits its two window columns in
+        ONE select instead of two withColumns (each DataFrame op is a
+        py4j round-trip + a full analysis pass of the growing plan).
+        The OPTIMIZED plan must be identical to the former withColumn
+        form, and rows must match."""
+        import re
+
+        from pyspark.sql import Window
+
+        df = spark.range(0, 500).select(
+            (F.col("id") % 5).cast("string").alias("g"),
+            (F.col("id") % 37).cast("double").alias("v"),
+        )
+        counts = sketches.hist_counts(df, "v", group_cols=("g",))
+        w_cum = (
+            Window.partitionBy(F.col("g"))
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(F.col("g"))
+        old_cum = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+            "total", F.sum("cnt").over(w_all)
+        )
+        picks = [
+            F.min(
+                F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bucket"))
+            ).alias(f"_b{i}")
+            for i, q in enumerate((0.5, 0.9, 0.99))
+        ]
+        edge = lambda b: F.round(  # noqa: E731
+            F.exp(b.cast("double") / F.lit(100)) - F.lit(1.0), 4
+        )
+        old = old_cum.groupBy("g").agg(*picks).select(
+            "g",
+            edge(F.col("_b0")).alias("p5"),
+            edge(F.col("_b1")).alias("p9"),
+            edge(F.col("_b2")).alias("p99"),
+        )
+        new = sketches.hist_quantiles(counts, group_cols=("g",))
+        norm = lambda s: re.sub(r"#\d+L?", "#X", s)  # noqa: E731
+        assert norm(
+            new._jdf.queryExecution().optimizedPlan().toString()
+        ) == norm(old._jdf.queryExecution().optimizedPlan().toString())
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, old.collect())
+        )
+
     def test_hll_registers_merge(self, spark):
         # the register table is the mergeable state: max-merging two
         # halves' registers must equal the whole corpus's registers

@@ -487,8 +487,14 @@ def hist_quantiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*[F.col(c) for c in group_cols])
-    cum = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "total", F.sum("cnt").over(w_all)
+    # one select instead of two withColumns: each DataFrame op is a py4j
+    # round-trip plus an analysis pass, and this builder runs inside
+    # several query builds (r15 opt round, same driver-cost cure as the
+    # HLL register chain)
+    cum = counts.select(
+        "*",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
     )
     picks = [
         F.min(

