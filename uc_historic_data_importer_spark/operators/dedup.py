@@ -169,31 +169,34 @@ def _validate_freq_cap(name: str, value: int | None) -> None:
         raise ValueError(f"{name} must be >= 1 or None (got {value})")
 
 
-def _sorted_pairs_expr() -> Column:
-    """All (doc_a < doc_b) pairs from a SORTED id-array column named
-    `_ids`, as one in-array expression (per-bucket fan-out is the same
-    k^2/2 rows a self-join would produce, but in one pass). THE shared
-    pair-expansion used by both _bucket_pairs and jaccard_pairs — the
-    slice arithmetic must stay bit-identical between them, so it lives
-    in exactly one place."""
-    return F.filter(
-        F.flatten(
-            F.transform(
+def _expand_sorted_pairs(buckets: DataFrame) -> DataFrame:
+    """All (doc_a < doc_b) pair rows from a frame carrying a SORTED
+    id-array column `_ids`. THE shared pair-expansion used by both
+    _bucket_pairs and jaccard_pairs — the slice arithmetic must stay
+    bit-identical between them, so it lives in exactly one place.
+
+    Two chained generators (posexplode, then explode of the strictly-
+    later slice) instead of the former nested transform/flatten/filter
+    HOF expression (r15 opt round): Generate nodes run under
+    whole-stage codegen, while the nested-lambda HOF tree re-enters the
+    expression interpreter per element and per pair struct — measured
+    1.61 -> 1.24 s on dedup_ngram_jaccard's 1.27M-pair expansion at
+    sf0.1, identical output multiset (the filter keeps dropping the
+    doc_a == doc_b rows duplicate ids in `_ids` would produce; later
+    slice elements of a sorted array can never be smaller)."""
+    step = buckets.select("_ids", F.posexplode("_ids").alias("_i", "doc_a"))
+    return step.select(
+        "doc_a",
+        F.explode(
+            F.slice(
                 F.col("_ids"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("_ids"),
-                        (i + 2).cast("int"),
-                        F.greatest(
-                            F.size(F.col("_ids")) - i - 1, F.lit(0)
-                        ).cast("int"),
-                    ),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
+                (F.col("_i") + F.lit(2)).cast("int"),
+                F.greatest(
+                    F.size(F.col("_ids")) - F.col("_i") - 1, F.lit(0)
+                ).cast("int"),
             )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
-    )
+        ).alias("doc_b"),
+    ).filter(F.col("doc_a") < F.col("doc_b"))
 
 
 def _bucket_pairs(
@@ -222,13 +225,10 @@ def _bucket_pairs(
             .drop("_bdf")
         )
     ids = F.array_sort(F.collect_list("doc_id"))
-    pairs = _sorted_pairs_expr()
-    return (
+    return _expand_sorted_pairs(
         df.groupBy(*bucket_cols)
         .agg(ids.alias("_ids"))
         .filter(F.size("_ids") > 1)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
     )
 
 
@@ -293,11 +293,8 @@ def jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
-    pairs = _sorted_pairs_expr()
     common = (
-        buckets.filter(F.size("_ids") > 1)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        _expand_sorted_pairs(buckets.filter(F.size("_ids") > 1))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
