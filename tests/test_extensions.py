@@ -816,6 +816,42 @@ class TestBloom:
         )
         assert got == want and len(want) > 0
 
+    def test_bloom_anti_join_dispatch_branches_agree(self, spark):
+        """r15 opt round: with n_existing at-or-below
+        broadcast_max_existing the operator returns a broadcast
+        anti-join (no Bloom, one records scan); past it, the Bloom
+        two-branch route. Both must return identical rows — including
+        NULL record keys, which neither an equi-anti-join nor the
+        probe+anti union can drop."""
+        records = spark.createDataFrame(
+            [(0, 10), (2, 11), (5, 12), (None, 13), (7, 14)],
+            "k long, payload long",
+        )
+        existing = spark.range(0, 4).select((F.col("id") * 2).alias("ek"))
+
+        def run(n_existing, cap):
+            return sorted(
+                (
+                    (r["k"], r["payload"])
+                    for r in bloom.bloom_anti_join(
+                        records, existing, "k", "ek",
+                        n_existing=n_existing, broadcast_max_existing=cap,
+                    ).collect()
+                ),
+                key=lambda t: (t[0] is None, t[0], t[1]),
+            )
+
+        bcast = run(n_existing=4, cap=100)
+        bloom_route = run(n_existing=4, cap=1)  # past cap -> Bloom route
+        default = run(n_existing=None, cap=100)  # no hint -> Bloom route
+        assert bcast == bloom_route == default
+        assert (None, 13) in bcast and (5, 12) in bcast and (7, 14) in bcast
+        # the dispatch really is a broadcast anti-join (no Bloom probe)
+        plan = bloom.bloom_anti_join(
+            records, existing, "k", "ek", n_existing=4
+        )._jdf.queryExecution().toString()
+        assert "LeftAnti" in plan and "xxhash64" not in plan
+
     def test_build_cache_detects_grown_snapshot(self, spark, tmp_path):
         # same cache_key, but the snapshot under the path gained files:
         # the fingerprint must re-key so new keys don't pass as

@@ -381,6 +381,10 @@ def bloom_anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one filter per existing-keys snapshot, reused across runs —
         # production cost model (the build scan amortizes over imports)
         cache_key=f"{sf_dir}/orders:o_orderstatus=F",
+        # size dispatch (guide §3.1): below broadcast scale the exact
+        # broadcast anti-join wins (one records scan, zero shuffle);
+        # the Bloom two-branch route engages past broadcast_max_existing
+        n_existing=_table_n_rows(sf_dir, "orders"),
     )
     return new_rows.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
